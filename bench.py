@@ -1,0 +1,71 @@
+"""Benchmark harness: run every oracle-backed query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is measured with the noop sink (full plan runs, nothing
+collected to the driver) — the honest proxy for distributed execution
+cost. A warmup query first absorbs JVM/codegen startup so per-query
+numbers reflect steady-state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from go_nats_to_clickhouse_spark.config import EngineConfig
+    from go_nats_to_clickhouse_spark.queries import QUERIES
+    from go_nats_to_clickhouse_spark.session import get_spark
+
+    cfg = EngineConfig(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark = get_spark(cfg, app_name="gntcs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: trigger JVM + codegen + parquet footer caches, and fork the
+    # Arrow/pandas Python workers once so pandas-UDF queries measure compute,
+    # not interpreter startup.
+    QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    warm = spark.range(64).repartition(int(cpus))
+    warm.groupBy((F.col("id") % int(cpus)).alias("g")).applyInPandas(
+        lambda pdf: pdf[["id"]], "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Distributed similarity-search operators over embedding columns.
+
+The cosine kernel as a per-pair JVM expression (zip_with + aggregate) is
+correct but interpreted per row — fine for top-k against a small broadcast
+query set, hopeless for all-pairs. The all-pairs path here uses the
+block-matrix pattern: partition vectors into B blocks, enumerate the
+B*(B+1)/2 block pairs, and compute each block-pair's full cosine matrix
+with one vectorized numpy matmul inside a cogrouped ``applyInPandas``.
+
+Scale shape (the part that survives 1000 executors):
+* no driver-side collect — blocks move through a shuffle keyed on the
+  block-pair id, each task gets two Arrow batches and does one GEMM;
+* work is O(N^2 / B^2) per task over B(B+1)/2 tasks — embarrassingly
+  parallel, tunable by ``rows_per_block``;
+* data duplication is a factor of ~B per side. For true 100 TB corpora
+  this is still quadratic compute — that is inherent to *exact* all-pairs;
+  the sub-quadratic route is LSH bucketing (random hyperplanes) with this
+  same kernel applied per bucket, traded against recall. Exact blocked
+  all-pairs is the verifier for that path.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def blocked_all_pairs_cosine(
+    spark: SparkSession,
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    threshold: float = 0.4,
+    rows_per_block: int = 2048,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """All (a < b) pairs with cosine >= threshold.
+
+    Output columns: vec_a, vec_b, cos (unrounded double).
+    """
+    import pandas as pd  # noqa: F401  (required by applyInPandas)
+
+    if n_rows is None:
+        n_rows = df.count()
+    n_blocks = max(1, math.ceil(n_rows / rows_per_block))
+
+    blocked = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        (F.col(id_col) % n_blocks).cast("int").alias("_b"),
+    )
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    left = (
+        blocked.alias("bl")
+        .join(F.broadcast(pairs.alias("pl")), F.col("bl._b") == F.col("pl.bi"))
+        .select(
+            F.col("pl.bi").alias("bi"),
+            F.col("pl.bj").alias("bj"),
+            F.col("bl._id").alias("_id"),
+            F.col("bl._v").alias("_v"),
+        )
+    )
+    right = (
+        blocked.alias("br")
+        .join(F.broadcast(pairs.alias("pr")), F.col("br._b") == F.col("pr.bj"))
+        .select(
+            F.col("pr.bi").alias("bi"),
+            F.col("pr.bj").alias("bj"),
+            F.col("br._id").alias("_id"),
+            F.col("br._v").alias("_v"),
+        )
+    )
+
+    def compute(key, adf, bdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cos": "float64"}
+        )
+        if adf.empty or bdf.empty:
+            return empty
+        av = np.stack(adf["_v"].to_numpy())
+        bv = np.stack(bdf["_v"].to_numpy())
+        an = av / np.linalg.norm(av, axis=1, keepdims=True)
+        bn = bv / np.linalg.norm(bv, axis=1, keepdims=True)
+        sims = an @ bn.T
+        aid = adf["_id"].to_numpy()
+        bid = bdf["_id"].to_numpy()
+        ia, ib = np.nonzero(sims >= threshold)
+        va, vb, cs = aid[ia], bid[ib], sims[ia, ib]
+        keep = va < vb  # a strictly below b; also drops self-pairs
+        if not keep.any():
+            return empty
+        return pd.DataFrame({"vec_a": va[keep], "vec_b": vb[keep], "cos": cs[keep]})
+
+    out = (
+        left.groupby("bi", "bj")
+        .cogroup(right.groupby("bi", "bj"))
+        .applyInPandas(compute, "vec_a long, vec_b long, cos double")
+    )
+    return out
+
+
+def brute_force_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k cosine neighbors for a small broadcast query set.
+
+    queries_df: (query_id, qv: array<double>), corpus_df: (neighbor_id,
+    cv: array<double>). Corpus never shuffles for scoring; only the scored
+    (query_id, cos) pairs shuffle for ranking.
+    """
+    from pyspark.sql.window import Window
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    scored = (
+        corpus_df.crossJoin(F.broadcast(queries_df))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", F.row_number().over(w).alias("rank"), "cos")
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,623 @@
+"""Query-surface completeness (SURVEY.md §2.7): scans, filters, joins of
+every flavor, aggregations (incl. rollup/cube), window functions, sorts,
+set ops, and scalar-function families — the ad-hoc SQL surface the
+reference delegates to ClickHouse, expressed Spark-first.
+
+Scale notes on each query: dimension sides of joins are broadcast
+explicitly; aggregations are partial+final by construction (Catalyst);
+top-k uses window-rank which AQE handles per-group. All money aggregates
+use the exact-decimal strategy from ``queries.util``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from go_nats_to_clickhouse_spark.queries.registry import query
+from go_nats_to_clickhouse_spark.queries.util import MONEY, RATE, davg, dec, dsum, load_table
+
+# ---------------------------------------------------------------------------
+# Aggregation: TPC-H Q1 style pricing summary (hash agg, partial+final)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", RATE))
+    charge = disc_price * (F.lit(1) + dec("l_tax", RATE))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(dec("l_quantity"), "sum_qty"),
+            dsum(dec("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg(dec("l_quantity"), "avg_qty"),
+            davg(dec("l_extendedprice"), "avg_price"),
+            davg(dec("l_discount", RATE), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins: broadcast dim join + shuffle join + top-k (TPC-H Q3 style)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    """
+SELECT
+  l_orderkey,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+  o_orderdate,
+  o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", RATE))
+    return (
+        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+SELECT
+  n_name,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table join: fact-fact shuffle join (orders x lineitem) with every
+    dimension broadcast; the c_nationkey = s_nationkey 'local supplier'
+    constraint rides on the join output."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", RATE))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(revenue, "revenue"))
+    )
+
+
+@query(
+    "q6_revenue_forecast",
+    """
+SELECT
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + tight predicate + global agg: the pushdown showcase — all four
+    predicates reach the Parquet reader (PushedFilters)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(dec("l_extendedprice") * dec("l_discount", RATE), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+SELECT
+  c_custkey,
+  c_name,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+  n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", RATE))
+    return (
+        l.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(revenue, "revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_rollup_lineitem",
+    """
+SELECT
+  l_returnflag, l_linestatus,
+  COUNT(*) AS n,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum(dec("l_quantity"), "sum_qty")
+    )
+
+
+@query(
+    "agg_cube_orders",
+    """
+SELECT
+  o_orderstatus, o_orderpriority,
+  COUNT(*) AS n,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum(dec("o_totalprice"), "total")
+    )
+
+
+@query(
+    "agg_distinct_orders",
+    """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "agg_conditional",
+    """
+SELECT
+  l_returnflag,
+  CAST(ROUND(SUM(CASE WHEN l_quantity > 25 THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS bulk_revenue,
+  COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    bulk = F.when(F.col("l_quantity") > 25, dec("l_extendedprice")).otherwise(
+        F.lit(0).cast(MONEY)
+    )
+    return l.groupBy("l_returnflag").agg(
+        dsum(bulk, "bulk_revenue"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_topk_orders",
+    """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) t
+WHERE rn <= 3
+""",
+)
+def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via rank — the scalable alternative to per-group
+    collect+sort (no driver involvement, partial shuffle only on the
+    grouping key)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_running_spend",
+    """
+SELECT o_custkey, o_orderkey,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend
+FROM orders
+""",
+)
+def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(dec("o_totalprice")).over(w), 2)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@query(
+    "window_lag_events",
+    """
+SELECT event_id, user_id,
+  LAG(event_type) OVER w AS prev_type,
+  CAST(floor(epoch(ts)) AS BIGINT)
+    - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) AS gap_seconds
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def window_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_seconds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins, set ops, sorts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_anti_customers_without_orders",
+    """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_semi_active_suppliers",
+    """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_suppkey = s_suppkey
+    AND l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+)
+""",
+)
+def join_semi_active_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    )
+    return s.join(l, s.s_suppkey == l.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "set_intersect_big_spenders",
+    """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+""",
+)
+def set_intersect_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = o.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.intersect(big)
+
+
+@query(
+    "set_except_never_urgent",
+    """
+SELECT o_custkey FROM orders
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+)
+def set_except_never_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # subtract == SQL EXCEPT (distinct): any customer appearing on the right
+    # is removed entirely (exceptAll would only cancel per-occurrence).
+    return o.select("o_custkey").subtract(
+        o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    )
+
+
+@query(
+    "sort_limit_expensive_parts",
+    """
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+ORDER BY p_retailprice DESC, p_partkey
+LIMIT 25
+""",
+)
+def sort_limit_expensive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition heaps
+    + driver merge of k rows, never a full sort at scale."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string_functions",
+    """
+SELECT
+  p_partkey,
+  upper(p_name) AS name_upper,
+  lower(p_brand) AS brand_lower,
+  CAST(length(p_name) AS INT) AS name_len,
+  substr(p_name, 1, 5) AS name_prefix,
+  replace(p_type, 'A', '@') AS type_replaced,
+  CAST(instr(p_name, 'a') AS BIGINT) AS first_a,
+  (p_name LIKE '%gold%') AS has_gold,
+  trim(concat('  ', p_brand, '  ')) AS brand_trimmed,
+  reverse(p_brand) AS brand_reversed,
+  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+FROM part
+""",
+)
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit("A"), F.lit("@")).alias("type_replaced"),
+        F.instr(F.col("p_name"), "a").cast("bigint").alias("first_a"),
+        F.col("p_name").like("%gold%").alias("has_gold"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias(
+            "brand_trimmed"
+        ),
+        F.reverse(F.col("p_brand")).alias("brand_reversed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+
+
+@query(
+    "scalar_date_functions",
+    """
+SELECT
+  o_orderkey,
+  CAST(year(o_orderdate) AS INT) AS order_year,
+  CAST(month(o_orderdate) AS INT) AS order_month,
+  CAST(day(o_orderdate) AS INT) AS order_day,
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+  o_orderdate + INTERVAL 30 DAY AS due_date,
+  CAST(quarter(o_orderdate) AS INT) AS order_quarter
+FROM orders
+""",
+)
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+    )
+
+
+@query(
+    "scalar_math_functions",
+    """
+SELECT
+  p_partkey,
+  CAST(ROUND(sqrt(CAST(p_size AS DOUBLE)), 6) AS DOUBLE) AS size_sqrt,
+  abs(p_size - 25) AS size_dev,
+  CAST(p_size % 7 AS INT) AS size_mod,
+  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+  CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+  CAST(ROUND(p_retailprice, 1) AS DOUBLE) AS price_round1,
+  greatest(p_size, 25) AS size_hi,
+  least(p_size, 25) AS size_lo
+FROM part
+""",
+)
+def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(F.sqrt(F.col("p_size").cast("double")), 6).alias("size_sqrt"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        (F.col("p_size") % 7).cast("int").alias("size_mod"),
+        F.floor("p_retailprice").cast("bigint").alias("price_floor"),
+        F.ceil("p_retailprice").cast("bigint").alias("price_ceil"),
+        F.round(F.col("p_retailprice"), 1).alias("price_round1"),
+        F.greatest("p_size", F.lit(25)).alias("size_hi"),
+        F.least("p_size", F.lit(25)).alias("size_lo"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-bucketed aggregation (batch twin of the streaming tumbling window)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tumbling_window_daily_events",
+    """
+SELECT
+  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+  event_type,
+  COUNT(*) AS n,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def tumbling_window_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window over event time — F.window(), the same operator the
+    streaming pipeline uses with a watermark (tested in tests/)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(dec("value"), "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("day"), "event_type", "n", "total_value"
+        )
+    )

@@ -1,0 +1,315 @@
+"""Text-analysis + deduplication operators over ``documents`` — the
+training-data-pipeline extensions (SURVEY.md §2.7 north star).
+
+All hot-path expressions are built-in array/string functions (codegen'd,
+no Python), so each scales as a map-only stage; the near-dup join is the
+standard shingle-inverted-index self-join, which at 100 TB is the same
+shuffle pattern MinHash-LSH banding uses (see operators/dedup.py for the
+sketched variants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_nats_to_clickhouse_spark.queries.registry import query
+from go_nats_to_clickhouse_spark.queries.util import load_table
+
+def _words():
+    return F.split(F.col("text"), " ")
+
+# ---------------------------------------------------------------------------
+# Text statistics / quality scoring
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    """
+SELECT
+  doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_calc,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words,
+  ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        / len(string_split(text, ' ')), 6) AS avg_word_len,
+  ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' ')), 6) AS lexical_diversity
+FROM documents
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(_words()).cast("bigint")
+    n_distinct = F.size(F.array_distinct(_words())).cast("bigint")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(_words()),
+            6,
+        ).alias("avg_word_len"),
+        F.round(
+            F.size(F.array_distinct(_words())).cast("double") / F.size(_words()), 6
+        ).alias("lexical_diversity"),
+    )
+
+
+#: tiny per-language stopword inventories for the n-gram/stopword heuristic
+_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "un"),
+    "es": ("el", "los", "las", "y", "es", "un"),
+}
+
+
+def _stop_count_spark(lang: str):
+    arr = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return F.expr(
+        f"size(filter(split(lower(text), ' '), w -> array_contains(array({arr}), w)))"
+    ).cast("bigint")
+
+
+def _stop_count_sql(lang: str) -> str:
+    arr = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return (
+        f"CAST(len(list_filter(string_split(lower(text), ' '), "
+        f"w -> list_contains([{arr}], w))) AS BIGINT)"
+    )
+
+
+@query(
+    "text_lang_id",
+    f"""
+SELECT doc_id, lang,
+  {_stop_count_sql('en')} AS n_stop_en,
+  {_stop_count_sql('de')} AS n_stop_de,
+  {_stop_count_sql('fr')} AS n_stop_fr,
+  {_stop_count_sql('es')} AS n_stop_es,
+  CASE
+    WHEN {_stop_count_sql('en')} >= {_stop_count_sql('de')}
+     AND {_stop_count_sql('en')} >= {_stop_count_sql('fr')}
+     AND {_stop_count_sql('en')} >= {_stop_count_sql('es')} THEN 'en'
+    WHEN {_stop_count_sql('de')} >= {_stop_count_sql('fr')}
+     AND {_stop_count_sql('de')} >= {_stop_count_sql('es')} THEN 'de'
+    WHEN {_stop_count_sql('fr')} >= {_stop_count_sql('es')} THEN 'fr'
+    ELSE 'es'
+  END AS predicted_lang
+FROM documents
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-inventory language ID (deterministic argmax with fixed
+    tiebreak order en > de > fr > es)."""
+    d = load_table(spark, sf_dir, "documents")
+    en, de, fr, es = (_stop_count_spark(x) for x in ("en", "de", "fr", "es"))
+    predicted = (
+        F.when((en >= de) & (en >= fr) & (en >= es), F.lit("en"))
+        .when((de >= fr) & (de >= es), F.lit("de"))
+        .when(fr >= es, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        en.alias("n_stop_en"),
+        de.alias("n_stop_de"),
+        fr.alias("n_stop_fr"),
+        es.alias("n_stop_es"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_quality_score",
+    """
+SELECT
+  doc_id,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+  ROUND(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+        / length(text), 6) AS punct_ratio,
+  ROUND(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        / length(text), 6) AS digit_ratio,
+  (len(string_split(text, ' ')) BETWEEN 20 AND 1000
+   AND length(regexp_replace(text, '[^0-9]', '', 'g')) * 5 < length(text))
+    AS passes_quality
+FROM documents
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/punctuation/digit-ratio quality gate — the standard pretraining
+    corpus filter shape."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(_words()).cast("bigint")
+    punct = F.length(F.regexp_replace(F.col("text"), r"[^.,!?;:]", ""))
+    digits = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+    return d.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(punct.cast("double") / F.length("text"), 6).alias("punct_ratio"),
+        F.round(digits.cast("double") / F.length("text"), 6).alias("digit_ratio"),
+        (
+            n_words.between(20, 1000)
+            & (digits * 5 < F.length("text"))
+        ).alias("passes_quality"),
+    )
+
+
+@query(
+    "text_token_count",
+    """
+SELECT
+  doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens_re,
+  CAST(list_sum(list_transform(string_split(text, ' '),
+       w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens_bpe_est
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace, regex word tokens, and a BPE-ish estimate
+    (ceil(len/4) per word — the usual chars/4 rule applied per token)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_words()).cast("bigint").alias("n_tokens_ws"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .cast("bigint")
+        .alias("n_tokens_re"),
+        F.expr(
+            "aggregate(split(text, ' '), 0L, (acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS LONG))"
+        ).alias("n_tokens_bpe_est"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    """
+SELECT
+  doc_id,
+  md5(lower(trim(text))) AS fp_full,
+  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp_bag_of_words
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact content hash + an order-insensitive
+    bag-of-words hash (catches shuffled near-duplicates)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp_full"),
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(F.split(F.lower("text"), " ")))
+            )
+        ).alias("fp_bag_of_words"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """
+SELECT
+  md5(lower(trim(text))) AS fp,
+  MIN(doc_id) AS keep_doc_id,
+  COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on a content fingerprint, keep the lowest
+    id. At 100 TB this is one shuffle on a well-distributed md5 key —
+    no skew by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+_SHINGLE_SPARK = (
+    "transform(sequence(1, size(split(text, ' ')) - 2), "
+    "i -> concat_ws(' ', element_at(split(text, ' '), i), "
+    "element_at(split(text, ' '), i + 1), element_at(split(text, ' '), i + 2)))"
+)
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    """
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                  i -> concat_ws(' ', string_split(text, ' ')[i],
+                                 string_split(text, ' ')[i + 1],
+                                 string_split(text, ' ')[i + 2]))) AS shingle
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.1
+""",
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by exact 3-gram Jaccard >= 0.1 via a
+    shingle inverted-index self-join.
+
+    Scale shape: explode -> shuffle on shingle -> pair-count. Hot shingles
+    create join skew; the production path for 100 TB is the MinHash-LSH
+    variant (operators/dedup.py) where bands bound pair generation — this
+    exact version doubles as its verifier.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    sh = (
+        d.select("doc_id", F.explode(F.array_distinct(F.expr(_SHINGLE_SPARK))).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        common.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.1)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1,0 +1,141 @@
+"""Similarity search over the ``embeddings`` table (array<float> vectors).
+
+Hot path is pure JVM expressions: the cosine kernel is ``zip_with`` +
+``aggregate`` over double arrays (codegen'd fold, deterministic left-to-
+right order — which is what lets a DuckDB oracle match bit-for-bit before
+rounding). Brute-force top-k is the correctness baseline; the bucketed
+LSH variant for scale lives in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from go_nats_to_clickhouse_spark.queries.registry import query
+from go_nats_to_clickhouse_spark.queries.util import load_table
+
+
+def as_double(arr: Column | str) -> Column:
+    c = F.col(arr) if isinstance(arr, str) else arr
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+#: SQL twin of the cosine kernel (same sequential fold semantics)
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+        f" / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i] * {a}[i])))"
+        f" * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i] * {b}[i]))))"
+    )
+
+
+@query(
+    "vector_norms",
+    """
+SELECT
+  vec_id,
+  label,
+  CAST(len(embedding) AS INT) AS dim,
+  ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm,
+  ROUND(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 4) AS mean_component
+FROM embeddings
+""",
+)
+def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double("embedding")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.sqrt(dot(v, v)), 4).alias("l2_norm"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x) / F.size("embedding"),
+            4,
+        ).alias("mean_component"),
+    )
+
+
+_ANN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         {_cos_sql('qv', 'cv')} AS cos
+  FROM q, c
+  WHERE vec_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank,
+         cos
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cosine
+FROM ranked WHERE rank <= 10
+"""
+
+
+@query("vector_ann_cosine_topk", _ANN_ORACLE)
+def vector_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set against the
+    full corpus, score map-side, rank per query.
+
+    Scale shape: the corpus never shuffles for scoring (query side is
+    broadcast); only the tiny (query_id, cos) pairs shuffle for ranking.
+    With Q queries this is O(N*Q) flops spread over all executors — the
+    right baseline; the IVF/LSH variant in operators/similarity.py prunes N.
+    """
+    from go_nats_to_clickhouse_spark.operators.similarity import brute_force_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv"))
+    return brute_force_topk(q, c, k=10).select(
+        "query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine")
+    )
+
+
+_NEARDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_cos_sql('a.v', 'b.v')}, 4) AS cosine
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND {_cos_sql('a.v', 'b.v')} >= 0.4
+"""
+
+
+@query("vector_neardup_pairs", _NEARDUP_ORACLE)
+def vector_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.4), computed with the
+    block-matrix all-pairs operator (cogrouped applyInPandas + numpy GEMM
+    per block pair — see operators/similarity.py for the scale analysis).
+    """
+    from go_nats_to_clickhouse_spark.operators.similarity import (
+        blocked_all_pairs_cosine,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    pairs = blocked_all_pairs_cosine(spark, e, threshold=0.4)
+    return pairs.select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))

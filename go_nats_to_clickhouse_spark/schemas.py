@@ -1,0 +1,229 @@
+"""Central schema registry — explicit StructTypes, no inference.
+
+The reference declares every table schema in DDL
+(``/root/reference/clickhouse-config/init/init.sql``); payload columns stay
+``String`` at ingest (init.sql:14-15) and are extracted lazily at transform
+time (schema-on-read). We mirror that: explicit ``StructType`` per table,
+payloads as ``StringType``.
+
+Type mapping (SURVEY.md §1.2):
+  DateTime       -> TimestampType
+  String         -> StringType
+  UInt64         -> LongType   (Spark has no unsigned; JetStream sequences
+                                fit int64 in practice — documented caveat)
+  JSON           -> StringType + get_json_object at transform time
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Streaming-engine tables (reference parity)
+# ---------------------------------------------------------------------------
+
+#: One in-flight NATS message as emitted by a source
+#: (ref main.go:160-191: subject, payload bytes, JetStream metadata).
+MESSAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("timestamp", T.TimestampType(), False),  # JetStream msg ts
+        T.StructField("subject", T.StringType(), False),
+        T.StructField("sequence", T.LongType(), False),  # stream sequence (UInt64)
+        T.StructField("metadata", T.StringType(), True),  # JSON blob
+        T.StructField("data", T.StringType(), True),  # JSON payload, opaque
+    ]
+)
+
+#: Raw per-stream table — ref init.sql:8-19 (nats_data_stream_*).
+RAW_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("timestamp", T.TimestampType(), False),
+        T.StructField("subject", T.StringType(), False),
+        T.StructField("chat_id", T.StringType(), True),
+        T.StructField("sequence", T.LongType(), False),
+        T.StructField("metadata", T.StringType(), True),
+        T.StructField("data", T.StringType(), True),
+    ]
+)
+
+#: Union table — identical shape to the raw tables (ref init.sql:35-46).
+ALL_STREAMS_SCHEMA = RAW_STREAM_SCHEMA
+
+#: Wide analytics table — ref init.sql:74-96 (analitics_data), 17 columns.
+ANALYTICS_SCHEMA = T.StructType(
+    [
+        T.StructField("timestamp", T.TimestampType(), False),
+        T.StructField("subject", T.StringType(), False),
+        T.StructField("chat_id", T.StringType(), True),
+        T.StructField("metadata", T.StringType(), True),  # CH type JSON; kept as string
+        T.StructField("data", T.StringType(), True),
+        T.StructField("message_text", T.StringType(), True),
+        T.StructField("message_meta", T.StringType(), True),
+        T.StructField("message_id", T.StringType(), True),
+        T.StructField("message_timestamp", T.TimestampType(), True),
+        T.StructField("client_code", T.StringType(), True),
+        T.StructField("project_code", T.StringType(), True),
+        T.StructField("user_id", T.StringType(), True),
+        T.StructField("session_id", T.StringType(), True),
+        T.StructField("message_from", T.StringType(), True),
+        T.StructField("message_to", T.StringType(), True),
+        T.StructField("message_type", T.StringType(), True),
+        T.StructField("message_context", T.StringType(), True),
+    ]
+)
+
+#: Dead-letter table for malformed messages. The reference silently drops
+#: rows whose metadata extraction fails and still acks them (quirk K4,
+#: main.go:162-166 vs main.go:204-207); we keep them instead.
+DEAD_LETTER_SCHEMA = T.StructType(
+    [
+        T.StructField("timestamp", T.TimestampType(), True),
+        T.StructField("subject", T.StringType(), True),
+        T.StructField("error", T.StringType(), False),
+        T.StructField("raw", T.StringType(), True),
+    ]
+)
+
+#: Wire-format message envelope (ref README.md:18-30):
+#: {"metadata": {...}, "subject": "...", "data": {...}}
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("metadata", T.StringType(), True),
+        T.StructField("subject", T.StringType(), True),
+        T.StructField("data", T.StringType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Testdata tables (driver fixtures, TESTDATA.md) — explicit schemas so reads
+# never fall back to inference.
+# ---------------------------------------------------------------------------
+
+TESTDATA_SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType(), True),
+            T.StructField("r_name", T.StringType(), True),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType(), True),
+            T.StructField("n_name", T.StringType(), True),
+            T.StructField("n_regionkey", T.IntegerType(), True),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType(), True),
+            T.StructField("c_name", T.StringType(), True),
+            T.StructField("c_nationkey", T.IntegerType(), True),
+            T.StructField("c_acctbal", T.DoubleType(), True),
+            T.StructField("c_mktsegment", T.StringType(), True),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType(), True),
+            T.StructField("s_name", T.StringType(), True),
+            T.StructField("s_nationkey", T.IntegerType(), True),
+            T.StructField("s_acctbal", T.DoubleType(), True),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType(), True),
+            T.StructField("p_name", T.StringType(), True),
+            T.StructField("p_brand", T.StringType(), True),
+            T.StructField("p_type", T.StringType(), True),
+            T.StructField("p_size", T.IntegerType(), True),
+            T.StructField("p_retailprice", T.DoubleType(), True),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType(), True),
+            T.StructField("o_custkey", T.LongType(), True),
+            T.StructField("o_orderstatus", T.StringType(), True),
+            T.StructField("o_totalprice", T.DoubleType(), True),
+            T.StructField("o_orderdate", T.TimestampType(), True),
+            T.StructField("o_orderpriority", T.StringType(), True),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType(), True),
+            T.StructField("l_partkey", T.LongType(), True),
+            T.StructField("l_suppkey", T.LongType(), True),
+            T.StructField("l_linenumber", T.IntegerType(), True),
+            T.StructField("l_quantity", T.DoubleType(), True),
+            T.StructField("l_extendedprice", T.DoubleType(), True),
+            T.StructField("l_discount", T.DoubleType(), True),
+            T.StructField("l_tax", T.DoubleType(), True),
+            T.StructField("l_returnflag", T.StringType(), True),
+            T.StructField("l_linestatus", T.StringType(), True),
+            T.StructField("l_shipdate", T.TimestampType(), True),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("source", T.StringType(), True),
+            T.StructField("n_chars", T.LongType(), True),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), True),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+            T.StructField("label", T.IntegerType(), True),
+        ]
+    ),
+}
+
+TESTDATA_TABLES = tuple(TESTDATA_SCHEMAS)
+
+# events.parquet stores ts as Parquet TIMESTAMP(NANOS), which Spark's reader
+# rejects outright. Read it as raw nanos (legacy long mode) and convert:
+# nanos `div` 1000 -> micros -> timestamp. Truncation matches DuckDB's
+# nanos->micros handling, so oracles agree.
+_EVENTS_READ_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # raw nanos
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def load_table(spark, sf_dir: str, name: str):
+    """Read one testdata table with its declared schema (no inference)."""
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.schema(_EVENTS_READ_SCHEMA).parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(path)
+
+
+def register_testdata(spark, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql()."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

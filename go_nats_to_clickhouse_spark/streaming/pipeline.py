@@ -1,0 +1,162 @@
+"""Micro-batch ingestion pipeline: source -> raw -> union -> analytics.
+
+Reproduces the reference's end-to-end flow (SURVEY.md §3.1-3.2) in one
+Structured Streaming query:
+
+* count/time micro-batch triggers (main.go:26-27: 1000 rows / 5 s) ->
+  ``trigger(processingTime=...)`` + source-side ``maxRecordsPerTrigger``
+  admission control;
+* the ClickHouse MV cascade (init.sql:49-121) -> a single ``foreachBatch``
+  that derives raw, union and analytics layouts from the same in-memory
+  batch and appends all three tables. Writing all levels from one batch
+  sidesteps the MV-chain consistency problem: a batch is either fully
+  applied or fully retried;
+* at-least-once (main.go:199-208 ack-after-commit) -> checkpointing: the
+  offset commit happens only after foreachBatch returns, so a crashed batch
+  replays — same possible-duplicates contract as the reference;
+* flush-on-shutdown (main.go:138-147) -> ``query.stop()`` lets the running
+  trigger finish draining admitted records;
+* dead-letter instead of silent loss (fixes reference quirk K4,
+  main.go:162-166): rows with null timestamp/sequence/subject go to a
+  ``dead_letter`` table, not the floor, and remain counted.
+
+Scale posture: every transform here is a narrow projection (no shuffle);
+per-batch work is bounded by ``batch_size`` admission control; state lives
+in the checkpoint, not the driver. On a cluster the same code runs with a
+partitioned source (one NATS consumer per partition ≈ queue-group member).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from go_nats_to_clickhouse_spark.config import EngineConfig
+from go_nats_to_clickhouse_spark.operators.analytics import (
+    analytics_projection,
+    message_to_raw,
+)
+from go_nats_to_clickhouse_spark.plans import layout
+
+#: engine table names -> warehouse subdirectories
+RAW_TABLE_PREFIX = "nats_data_stream_"
+ALL_STREAMS_TABLE = "nats_data_all_streams"
+ANALYTICS_TABLE = "analitics_data"  # (sic) — keep the reference's spelling
+DEAD_LETTER_TABLE = "dead_letter"
+
+
+def stream_name_from_subject_col():
+    """Route each message to its raw table by the 2nd subject segment —
+    ``globex.supprt.>`` -> ``supprt`` (nats.yml:8-10). Fixes reference quirk
+    K2 (main.go:154 hardcodes one table)."""
+    from go_nats_to_clickhouse_spark.functions.clickhouse import ch_split_element
+
+    return ch_split_element("subject", 2)
+
+
+@dataclass
+class PipelineTables:
+    warehouse: str
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.warehouse, table)
+
+
+def _split_valid(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Valid rows vs dead-letter rows (malformed: missing ts/seq/subject)."""
+    ok = F.col("timestamp").isNotNull() & F.col("sequence").isNotNull() & F.col(
+        "subject"
+    ).isNotNull()
+    valid = df.filter(ok)
+    dead = df.filter(~ok).select(
+        F.col("timestamp"),
+        F.col("subject"),
+        F.lit("missing jetstream metadata").alias("error"),
+        F.to_json(F.struct("*")).alias("raw"),
+    )
+    return valid, dead
+
+
+def apply_cascade(batch: DataFrame, tables: PipelineTables) -> dict[str, int]:
+    """Apply one micro-batch through the full cascade; returns row counts.
+
+    Used by both the streaming foreachBatch and batch backfills — identical
+    semantics either way (Spark's batch/streaming unification).
+    """
+    valid, dead = _split_valid(batch)
+    # One pass over the batch feeds three tables; cache so the (small,
+    # admission-controlled) batch isn't recomputed per sink.
+    valid = valid.persist()
+    try:
+        counts: dict[str, int] = {}
+        raw = message_to_raw(valid).withColumn("stream", stream_name_from_subject_col())
+        # Per-stream raw tables (init.sql:8-32): one write partitioned by the
+        # derived stream column — N streams land in N directories from a
+        # single job instead of N sequential jobs.
+        raw_out = layout.with_partition_col(raw).sortWithinPartitions(
+            *layout.SORT_KEYS["raw"]
+        )
+        raw_out.write.mode("append").partitionBy("stream", layout.PARTITION_COL).parquet(
+            tables.path(RAW_TABLE_PREFIX.rstrip("_"))
+        )
+        raw_plain = raw.drop("stream")
+        counts["raw"] = valid.count()
+        # Union table (init.sql:35-46): identical rows, one flat table.
+        layout.write_partitioned(
+            raw_plain, tables.path(ALL_STREAMS_TABLE), layout.SORT_KEYS["all_streams"]
+        )
+        # Analytics table (init.sql:74-121): the MV projection.
+        layout.write_partitioned(
+            analytics_projection(raw_plain),
+            tables.path(ANALYTICS_TABLE),
+            layout.SORT_KEYS["analytics"],
+        )
+        n_dead = dead.count()
+        if n_dead:
+            dead.write.mode("append").parquet(tables.path(DEAD_LETTER_TABLE))
+        counts["dead_letter"] = n_dead
+        return counts
+    finally:
+        valid.unpersist()
+
+
+def start_pipeline(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    source_df: DataFrame,
+    query_name: str = "gntcs-ingest",
+) -> StreamingQuery:
+    """Start the ingestion query over any streaming DataFrame with
+    MESSAGE_SCHEMA columns (NATS source, file source, or a test source)."""
+    tables = PipelineTables(cfg.warehouse_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        apply_cascade(batch_df, tables)
+
+    return (
+        source_df.writeStream.queryName(query_name)
+        .foreachBatch(_process)
+        .option("checkpointLocation", os.path.join(cfg.checkpoint_dir, query_name))
+        .trigger(processingTime=f"{cfg.batch_timeout_seconds} seconds")
+        .start()
+    )
+
+
+def stop_gracefully(query: StreamingQuery, timeout_seconds: float = 60.0) -> None:
+    """Flush-on-shutdown (ref main.go:138-147): drain everything the source
+    has admitted, then stop.
+
+    ``StreamingQuery.stop()`` alone *interrupts* an in-flight micro-batch —
+    the Spark analog of dropping the buffer, which the reference explicitly
+    avoids. ``processAllAvailable()`` first blocks until the sink has
+    processed everything available, so the final batch commits before the
+    trigger thread is torn down (at-least-once preserved either way via
+    checkpoint replay; this avoids the pointless replay).
+    """
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(timeout_seconds)

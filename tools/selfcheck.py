@@ -1,0 +1,130 @@
+"""Local stand-in for the driver's correctness gate: run every query in
+__spark_entry__.queries() at a given SF and compare against oracle_sql()
+via DuckDB — row count, sorted column names, and an order-insensitive
+value hash (floats rounded to 9 significant-ish decimals to absorb
+representation noise, mirroring what a sane harness does).
+
+Usage: python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+from datetime import date, datetime
+from decimal import Decimal
+
+sys.path.insert(0, "/root/repo")
+
+
+def _norm_cell(v):
+    if v is None:
+        return "␀"
+    if isinstance(v, bool):
+        return "T" if v else "F"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6f}" if abs(v) < 1e15 else repr(v)
+    if isinstance(v, Decimal):
+        return f"{float(v):.6f}"
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def _hash_rows(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    normed = sorted(
+        "|".join(_norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in normed:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from go_nats_to_clickhouse_spark.config import EngineConfig
+    from go_nats_to_clickhouse_spark.session import get_spark
+
+    spark = get_spark(EngineConfig(shuffle_partitions=8), app_name="selfcheck")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {exc}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows={len(srows)} (no oracle — rows-only)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = [c for c in rel.columns]
+            drows = [tuple(r) for r in rel.fetchall()]
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {exc}")
+            failures.append(name)
+            continue
+        elapsed = time.time() - t0
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rows {len(srows)} != {len(drows)}")
+        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
+            problems.append(f"cols {sorted(scols)} != {sorted(dcols)}")
+        if not problems:
+            hs, hd = _hash_rows(scols, srows), _hash_rows(dcols, drows)
+            if hs != hd:
+                problems.append(f"value-hash {hs} != {hd}")
+                # print first differing normalized row for debugging
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                ns = sorted("|".join(_norm_cell(r[i]) for i in order_s) for r in srows)
+                nd = sorted("|".join(_norm_cell(r[i]) for i in order_d) for r in drows)
+                for a, b in zip(ns, nd):
+                    if a != b:
+                        print(f"  spark:  {a[:200]}\n  duckdb: {b[:200]}")
+                        break
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            failures.append(name)
+        else:
+            print(f"PASS {name}: rows={len(srows)} ({elapsed:.1f}s)")
+    print(f"\n{len(failures)} failures / {len(qs)} queries")
+    if failures:
+        print("failed:", " ".join(failures))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
