@@ -621,3 +621,111 @@ def tumbling_window_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("day"), "event_type", "n", "total_value"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (composition of window ops) and session windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_asof_last_click",
+    """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, c.click_id AS prev_click_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT)
+         - CAST(floor(epoch(c.click_ts)) AS BIGINT) AS gap_seconds
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND c.click_ts < p.ts
+""",
+)
+def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, Spark-first: instead of a per-row subquery, merge both
+    event kinds into one time-ordered stream and carry the last click
+    forward with a window (single shuffle on user_id, no join at all —
+    this is the scalable as-of pattern when both sides share a key).
+
+    Strictness: at equal timestamps the purchase sorts before the click
+    (order by ts, is_click), so a same-instant click is NOT visible —
+    matching the oracle's ``c.click_ts < p.ts``.
+    """
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_click")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_click")
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.when(F.col("is_click") == 1, F.col("event_id"))
+    click_ts = F.when(F.col("is_click") == 1, F.col("ts"))
+    out = merged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "is_click",
+        F.last(click_id, ignorenulls=True).over(w).alias("prev_click_id"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("prev_click_ts"),
+    )
+    return out.filter(F.col("is_click") == 0).select(
+        "event_id",
+        "user_id",
+        "prev_click_id",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp("prev_click_ts")
+        ).alias("gap_seconds"),
+    )
+
+
+@query(
+    "session_window_events",
+    """
+WITH marks AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS grp
+  FROM marks
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM g
+GROUP BY user_id, grp
+""",
+)
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) — F.session_window, the same
+    operator the streaming layer uses with a watermark; the oracle is the
+    classic gaps-and-islands formulation."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

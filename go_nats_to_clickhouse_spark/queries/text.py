@@ -313,3 +313,89 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.1)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-based dedup: MinHash-LSH and SimHash (operators/dedup.py), with
+# exact DuckDB oracles via the engine-portable md5 hash.
+# ---------------------------------------------------------------------------
+
+_SH_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                  i -> concat_ws(' ', string_split(text, ' ')[i],
+                                 string_split(text, ' ')[i + 1],
+                                 string_split(text, ' ')[i + 2]))) AS shingle
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+  )
+)
+"""
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    f"""
+WITH {_SH_CTE},
+mh AS (
+  SELECT doc_id, seed,
+         MIN(('0x' || substr(md5(shingle || '#' || CAST(seed AS VARCHAR)), 1, 15))::BIGINT) AS mh
+  FROM sh, UNNEST(range(16)) AS t(seed)
+  GROUP BY doc_id, seed
+),
+sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, band,
+         md5(array_to_string(list_transform(range(1, 5),
+             r -> CAST(sig[band * 4 + r] AS VARCHAR)), '-')) AS bucket
+  FROM sig, UNNEST(range(4)) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  ROUND(list_sum(list_transform(range(1, 17),
+        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0, 6) AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+""",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH banding (4 bands x 4 rows): the sub-quadratic
+    near-dup path. Candidates come from band-bucket collisions, never from
+    an all-pairs join — bucket size, not corpus size, bounds the work."""
+    from go_nats_to_clickhouse_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, num_hashes=16, bands=4, shingle_n=3)
+
+
+@query(
+    "text_simhash",
+    """
+WITH h AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS hs
+  FROM documents
+)
+SELECT doc_id,
+  array_to_string(list_transform(range(59, -1, -1), i ->
+    CASE WHEN list_sum(list_transform(hs,
+         x -> CASE WHEN (x >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+    THEN '1' ELSE '0' END), '') AS simhash_bits
+FROM h
+""",
+)
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints (bit string, MSB first) — near-dup by
+    small Hamming distance; banding over bit chunks gives the LSH variant."""
+    from go_nats_to_clickhouse_spark.operators.dedup import simhash_bits
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_bits(d)

@@ -24,11 +24,15 @@ from pyspark.sql import types as T
 
 #: One in-flight NATS message as emitted by a source
 #: (ref main.go:160-191: subject, payload bytes, JetStream metadata).
+#: timestamp/sequence/subject are nullable ON PURPOSE: a message whose
+#: JetStream metadata extraction failed arrives with nulls and is routed to
+#: the dead-letter table by the pipeline (fixing reference quirk K4, where
+#: such rows are silently dropped yet acked — main.go:162-166 vs 204-207).
 MESSAGE_SCHEMA = T.StructType(
     [
-        T.StructField("timestamp", T.TimestampType(), False),  # JetStream msg ts
-        T.StructField("subject", T.StringType(), False),
-        T.StructField("sequence", T.LongType(), False),  # stream sequence (UInt64)
+        T.StructField("timestamp", T.TimestampType(), True),  # JetStream msg ts
+        T.StructField("subject", T.StringType(), True),
+        T.StructField("sequence", T.LongType(), True),  # stream sequence (UInt64)
         T.StructField("metadata", T.StringType(), True),  # JSON blob
         T.StructField("data", T.StringType(), True),  # JSON payload, opaque
     ]

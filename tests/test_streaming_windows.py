@@ -1,0 +1,179 @@
+"""Streaming windowed/stateful operators driven through real streaming
+queries (memory sink), using the NATS replay source for event-time data."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from go_nats_to_clickhouse_spark.sources.nats import (
+    JsMessage,
+    NatsDataSource,
+    write_replay_file,
+)
+from go_nats_to_clickhouse_spark.streaming.windows import (
+    dedup_within_watermark,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+BASE = dt.datetime(2024, 3, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+
+
+def _msg(i, minutes, subject="globex.supprt.u1.chat-1.evt", seq=None):
+    ts = BASE + dt.timedelta(minutes=minutes)
+    return JsMessage(
+        subject=subject,
+        data='{"text":"x"}',
+        sequence=seq if seq is not None else i + 1,
+        timestamp_us=int(ts.timestamp() * 1e6),
+    )
+
+
+def _stream(spark, tmp_path, msgs, name):
+    replay = tmp_path / f"{name}.jsonl"
+    write_replay_file(str(replay), msgs)
+    spark.dataSource.register(NatsDataSource)
+    return (
+        spark.readStream.format("nats-jetstream")
+        .option("replayFile", str(replay))
+        .option("subjects", "globex.>")
+        .option("maxRecordsPerTrigger", 1000)
+        .load()
+    )
+
+
+def _run_to_memory(spark, df, tmp_path, name, mode="update"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        return spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+
+
+class TestTumbling:
+    def test_hourly_counts(self, spark, tmp_path):
+        # 3 events in hour 12, 2 in hour 13
+        msgs = [_msg(i, m) for i, m in enumerate([0, 10, 50, 70, 110])]
+        src = _stream(spark, tmp_path, msgs, "tumble_src")
+        rows = _run_to_memory(
+            spark, tumbling_counts(src, "1 hour"), tmp_path, "tumble_sink"
+        )
+        got = {(r["window_start"].hour, r["n"]) for r in rows}
+        assert (12, 3) in got and (13, 2) in got
+
+
+class TestSliding:
+    def test_overlapping_windows(self, spark, tmp_path):
+        # one event -> 4 sliding windows (1h window, 15m slide)
+        msgs = [_msg(0, 0)]
+        src = _stream(spark, tmp_path, msgs, "slide_src")
+        rows = _run_to_memory(
+            spark, sliding_counts(src, "1 hour", "15 minutes"), tmp_path, "slide_sink"
+        )
+        assert len(rows) == 4
+        assert all(r["n"] == 1 for r in rows)
+
+
+class TestSession:
+    def test_gap_splits_sessions(self, spark, tmp_path):
+        # events at 0,5,10 then 50,55 -> two sessions for the same chat.
+        # Session-window aggregation only supports append mode, which emits a
+        # session when the watermark passes its end — the far-future flusher
+        # event advances the watermark past both sessions.
+        msgs = [_msg(i, m) for i, m in enumerate([0, 5, 10, 50, 55])]
+        msgs.append(_msg(9, 500, subject="globex.supprt.u9.chat-F.evt"))
+        src = _stream(spark, tmp_path, msgs, "sess_src")
+        from go_nats_to_clickhouse_spark.operators.analytics import message_to_raw
+
+        rows = _run_to_memory(
+            spark,
+            session_counts(message_to_raw(src), gap="30 minutes", key_col="chat_id"),
+            tmp_path,
+            "sess_sink",
+            mode="append",
+        )
+        counts = sorted(r["n"] for r in rows if r["chat_id"] == "chat-1")
+        assert counts == [2, 3]
+
+    def test_chat_id_key_from_subject(self, spark, tmp_path):
+        msgs = [
+            _msg(0, 0, subject="globex.supprt.u1.chat-A.evt"),
+            _msg(1, 1, subject="globex.supprt.u1.chat-B.evt"),
+            _msg(2, 200, subject="globex.supprt.u9.chat-F.evt"),  # watermark flush
+        ]
+        src = _stream(spark, tmp_path, msgs, "sesskey_src")
+        from go_nats_to_clickhouse_spark.operators.analytics import message_to_raw
+
+        rows = _run_to_memory(
+            spark,
+            session_counts(message_to_raw(src), key_col="chat_id"),
+            tmp_path,
+            "sesskey_sink",
+            mode="append",
+        )
+        assert {r["chat_id"] for r in rows} >= {"chat-A", "chat-B"}
+
+
+class TestStreamingDedup:
+    def test_duplicate_sequence_dropped(self, spark, tmp_path):
+        # same (subject, sequence) delivered twice (at-least-once replay) —
+        # downstream sees it once.
+        msgs = [
+            _msg(0, 0, seq=1),
+            _msg(1, 1, seq=1),  # duplicate delivery
+            _msg(2, 2, seq=2),
+        ]
+        src = _stream(spark, tmp_path, msgs, "dedup_src")
+        rows = _run_to_memory(
+            spark,
+            dedup_within_watermark(src, keys=("subject", "sequence")),
+            tmp_path,
+            "dedup_sink",
+            mode="append",
+        )
+        assert sorted(r["sequence"] for r in rows) == [1, 2]
+
+
+class TestStatefulCounters:
+    def test_emit_on_quiet_timeout(self, spark, tmp_path):
+        import time
+
+        from go_nats_to_clickhouse_spark.operators.analytics import message_to_raw
+        from go_nats_to_clickhouse_spark.streaming.windows import (
+            stateful_user_counters,
+        )
+
+        msgs = [_msg(i, i) for i in range(5)]
+        src = _stream(spark, tmp_path, msgs, "stateful_src")
+        out = stateful_user_counters(
+            message_to_raw(src), key_col="chat_id", timeout_minutes=0.02
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stateful_sink")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_stateful"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            rows = []
+            deadline = time.time() + 45
+            while time.time() < deadline and not rows:
+                time.sleep(2)
+                rows = spark.sql("SELECT * FROM stateful_sink").collect()
+        finally:
+            q.stop()
+        assert len(rows) == 1
+        assert rows[0]["key"] == "chat-1"
+        assert rows[0]["n_messages"] == 5
