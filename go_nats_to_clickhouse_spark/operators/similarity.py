@@ -138,3 +138,90 @@ def brute_force_topk(
         scored.select("query_id", "neighbor_id", F.row_number().over(w).alias("rank"), "cos")
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (sign-of-dot bucketing) — the sub-quadratic ANN path
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+
+def hyperplane_signs(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic +-1 hyperplane components from public md5 — identical
+    constants are reproducible in any engine (used by the DuckDB oracle)."""
+    return [
+        [
+            1 if int(hashlib.md5(f"hp-{j}-{i}".encode()).hexdigest()[:2], 16) & 1 else -1
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def lsh_bucket(vec_col, signs: list[list[int]]):
+    """Bucket code column: one bit per hyperplane, '1' iff dot(v, h) >= 0.
+
+    Pure expressions: the dot against a +-1 literal array is a codegen'd
+    fold; at scale this is a map-only stage producing a shuffle key whose
+    cardinality (2^n_planes) controls bucket occupancy.
+    """
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(float(s)) for s in plane]),
+                    lambda x, s: x * s,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in signs
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    n_planes: int = 4,
+    dim: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """ANN top-k restricted to same-bucket candidates.
+
+    vs. brute force: scoring work drops from O(N*Q) to O(N*Q / 2^n_planes)
+    expected, traded against recall (cross-bucket true neighbors are
+    missed). The shuffle is an equi-join on the bucket code instead of a
+    broadcast cross join — at 100 TB that is the difference between a
+    bounded hash join and a full corpus scan per query batch.
+    """
+    from pyspark.sql.window import Window
+
+    signs = hyperplane_signs(n_planes, dim)
+    q = queries_df.withColumn("bucket", lsh_bucket(F.col("qv"), signs))
+    c = corpus_df.withColumn("bucket", lsh_bucket(F.col("cv"), signs))
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.select(
+            "query_id", "neighbor_id", F.row_number().over(w).alias("rank"), "cos"
+        ).filter(F.col("rank") <= k)
+    )

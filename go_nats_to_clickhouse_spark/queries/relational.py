@@ -737,3 +737,127 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar families: arrays, regexp, conditionals
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_array_functions",
+    """
+SELECT
+  p_partkey,
+  CAST(len([p_size, p_size * 2, p_size * 3]) AS INT) AS arr_len,
+  list_contains([p_size, p_size * 2], 10) AS has_ten,
+  [p_size, p_size * 2, p_size * 3][2] AS second_elem,
+  array_to_string(list_sort([p_size * 3, p_size, p_size * 2]), ',') AS sorted_str,
+  list_sum(list_transform([p_size, p_size * 2], x -> CAST(x AS BIGINT))) AS arr_sum,
+  array_to_string(list_reverse(string_split(p_name, ' ')), ' ') AS name_reversed_words,
+  array_to_string(list_slice([p_size, p_size * 2, p_size * 3], 1, 2), ',') AS first_two
+FROM part
+""",
+)
+def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    arr3 = F.array(F.col("p_size"), F.col("p_size") * 2, F.col("p_size") * 3)
+    arr2 = F.array(F.col("p_size"), F.col("p_size") * 2)
+    return p.select(
+        "p_partkey",
+        F.size(arr3).cast("int").alias("arr_len"),
+        F.array_contains(arr2, F.lit(10)).alias("has_ten"),
+        F.get(arr3, 1).alias("second_elem"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.array(F.col("p_size") * 3, F.col("p_size"), F.col("p_size") * 2)
+                ),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("sorted_str"),
+        F.aggregate(
+            F.transform(arr2, lambda x: x.cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("arr_sum"),
+        F.concat_ws(" ", F.reverse(F.split(F.col("p_name"), " "))).alias(
+            "name_reversed_words"
+        ),
+        F.concat_ws(
+            ",", F.transform(F.slice(arr3, 1, 2), lambda x: x.cast("string"))
+        ).alias("first_two"),
+    )
+
+
+@query(
+    "scalar_regexp_functions",
+    """
+SELECT
+  p_partkey,
+  regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS brand_num,
+  regexp_matches(p_name, '^[a-z]+ (widget|bolt)$') AS is_simple_part,
+  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+  CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS INT) AS n_word_tokens
+FROM part
+""",
+)
+def scalar_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#([0-9]+)", 1).alias("brand_num"),
+        F.col("p_name").rlike(r"^[a-z]+ (widget|bolt)$").alias("is_simple_part"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+        F.size(F.expr("regexp_extract_all(p_name, '[a-z]+', 0)"))
+        .cast("int")
+        .alias("n_word_tokens"),
+    )
+
+
+@query(
+    "scalar_conditional_functions",
+    """
+SELECT
+  s_suppkey,
+  coalesce(nullif(s_name, ''), 'unknown') AS name_or_unknown,
+  CASE WHEN s_acctbal < 0 THEN 'debt'
+       WHEN s_acctbal < 5000 THEN 'low'
+       ELSE 'high' END AS bal_band,
+  (s_acctbal > 0) AND (s_nationkey < 10) AS positive_near,
+  greatest(s_acctbal, 0.0) AS bal_clamped,
+  CASE WHEN s_nationkey % 2 = 0 THEN s_acctbal ELSE -s_acctbal END AS signed_bal
+FROM supplier
+""",
+)
+def scalar_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.coalesce(F.nullif(F.col("s_name"), F.lit("")), F.lit("unknown")).alias(
+            "name_or_unknown"
+        ),
+        F.when(F.col("s_acctbal") < 0, "debt")
+        .when(F.col("s_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+        ((F.col("s_acctbal") > 0) & (F.col("s_nationkey") < 10)).alias("positive_near"),
+        F.greatest(F.col("s_acctbal"), F.lit(0.0)).alias("bal_clamped"),
+        F.when(F.col("s_nationkey") % 2 == 0, F.col("s_acctbal"))
+        .otherwise(-F.col("s_acctbal"))
+        .alias("signed_bal"),
+    )
+
+
+@query("agg_approx_distinct")  # no oracle: HLL sketch values are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — ClickHouse's uniq() analog.
+    Sketch estimates are engine-specific, so the driver records the weaker
+    rows-only check; agg_distinct_orders carries the exact-count oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

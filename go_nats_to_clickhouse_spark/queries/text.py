@@ -399,3 +399,35 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return simhash_bits(d)
+
+
+# ---------------------------------------------------------------------------
+# Chunking (expression form + Python UDTF form, same oracle)
+# ---------------------------------------------------------------------------
+
+_CHUNK_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       CAST(c AS INT) AS chunk_idx,
+       array_to_string(ws[c * 50 + 1 : least((c + 1) * 50, len(ws))], ' ') AS chunk_text,
+       CAST(least((c + 1) * 50, len(ws)) - c * 50 AS INT) AS n_words
+FROM w, UNNEST(range(CAST(ceil(len(ws) / 50.0) AS BIGINT))) AS t(c)
+"""
+
+
+@query("text_chunk_windows", _CHUNK_ORACLE)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 50-word chunking, expression form (production path)."""
+    from go_nats_to_clickhouse_spark.operators.chunking import chunk_expr
+
+    return chunk_expr(load_table(spark, sf_dir, "documents"), chunk_words=50)
+
+
+@query("text_chunk_udtf", _CHUNK_ORACLE)
+def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same chunking as a Python UDTF (lateral join) — identical results
+    checked against the identical oracle; exists to cover the UDTF API
+    surface and mark the expression/Python boundary."""
+    from go_nats_to_clickhouse_spark.operators.chunking import chunk_udtf
+
+    return chunk_udtf(spark, load_table(spark, sf_dir, "documents"))

@@ -139,3 +139,72 @@ def vector_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = blocked_all_pairs_cosine(spark, e, threshold=0.4)
     return pairs.select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path) — deterministic md5-derived hyperplanes let
+# DuckDB reproduce the exact same buckets and ranking.
+# ---------------------------------------------------------------------------
+
+from go_nats_to_clickhouse_spark.operators.similarity import (  # noqa: E402
+    hyperplane_signs,
+)
+
+_N_PLANES = 4
+_SIGNS = hyperplane_signs(_N_PLANES, 64)
+
+
+def _bucket_sql(vec: str) -> str:
+    bits = []
+    for plane in _SIGNS:
+        arr = "[" + ", ".join(str(s) for s in plane) + "]"
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"i -> {vec}[i] * ({arr})[i])) >= 0 THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(bits)
+
+
+_LSH_ANN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+         {_bucket_sql("CAST(embedding AS DOUBLE[])")} AS bucket
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+         {_bucket_sql("CAST(embedding AS DOUBLE[])")} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_cos_sql('qv', 'cv')} AS cos
+  FROM q JOIN c USING (bucket)
+  WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank,
+         cos
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+@query("vector_ann_lsh_topk", _LSH_ANN_ORACLE)
+def vector_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 restricted to random-hyperplane LSH buckets — the
+    sub-quadratic path; the brute-force query above is its recall
+    verifier."""
+    from go_nats_to_clickhouse_spark.operators.similarity import lsh_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv"))
+    return lsh_topk(q, c, n_planes=_N_PLANES, dim=64, k=5).select(
+        "query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine")
+    )
