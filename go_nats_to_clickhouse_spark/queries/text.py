@@ -242,13 +242,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SHINGLE_SPARK = (
-    "transform(sequence(1, size(split(text, ' ')) - 2), "
-    "i -> concat_ws(' ', element_at(split(text, ' '), i), "
-    "element_at(split(text, ' '), i + 1), element_at(split(text, ' '), i + 2)))"
-)
-
-
 @query(
     "dedup_ngram_jaccard_pairs",
     """
@@ -287,13 +280,9 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant (operators/dedup.py) where bands bound pair generation — this
     exact version doubles as its verifier.
     """
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.size(F.split(F.col("text"), " ")) >= 3
-    )
-    sh = (
-        d.select("doc_id", F.explode(F.array_distinct(F.expr(_SHINGLE_SPARK))).alias("shingle"))
-        .distinct()
-    )
+    from go_nats_to_clickhouse_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(load_table(spark, sf_dir, "documents"), n=3)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
