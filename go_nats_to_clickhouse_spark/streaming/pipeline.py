@@ -81,13 +81,42 @@ def _split_valid(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return valid, dead
 
 
-def apply_cascade(batch: DataFrame, tables: PipelineTables) -> dict[str, int]:
+def apply_cascade(
+    batch: DataFrame, tables: PipelineTables, idempotent: bool = False
+) -> dict[str, int]:
     """Apply one micro-batch through the full cascade; returns row counts.
 
     Used by both the streaming foreachBatch and batch backfills — identical
     semantics either way (Spark's batch/streaming unification).
+
+    ``idempotent=True`` upgrades the at-least-once contract to effective
+    exactly-once: the batch is deduplicated on the (subject, sequence)
+    idempotency key both within itself and against rows already persisted
+    in the union table for the batch's months. The existing-key read is
+    bounded by ym partition pruning, so the check scans only the partitions
+    this batch touches — at one month of hot data that is a single
+    partition regardless of table history. (The reference accepts
+    duplicates on redelivery — main.go:122-127; this is the documented
+    upgrade path, off by default for parity.)
     """
     valid, dead = _split_valid(batch)
+    if idempotent:
+        valid = valid.dropDuplicates(["subject", "sequence"])
+        dest = tables.path(ALL_STREAMS_TABLE)
+        if os.path.exists(dest):
+            months = [
+                r[0]
+                for r in layout.with_partition_col(valid)
+                .select(layout.PARTITION_COL)
+                .distinct()
+                .collect()  # few distinct months per batch — driver-safe
+            ]
+            existing = (
+                layout.read_table(batch.sparkSession, dest)
+                .filter(F.col(layout.PARTITION_COL).isin(months))
+                .select("subject", "sequence")
+            )
+            valid = valid.join(existing, ["subject", "sequence"], "left_anti")
     # One pass over the batch feeds three tables; cache so the (small,
     # admission-controlled) batch isn't recomputed per sink.
     valid = valid.persist()
@@ -129,13 +158,14 @@ def start_pipeline(
     cfg: EngineConfig,
     source_df: DataFrame,
     query_name: str = "gntcs-ingest",
+    idempotent: bool = False,
 ) -> StreamingQuery:
     """Start the ingestion query over any streaming DataFrame with
     MESSAGE_SCHEMA columns (NATS source, file source, or a test source)."""
     tables = PipelineTables(cfg.warehouse_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        apply_cascade(batch_df, tables)
+        apply_cascade(batch_df, tables, idempotent=idempotent)
 
     return (
         source_df.writeStream.queryName(query_name)

@@ -130,3 +130,34 @@ class TestBatchStreamingUnification:
         assert counts == {"raw": 7, "dead_letter": 0}
         ana = spark.read.parquet(tables.path(ANALYTICS_TABLE))
         assert ana.count() == 7
+
+
+class TestIdempotentSink:
+    def test_replayed_batch_not_duplicated(self, spark, tmp_path):
+        """Exactly-once upgrade: applying the same batch twice (the
+        at-least-once replay scenario, main.go:122-127) persists once."""
+        rows = [
+            (TS, f"globex.supprt.u{i}.c{i}.t", i, "{}", '{"text":"x"}')
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, MESSAGE_SCHEMA)
+        tables = PipelineTables(str(tmp_path / "wh_idem"))
+        apply_cascade(df, tables, idempotent=True)
+        apply_cascade(df, tables, idempotent=True)  # full replay
+        ana = spark.read.parquet(tables.path(ANALYTICS_TABLE))
+        assert ana.count() == 10
+
+    def test_intra_batch_duplicates_collapsed(self, spark, tmp_path):
+        rows = [(TS, "globex.supprt.u1.c1.t", 1, "{}", "{}")] * 3
+        df = spark.createDataFrame(rows, MESSAGE_SCHEMA)
+        tables = PipelineTables(str(tmp_path / "wh_idem2"))
+        apply_cascade(df, tables, idempotent=True)
+        assert spark.read.parquet(tables.path(ANALYTICS_TABLE)).count() == 1
+
+    def test_default_keeps_reference_at_least_once(self, spark, tmp_path):
+        rows = [(TS, "globex.supprt.u1.c1.t", 1, "{}", "{}")]
+        df = spark.createDataFrame(rows, MESSAGE_SCHEMA)
+        tables = PipelineTables(str(tmp_path / "wh_alo"))
+        apply_cascade(df, tables)
+        apply_cascade(df, tables)  # replay duplicates — reference contract
+        assert spark.read.parquet(tables.path(ANALYTICS_TABLE)).count() == 2

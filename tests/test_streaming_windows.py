@@ -177,3 +177,44 @@ class TestStatefulCounters:
         assert len(rows) == 1
         assert rows[0]["key"] == "chat-1"
         assert rows[0]["n_messages"] == 5
+
+
+class TestStreamStreamJoin:
+    def test_correlate_within_bound(self, spark, tmp_path):
+        from go_nats_to_clickhouse_spark.operators.analytics import message_to_raw
+        from go_nats_to_clickhouse_spark.streaming.joins import correlate_streams
+
+        # left events at t0 for chats A,B; right responses at +2min (A) and
+        # +30min (B, outside the 10-minute bound) -> only A correlates.
+        msgs = [
+            _msg(0, 0, subject="globex.req.u1.chat-A.q", seq=1),
+            _msg(1, 0, subject="globex.req.u1.chat-B.q", seq=2),
+            _msg(2, 2, subject="globex.resp.u1.chat-A.a", seq=3),
+            _msg(3, 30, subject="globex.resp.u1.chat-B.a", seq=4),
+        ]
+        src = message_to_raw(_stream(spark, tmp_path, msgs, "ssj_src"))
+        from go_nats_to_clickhouse_spark.functions.clickhouse import ch_split_element
+
+        left = src.filter(ch_split_element("subject", 2) == "req")
+        right = src.filter(ch_split_element("subject", 2) == "resp")
+        joined = correlate_streams(left, right, key="chat_id", within="10 minutes")
+        rows = _run_to_memory(spark, joined, tmp_path, "ssj_sink", mode="append")
+        assert len(rows) == 1
+        assert rows[0]["chat_id"] == "chat-A"
+        assert rows[0]["lag_seconds"] == 120
+
+    def test_stream_static_enrichment(self, spark, tmp_path):
+        from go_nats_to_clickhouse_spark.operators.analytics import message_to_raw
+        from go_nats_to_clickhouse_spark.streaming.joins import enrich_with_static
+
+        msgs = [_msg(0, 0), _msg(1, 1, subject="globex.supprt.u2.chat-2.evt", seq=2)]
+        src = message_to_raw(_stream(spark, tmp_path, msgs, "sse_src"))
+        dim = spark.createDataFrame(
+            [("chat-1", "gold"), ("chat-2", "basic")], "chat_id string, tier string"
+        )
+        out = enrich_with_static(src, dim, "chat_id")
+        rows = _run_to_memory(spark, out, tmp_path, "sse_sink", mode="append")
+        assert {(r["chat_id"], r["tier"]) for r in rows} == {
+            ("chat-1", "gold"),
+            ("chat-2", "basic"),
+        }
