@@ -861,3 +861,123 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("exact_customers"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "agg_percentiles",
+    """
+SELECT
+  o_orderpriority,
+  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+  ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`, verified identical). At 100 TB switch callers to
+    percentile_approx — same API shape, bounded memory."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99_price"),
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    """
+SELECT
+  o_orderpriority,
+  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS st_O,
+  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS st_F,
+  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS st_P
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (the scalable form: no
+    values-discovery pre-pass, single shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    pv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot yields NULL for empty cells; COUNT(CASE ...) yields 0 — align.
+    return pv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("st_O"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("st_F"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("st_P"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_rf,
+       GROUPING(l_linestatus) AS g_ls,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() markers — the SQL surface
+    (temp view + spark.sql), complementing the DataFrame rollup/cube."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS TINYINT) AS g_rf,
+               CAST(grouping(l_linestatus) AS TINYINT) AS g_ls,
+               COUNT(*) AS n
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "market_share_by_year",
+    """
+SELECT
+  CAST(year(o_orderdate) AS INT) AS yr,
+  CAST(ROUND(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+       THEN CAST(o_totalprice AS DECIMAL(12,2))
+       ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS building_rev,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_rev,
+  ROUND(CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+       THEN CAST(o_totalprice AS DECIMAL(12,2))
+       ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+    / CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 6) AS building_share
+FROM orders, customer
+WHERE o_custkey = c_custkey
+GROUP BY 1
+""",
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8-style market share: conditional-aggregate ratio per year."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    price = dec("o_totalprice")
+    building = F.when(F.col("c_mktsegment") == "BUILDING", price).otherwise(
+        F.lit(0).cast(MONEY)
+    )
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            dsum(building, "building_rev"),
+            dsum(price, "total_rev"),
+            F.round(
+                F.sum(building).cast("double") / F.sum(price).cast("double"), 6
+            ).alias("building_share"),
+        )
+    )

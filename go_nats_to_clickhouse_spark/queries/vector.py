@@ -49,7 +49,7 @@ SELECT
   label,
   CAST(len(embedding) AS INT) AS dim,
   ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm,
-  ROUND(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 4) AS mean_component
+  ROUND(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 4) + 0.0 AS mean_component
 FROM embeddings
 """,
 )
@@ -61,9 +61,15 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.size("embedding").cast("int").alias("dim"),
         F.round(F.sqrt(dot(v, v)), 4).alias("l2_norm"),
-        F.round(
-            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x) / F.size("embedding"),
-            4,
+        # + 0.0 collapses IEEE negative zero (-0.0 + 0.0 == +0.0): engines
+        # disagree on the sign of a zero-rounded mean, hashes must not.
+        (
+            F.round(
+                F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+                / F.size("embedding"),
+                4,
+            )
+            + F.lit(0.0)
         ).alias("mean_component"),
     )
 

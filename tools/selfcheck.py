@@ -27,6 +27,8 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0:
+            v = 0.0  # collapse IEEE -0.0
         return f"{v:.6f}" if abs(v) < 1e15 else repr(v)
     if isinstance(v, Decimal):
         return f"{float(v):.6f}"
