@@ -981,3 +981,22 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("building_share"),
         )
     )
+
+
+@query(
+    "set_ops_bag_semantics",
+    """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+""",
+)
+def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics (per-occurrence matching), the
+    multiset counterpart of the distinct set ops above."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .intersectAll(o.filter(F.col("o_totalprice") > 200000).select("o_custkey"))
+    )

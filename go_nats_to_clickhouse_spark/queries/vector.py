@@ -214,3 +214,17 @@ def vector_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(q, c, n_planes=_N_PLANES, dim=64, k=5).select(
         "query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine")
     )
+
+
+@query("multimodal_image_features")  # rows-only: decode kernel is a stub
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing surfaced as a query: synthetic binary media ->
+    Arrow-batched mapInPandas image-feature kernel (deterministic fake
+    decode — real codecs are stubbed in this environment). No SQL oracle:
+    the kernel is not SQL-expressible; the driver records rows-only."""
+    from go_nats_to_clickhouse_spark.operators.multimodal import (
+        image_features,
+        synthetic_media,
+    )
+
+    return image_features(synthetic_media(spark, 120), fake=True)

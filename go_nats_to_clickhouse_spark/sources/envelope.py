@@ -1,0 +1,84 @@
+"""Wire-format envelope handling + file-backed message sources.
+
+The reference's message wire shape (README.md:18-30) is::
+
+    {"metadata": {...}, "subject": "a.b.c", "data": {...}}
+
+published to NATS; the service stores metadata/data as opaque strings.
+:func:`parse_envelope` re-expresses that contract for any byte/string
+stream (file source, Kafka value column, socket) so every engine transform
+downstream of the NATS source also works on replayed files — the batch/
+streaming unification the reference cannot do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from go_nats_to_clickhouse_spark.schemas import MESSAGE_SCHEMA
+
+#: envelope fields as they appear on the wire; metadata/data stay opaque
+#: JSON (schema-on-read, matching init.sql:14-15).
+_ENVELOPE_FIELDS = T.StructType(
+    [
+        T.StructField("metadata", T.StringType()),
+        T.StructField("subject", T.StringType()),
+        T.StructField("data", T.StringType()),
+    ]
+)
+
+
+def parse_envelope(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str | None = None,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Parse a raw JSON envelope column into MESSAGE_SCHEMA columns.
+
+    Timestamp/sequence come from transport metadata when available
+    (``ts_col``/``seq_col``); with a bare file replay they are extracted
+    from the embedded metadata JSON (best effort, NULL -> dead letter
+    downstream — never a crash: permissive from_json + try_cast only).
+    """
+    parsed = df.withColumn(
+        "_env", F.from_json(F.col(value_col).cast("string"), _ENVELOPE_FIELDS)
+    )
+    ts = (
+        F.col(ts_col)
+        if ts_col
+        else F.timestamp_seconds(
+            F.get_json_object(F.col("_env.metadata"), "$.timestamp").try_cast("long")
+        )
+    )
+    seq = (
+        F.col(seq_col)
+        if seq_col
+        else F.get_json_object(F.col("_env.metadata"), "$.sequence").try_cast("long")
+    )
+    return parsed.select(
+        ts.cast("timestamp").alias("timestamp"),
+        F.col("_env.subject").alias("subject"),
+        seq.alias("sequence"),
+        F.coalesce(F.col("_env.metadata"), F.lit("{}")).alias("metadata"),
+        F.col("_env.data").alias("data"),
+    )
+
+
+def message_file_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Dev/file stand-in source: a directory of JSON-lines envelope files
+    streamed with the built-in file source, emitting MESSAGE_SCHEMA rows —
+    interchangeable with the NATS source for every downstream operator."""
+    raw = (
+        spark.readStream.format("text")
+        .schema(T.StructType([T.StructField("value", T.StringType())]))
+        .load(path)
+    )
+    return parse_envelope(raw)
+
+
+def message_file_batch(spark: SparkSession, path: str) -> DataFrame:
+    """Batch twin of :func:`message_file_stream` (backfills)."""
+    return parse_envelope(spark.read.format("text").load(path))
