@@ -74,13 +74,19 @@ def analytics_projection(df: DataFrame) -> DataFrame:
     ClickHouse 1-based/''-default indexing.
 
     Narrow transform: no shuffle, fully codegen'd; at 100 TB this is a
-    map-only stage bounded by scan + write throughput.
+    map-only stage bounded by scan + write throughput. The subject is
+    tokenized ONCE into a materialized array and the eight segments index
+    it — an inlined split() per segment would re-tokenize every row eight
+    times (same pitfall as dedup.word_shingles, measured ~5x).
     """
+    from go_nats_to_clickhouse_spark.functions.clickhouse import split_by_char
+
+    with_parts = df.withColumn("_parts", split_by_char("subject"))
     split_cols: list[Column] = [
-        ch_split_element("subject", i + 1).alias(name)
+        F.coalesce(F.get(F.col("_parts"), i), F.lit("")).alias(name)
         for i, name in enumerate(SUBJECT_SEGMENTS)
     ]
-    return df.select(
+    return with_parts.select(
         F.col("timestamp"),
         F.col("subject"),
         F.col("chat_id"),

@@ -25,12 +25,36 @@ from pyspark.sql import functions as F
 #: 15 hex chars = 60 bits — fits BIGINT in every engine.
 HASH_HEX_CHARS = 15
 
+#: universal-hash family modulus (prime, ~2^30) — products a*base stay well
+#: inside 63 bits so ANSI mode never overflows, in either engine.
+UH_PRIME = 1_073_741_789
+
+
+def _uh_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family, derived
+    from public md5 so the DuckDB oracle can regenerate them."""
+    import hashlib
+
+    out = []
+    for s in range(num_hashes):
+        a = int(hashlib.md5(f"mh-a-{s}".encode()).hexdigest()[:7], 16) | 1
+        b = int(hashlib.md5(f"mh-b-{s}".encode()).hexdigest()[:7], 16)
+        out.append((a, b))
+    return out
+
 
 def portable_hash64(col: Column, seed: Column | None = None) -> Column:
     """md5-derived 60-bit integer hash, identical in Spark and DuckDB
     (`('0x' || substr(md5(x), 1, 15))::BIGINT`)."""
     base = col if seed is None else F.concat(col, F.lit("#"), seed.cast("string"))
     return F.conv(F.substring(F.md5(base), 1, HASH_HEX_CHARS), 16, 10).cast("long")
+
+
+def portable_hash28(col: Column) -> Column:
+    """28-bit md5-derived hash — the base value the universal-hash family
+    mixes. Small on purpose: (a * h + b) must not overflow 63 bits under
+    ANSI arithmetic."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
 
 
 def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
@@ -59,15 +83,16 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
     """(doc_id, sig: array<long>[num_hashes]) — component s is
     min over shingles of portable_hash64(shingle, seed=s).
 
-    Shape: hash each shingle row once into all num_hashes components
-    (map-side), then a single groupBy(doc) with num_hashes MIN aggregates —
-    one shuffle of the shingle rows, no seed explosion (16x less exchange
-    volume than the naive (doc, seed) explode)."""
+    Shape: ONE md5 per shingle row, mixed into all num_hashes components
+    with a universal hash family ((a_s * h + b_s) mod p — integer codegen,
+    no per-seed md5), then a single groupBy(doc) with num_hashes MIN
+    aggregates — one shuffle of the shingle rows, no seed explosion."""
+    base = portable_hash28(F.col("shingle"))
     hashed = sh.select(
         "doc_id",
         *[
-            portable_hash64(F.col("shingle"), F.lit(s)).alias(f"h{s}")
-            for s in range(num_hashes)
+            F.pmod(F.lit(a) * base + F.lit(b), F.lit(UH_PRIME)).alias(f"h{s}")
+            for s, (a, b) in enumerate(_uh_constants(num_hashes))
         ],
     )
     mins = hashed.groupBy("doc_id").agg(

@@ -1000,3 +1000,39 @@ def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
         .intersectAll(o.filter(F.col("o_totalprice") > 200000).select("o_custkey"))
     )
+
+
+@query(
+    "window_ranking_functions",
+    """
+SELECT o_orderpriority, o_orderkey,
+  RANK() OVER w AS rnk,
+  DENSE_RANK() OVER w AS drnk,
+  ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+  ROUND(CUME_DIST() OVER w, 6) AS cdist,
+  NTILE(4) OVER w AS quartile,
+  FIRST_VALUE(o_orderkey) OVER w AS first_key,
+  LEAD(o_orderkey) OVER w AS next_key
+FROM orders
+WHERE o_totalprice > 450000
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def window_ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over one deterministic window
+    (unique tiebreak on o_orderkey makes every rank reproducible)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+    )

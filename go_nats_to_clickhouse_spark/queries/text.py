@@ -324,17 +324,31 @@ sh AS (
 """
 
 
+def _mh_mins_sql(num_hashes: int = 16) -> str:
+    """MIN aggregates of the universal-hash family — the same (a, b, p)
+    constants the Spark operator uses (operators/dedup._uh_constants)."""
+    from go_nats_to_clickhouse_spark.operators.dedup import UH_PRIME, _uh_constants
+
+    return ",\n         ".join(
+        f"MIN(({a} * base + {b}) % {UH_PRIME}) AS m{s}"
+        for s, (a, b) in enumerate(_uh_constants(num_hashes))
+    )
+
+
 @query(
     "dedup_minhash_lsh_pairs",
     f"""
 WITH {_SH_CTE},
-mh AS (
-  SELECT doc_id, seed,
-         MIN(('0x' || substr(md5(shingle || '#' || CAST(seed AS VARCHAR)), 1, 15))::BIGINT) AS mh
-  FROM sh, UNNEST(range(16)) AS t(seed)
-  GROUP BY doc_id, seed
+based AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS base FROM sh
 ),
-sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+mh AS (
+  SELECT doc_id,
+         {_mh_mins_sql(16)}
+  FROM based
+  GROUP BY doc_id
+),
+sig AS (SELECT doc_id, [{", ".join(f"m{s}" for s in range(16))}] AS sig FROM mh),
 bands AS (
   SELECT doc_id, band,
          md5(array_to_string(list_transform(range(1, 5),

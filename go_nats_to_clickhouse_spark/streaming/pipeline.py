@@ -159,21 +159,31 @@ def start_pipeline(
     source_df: DataFrame,
     query_name: str = "gntcs-ingest",
     idempotent: bool = False,
+    available_now: bool = False,
 ) -> StreamingQuery:
     """Start the ingestion query over any streaming DataFrame with
-    MESSAGE_SCHEMA columns (NATS source, file source, or a test source)."""
+    MESSAGE_SCHEMA columns (NATS source, file source, or a test source).
+
+    ``available_now=True`` switches to the drain-and-stop trigger: process
+    everything the source currently has (still in admission-controlled
+    micro-batches, still checkpointed) and terminate — the backfill /
+    catch-up mode. Default is the reference's continuous 5-second cadence.
+    """
     tables = PipelineTables(cfg.warehouse_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         apply_cascade(batch_df, tables, idempotent=idempotent)
 
-    return (
+    writer = (
         source_df.writeStream.queryName(query_name)
         .foreachBatch(_process)
         .option("checkpointLocation", os.path.join(cfg.checkpoint_dir, query_name))
-        .trigger(processingTime=f"{cfg.batch_timeout_seconds} seconds")
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{cfg.batch_timeout_seconds} seconds")
+    return writer.start()
 
 
 def stop_gracefully(query: StreamingQuery, timeout_seconds: float = 60.0) -> None:

@@ -161,3 +161,27 @@ class TestIdempotentSink:
         apply_cascade(df, tables)
         apply_cascade(df, tables)  # replay duplicates — reference contract
         assert spark.read.parquet(tables.path(ANALYTICS_TABLE)).count() == 2
+
+
+class TestAvailableNow:
+    def test_drain_and_terminate(self, spark, tmp_path):
+        """availableNow: drain everything the source has, then stop on its
+        own — the backfill/catch-up trigger."""
+        replay = tmp_path / "replay_an.jsonl"
+        write_replay_file(str(replay), _messages(30))
+        spark.dataSource.register(NatsDataSource)
+        cfg = EngineConfig(
+            warehouse_dir=str(tmp_path / "wh_an"),
+            checkpoint_dir=str(tmp_path / "ckpt_an"),
+        )
+        src = (
+            spark.readStream.format("nats-jetstream")
+            .option("replayFile", str(replay))
+            .option("subjects", "globex.>")
+            .option("maxRecordsPerTrigger", 10)
+            .load()
+        )
+        q = start_pipeline(spark, cfg, src, query_name="an", available_now=True)
+        assert q.awaitTermination(120)  # terminates by itself
+        ana = spark.read.parquet(os.path.join(cfg.warehouse_dir, ANALYTICS_TABLE))
+        assert ana.count() == 30
