@@ -118,17 +118,20 @@ class NatsStreamReader(DataSourceStreamReader):
     """Offset = {"seq": <last stream sequence admitted>}."""
 
     def __init__(self, schema: StructType, options: dict):
-        self._options = dict(options)
+        # Spark passes Python data source options with case-insensitive
+        # (lowercased) keys — normalize so camelCase callers work both via
+        # Spark and in direct construction (tests).
+        self._options = {str(k).lower(): v for k, v in dict(options).items()}
         self._subjects = [
             s.strip() for s in self._options.get("subjects", ">").split(",") if s.strip()
         ]
-        self._max_per_trigger = int(self._options.get("maxRecordsPerTrigger", 1000))
+        self._max_per_trigger = int(self._options.get("maxrecordspertrigger", 1000))
         self._num_partitions = int(self._options.get("partitions", 4))
         self._client = _connect(self._options)
         self._last_planned: int | None = None  # driver-side planning cursor
 
     def initialOffset(self) -> dict:
-        return {"seq": int(self._options.get("startingSequence", 0))}
+        return {"seq": int(self._options.get("startingsequence", 0))}
 
     def latestOffset(self) -> dict:
         # Count-trigger admission control (ref batchSize=1000): admit at most
@@ -138,7 +141,7 @@ class NatsStreamReader(DataSourceStreamReader):
         base = (
             self._last_planned
             if self._last_planned is not None
-            else int(self._options.get("startingSequence", 0))
+            else int(self._options.get("startingsequence", 0))
         )
         newest = self._client.max_sequence()
         planned = min(max(newest, base), base + self._max_per_trigger)

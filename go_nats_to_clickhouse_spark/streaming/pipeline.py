@@ -159,31 +159,57 @@ def start_pipeline(
     source_df: DataFrame,
     query_name: str = "gntcs-ingest",
     idempotent: bool = False,
-    available_now: bool = False,
+    trigger_seconds: float | None = None,
 ) -> StreamingQuery:
     """Start the ingestion query over any streaming DataFrame with
     MESSAGE_SCHEMA columns (NATS source, file source, or a test source).
 
-    ``available_now=True`` switches to the drain-and-stop trigger: process
-    everything the source currently has (still in admission-controlled
-    micro-batches, still checkpointed) and terminate — the backfill /
-    catch-up mode. Default is the reference's continuous 5-second cadence.
+    Default cadence is the reference's 5-second time trigger
+    (cfg.batch_timeout_seconds); pass ``trigger_seconds=0`` for
+    back-to-back batches (used by :func:`run_backfill`).
     """
     tables = PipelineTables(cfg.warehouse_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         apply_cascade(batch_df, tables, idempotent=idempotent)
 
-    writer = (
+    seconds = cfg.batch_timeout_seconds if trigger_seconds is None else trigger_seconds
+    return (
         source_df.writeStream.queryName(query_name)
         .foreachBatch(_process)
         .option("checkpointLocation", os.path.join(cfg.checkpoint_dir, query_name))
+        .trigger(processingTime=f"{seconds} seconds")
+        .start()
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=f"{cfg.batch_timeout_seconds} seconds")
-    return writer.start()
+
+
+def run_backfill(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    source_df: DataFrame,
+    query_name: str = "gntcs-backfill",
+    idempotent: bool = False,
+) -> None:
+    """Drain-and-stop catch-up: process everything the source currently has
+    in admission-controlled micro-batches (maxRecordsPerTrigger still
+    bounds each one), then terminate.
+
+    Implemented as a zero-interval query drained with
+    ``processAllAvailable`` rather than ``trigger(availableNow=True)``:
+    Spark's availableNow wrapper snapshots a Python data source's
+    ``latestOffset`` once, which under admission control means a single
+    clamped batch — observed live, not just theorized. This form iterates
+    until the source reports no new offsets.
+    """
+    q = start_pipeline(
+        spark,
+        cfg,
+        source_df,
+        query_name=query_name,
+        idempotent=idempotent,
+        trigger_seconds=0,
+    )
+    stop_gracefully(q)
 
 
 def stop_gracefully(query: StreamingQuery, timeout_seconds: float = 60.0) -> None:

@@ -86,3 +86,20 @@ def test_malformed_yaml_rejected(tmp_path):
     f.write_text("- just\n- a\n- list\n", encoding="utf-8")
     with pytest.raises(ValueError):
         load_config(str(f), env={})
+
+
+class TestLogging:
+    def test_levels_and_formats(self):
+        import logging
+
+        from go_nats_to_clickhouse_spark.logging_setup import (
+            config_banner,
+            init_logging,
+        )
+
+        lg = init_logging(EngineConfig(log_level="debug", log_format="json"))
+        assert lg.level == logging.DEBUG
+        lg2 = init_logging(EngineConfig(log_level="warn", log_format="text"))
+        assert lg2.level == logging.WARNING
+        banner = config_banner(EngineConfig(batch_size=123))
+        assert "batch_size = 123" in banner

@@ -163,10 +163,12 @@ class TestIdempotentSink:
         assert spark.read.parquet(tables.path(ANALYTICS_TABLE)).count() == 2
 
 
-class TestAvailableNow:
-    def test_drain_and_terminate(self, spark, tmp_path):
-        """availableNow: drain everything the source has, then stop on its
-        own — the backfill/catch-up trigger."""
+class TestBackfill:
+    def test_drain_in_admission_controlled_batches(self, spark, tmp_path):
+        """run_backfill: everything currently available is processed, in
+        multiple maxRecordsPerTrigger-bounded micro-batches, then stop."""
+        from go_nats_to_clickhouse_spark.streaming.pipeline import run_backfill
+
         replay = tmp_path / "replay_an.jsonl"
         write_replay_file(str(replay), _messages(30))
         spark.dataSource.register(NatsDataSource)
@@ -181,7 +183,6 @@ class TestAvailableNow:
             .option("maxRecordsPerTrigger", 10)
             .load()
         )
-        q = start_pipeline(spark, cfg, src, query_name="an", available_now=True)
-        assert q.awaitTermination(120)  # terminates by itself
+        run_backfill(spark, cfg, src, query_name="an")
         ana = spark.read.parquet(os.path.join(cfg.warehouse_dir, ANALYTICS_TABLE))
-        assert ana.count() == 30
+        assert ana.count() == 30  # all three 10-row batches drained

@@ -218,3 +218,31 @@ class TestStreamStreamJoin:
             ("chat-1", "gold"),
             ("chat-2", "basic"),
         }
+
+
+class TestLateData:
+    def test_event_older_than_watermark_dropped(self, spark, tmp_path):
+        """Late-data semantics: an event arriving after the watermark passed
+        its window is dropped from append-mode results."""
+        # in-order events advance the watermark to ~min 100; the straggler at
+        # min 0 (sequence-later => arrives in a later micro-batch) is late.
+        msgs = [_msg(i, m) for i, m in enumerate([0, 5, 100, 200, 300])]
+        late = _msg(9, 1)  # event-time minute 1, arrives last
+        late.sequence = 50
+        msgs.append(late)
+        replay = tmp_path / "late.jsonl"
+        write_replay_file(str(replay), msgs)
+        spark.dataSource.register(NatsDataSource)
+        src = (
+            spark.readStream.format("nats-jetstream")
+            .option("replayFile", str(replay))
+            .option("subjects", "globex.>")
+            .option("maxRecordsPerTrigger", 5)  # straggler lands in batch 2
+            .load()
+        )
+        agg = tumbling_counts(src, "1 hour", watermark="10 minutes")
+        rows = _run_to_memory(spark, agg, tmp_path, "late_sink", mode="append")
+        hour0 = [r for r in rows if r["window_start"].hour == 12]
+        # hour-12 window emitted with the 2 on-time events only; the late
+        # straggler (would make it 3) was dropped.
+        assert hour0 and hour0[0]["n"] == 2
