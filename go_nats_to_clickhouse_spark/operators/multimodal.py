@@ -167,7 +167,9 @@ def synthetic_media(spark, n: int = 100) -> DataFrame:
         F.concat(F.lit("media-payload-"), F.repeat(F.col("id").cast("string"), 300)),
         "UTF-8",
     )
-    return spark.range(n).select(
+    # few partitions on purpose: spraying a tiny demo table across every
+    # core forks a Python worker per task for micro-batches of ~4 rows.
+    return spark.range(n, numPartitions=max(1, n // 32)).select(
         F.col("id").alias("media_id"),
         kinds.alias("kind"),
         content.alias("content"),

@@ -1036,3 +1036,31 @@ def window_ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_key"),
         F.lead("o_orderkey").over(w).alias("next_key"),
     )
+
+
+@query(
+    "scalar_json_functions",
+    """
+SELECT
+  event_id,
+  coalesce(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k_value,
+  (json_extract_string(props, '$.k') IS NOT NULL) AS has_k,
+  json_object('k', coalesce(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0),
+              't', event_type) AS reserialized
+FROM events
+""",
+)
+def scalar_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: path extraction with numeric coercion, validity check,
+    and re-serialization (Spark to_json and DuckDB json_object emit the
+    same compact format — verified byte-identical)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.coalesce(F.get_json_object("props", "$.k").try_cast("bigint"), F.lit(0))
+    return e.select(
+        "event_id",
+        k.alias("k_value"),
+        F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
+        F.to_json(F.struct(k.alias("k"), F.col("event_type").alias("t"))).alias(
+            "reserialized"
+        ),
+    )

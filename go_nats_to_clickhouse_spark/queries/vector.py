@@ -143,7 +143,12 @@ def vector_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    pairs = blocked_all_pairs_cosine(spark, e, threshold=0.4)
+    # row count from parquet footer metadata (driver-side, no Spark job) —
+    # saves a full count() pass just to size the blocks.
+    import pyarrow.parquet as pq
+
+    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    pairs = blocked_all_pairs_cosine(spark, e, threshold=0.4, n_rows=n_rows)
     return pairs.select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
 
 
