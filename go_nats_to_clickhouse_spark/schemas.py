@@ -215,16 +215,29 @@ _EVENTS_READ_SCHEMA = T.StructType(
 )
 
 
+#: per-session DataFrame cache — a DataFrame is an immutable plan, so
+#: handing the same object to every query is safe and skips repeated file
+#: listing + analysis (measurable across a 60-query benchmark run).
+_TABLE_CACHE: dict[tuple[int, str, str], object] = {}
+
+
 def load_table(spark, sf_dir: str, name: str):
     """Read one testdata table with its declared schema (no inference)."""
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.schema(_EVENTS_READ_SCHEMA).parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(path)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(path)
+    _TABLE_CACHE[key] = df
+    return df
 
 
 def register_testdata(spark, sf_dir: str) -> None:
