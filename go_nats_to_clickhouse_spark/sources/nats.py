@@ -127,8 +127,15 @@ class NatsStreamReader(DataSourceStreamReader):
         ]
         self._max_per_trigger = int(self._options.get("maxrecordspertrigger", 1000))
         self._num_partitions = int(self._options.get("partitions", 4))
-        self._client = _connect(self._options)
         self._last_planned: int | None = None  # driver-side planning cursor
+
+    @property
+    def _client(self) -> JetStreamClient:
+        # Resolved through a per-process cache, never stored on the reader:
+        # the reader object is pickled to every task, and a transport
+        # holding the whole replay stream must not travel with it. Each
+        # worker process connects (or parses the replay file) once.
+        return _connect(self._options)
 
     def initialOffset(self) -> dict:
         return {"seq": int(self._options.get("startingsequence", 0))}
@@ -200,15 +207,26 @@ class NatsDataSource(DataSource):
         return NatsStreamReader(schema, self.options)
 
 
+#: per-process transport cache (workers are reused across batches)
+_CLIENT_CACHE: dict = {}
+
+
 def _connect(options: dict) -> JetStreamClient:
-    """Build the transport. ``replayFile`` -> deterministic local replay;
-    a real ``nats://`` URL requires the nats-py client (not baked into this
-    environment — gated import)."""
+    """Build (or fetch the cached) transport. ``replayFile`` ->
+    deterministic local replay; a real ``nats://`` URL requires the
+    nats-py client (not baked into this environment — gated import)."""
     replay_file = options.get("replayfile") or options.get("replayFile")
     if replay_file:
-        with open(replay_file, encoding="utf-8") as fh:
-            msgs = [JsMessage(**json.loads(line)) for line in fh if line.strip()]
-        return ReplayJetStreamClient(msgs)
+        import os as _os
+
+        key = (replay_file, _os.path.getmtime(replay_file))
+        client = _CLIENT_CACHE.get(key)
+        if client is None:
+            with open(replay_file, encoding="utf-8") as fh:
+                msgs = [JsMessage(**json.loads(line)) for line in fh if line.strip()]
+            client = ReplayJetStreamClient(msgs)
+            _CLIENT_CACHE[key] = client
+        return client
     try:  # pragma: no cover - not installed here
         import nats  # type: ignore # noqa: F401
     except ImportError as exc:  # pragma: no cover

@@ -82,7 +82,11 @@ def _split_valid(df: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def apply_cascade(
-    batch: DataFrame, tables: PipelineTables, idempotent: bool = False
+    batch: DataFrame,
+    tables: PipelineTables,
+    idempotent: bool = False,
+    write_partitions: int = 4,
+    collect_counts: bool = True,
 ) -> dict[str, int]:
     """Apply one micro-batch through the full cascade; returns row counts.
 
@@ -99,6 +103,12 @@ def apply_cascade(
     duplicates on redelivery — main.go:122-127; this is the documented
     upgrade path, off by default for parity.)
     """
+    # Micro-batches are admission-controlled (<= batch_size rows), so writing
+    # from the source's full partition count sprays tiny files (tasks x
+    # hive-partitions per table per trigger) and pays commit overhead per
+    # file. Repartitioning the small batch is cheap and bounds file count;
+    # raise write_partitions for high-volume deployments.
+    batch = batch.repartition(write_partitions)
     valid, dead = _split_valid(batch)
     if idempotent:
         valid = valid.dropDuplicates(["subject", "sequence"])
@@ -133,7 +143,7 @@ def apply_cascade(
             tables.path(RAW_TABLE_PREFIX.rstrip("_"))
         )
         raw_plain = raw.drop("stream")
-        counts["raw"] = valid.count()
+        counts["raw"] = valid.count() if collect_counts else -1
         # Union table (init.sql:35-46): identical rows, one flat table.
         layout.write_partitioned(
             raw_plain, tables.path(ALL_STREAMS_TABLE), layout.SORT_KEYS["all_streams"]
@@ -144,10 +154,13 @@ def apply_cascade(
             tables.path(ANALYTICS_TABLE),
             layout.SORT_KEYS["analytics"],
         )
-        n_dead = dead.count()
-        if n_dead:
+        # isEmpty short-circuits (take-1), so the common no-dead-letter path
+        # costs one cheap probe instead of a counting pass.
+        if dead.isEmpty():
+            counts["dead_letter"] = 0
+        else:
             dead.write.mode("append").parquet(tables.path(DEAD_LETTER_TABLE))
-        counts["dead_letter"] = n_dead
+            counts["dead_letter"] = dead.count() if collect_counts else -1
         return counts
     finally:
         valid.unpersist()
@@ -171,7 +184,8 @@ def start_pipeline(
     tables = PipelineTables(cfg.warehouse_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        apply_cascade(batch_df, tables, idempotent=idempotent)
+        # steady-state ingest skips the per-batch counting jobs
+        apply_cascade(batch_df, tables, idempotent=idempotent, collect_counts=False)
 
     seconds = cfg.batch_timeout_seconds if trigger_seconds is None else trigger_seconds
     return (
