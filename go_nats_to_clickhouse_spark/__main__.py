@@ -33,6 +33,11 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument(
         "--idempotent", action="store_true", help="exactly-once sink upgrade"
     )
+    parser.add_argument(
+        "--compact",
+        action="store_true",
+        help="compact warehouse tables (MergeTree background-merge analog) and exit",
+    )
     args = parser.parse_args(argv)
 
     from go_nats_to_clickhouse_spark.config import load_config
@@ -52,6 +57,28 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(cfg, app_name="gntcs-service")
     spark.sparkContext.setLogLevel("ERROR")
     spark.dataSource.register(NatsDataSource)
+
+    if args.compact:
+        import os as _os
+
+        from go_nats_to_clickhouse_spark.plans import layout
+        from go_nats_to_clickhouse_spark.streaming.pipeline import (
+            ALL_STREAMS_TABLE,
+            ANALYTICS_TABLE,
+        )
+
+        for table, keys, pcols in (
+            ("nats_data_stream", layout.SORT_KEYS["raw"], ("stream", layout.PARTITION_COL)),
+            (ALL_STREAMS_TABLE, layout.SORT_KEYS["all_streams"], (layout.PARTITION_COL,)),
+            (ANALYTICS_TABLE, layout.SORT_KEYS["analytics"], (layout.PARTITION_COL,)),
+        ):
+            path = _os.path.join(cfg.warehouse_dir, table)
+            if _os.path.exists(path):
+                logger.info("compacting %s", path)
+                layout.compact_table(spark, path, keys, partition_cols=pcols)
+        logger.info("compaction complete")
+        spark.stop()
+        return 0
 
     reader = spark.readStream.format("nats-jetstream").option(
         "subjects", ",".join(cfg.subjects)

@@ -65,18 +65,20 @@ def compact_table(
     path: str,
     sort_keys: tuple[str, ...],
     target_files_per_partition: int = 1,
+    partition_cols: tuple[str, ...] = (PARTITION_COL,),
 ) -> None:
-    """Rewrite a table into few large sorted files per month partition —
-    the analog of MergeTree background merges. Run periodically, not per
-    batch. Uses an overwrite of a temp location then swap to stay crash-safe
-    on local filesystems."""
+    """Rewrite a table into few large sorted files per partition — the
+    analog of MergeTree background merges. Run periodically, not per batch.
+    ``partition_cols`` must match the table's existing layout (e.g.
+    ("stream", "ym") for the per-stream raw table). Uses an overwrite of a
+    temp location then swap to stay crash-safe on local filesystems."""
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compact_tmp"
     (
-        df.repartition(target_files_per_partition, F.col(PARTITION_COL))
+        df.repartition(target_files_per_partition, *[F.col(c) for c in partition_cols])
         .sortWithinPartitions(*sort_keys)
         .write.mode("overwrite")
-        .partitionBy(PARTITION_COL)
+        .partitionBy(*partition_cols)
         .parquet(tmp)
     )
     # Local-FS swap; on a real deployment this would be a metastore/table
