@@ -225,3 +225,116 @@ def lsh_topk(
             "query_id", "neighbor_id", F.row_number().over(w).alias("rank"), "cos"
         ).filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — centroid-partitioned search, the other standard
+# sub-quadratic path next to hyperplane LSH.
+# ---------------------------------------------------------------------------
+
+
+def ivf_build_assignments(
+    spark: SparkSession,
+    corpus_df: DataFrame,
+    n_lists: int = 16,
+    seed: int = 42,
+    id_col: str = "neighbor_id",
+    vec_col: str = "cv",
+):
+    """K-means the corpus into n_lists cells; returns (assignments_df,
+    centers) where assignments_df = corpus + ``cell`` column.
+
+    Training samples the corpus through Spark ML KMeans (deterministic for
+    a fixed seed + corpus). At 100 TB, train on a sample and assign the
+    full corpus map-side — assignment is a broadcast of n_lists centroids
+    and one argmin per row, no shuffle.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    train = corpus_df.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    assigned = model.transform(
+        corpus_df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            array_to_vector(F.col(vec_col)).alias("features"),
+        )
+    ).select(id_col, vec_col, F.col("prediction").alias("cell"))
+    return assigned, centers
+
+
+def ivf_topk(
+    spark: SparkSession,
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k probing the ``nprobe`` nearest cells per query.
+
+    queries_df: (query_id, qv), corpus_df: (neighbor_id, cv). The search
+    join is an equi-join on the cell id — each query scores only
+    ~corpus/n_lists * nprobe candidates. Recall/cost is tuned by nprobe
+    (nprobe = n_lists degenerates to exact brute force).
+    """
+    from pyspark.sql.window import Window
+
+    assigned, centers = ivf_build_assignments(spark, corpus_df, n_lists, seed)
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    # nearest nprobe centroids per query (centroids are a tiny literal
+    # array — computed map-side, no join)
+    center_lits = F.array(
+        *[F.array(*[F.lit(x) for x in c]) for c in centers]
+    )
+    dists = F.transform(
+        center_lits,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("qv"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    q_cells = (
+        queries_df.withColumn("_dists", dists)
+        .select(
+            "query_id",
+            "qv",
+            F.explode(
+                F.slice(
+                    F.expr(
+                        "transform(array_sort("
+                        "transform(sequence(0, size(_dists) - 1), "
+                        "i -> struct(element_at(_dists, i + 1) AS d, i AS i)), "
+                        "(a, b) -> case when a.d < b.d then -1 when a.d > b.d then 1 else 0 end), "
+                        "x -> x.i)"
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("cell"),
+        )
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    scored = (
+        assigned.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.select(
+            "query_id", "neighbor_id", F.row_number().over(w).alias("rank"), "cos"
+        ).filter(F.col("rank") <= k)
+    )

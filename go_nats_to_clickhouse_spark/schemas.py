@@ -227,6 +227,10 @@ def load_table(spark, sf_dir: str, name: str):
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    # Timestamp semantics (unix_timestamp, timestamp_seconds, date_format)
+    # must agree with the DuckDB oracle regardless of which session runs the
+    # query — pin the session timezone at first table load.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         from pyspark.sql import functions as F

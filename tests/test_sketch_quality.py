@@ -104,3 +104,42 @@ class TestAnnLshRecall:
             key = (r["query_id"], r["neighbor_id"])
             if key in brute_cos:
                 assert abs(brute_cos[key] - r["cosine"]) < 1e-9
+
+
+class TestIvfRecall:
+    def test_high_recall_on_clustered_corpus(self, spark):
+        """IVF with nprobe=4 over 16 cells must recover true neighbors on a
+        clustered corpus (cluster-mates land in the same k-means cell)."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from go_nats_to_clickhouse_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        rng = np.random.RandomState(7)
+        centers = rng.randn(20, 64)
+        rows = []
+        vid = 0
+        for c in centers:
+            for _ in range(10):
+                v = c + 0.05 * rng.randn(64)
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+        q = df.filter(F.col("vec_id") % 10 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        c = df.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+        brute = {}
+        for r in brute_force_topk(q, c, k=5).collect():
+            brute.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        ivf = {}
+        for r in ivf_topk(spark, q, c, n_lists=16, nprobe=4, k=5).collect():
+            ivf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recalls = [
+            len(brute[qid] & ivf.get(qid, set())) / len(brute[qid]) for qid in brute
+        ]
+        mean_recall = sum(recalls) / len(recalls)
+        assert mean_recall >= 0.9, f"IVF clustered recall@5 too low: {mean_recall}"
