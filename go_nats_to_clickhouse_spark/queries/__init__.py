@@ -13,6 +13,7 @@ from go_nats_to_clickhouse_spark.queries import (  # noqa: E402,F401
     relational,
     subqueries,
     text,
+    tpch_extra,
     vector,
 )
 

@@ -850,6 +850,53 @@ def scalar_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scalar_map_functions",
+    """
+SELECT
+  p_partkey,
+  map(['brand', 'type'], [p_brand, p_type])['brand'][1] AS brand_val,
+  map(['brand', 'type'], [p_brand, p_type])['color'][1] AS missing_val,
+  CAST(cardinality(map(['brand', 'type'], [p_brand, p_type])) AS INT) AS map_size,
+  array_to_string(list_sort(map_keys(map(['size', 'dbl'], [p_size, p_size * 2]))), ',') AS keys_sorted,
+  array_to_string(map_values(map(['size', 'dbl'], [p_size, p_size * 2])), ',') AS vals_str,
+  p_size * 10 AS scaled_val,
+  map(['a'], [p_size])['a'][1] + map(['b'], [p_size * 2])['b'][1] AS merged_sum
+FROM part
+""",
+)
+def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map scalar family (create/extract/keys/values/size/transform_values/
+    map_concat). Result columns are scalars extracted FROM maps — a raw
+    map column would hit engine-specific hash encodings in the driver's
+    value-hash compare, extracted scalars are portable."""
+    p = load_table(spark, sf_dir, "part")
+    str_map = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    num_map = F.create_map(
+        F.lit("size"), F.col("p_size"), F.lit("dbl"), F.col("p_size") * 2
+    )
+    merged = F.map_concat(
+        F.create_map(F.lit("a"), F.col("p_size")),
+        F.create_map(F.lit("b"), F.col("p_size") * 2),
+    )
+    return p.select(
+        "p_partkey",
+        F.element_at(str_map, "brand").alias("brand_val"),
+        F.element_at(str_map, "color").alias("missing_val"),
+        F.size(str_map).cast("int").alias("map_size"),
+        F.concat_ws(",", F.array_sort(F.map_keys(num_map))).alias("keys_sorted"),
+        F.concat_ws(
+            ",", F.transform(F.map_values(num_map), lambda v: v.cast("string"))
+        ).alias("vals_str"),
+        F.element_at(
+            F.transform_values(num_map, lambda k, v: v * 5), "dbl"
+        ).alias("scaled_val"),
+        (F.element_at(merged, "a") + F.element_at(merged, "b")).alias("merged_sum"),
+    )
+
+
 @query("agg_approx_distinct")  # no oracle: HLL sketch values are engine-specific
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — ClickHouse's uniq() analog.
