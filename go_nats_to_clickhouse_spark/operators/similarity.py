@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -240,28 +240,62 @@ def ivf_build_assignments(
     seed: int = 42,
     id_col: str = "neighbor_id",
     vec_col: str = "cv",
+    train_limit: int = 4096,
+    max_iter: int = 8,
 ):
     """K-means the corpus into n_lists cells; returns (assignments_df,
     centers) where assignments_df = corpus + ``cell`` column.
 
-    Training samples the corpus through Spark ML KMeans (deterministic for
-    a fixed seed + corpus). At 100 TB, train on a sample and assign the
-    full corpus map-side — assignment is a broadcast of n_lists centroids
-    and one argmin per row, no shuffle.
+    Training runs Lloyd's iterations in numpy on a bounded prefix sample
+    (``train_limit`` rows, ~2 MB at 64 dims — centroid quality needs a
+    representative sample, not the population; this is how IVF indexes
+    train at any corpus size, so the driver-side step stays O(sample)
+    even at 100 TB). The full corpus is then assigned map-side with a
+    pure codegen expression: n_lists centroid literals + one argmin per
+    row — a single distributed job, no shuffle, no ML pipeline overhead.
+    Deterministic for a fixed seed + input order.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+    import numpy as np
 
-    train = corpus_df.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
-    centers = [[float(x) for x in c] for c in model.clusterCenters()]
-    assigned = model.transform(
-        corpus_df.select(
-            F.col(id_col),
-            F.col(vec_col),
-            array_to_vector(F.col(vec_col)).alias("features"),
+    sample = corpus_df.select(vec_col).limit(train_limit).collect()
+    X = np.asarray([r[0] for r in sample], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    centers_arr = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
+    for _ in range(max_iter):
+        # pairwise squared distances via the ||x||^2 - 2x·c + ||c||^2 expansion
+        d2 = (
+            (X * X).sum(axis=1)[:, None]
+            - 2.0 * X @ centers_arr.T
+            + (centers_arr * centers_arr).sum(axis=1)[None, :]
         )
-    ).select(id_col, vec_col, F.col("prediction").alias("cell"))
+        labels = d2.argmin(axis=1)
+        for j in range(len(centers_arr)):
+            members = X[labels == j]
+            if len(members):  # empty cell keeps its previous centroid
+                centers_arr[j] = members.mean(axis=0)
+    centers = [[float(x) for x in c] for c in centers_arr]
+
+    # Map-side assignment with a vectorized Arrow kernel: one numpy GEMM
+    # per batch against the broadcast centroid matrix. An expression-tree
+    # argmin over n_lists*dim literals would trigger multi-second codegen
+    # compilation; the Pandas kernel is O(batch) with zero plan blowup.
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.types import IntegerType
+
+    schema = corpus_df.select(id_col, vec_col).schema.add("cell", IntegerType())
+
+    def _assign(batches):
+        C = np.asarray(centers, dtype=np.float64)
+        cn2 = (C * C).sum(axis=1)
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy())
+            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cn2[None, :]
+            out = pdf[[id_col, vec_col]].copy()
+            out["cell"] = d2.argmin(axis=1).astype("int32")
+            yield out
+
+    assigned = corpus_df.select(id_col, vec_col).mapInPandas(_assign, schema)
     return assigned, centers
 
 
@@ -290,47 +324,37 @@ def ivf_topk(
             F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
         )
 
-    # nearest nprobe centroids per query (centroids are a tiny literal
-    # array — computed map-side, no join)
-    center_lits = F.array(
-        *[F.array(*[F.lit(x) for x in c]) for c in centers]
-    )
-    dists = F.transform(
-        center_lits,
-        lambda c: F.aggregate(
-            F.zip_with(F.col("qv"), c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    q_cells = (
-        queries_df.withColumn("_dists", dists)
-        .select(
-            "query_id",
-            "qv",
-            F.explode(
-                F.slice(
-                    F.expr(
-                        "transform(array_sort("
-                        "transform(sequence(0, size(_dists) - 1), "
-                        "i -> struct(element_at(_dists, i + 1) AS d, i AS i)), "
-                        "(a, b) -> case when a.d < b.d then -1 when a.d > b.d then 1 else 0 end), "
-                        "x -> x.i)"
-                    ),
-                    1,
-                    nprobe,
-                )
-            ).alias("cell"),
-        )
-    )
+    # nearest nprobe centroids per query — same vectorized kernel, emitting
+    # one row per (query, probed cell)
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType
+
+    probe_schema = queries_df.select("query_id", "qv").schema.add("cell", IntegerType())
+
+    def _probe(batches):
+        C = np.asarray(centers, dtype=np.float64)
+        cn2 = (C * C).sum(axis=1)
+        for pdf in batches:
+            X = np.stack(pdf["qv"].to_numpy())
+            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cn2[None, :]
+            near = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+            rep = pdf[["query_id", "qv"]].iloc[
+                np.repeat(np.arange(len(pdf)), near.shape[1])
+            ]
+            rep = rep.assign(cell=near.reshape(-1).astype("int32"))
+            yield rep
+
+    q_cells = queries_df.select("query_id", "qv").mapInPandas(_probe, probe_schema)
     cos = _dot(F.col("qv"), F.col("cv")) / (
         F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
     )
+    # no dedup needed: each corpus row lives in exactly one cell and each
+    # query probes distinct cells, so a (query, neighbor) pair occurs once
     scored = (
         assigned.join(F.broadcast(q_cells), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cos.alias("cos"))
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
