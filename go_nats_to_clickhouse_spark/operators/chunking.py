@@ -61,7 +61,11 @@ class ChunkDocumentsUDTF:
 def register_chunk_udtf(spark: SparkSession, name: str = "chunk_documents") -> None:
     from pyspark.sql.functions import udtf
 
-    spark.udtf.register(name, udtf(ChunkDocumentsUDTF, returnType=CHUNK_SCHEMA))
+    # useArrow: rows move through Arrow batches instead of pickled
+    # one-at-a-time (the plan shows ArrowEvalPythonUDTF, not BatchEval).
+    spark.udtf.register(
+        name, udtf(ChunkDocumentsUDTF, returnType=CHUNK_SCHEMA, useArrow=True)
+    )
 
 
 def chunk_udtf(spark: SparkSession, df: DataFrame) -> DataFrame:
