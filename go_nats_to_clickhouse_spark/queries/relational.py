@@ -935,6 +935,48 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_range_frame_events",
+    """
+SELECT event_id, user_id,
+  COUNT(*) OVER w AS n_last_hour,
+  MAX(value) OVER w AS max_value_last_hour
+FROM (
+  SELECT event_id, user_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+  FROM events
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_range_frame_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: trailing one-hour event count and max per
+    user. RANGE (value-based) frames include timestamp peers regardless
+    of row order — deterministic where a ROWS frame over tied timestamps
+    is not. Aggregates are COUNT/MAX (order-independent; a float SUM over
+    a sliding frame would be engine-divergent)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("ts_sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.max("value").over(w).alias("max_value_last_hour"),
+    )
+
+
+@query(
     "pivot_status_by_priority",
     """
 SELECT

@@ -434,3 +434,68 @@ def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_nats_to_clickhouse_spark.operators.chunking import chunk_udtf
 
     return chunk_udtf(spark, load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# The composed training-data prep pipeline — the flagship "what this engine
+# is for" query: gate -> dedup -> chunk -> count, one declarative plan.
+# ---------------------------------------------------------------------------
+
+_PREP_ORACLE = """
+WITH gated AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 1000
+    AND length(regexp_replace(text, '[^0-9]', '', 'g')) * 5 < length(text)
+),
+deduped AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                              ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM deduped)
+SELECT doc_id,
+       CAST(c AS INT) AS chunk_idx,
+       array_to_string(ws[c * 50 + 1 : least((c + 1) * 50, len(ws))], ' ') AS chunk_text,
+       CAST(least((c + 1) * 50, len(ws)) - c * 50 AS INT) AS n_words,
+       CAST(list_sum(list_transform(ws[c * 50 + 1 : least((c + 1) * 50, len(ws))],
+            x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens_est
+FROM w, UNNEST(range(CAST(ceil(len(ws) / 50.0) AS BIGINT))) AS t(c)
+"""
+
+
+@query("training_data_prep", _PREP_ORACLE)
+def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus prep in ONE declarative plan: quality gate ->
+    exact dedup (keep lowest doc_id per content hash) -> 50-word chunks
+    -> per-chunk BPE-ish token estimate.
+
+    Scale shape: the gate is a map-side filter on the scan; dedup is one
+    shuffle on the content hash (row_number, not groupBy+join-back);
+    chunking is a map-side explode. Total: ONE shuffle for the whole
+    pipeline — the form a 100 TB pretraining prep job wants.
+    """
+    from pyspark.sql.window import Window
+
+    from go_nats_to_clickhouse_spark.operators.chunking import chunk_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(_words()).cast("bigint")
+    digits = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+    gated = d.filter(n_words.between(20, 1000) & (digits * 5 < F.length("text")))
+    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    chunks = chunk_expr(deduped, chunk_words=50)
+    return chunks.withColumn(
+        "n_tokens_est",
+        F.expr(
+            "aggregate(split(chunk_text, ' '), 0L,"
+            " (acc, x) -> acc + CAST(ceil(length(x) / 4.0) AS LONG))"
+        ),
+    )
