@@ -156,6 +156,48 @@ def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataF
     return vid.mapInPandas(kernel, FRAME_SAMPLE_SCHEMA)
 
 
+RESIZE_SCHEMA = "media_id long, width int, height int, content binary"
+
+
+def resize_images(
+    df: DataFrame, width: int = 224, height: int = 224, fake: bool = False
+) -> DataFrame:
+    """Image resize stub: (media_id, width, height, content) at the target
+    dimensions — the canonical normalize-before-training step.
+
+    The real kernel decodes, resamples (e.g. bilinear to 224x224), and
+    re-encodes inside the batch loop; the fake kernel emits a
+    deterministic byte payload of width*height/8 bytes so output sizing,
+    schema, and batch shape are exercised. Either way the stage is pure
+    mapInPandas: no shuffle, output partitioning follows the scan.
+    """
+
+    def kernel(batches: Iterator[Any]) -> Iterator[Any]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                _require_codecs("image")
+            out = []
+            for buf in pdf["content"]:
+                seed = hashlib.md5(buf or b"").digest()
+                reps = max(1, (width * height // 8) // len(seed))
+                out.append((seed * reps)[: width * height // 8])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "content": out,
+                }
+            )
+
+    img = df.filter(F.col("kind") == "image")
+    return img.mapInPandas(kernel, RESIZE_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 100) -> DataFrame:
     """Deterministic synthetic media table for tests/demos: binary payloads
     derived from the row id (no external fixtures needed)."""

@@ -53,3 +53,22 @@ def test_frame_sampling_fans_out(spark, media):
     assert len(rows) > 30  # more rows than videos -> fan-out happened
     assert all(isinstance(r["frame_png"], (bytes, bytearray)) for r in rows)
     assert all(r["frame_idx"] % 2 == 0 for r in rows)
+
+
+def test_resize_images_normalizes_dims(spark, media):
+    from go_nats_to_clickhouse_spark.operators.multimodal import resize_images
+
+    out = resize_images(media, width=224, height=224, fake=True).collect()
+    assert len(out) == media.filter("kind = 'image'").count()
+    for r in out:
+        assert (r.width, r.height) == (224, 224)
+        assert len(r.content) == 224 * 224 // 8
+
+
+def test_resize_real_decoder_is_stubbed(spark, media):
+    import pytest
+
+    from go_nats_to_clickhouse_spark.operators.multimodal import resize_images
+
+    with pytest.raises(Exception, match="codec"):
+        resize_images(media, fake=False).collect()
