@@ -1,0 +1,149 @@
+"""Behavioral analytics over the events stream — the ClickHouse-flavored
+query surface the reference's users actually run against its tables
+(`windowFunnel` / `retention` analogs; ClickHouse docs call these
+parametric aggregate functions; the reference exposes them implicitly by
+sinking into ClickHouse, init.sql:1-107).
+
+Both are expressed as portable relational plans — existential joins and
+conditional distinct counts — rather than engine-specific aggregates, so
+one DuckDB oracle checks them and Catalyst owns the physical strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_nats_to_clickhouse_spark.queries.registry import query
+from go_nats_to_clickhouse_spark.queries.util import load_table
+
+
+@query(
+    "funnel_conversion",
+    """
+WITH v AS (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+u AS (SELECT DISTINCT user_id FROM events),
+lvl1 AS (SELECT DISTINCT user_id FROM v),
+lvl2 AS (
+  SELECT DISTINCT v.user_id
+  FROM v JOIN c ON c.user_id = v.user_id
+   AND c.cts > v.vts AND c.cts <= v.vts + INTERVAL 1 HOUR
+),
+lvl3 AS (
+  SELECT DISTINCT v.user_id
+  FROM v
+  JOIN c ON c.user_id = v.user_id AND c.cts > v.vts
+  JOIN p ON p.user_id = v.user_id AND p.pts > c.cts
+   AND p.pts <= v.vts + INTERVAL 1 HOUR
+)
+SELECT u.user_id,
+       CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+                 WHEN l2.user_id IS NOT NULL THEN 2
+                 WHEN l1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS funnel_level
+FROM u
+LEFT JOIN lvl1 l1 ON l1.user_id = u.user_id
+LEFT JOIN lvl2 l2 ON l2.user_id = u.user_id
+LEFT JOIN lvl3 l3 ON l3.user_id = u.user_id
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(1 hour)(ts, view, click, purchase)``
+    analog: per user, the deepest strictly-ordered view -> click ->
+    purchase chain completed within one hour of the chain's first step.
+
+    Decorrelated into per-level existential joins on user_id: per-user
+    fanout is bounded by that user's event counts, the only shuffles are
+    user_id-keyed, and no correlated re-scan of events exists anywhere —
+    the shape that survives a 100 TB events table (cf. an EXISTS-per-row
+    formulation, which would rescan the fact per user).
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select("user_id", F.col("ts").alias("vts"))
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("cts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    hour = F.expr("INTERVAL 1 HOUR")
+    u = e.select("user_id").distinct()
+    lvl1 = v.select("user_id").distinct().withColumn("l1", F.lit(1))
+    lvl2 = (
+        v.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("cts") > F.col("vts"))
+            & (F.col("cts") <= F.col("vts") + hour),
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("l2", F.lit(1))
+    )
+    lvl3 = (
+        v.join(c, (F.col("c_user") == F.col("user_id")) & (F.col("cts") > F.col("vts")))
+        .join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("pts") > F.col("cts"))
+            & (F.col("pts") <= F.col("vts") + hour),
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("l3", F.lit(1))
+    )
+    return (
+        u.join(lvl1, "user_id", "left")
+        .join(lvl2, "user_id", "left")
+        .join(lvl3, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("l3").isNotNull(), 3)
+            .when(F.col("l2").isNotNull(), 2)
+            .when(F.col("l1").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("funnel_level"),
+        )
+    )
+
+
+@query(
+    "retention_cohorts",
+    """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+),
+firsts AS (SELECT user_id, MIN(day) AS d0 FROM d GROUP BY user_id)
+SELECT f.d0 AS cohort_day,
+       COUNT(DISTINCT f.user_id) AS n_users,
+       COUNT(DISTINCT CASE WHEN d.day = f.d0 + 1 THEN f.user_id END) AS retained_d1,
+       COUNT(DISTINCT CASE WHEN d.day > f.d0 AND d.day <= f.d0 + 7
+             THEN f.user_id END) AS retained_7d
+FROM firsts f JOIN d ON d.user_id = f.user_id
+GROUP BY f.d0
+""",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``retention()`` analog as cohort analysis: users grouped
+    by first-active day, with next-day and within-7-days return counts.
+    One aggregation to (user, day), one to cohorts — both user-keyed."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")).distinct()
+    firsts = d.groupBy("user_id").agg(F.min("day").alias("d0"))
+    joined = firsts.join(d, "user_id")
+    return joined.groupBy(F.col("d0").alias("cohort_day")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(
+            F.when(F.col("day") == F.date_add(F.col("d0"), 1), F.col("user_id"))
+        ).alias("retained_d1"),
+        F.countDistinct(
+            F.when(
+                (F.col("day") > F.col("d0"))
+                & (F.col("day") <= F.date_add(F.col("d0"), 7)),
+                F.col("user_id"),
+            )
+        ).alias("retained_7d"),
+    )
