@@ -935,6 +935,54 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_tolerance",
+    """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id,
+       CASE WHEN c.click_ts >= p.ts - INTERVAL 1 HOUR THEN
+         CAST(floor(epoch(p.ts)) AS BIGINT)
+           - CAST(floor(epoch(c.click_ts)) AS BIGINT)
+       END AS gap_seconds
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND c.click_ts <= p.ts
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generalized as-of operator (operators/asof.py) with a
+    tolerance: purchase -> latest click at-or-before it, nulled when more
+    than an hour stale. Output is the gap, not the click id — equal-
+    timestamp clicks tie on the gap, so the result stays deterministic
+    across engines whatever the tie-pick."""
+    from go_nats_to_clickhouse_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        direction="backward",
+        strict=False,
+        tolerance_seconds=3600,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("right_ts")).alias("gap_seconds"),
+    )
+
+
+@query(
     "window_range_frame_events",
     """
 SELECT event_id, user_id,

@@ -1,0 +1,90 @@
+"""asof_join equivalence against pandas.merge_asof — backward/forward,
+strict/inclusive, with and without tolerance, random data, fixed seed."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from datetime import datetime
+
+
+def _random_frames(seed: int, n_left: int = 200, n_right: int = 150):
+    rng = np.random.RandomState(seed)
+    base = pd.Timestamp("2000-01-01")
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(n_left),
+            "key": rng.randint(0, 5, n_left),
+            "ts": base + pd.to_timedelta(rng.randint(0, 100_000, n_left), unit="s"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rid": np.arange(n_right),
+            "key": rng.randint(0, 5, n_right),
+            "ts": base + pd.to_timedelta(rng.randint(0, 100_000, n_right), unit="s"),
+            "val": rng.randn(n_right).round(6),
+        }
+    )
+    # distinct timestamps per (key, side-role) keep expected output unique
+    left = left.drop_duplicates(["key", "ts"]).reset_index(drop=True)
+    right = right.drop_duplicates(["key", "ts"]).reset_index(drop=True)
+    return left, right
+
+
+def _expected(left, right, direction, tolerance=None):
+    out = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts").rename(columns={"ts": "r_ts"}),
+        left_on="ts",
+        right_on="r_ts",
+        by="key",
+        direction=direction,
+        tolerance=pd.Timedelta(seconds=tolerance) if tolerance else None,
+        allow_exact_matches=True,
+    )
+    return {
+        (int(r.lid)): (None if pd.isna(r.rid) else int(r.rid)) for r in out.itertuples()
+    }
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("tolerance", [None, 3600])
+def test_asof_matches_pandas(spark, direction, tolerance):
+    from go_nats_to_clickhouse_spark.operators.asof import asof_join
+
+    left_pd, right_pd = _random_frames(seed=11)
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+    got_rows = asof_join(
+        left,
+        right,
+        on="ts",
+        by="key",
+        direction=direction,
+        strict=False,
+        tolerance_seconds=tolerance,
+    ).collect()
+    got = {int(r.lid): (None if r.right_rid is None else int(r.right_rid)) for r in got_rows}
+    assert got == _expected(left_pd, right_pd, direction, tolerance)
+
+
+def test_strict_excludes_equal_timestamps(spark):
+    from go_nats_to_clickhouse_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 0, datetime(2000, 1, 1, 10))], "lid long, key long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (7, 0, datetime(2000, 1, 1, 10)),
+            (5, 0, datetime(2000, 1, 1, 9)),
+        ],
+        "rid long, key long, ts timestamp",
+    )
+    inclusive = asof_join(left, right, by="key", direction="backward").collect()[0]
+    strict = asof_join(left, right, by="key", direction="backward", strict=True).collect()[0]
+    assert inclusive.right_rid == 7  # equal timestamp visible
+    assert strict.right_rid == 5  # equal timestamp skipped
