@@ -897,6 +897,28 @@ def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_topk_heavy_hitters",
+    """
+SELECT l_partkey AS item, COUNT(*) AS est_count
+FROM lineitem
+GROUP BY l_partkey
+ORDER BY est_count DESC, item
+LIMIT 10
+""",
+)
+def agg_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``topK(10)(l_partkey)`` analog via the SpaceSaving-style
+    sketch (operators/sketches.py). Run at a capacity above the distinct
+    count the sketch is exact, which is what the GROUP BY oracle checks;
+    squeezing capacity bounds the shuffle at O(batches * capacity) with
+    the Misra-Gries survival guarantee (tests/test_topk_sketch.py)."""
+    from go_nats_to_clickhouse_spark.operators.sketches import topk_sketch
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return topk_sketch(l, "l_partkey", k=10, capacity=65536)
+
+
 @query("agg_approx_distinct")  # no oracle: HLL sketch values are engine-specific
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — ClickHouse's uniq() analog.
