@@ -499,3 +499,35 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (acc, x) -> acc + CAST(ceil(length(x) / 4.0) AS LONG))"
         ),
     )
+
+
+@query(
+    "sample_consistent_hash",
+    """
+SELECT doc_id, lang, source
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 <
+      CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 10 ELSE 5 END
+""",
+)
+def sample_consistent_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus subsampling by consistent hashing: each document's
+    md5(doc_id) bucket decides membership at a per-language rate (en 20%,
+    de 10%, rest 5%).
+
+    This is how training-data subsampling must work at scale: the
+    decision is a pure function of the row (map-side filter at the scan,
+    no shuffle, no RNG state), reproducible across engines, runs, and
+    retries — unlike ``df.sample``, whose partition-seeded RNG changes
+    with the physical plan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "conv(substr(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10)"
+    ).cast("bigint") % 100
+    rate = (
+        F.when(F.col("lang") == "en", 20)
+        .when(F.col("lang") == "de", 10)
+        .otherwise(5)
+    )
+    return d.filter(bucket < rate).select("doc_id", "lang", "source")
