@@ -55,10 +55,13 @@ def asof_join(
     )
     merged = l_tag.unionByName(r_tag)
 
-    # Tie order decides visibility at equal timestamps: inclusive puts the
-    # right row before the left row in sweep order, strict after.
+    # Tie order decides visibility at equal timestamps: inclusive sweeps
+    # the right row BEFORE the left row so last() sees it, strict sweeps
+    # it after. The sweep direction flips for forward joins but the tie
+    # rule does not — visibility at equal _t is the same question either
+    # way (tie.desc() ranks _is_r independently of the _t ordering).
     asc = direction == "backward"
-    tie = F.col("_is_r") if (asc == (not strict)) else -F.col("_is_r")
+    tie = F.col("_is_r") if not strict else -F.col("_is_r")
     order = [F.col("_t").asc(), tie.desc()] if asc else [F.col("_t").desc(), tie.desc()]
     w = (
         Window.partitionBy(*keys)

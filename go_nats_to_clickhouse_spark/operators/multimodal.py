@@ -181,10 +181,11 @@ def resize_images(
             if not fake:
                 _require_codecs("image")
             out = []
+            target = width * height // 8
             for buf in pdf["content"]:
                 seed = hashlib.md5(buf or b"").digest()
-                reps = max(1, (width * height // 8) // len(seed))
-                out.append((seed * reps)[: width * height // 8])
+                reps = -(-target // len(seed))  # ceil: payload never short
+                out.append((seed * reps)[:target])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

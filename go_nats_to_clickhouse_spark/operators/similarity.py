@@ -107,6 +107,34 @@ def blocked_all_pairs_cosine(
     return out
 
 
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — the fixed fold order is what lets a
+    DuckDB oracle reproduce it bit-for-bit before rounding."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _qc_cosine() -> Column:
+    """cosine(qv, cv) — the scoring expression shared by every top-k path."""
+    return dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("cv"), F.col("cv")))
+    )
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """(query_id, neighbor_id, cos) -> top-k per query with the unique
+    neighbor_id tiebreak every cross-engine top-k needs."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return scored.select(
+        "query_id", "neighbor_id", F.row_number().over(w).alias("rank"), "cos"
+    ).filter(F.col("rank") <= k)
+
+
 def brute_force_topk(
     queries_df: DataFrame,
     corpus_df: DataFrame,
@@ -118,26 +146,12 @@ def brute_force_topk(
     cv: array<double>). Corpus never shuffles for scoring; only the scored
     (query_id, cos) pairs shuffle for ranking.
     """
-    from pyspark.sql.window import Window
-
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-
-    cos = _dot(F.col("qv"), F.col("cv")) / (
-        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-    )
     scored = (
         corpus_df.crossJoin(F.broadcast(queries_df))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .select("query_id", "neighbor_id", _qc_cosine().alias("cos"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.select("query_id", "neighbor_id", F.row_number().over(w).alias("rank"), "cos")
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k)
 
 
 # ---------------------------------------------------------------------------
@@ -200,31 +214,15 @@ def lsh_topk(
     broadcast cross join — at 100 TB that is the difference between a
     bounded hash join and a full corpus scan per query batch.
     """
-    from pyspark.sql.window import Window
-
     signs = hyperplane_signs(n_planes, dim)
     q = queries_df.withColumn("bucket", lsh_bucket(F.col("qv"), signs))
     c = corpus_df.withColumn("bucket", lsh_bucket(F.col("cv"), signs))
-
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-
-    cos = _dot(F.col("qv"), F.col("cv")) / (
-        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .select("query_id", "neighbor_id", _qc_cosine().alias("cos"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.select(
-            "query_id", "neighbor_id", F.row_number().over(w).alias("rank"), "cos"
-        ).filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k)
 
 
 # ---------------------------------------------------------------------------
@@ -233,8 +231,20 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
+def _sq_dists(X, centers):
+    """Pairwise squared distances row-batch x centroids, via the
+    ||x||^2 - 2x·c + ||c||^2 expansion (one GEMM). numpy arrays in/out."""
+    import numpy as np
+
+    C = np.asarray(centers, dtype=np.float64)
+    return (
+        (X * X).sum(axis=1)[:, None]
+        - 2.0 * (X @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+
+
 def ivf_build_assignments(
-    spark: SparkSession,
     corpus_df: DataFrame,
     n_lists: int = 16,
     seed: int = 42,
@@ -251,48 +261,42 @@ def ivf_build_assignments(
     representative sample, not the population; this is how IVF indexes
     train at any corpus size, so the driver-side step stays O(sample)
     even at 100 TB). The full corpus is then assigned map-side with a
-    pure codegen expression: n_lists centroid literals + one argmin per
-    row — a single distributed job, no shuffle, no ML pipeline overhead.
+    vectorized Arrow kernel: one numpy GEMM per batch against the
+    broadcast centroid matrix — a single distributed job, no shuffle, no
+    ML pipeline overhead (an expression-tree argmin over n_lists*dim
+    literals would trigger multi-second codegen compilation instead).
     Deterministic for a fixed seed + input order.
     """
     import numpy as np
 
     sample = corpus_df.select(vec_col).limit(train_limit).collect()
+    if not sample:
+        raise ValueError(
+            "ivf_build_assignments: corpus is empty — nothing to train "
+            "centroids on (filter produced zero vectors?)"
+        )
     X = np.asarray([r[0] for r in sample], dtype=np.float64)
     rng = np.random.RandomState(seed)
     centers_arr = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
     for _ in range(max_iter):
-        # pairwise squared distances via the ||x||^2 - 2x·c + ||c||^2 expansion
-        d2 = (
-            (X * X).sum(axis=1)[:, None]
-            - 2.0 * X @ centers_arr.T
-            + (centers_arr * centers_arr).sum(axis=1)[None, :]
-        )
-        labels = d2.argmin(axis=1)
+        labels = _sq_dists(X, centers_arr).argmin(axis=1)
         for j in range(len(centers_arr)):
             members = X[labels == j]
             if len(members):  # empty cell keeps its previous centroid
                 centers_arr[j] = members.mean(axis=0)
     centers = [[float(x) for x in c] for c in centers_arr]
 
-    # Map-side assignment with a vectorized Arrow kernel: one numpy GEMM
-    # per batch against the broadcast centroid matrix. An expression-tree
-    # argmin over n_lists*dim literals would trigger multi-second codegen
-    # compilation; the Pandas kernel is O(batch) with zero plan blowup.
-    import pandas as pd  # noqa: F401
-
     from pyspark.sql.types import IntegerType
 
     schema = corpus_df.select(id_col, vec_col).schema.add("cell", IntegerType())
 
     def _assign(batches):
-        C = np.asarray(centers, dtype=np.float64)
-        cn2 = (C * C).sum(axis=1)
+        import numpy as np
+
         for pdf in batches:
             X = np.stack(pdf[vec_col].to_numpy())
-            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cn2[None, :]
             out = pdf[[id_col, vec_col]].copy()
-            out["cell"] = d2.argmin(axis=1).astype("int32")
+            out["cell"] = _sq_dists(X, centers).argmin(axis=1).astype("int32")
             yield out
 
     assigned = corpus_df.select(id_col, vec_col).mapInPandas(_assign, schema)
@@ -300,7 +304,6 @@ def ivf_build_assignments(
 
 
 def ivf_topk(
-    spark: SparkSession,
     queries_df: DataFrame,
     corpus_df: DataFrame,
     n_lists: int = 16,
@@ -315,50 +318,31 @@ def ivf_topk(
     ~corpus/n_lists * nprobe candidates. Recall/cost is tuned by nprobe
     (nprobe = n_lists degenerates to exact brute force).
     """
-    from pyspark.sql.window import Window
-
-    assigned, centers = ivf_build_assignments(spark, corpus_df, n_lists, seed)
-
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
+    assigned, centers = ivf_build_assignments(corpus_df, n_lists, seed)
 
     # nearest nprobe centroids per query — same vectorized kernel, emitting
     # one row per (query, probed cell)
-    import numpy as np
-
     from pyspark.sql.types import IntegerType
 
     probe_schema = queries_df.select("query_id", "qv").schema.add("cell", IntegerType())
 
     def _probe(batches):
-        C = np.asarray(centers, dtype=np.float64)
-        cn2 = (C * C).sum(axis=1)
+        import numpy as np
+
         for pdf in batches:
             X = np.stack(pdf["qv"].to_numpy())
-            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cn2[None, :]
-            near = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+            near = np.argsort(_sq_dists(X, centers), axis=1, kind="stable")[:, :nprobe]
             rep = pdf[["query_id", "qv"]].iloc[
                 np.repeat(np.arange(len(pdf)), near.shape[1])
             ]
-            rep = rep.assign(cell=near.reshape(-1).astype("int32"))
-            yield rep
+            yield rep.assign(cell=near.reshape(-1).astype("int32"))
 
     q_cells = queries_df.select("query_id", "qv").mapInPandas(_probe, probe_schema)
-    cos = _dot(F.col("qv"), F.col("cv")) / (
-        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-    )
     # no dedup needed: each corpus row lives in exactly one cell and each
     # query probes distinct cells, so a (query, neighbor) pair occurs once
     scored = (
         assigned.join(F.broadcast(q_cells), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .select("query_id", "neighbor_id", _qc_cosine().alias("cos"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.select(
-            "query_id", "neighbor_id", F.row_number().over(w).alias("rank"), "cos"
-        ).filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k)

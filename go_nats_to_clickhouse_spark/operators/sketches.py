@@ -30,6 +30,11 @@ def topk_sketch(
     Output: (item, est_count) — est_count is a lower bound on the true
     frequency, exact when capacity >= distinct(col). Two stages: per-batch
     Misra-Gries summaries via mapInPandas, then one bounded groupBy.
+
+    NULLs in ``col`` are excluded from the ranking (value_counts drops
+    them) — unlike GROUP BY, which emits a NULL group. Null-ordering in
+    ties is engine-specific anyway; sketch a COALESCE'd column if NULL
+    frequency matters.
     """
     in_type = df.schema[col].dataType.simpleString()
 
@@ -37,7 +42,7 @@ def topk_sketch(
         import pandas as pd
 
         for pdf in batches:
-            counts = pdf[col].value_counts()
+            counts = pdf[col].value_counts(dropna=True)  # see NULL note above
             if len(counts) > capacity:
                 # MG truncation: drop the tail, charge its max count against
                 # everything kept — counts become valid lower bounds.

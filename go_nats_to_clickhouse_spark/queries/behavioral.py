@@ -35,6 +35,7 @@ lvl3 AS (
   SELECT DISTINCT v.user_id
   FROM v
   JOIN c ON c.user_id = v.user_id AND c.cts > v.vts
+   AND c.cts <= v.vts + INTERVAL 1 HOUR
   JOIN p ON p.user_id = v.user_id AND p.pts > c.cts
    AND p.pts <= v.vts + INTERVAL 1 HOUR
 )
@@ -82,8 +83,15 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("l2", F.lit(1))
     )
+    # the chain's purchase bound implies cts < vts + 1h; stating it on the
+    # click join too prunes the view x click fanout before the second join
     lvl3 = (
-        v.join(c, (F.col("c_user") == F.col("user_id")) & (F.col("cts") > F.col("vts")))
+        v.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("cts") > F.col("vts"))
+            & (F.col("cts") <= F.col("vts") + hour),
+        )
         .join(
             p,
             (F.col("p_user") == F.col("user_id"))

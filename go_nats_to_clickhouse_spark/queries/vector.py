@@ -224,8 +224,9 @@ def vector_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("vector_ann_ivf_topk")  # rows-only: k-means cells aren't SQL-reproducible
 def vector_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5: k-means the corpus into cells, probe the nprobe
-    nearest cells per query. The centroid training step (Spark ML KMeans)
-    has no DuckDB twin, so the driver records a rows-only check; recall
+    nearest cells per query. The centroid training step (numpy Lloyd
+    iterations on a bounded prefix sample, operators/similarity.py) has
+    no DuckDB twin, so the driver records a rows-only check; recall
     against brute force is asserted in tests/test_sketch_quality.py."""
     from go_nats_to_clickhouse_spark.operators.similarity import ivf_topk
 
@@ -234,7 +235,7 @@ def vector_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
     )
     c = e.select(F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv"))
-    return ivf_topk(spark, q, c, n_lists=16, nprobe=4, k=5).select(
+    return ivf_topk(q, c, n_lists=16, nprobe=4, k=5).select(
         "query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine")
     )
 

@@ -71,6 +71,46 @@ def test_asof_matches_pandas(spark, direction, tolerance):
     assert got == _expected(left_pd, right_pd, direction, tolerance)
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("strict", [False, True])
+def test_equal_timestamp_visibility(spark, direction, strict):
+    """Equal cross-side timestamps, all four (direction, strict) combos,
+    against pandas.merge_asof (strict == not allow_exact_matches)."""
+    from go_nats_to_clickhouse_spark.operators.asof import asof_join
+
+    left_pd = pd.DataFrame(
+        {"lid": [1], "key": [0], "ts": [pd.Timestamp("2000-01-01 10:00:00")]}
+    )
+    right_pd = pd.DataFrame(
+        {
+            "rid": [5, 7, 9],
+            "key": [0, 0, 0],
+            "ts": pd.to_datetime(
+                ["2000-01-01 09:00:00", "2000-01-01 10:00:00", "2000-01-01 11:00:00"]
+            ),
+        }
+    )
+    expected = pd.merge_asof(
+        left_pd,
+        right_pd.rename(columns={"ts": "r_ts"}),
+        left_on="ts",
+        right_on="r_ts",
+        by="key",
+        direction=direction,
+        allow_exact_matches=not strict,
+    )
+    exp_rid = None if pd.isna(expected.rid[0]) else int(expected.rid[0])
+    got = asof_join(
+        spark.createDataFrame(left_pd),
+        spark.createDataFrame(right_pd),
+        by="key",
+        direction=direction,
+        strict=strict,
+    ).collect()[0]
+    got_rid = None if got.right_rid is None else int(got.right_rid)
+    assert got_rid == exp_rid, f"{direction} strict={strict}"
+
+
 def test_strict_excludes_equal_timestamps(spark):
     from go_nats_to_clickhouse_spark.operators.asof import asof_join
 

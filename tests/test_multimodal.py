@@ -72,3 +72,12 @@ def test_resize_real_decoder_is_stubbed(spark, media):
 
     with pytest.raises(Exception, match="codec"):
         resize_images(media, fake=False).collect()
+
+
+def test_resize_target_not_multiple_of_seed(spark, media):
+    """width*height/8 not divisible by the 16-byte md5 seed must still
+    produce full-length payloads (ceiling repetition, not floor)."""
+    from go_nats_to_clickhouse_spark.operators.multimodal import resize_images
+
+    out = resize_images(media, width=100, height=10, fake=True).collect()
+    assert out and all(len(r.content) == 100 * 10 // 8 for r in out)

@@ -136,7 +136,7 @@ class TestIvfRecall:
         for r in brute_force_topk(q, c, k=5).collect():
             brute.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         ivf = {}
-        for r in ivf_topk(spark, q, c, n_lists=16, nprobe=4, k=5).collect():
+        for r in ivf_topk(q, c, n_lists=16, nprobe=4, k=5).collect():
             ivf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         recalls = [
             len(brute[qid] & ivf.get(qid, set())) / len(brute[qid]) for qid in brute
