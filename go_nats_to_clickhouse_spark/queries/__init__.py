@@ -10,6 +10,7 @@ from go_nats_to_clickhouse_spark.queries.registry import ORACLES, QUERIES
 # Register everything (order matters only for readability of listings).
 from go_nats_to_clickhouse_spark.queries import (  # noqa: E402,F401
     behavioral,
+    clickhouse_aggs,
     reference,
     relational,
     subqueries,
