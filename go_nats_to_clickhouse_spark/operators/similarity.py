@@ -94,10 +94,23 @@ def blocked_all_pairs_cosine(
         bid = bdf["_id"].to_numpy()
         ia, ib = np.nonzero(sims >= threshold)
         va, vb, cs = aid[ia], bid[ib], sims[ia, ib]
-        keep = va < vb  # a strictly below b; also drops self-pairs
-        if not keep.any():
+        bi, bj = key
+        if bi == bj:
+            # Diagonal block: both sides hold the same ids, every unordered
+            # pair shows up as (x,y) AND (y,x) — keep the ordered half
+            # (also drops self-pairs).
+            keep = va < vb
+            va, vb, cs = va[keep], vb[keep], cs[keep]
+        else:
+            # Off-diagonal: id sets are disjoint, each unordered pair occurs
+            # exactly once — but block index order says nothing about id
+            # order (id x < y can land in blocks x%n > y%n), so normalize
+            # to (min, max) instead of filtering, which would silently drop
+            # every pair whose smaller id hashed to the larger block.
+            va, vb = np.minimum(va, vb), np.maximum(va, vb)
+        if va.size == 0:
             return empty
-        return pd.DataFrame({"vec_a": va[keep], "vec_b": vb[keep], "cos": cs[keep]})
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cos": cs})
 
     out = (
         left.groupby("bi", "bj")
