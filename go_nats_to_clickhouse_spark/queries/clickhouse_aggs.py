@@ -153,6 +153,40 @@ def agg_sum_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_uniq_up_to",
+    """
+SELECT event_type,
+       CAST(least(count(DISTINCT user_id), 11) AS BIGINT) AS uniq_users_up_to_10,
+       CAST(count(DISTINCT user_id) <= 10 AS BOOLEAN) AS is_exact
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def agg_uniq_up_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``uniqUpTo(10)(user_id)`` analog: exact distinct count
+    while it is <= N, the sentinel N+1 once it exceeds it ("more than N").
+
+    ClickHouse implements this with a bounded hash set per group; on Spark
+    the declarative spelling ``least(count_distinct, N+1)`` gives Catalyst
+    the same bound-awareness opportunity while staying a plain two-phase
+    distinct aggregate — partial distinct sets merge map-side, and only
+    group keys + partial sets cross the shuffle.
+    """
+    events = load_table(spark, sf_dir, "events")
+    n = 10
+    d = F.count_distinct(F.col("user_id"))
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.least(d, F.lit(n + 1)).alias("uniq_users_up_to_10"),
+            (d <= n).alias("is_exact"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "agg_sequence_match",
     """
 SELECT user_id,
