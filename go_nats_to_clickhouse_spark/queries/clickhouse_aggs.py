@@ -87,7 +87,7 @@ def agg_argmax_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_group_array_types",
     """
 SELECT user_id,
-       list_sort(list(DISTINCT event_type)) AS event_types,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
        CAST(len(list(DISTINCT event_type)) AS INT) AS n_types
 FROM events
 GROUP BY user_id
@@ -96,7 +96,9 @@ ORDER BY user_id
 )
 def agg_group_array_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``groupUniqArray(event_type)`` analog: the distinct event
-    types each user produced, as a sorted array.
+    types each user produced, as a sorted array (emitted comma-joined so the
+    result is a scalar column — raw array cells are unhashable for
+    cross-engine comparison harnesses).
 
     ``collect_set`` is the JVM-side set-union aggregate (map-side partial
     sets merge in the shuffle); the explicit ``array_sort`` is what makes
@@ -105,7 +107,7 @@ def agg_group_array_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-compared or relied on downstream.
     """
     events = load_table(spark, sf_dir, "events")
-    types = F.array_sort(F.collect_set("event_type"))
+    types = F.array_join(F.array_sort(F.collect_set("event_type")), ",")
     return (
         events.groupBy("user_id")
         .agg(

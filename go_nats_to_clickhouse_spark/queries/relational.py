@@ -753,7 +753,7 @@ SELECT
   list_contains([p_size, p_size * 2], 10) AS has_ten,
   [p_size, p_size * 2, p_size * 3][2] AS second_elem,
   array_to_string(list_sort([p_size * 3, p_size, p_size * 2]), ',') AS sorted_str,
-  list_sum(list_transform([p_size, p_size * 2], x -> CAST(x AS BIGINT))) AS arr_sum,
+  CAST(list_sum(list_transform([p_size, p_size * 2], x -> CAST(x AS BIGINT))) AS BIGINT) AS arr_sum,
   array_to_string(list_reverse(string_split(p_name, ' ')), ' ') AS name_reversed_words,
   array_to_string(list_slice([p_size, p_size * 2, p_size * 3], 1, 2), ',') AS first_two
 FROM part

@@ -55,8 +55,8 @@ def q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT
   l_linestatus,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_count,
-  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_count
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
 FROM orders, lineitem
 WHERE o_orderkey = l_orderkey
   AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'

@@ -16,12 +16,13 @@ Re-expresses the reference's consumption model (main.go:86-94):
   is invoked by Spark only after the batch's sink write succeeded; that is
   where consumed sequences are ack'ed upstream.
 
-Transport: the actual NATS client (``nats-py``) is not installed in this
-environment, so the wire layer is injectable. ``JetStreamClient`` is the
-minimal protocol the source needs; tests and local runs use
-:class:`ReplayJetStreamClient` (deterministic, in-memory). Wiring a real
-client is confined to ``_connect`` — the planner/reader logic is already
-final.
+Transport: the wire layer is injectable. ``JetStreamClient`` is the minimal
+protocol the source needs; tests and local runs use
+:class:`ReplayJetStreamClient` (deterministic, in-memory), and
+:class:`NatsPyJetStreamClient` wires the public ``nats-py`` client
+(import-gated — this environment does not ship it, so its network methods
+are exercised only against a live broker; transport *selection* is
+unit-tested).
 """
 
 from __future__ import annotations
@@ -128,6 +129,7 @@ class NatsStreamReader(DataSourceStreamReader):
         self._max_per_trigger = int(self._options.get("maxrecordspertrigger", 1000))
         self._num_partitions = int(self._options.get("partitions", 4))
         self._last_planned: int | None = None  # driver-side planning cursor
+        self._fresh_start = False  # True iff initialOffset() ran (no checkpoint)
 
     @property
     def _client(self) -> JetStreamClient:
@@ -137,7 +139,20 @@ class NatsStreamReader(DataSourceStreamReader):
         # worker process connects (or parses the replay file) once.
         return _connect(self._options)
 
+    def _ratchet(self, seq: int) -> None:
+        """Never let the planning cursor move backwards. Offsets Spark hands
+        to partitions()/commit() come from the checkpoint log, so they are
+        the authoritative resume point — planning below them would make the
+        next batch re-read (and re-append) already-committed sequences."""
+        if self._last_planned is None or seq > self._last_planned:
+            self._last_planned = seq
+
     def initialOffset(self) -> dict:
+        # Spark calls this ONLY when no checkpoint exists — remembering that
+        # is what lets latestOffset() distinguish a fresh start (clamp from
+        # startingSequence) from a restart (resume point unknown until
+        # partitions()/commit() reveal it; see latestOffset).
+        self._fresh_start = True
         return {"seq": int(self._options.get("startingsequence", 0))}
 
     def latestOffset(self) -> dict:
@@ -145,21 +160,40 @@ class NatsStreamReader(DataSourceStreamReader):
         # maxRecordsPerTrigger sequences past the previous planned offset.
         # Clamping HERE (not in partitions()) keeps the checkpointed offset
         # equal to what was actually read — nothing is silently skipped.
-        base = (
-            self._last_planned
-            if self._last_planned is not None
-            else int(self._options.get("startingsequence", 0))
-        )
         newest = self._client.max_sequence()
-        planned = min(max(newest, base), base + self._max_per_trigger)
-        self._last_planned = planned
+        if self._last_planned is None and not self._fresh_start:
+            # Restart path: the Python DataSource API never shows this method
+            # the checkpointed offset, so any clamp base we could invent here
+            # (e.g. startingSequence) may sit BELOW the committed cursor, and
+            # a regressed end offset becomes the next batch's start → the
+            # whole committed backlog is re-read and double-appended. Stream
+            # sequences are monotone, so `newest` can never regress: admit
+            # the full backlog once, unclamped (partitions() bounds per-task
+            # work by slicing it), then resume clamped admission from the
+            # resume point partitions() reveals.
+            planned = newest
+        else:
+            base = (
+                self._last_planned
+                if self._last_planned is not None
+                else int(self._options.get("startingsequence", 0))
+            )
+            planned = min(max(newest, base), base + self._max_per_trigger)
+        self._ratchet(planned)
         return {"seq": planned}
 
     def partitions(self, start: dict, end: dict) -> list[SeqRangePartition]:
         lo, hi = int(start["seq"]), int(end["seq"])
+        self._ratchet(max(lo, hi))
         if hi <= lo:
             return [SeqRangePartition(lo, lo)]
-        n = max(1, self._num_partitions)
+        # At least num_partitions slices; for a post-restart catch-up batch
+        # (range >> maxRecordsPerTrigger) cap each slice at the trigger size
+        # so per-task memory stays bounded and the backlog drains in parallel.
+        n = max(
+            max(1, self._num_partitions),
+            (hi - lo + self._max_per_trigger - 1) // self._max_per_trigger,
+        )
         step = max(1, (hi - lo + n - 1) // n)
         parts = []
         s = lo
@@ -189,6 +223,7 @@ class NatsStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # Ack-after-commit (main.go:199-208): Spark calls this only after the
         # micro-batch has been durably written + checkpointed.
+        self._ratchet(int(end["seq"]))
         self._client.ack_through(int(end["seq"]))
 
 
@@ -207,14 +242,150 @@ class NatsDataSource(DataSource):
         return NatsStreamReader(schema, self.options)
 
 
+class NatsPyJetStreamClient(JetStreamClient):
+    """Real transport over the public ``nats-py`` client (async API wrapped
+    behind a dedicated event-loop thread so the synchronous
+    :class:`JetStreamClient` protocol holds).
+
+    Mirrors the reference consumer (main.go:86-94) JetStream-natively:
+
+    * ``max_sequence`` — ``stream_info().state.last_seq`` (the newest stream
+      sequence; what the planner admits up to).
+    * ``fetch`` — an ephemeral pull consumer started *by sequence*
+      (``DeliverPolicy.BY_START_SEQUENCE``); sequence-addressed reads are
+      what make the checkpointed cursor replayable after failure, exactly
+      like the reference's durable consumer redelivery.
+    * ``ack_through`` — persists the committed cursor in a JetStream
+      key-value bucket named after the durable; the KV write happens only
+      after Spark committed the batch (ack-after-commit, main.go:199-208).
+
+    Network I/O is exercised only against a live server (integration tests
+    skip when ``nats-py``/a broker is unavailable); transport *selection*
+    is unit-tested via :func:`_connect`.
+    """
+
+    FETCH_BATCH = 500
+
+    def __init__(self, servers: Sequence[str], stream: str, durable: str):
+        import asyncio
+        import threading
+
+        self._servers = list(servers)
+        self._stream = stream
+        self._durable = durable
+        self._loop = asyncio.new_event_loop()
+        self._thread = threading.Thread(
+            target=self._loop.run_forever, name="nats-jetstream-io", daemon=True
+        )
+        self._thread.start()
+        self._nc = None
+        self._js = None
+        self._kv = None
+        self._run(self._connect_async())
+
+    def _run(self, coro):
+        import asyncio
+
+        return asyncio.run_coroutine_threadsafe(coro, self._loop).result(timeout=60)
+
+    async def _connect_async(self) -> None:  # pragma: no cover - needs broker
+        import nats
+        from nats.js.errors import NotFoundError
+
+        self._nc = await nats.connect(servers=self._servers)
+        self._js = self._nc.jetstream()
+        bucket = f"{self._durable}-cursor"
+        try:
+            self._kv = await self._js.key_value(bucket)
+        except NotFoundError:
+            self._kv = await self._js.create_key_value(bucket=bucket)
+
+    def max_sequence(self) -> int:  # pragma: no cover - needs broker
+        async def go():
+            info = await self._js.stream_info(self._stream)
+            return int(info.state.last_seq)
+
+        return self._run(go())
+
+    def fetch(
+        self, start_seq: int, end_seq: int, subjects: Sequence[str]
+    ) -> list[JsMessage]:  # pragma: no cover - needs broker
+        async def go():
+            import asyncio
+
+            from nats.js.api import ConsumerConfig, DeliverPolicy
+
+            if end_seq <= start_seq:
+                return []
+            sub = await self._js.pull_subscribe(
+                subject="",
+                stream=self._stream,
+                config=ConsumerConfig(
+                    deliver_policy=DeliverPolicy.BY_START_SEQUENCE,
+                    opt_start_seq=start_seq + 1,
+                    filter_subjects=[s for s in subjects if s != ">"] or None,
+                ),
+            )
+            out: list[JsMessage] = []
+            try:
+                done = False
+                while not done:
+                    try:
+                        msgs = await sub.fetch(self.FETCH_BATCH, timeout=5)
+                    except asyncio.TimeoutError:
+                        break  # drained what the broker has
+                    if not msgs:
+                        break
+                    for m in msgs:
+                        seq = int(m.metadata.sequence.stream)
+                        if seq > end_seq:
+                            done = True
+                            break
+                        out.append(
+                            JsMessage(
+                                subject=m.subject,
+                                data=m.data.decode("utf-8", errors="replace"),
+                                sequence=seq,
+                                timestamp_us=int(
+                                    m.metadata.timestamp.timestamp() * 1_000_000
+                                ),
+                                metadata_json=json.dumps(
+                                    {"stream": self._stream, "domain": m.metadata.domain}
+                                ),
+                            )
+                        )
+            finally:
+                await sub.unsubscribe()
+            return out
+
+        return self._run(go())
+
+    def ack_through(self, seq: int) -> None:  # pragma: no cover - needs broker
+        async def go():
+            await self._kv.put("acked_through", str(seq).encode())
+
+        self._run(go())
+
+    def close(self) -> None:  # pragma: no cover - needs broker
+        async def go():
+            if self._nc is not None:
+                await self._nc.drain()
+
+        self._run(go())
+        self._loop.call_soon_threadsafe(self._loop.stop)
+
+
 #: per-process transport cache (workers are reused across batches)
 _CLIENT_CACHE: dict = {}
 
 
 def _connect(options: dict) -> JetStreamClient:
-    """Build (or fetch the cached) transport. ``replayFile`` ->
-    deterministic local replay; a real ``nats://`` URL requires the
-    nats-py client (not baked into this environment — gated import)."""
+    """Build (or fetch the cached) transport.
+
+    * ``replayFile`` -> deterministic local replay (tests/dev default).
+    * ``servers`` (+ ``stream``) -> live JetStream via the public nats-py
+      client (import-gated: a clear error, not a crash, when absent).
+    """
     replay_file = options.get("replayfile") or options.get("replayFile")
     if replay_file:
         import os as _os
@@ -227,15 +398,31 @@ def _connect(options: dict) -> JetStreamClient:
             client = ReplayJetStreamClient(msgs)
             _CLIENT_CACHE[key] = client
         return client
-    try:  # pragma: no cover - not installed here
+    servers = options.get("servers") or options.get("url")
+    if not servers:
+        raise ValueError(
+            "nats-jetstream source needs either option('replayFile', ...) or "
+            "option('servers', 'nats://host:4222[,...]')"
+        )
+    try:
         import nats  # type: ignore # noqa: F401
-    except ImportError as exc:  # pragma: no cover
+    except ImportError as exc:
         raise NotImplementedError(
-            "real NATS transport requires the 'nats-py' client, which is not "
-            "installed in this environment; use option('replayFile', ...) for "
-            "the deterministic replay transport"
+            "live NATS transport requires the public 'nats-py' client "
+            "(pip install nats-py), which is not installed in this "
+            "environment; use option('replayFile', ...) for the "
+            "deterministic replay transport"
         ) from exc
-    raise NotImplementedError("wire nats-py JetStream pull consumer here")  # pragma: no cover
+    stream = options.get("stream", "globex_support")
+    durable = options.get("durable", "spark-ingest")
+    key = ("natspy", servers, stream, durable)
+    client = _CLIENT_CACHE.get(key)
+    if client is None:
+        client = NatsPyJetStreamClient(
+            [s.strip() for s in str(servers).split(",") if s.strip()], stream, durable
+        )
+        _CLIENT_CACHE[key] = client
+    return client
 
 
 def write_replay_file(path: str, messages: Sequence[JsMessage]) -> None:

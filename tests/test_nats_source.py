@@ -127,6 +127,161 @@ class TestAdmissionControl:
         assert r._client.acked_through == 5
 
 
+class TestRestartCursor:
+    """Restart with backlog > maxRecordsPerTrigger (ADVICE r1, high): the
+    planner must never produce an end offset below the checkpointed resume
+    point, or Spark re-reads committed ranges and double-appends."""
+
+    def test_restart_latest_offset_never_regresses(self):
+        # Simulated restart: a FRESH reader object (initialOffset NOT called
+        # — Spark only calls it when no checkpoint exists) over a stream
+        # whose committed cursor is 2000 but startingSequence defaults to 0.
+        r = _reader(_msgs(2500), max_per_trigger=1000)
+        end = r.latestOffset()
+        # Resume point unknown at planning time -> must admit up to newest
+        # (2500), NOT clamp from startingSequence (which would plan 1000,
+        # below the committed 2000).
+        assert end["seq"] == 2500
+
+    def test_restart_then_clamped_admission_resumes(self):
+        r = _reader(_msgs(2500), max_per_trigger=1000)
+        end = r.latestOffset()
+        parts = r.partitions({"seq": 2000}, end)  # Spark passes resume=2000
+        assert parts[0].start_seq == 2000
+        # cursor ratcheted; later batches clamp from the true resume point
+        nxt = r.latestOffset()
+        assert nxt["seq"] >= 2500
+
+    def test_recovery_batch_ratchets_before_planning(self):
+        # Restart with an uncommitted batch: Spark replays it by calling
+        # partitions(start, end) from the offset log BEFORE latestOffset.
+        r = _reader(_msgs(5000), max_per_trigger=1000)
+        r.partitions({"seq": 2000}, {"seq": 3000})  # recovery replay
+        end = r.latestOffset()
+        assert end["seq"] == 4000  # clamped from 3000, not from 0
+
+    def test_commit_ratchets_cursor(self):
+        r = _reader(_msgs(100), max_per_trigger=10)
+        r.commit({"seq": 50})
+        assert r.latestOffset()["seq"] == 60
+
+    def test_catchup_batch_slices_bounded_by_trigger_size(self):
+        # The unclamped post-restart batch must not become one giant task:
+        # slices are capped at maxRecordsPerTrigger sequences each.
+        r = _reader(_msgs(5000), max_per_trigger=1000, partitions="2")
+        parts = r.partitions({"seq": 0}, {"seq": 5000})
+        assert len(parts) >= 5
+        assert all(p.end_seq - p.start_seq <= 1000 for p in parts)
+        assert parts[0].start_seq == 0 and parts[-1].end_seq == 5000
+
+    def test_restart_backlog_no_duplicates_e2e(self, spark, tmp_path):
+        # End-to-end version of the ADVICE scenario: stop after the first
+        # trigger with 30 messages of backlog remaining (> trigger size 10),
+        # restart from the same checkpoint, and require exactly-one copy of
+        # every sequence in the sink.
+        from go_nats_to_clickhouse_spark.sources.nats import (
+            NatsDataSource,
+            write_replay_file,
+        )
+
+        replay = tmp_path / "replay.jsonl"
+        write_replay_file(str(replay), _msgs(40))
+        spark.dataSource.register(NatsDataSource)
+
+        def start_query(name):
+            df = (
+                spark.readStream.format("nats-jetstream")
+                .option("replayFile", str(replay))
+                .option("subjects", "globex.supprt.>")
+                .option("maxRecordsPerTrigger", 10)
+                .load()
+            )
+            return (
+                df.writeStream.format("parquet")
+                .option("path", str(tmp_path / "out"))
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(once=True)  # exactly one 10-record batch, then stop
+                .queryName(name)
+                .start()
+            )
+
+        q = start_query("nats_restart_a")
+        q.awaitTermination(60)
+        q2 = (
+            spark.readStream.format("nats-jetstream")
+            .option("replayFile", str(replay))
+            .option("subjects", "globex.supprt.>")
+            .option("maxRecordsPerTrigger", 10)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .queryName("nats_restart_b")
+            .start()
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        got = spark.read.parquet(str(tmp_path / "out"))
+        seqs = [r["sequence"] for r in got.select("sequence").collect()]
+        assert sorted(seqs) == list(range(1, 41)), (
+            f"expected each of 1..40 exactly once, got {len(seqs)} rows"
+        )
+
+
+class TestTransportSelection:
+    def test_missing_nats_py_raises_clear_error(self, monkeypatch):
+        import builtins
+
+        from go_nats_to_clickhouse_spark.sources import nats as natsmod
+
+        real_import = builtins.__import__
+
+        def fake_import(name, *a, **k):
+            if name == "nats":
+                raise ImportError("No module named 'nats'")
+            return real_import(name, *a, **k)
+
+        monkeypatch.setattr(builtins, "__import__", fake_import)
+        with pytest.raises(NotImplementedError, match="nats-py"):
+            natsmod._connect({"servers": "nats://localhost:4222"})
+
+    def test_no_transport_option_raises_value_error(self):
+        from go_nats_to_clickhouse_spark.sources import nats as natsmod
+
+        with pytest.raises(ValueError, match="replayFile"):
+            natsmod._connect({})
+
+    def test_servers_option_selects_natspy_client(self, monkeypatch):
+        import sys
+        import types
+
+        from go_nats_to_clickhouse_spark.sources import nats as natsmod
+
+        monkeypatch.setitem(sys.modules, "nats", types.ModuleType("nats"))
+        built = {}
+
+        class FakeClient:
+            def __init__(self, servers, stream, durable):
+                built.update(servers=servers, stream=stream, durable=durable)
+
+        monkeypatch.setattr(natsmod, "NatsPyJetStreamClient", FakeClient)
+        monkeypatch.setattr(natsmod, "_CLIENT_CACHE", {})
+        client = natsmod._connect(
+            {"servers": "nats://a:4222, nats://b:4222", "stream": "s1", "durable": "d1"}
+        )
+        assert isinstance(client, FakeClient)
+        assert built == {
+            "servers": ["nats://a:4222", "nats://b:4222"],
+            "stream": "s1",
+            "durable": "d1",
+        }
+        # cached: same options -> same client instance
+        assert natsmod._connect({"servers": "nats://a:4222, nats://b:4222",
+                                 "stream": "s1", "durable": "d1"}) is client
+
+
 class TestEndToEndStream:
     def test_stream_into_memory_sink(self, spark, tmp_path):
         import json

@@ -1,8 +1,19 @@
 """Local stand-in for the driver's correctness gate: run every query in
 __spark_entry__.queries() at a given SF and compare against oracle_sql()
 via DuckDB — row count, sorted column names, and an order-insensitive
-value hash (floats rounded to 9 significant-ish decimals to absorb
-representation noise, mirroring what a sane harness does).
+value hash.
+
+Mirrors the driver's canonicalization path deliberately: both sides go
+through *pandas* (``DataFrame.toPandas()`` / ``duckdb_rel.df()``), columns
+are sorted by name, rows are sorted with ``DataFrame.sort_values`` over all
+columns (which CRASHES on unhashable cells such as lists — exactly like the
+driver), and cells are stringified with floats fixed to 6 decimals. This is
+what surfaces the two classes of defect the collect()-based v1 missed:
+
+- DuckDB HUGEINT aggregates arrive in pandas as float64 ("3.000000") while
+  Spark longs arrive as int64 ("3") — hash mismatch unless the oracle CASTs.
+- Raw array/struct/map output columns are unhashable in pandas sorting —
+  driver row errors out.
 
 Usage: python tools/selfcheck.py [sf_dir] [query ...]
 """
@@ -14,7 +25,9 @@ import math
 import sys
 import time
 from datetime import date, datetime
-from decimal import Decimal
+
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
@@ -22,33 +35,54 @@ sys.path.insert(0, "/root/repo")
 def _norm_cell(v):
     if v is None:
         return "␀"
-    if isinstance(v, bool):
-        return "T" if v else "F"
+    if isinstance(v, (np.generic,)):
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return "␀"
         if v == 0:
             v = 0.0  # collapse IEEE -0.0
         return f"{v:.6f}" if abs(v) < 1e15 else repr(v)
-    if isinstance(v, Decimal):
-        return f"{float(v):.6f}"
+    if isinstance(v, bool):
+        return "T" if v else "F"
+    if isinstance(v, pd.Timestamp):
+        if v is pd.NaT:
+            return "␀"
+        v = v.to_pydatetime()
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
+        v = v.replace(tzinfo=None)
+        # DuckDB DATE arrives in pandas as a midnight datetime64 while Spark
+        # DATE stays a date object — collapse midnight to the date form, as
+        # the driver harness evidently does (retention_cohorts passed r1).
+        if v.hour == v.minute == v.second == v.microsecond == 0:
+            return v.date().isoformat()
+        return v.isoformat()
     if isinstance(v, date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    try:
+        if pd.isna(v):
+            return "␀"
+    except (TypeError, ValueError):
+        pass
     return str(v)
 
 
-def _hash_rows(cols: list[str], rows: list[tuple]) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    normed = sorted(
-        "|".join(_norm_cell(r[i]) for i in order) for r in rows
-    )
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonicalization: lowercase + sort columns, then
+    sort_values over ALL columns (raises TypeError on unhashable cells,
+    same as the driver harness)."""
+    df = df.copy()
+    df.columns = [str(c).lower() for c in df.columns]
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def _hash_pdf(df: pd.DataFrame) -> str:
     h = hashlib.sha256()
-    for line in normed:
-        h.update(line.encode())
+    for row in df.itertuples(index=False, name=None):
+        h.update("|".join(_norm_cell(v) for v in row).encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
 
@@ -68,9 +102,7 @@ def main() -> int:
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -81,39 +113,33 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = _canon(sdf.toPandas())
         except Exception as exc:  # noqa: BLE001
-            print(f"FAIL {name}: spark error: {exc}")
+            print(f"FAIL {name}: spark/canon error: {type(exc).__name__}: {exc}")
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"ok?  {name}: rows={len(srows)} (no oracle — rows-only)")
+            print(f"ok?  {name}: rows={len(spdf)} (no oracle — rows-only)")
             continue
         try:
-            rel = con.sql(oracles[name])
-            dcols = [c for c in rel.columns]
-            drows = [tuple(r) for r in rel.fetchall()]
+            dpdf = _canon(con.sql(oracles[name]).df())
         except Exception as exc:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error: {exc}")
+            print(f"FAIL {name}: duckdb/canon error: {type(exc).__name__}: {exc}")
             failures.append(name)
             continue
         elapsed = time.time() - t0
         problems = []
-        if len(srows) != len(drows):
-            problems.append(f"rows {len(srows)} != {len(drows)}")
-        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
-            problems.append(f"cols {sorted(scols)} != {sorted(dcols)}")
+        if len(spdf) != len(dpdf):
+            problems.append(f"rows {len(spdf)} != {len(dpdf)}")
+        if list(spdf.columns) != list(dpdf.columns):
+            problems.append(f"cols {list(spdf.columns)} != {list(dpdf.columns)}")
         if not problems:
-            hs, hd = _hash_rows(scols, srows), _hash_rows(dcols, drows)
+            hs, hd = _hash_pdf(spdf), _hash_pdf(dpdf)
             if hs != hd:
                 problems.append(f"value-hash {hs} != {hd}")
-                # print first differing normalized row for debugging
-                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
-                order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
-                ns = sorted("|".join(_norm_cell(r[i]) for i in order_s) for r in srows)
-                nd = sorted("|".join(_norm_cell(r[i]) for i in order_d) for r in drows)
-                for a, b in zip(ns, nd):
+                for (_, rs), (_, rd) in zip(spdf.iterrows(), dpdf.iterrows()):
+                    a = "|".join(_norm_cell(v) for v in rs)
+                    b = "|".join(_norm_cell(v) for v in rd)
                     if a != b:
                         print(f"  spark:  {a[:200]}\n  duckdb: {b[:200]}")
                         break
@@ -121,7 +147,7 @@ def main() -> int:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failures.append(name)
         else:
-            print(f"PASS {name}: rows={len(srows)} ({elapsed:.1f}s)")
+            print(f"PASS {name}: rows={len(spdf)} ({elapsed:.1f}s)")
     print(f"\n{len(failures)} failures / {len(qs)} queries")
     if failures:
         print("failed:", " ".join(failures))
