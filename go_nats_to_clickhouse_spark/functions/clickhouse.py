@@ -64,8 +64,17 @@ def chat_id_from_subject(subject: Column | str) -> Column:
 
 def ch_json_extract_string(col: Column | str, key: str) -> Column:
     """``JSONExtractString(j, key)``: '' when the key is missing, the JSON is
-    malformed, or the input is NULL."""
-    return F.coalesce(F.get_json_object(_col(col), f"$.{key}"), F.lit(""))
+    malformed, the input is NULL, **or the value is not a JSON string** —
+    ClickHouse returns '' for numbers/objects/arrays/bools, whereas
+    ``get_json_object`` would return their JSON text. Spark 4's variant type
+    makes the per-row type test cheap: ``schema_of_variant`` is 'STRING'
+    only for actual JSON strings (DuckDB analog: ``json_type(...) =
+    'VARCHAR'``)."""
+    field = F.try_variant_get(F.try_parse_json(_col(col)), f"$.{key}", "variant")
+    return F.when(
+        F.schema_of_variant(field) == F.lit("STRING"),
+        F.try_variant_get(field, "$", "string"),
+    ).otherwise(F.lit(""))
 
 
 def ch_json_extract_uint(col: Column | str, key: str) -> Column:

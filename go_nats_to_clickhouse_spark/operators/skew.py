@@ -22,11 +22,16 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join where ``big``'s hot keys are spread over n_salts partitions.
 
-    big gets a random-ish (but deterministic: hash of all columns) salt in
-    [0, n_salts); small is replicated n_salts times with every salt value.
-    The join key becomes (key, salt) — a hot key's rows now land on
-    n_salts reducers instead of one. Cost: small side inflated n_salts x
-    (fine — it is the small side by assumption).
+    big gets a salt in [0, n_salts) derived from key-hash plus the row's
+    partition/offset id — NOT row content, on purpose: identical rows (the
+    degenerate-skew case) must still spread across reducers, which a
+    content hash cannot do. The salt can therefore differ across
+    recomputations of a non-deterministic upstream stage; results stay
+    correct regardless because the small side carries every salt value.
+    small is replicated n_salts times with every salt. The join key becomes
+    (key, salt) — a hot key's rows now land on n_salts reducers instead of
+    one. Cost: small side inflated n_salts x (fine — it is the small side
+    by assumption).
     """
     salt = F.pmod(F.hash(F.col(key)) + F.monotonically_increasing_id(), n_salts).cast(
         "int"

@@ -23,6 +23,8 @@ Spark-native equivalent, and why it holds at 100 TB:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -70,10 +72,14 @@ def compact_table(
     """Rewrite a table into few large sorted files per partition — the
     analog of MergeTree background merges. Run periodically, not per batch.
     ``partition_cols`` must match the table's existing layout (e.g.
-    ("stream", "ym") for the per-stream raw table). Uses an overwrite of a
-    temp location then swap to stay crash-safe on local filesystems."""
+    ("stream", "ym") for the per-stream raw table). Writes to a temp
+    location, renames the old directory aside, swaps the new one in, then
+    deletes the old — at no point is the table path absent with the data
+    only in a temp dir, so a crash at any step leaves either the old or the
+    new table readable (plus at most a leftover __compact_old to sweep)."""
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
     (
         df.repartition(target_files_per_partition, *[F.col(c) for c in partition_cols])
         .sortWithinPartitions(*sort_keys)
@@ -85,5 +91,8 @@ def compact_table(
     # format (Delta/Iceberg) commit instead.
     import shutil
 
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)  # leftover from a previous crashed swap
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)

@@ -136,9 +136,12 @@ MV_ANALYTICS_ORACLE = f"""
 WITH {MESSAGES_CTE}, {RAW_CTE}
 SELECT
   timestamp, subject, chat_id, metadata, data,
-  coalesce(json_extract_string(data, '$.text'), '') AS message_text,
-  coalesce(json_extract_string(data, '$.meta'), '') AS message_meta,
-  coalesce(json_extract_string(data, '$.id'), '') AS message_id,
+  CASE WHEN json_type(data, '$.text') = 'VARCHAR'
+       THEN json_extract_string(data, '$.text') ELSE '' END AS message_text,
+  CASE WHEN json_type(data, '$.meta') = 'VARCHAR'
+       THEN json_extract_string(data, '$.meta') ELSE '' END AS message_meta,
+  CASE WHEN json_type(data, '$.id') = 'VARCHAR'
+       THEN json_extract_string(data, '$.id') ELSE '' END AS message_id,
   make_timestamp(coalesce(TRY_CAST(json_extract_string(data, '$.timestamp') AS BIGINT), 0) * 1000000) AS message_timestamp,
   {_SEG_SQL}
 FROM raw

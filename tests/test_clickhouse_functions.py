@@ -63,6 +63,21 @@ def test_json_extract_string_malformed(spark):
     assert _one(spark, ch_json_extract_string(F.lit("not json"), "text")) == ""
 
 
+def test_json_extract_string_non_string_values_empty(spark):
+    # ClickHouse JSONExtractString returns '' for non-string JSON values
+    # (number/object/array/bool/null) — not their JSON text (ADVICE r1).
+    for payload in (
+        '{"text": 42}',
+        '{"text": {"a": 1}}',
+        '{"text": [1, 2]}',
+        '{"text": true}',
+        '{"text": null}',
+    ):
+        assert _one(spark, ch_json_extract_string(F.lit(payload), "text")) == ""
+    # a string that LOOKS numeric is still a string
+    assert _one(spark, ch_json_extract_string(F.lit('{"text": "42"}'), "text")) == "42"
+
+
 def test_json_extract_uint(spark):
     assert _one(spark, ch_json_extract_uint(F.lit('{"timestamp": 1700000000}'), "timestamp")) == 1700000000
 
