@@ -11,6 +11,7 @@ from go_nats_to_clickhouse_spark.queries.registry import ORACLES, QUERIES
 from go_nats_to_clickhouse_spark.queries import (  # noqa: E402,F401
     behavioral,
     clickhouse_aggs,
+    multimodal,
     reference,
     relational,
     subqueries,

@@ -240,15 +240,5 @@ def vector_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_image_features")  # rows-only: decode kernel is a stub
-def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing surfaced as a query: synthetic binary media ->
-    Arrow-batched mapInPandas image-feature kernel (deterministic fake
-    decode — real codecs are stubbed in this environment). No SQL oracle:
-    the kernel is not SQL-expressible; the driver records rows-only."""
-    from go_nats_to_clickhouse_spark.operators.multimodal import (
-        image_features,
-        synthetic_media,
-    )
-
-    return image_features(synthetic_media(spark, 120), fake=True)
+# multimodal_* queries (real decode, closed-form oracles) live in
+# queries/multimodal.py.
