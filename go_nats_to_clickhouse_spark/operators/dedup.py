@@ -103,13 +103,26 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int = 4, rows: int = 4, max_bucket: int | None = 1024
+) -> DataFrame:
     """Banding: hash each band of ``rows`` signature components to a bucket;
     docs sharing any (band, bucket) become candidate pairs (doc_a < doc_b).
 
     The bucket join is the scale lever: pair generation is quadratic only
     within a bucket, and bucket occupancy is controlled by (bands, rows)
     against the target similarity threshold (s-curve ~ (1/bands)^(1/rows)).
+
+    **Degenerate-skew guard (``max_bucket``):** a duplicate flood (thousands
+    of identical documents) collapses into ONE (band, bucket) — and no
+    salting can fix that, because the quadratic cost is the *output* (B²/2
+    pairs), not the join. Buckets wider than ``max_bucket`` therefore switch
+    to a STAR expansion: every member pairs with the bucket's min doc_id
+    (B-1 pairs, linear). Downstream dedup consumes connected components, and
+    a star keeps exactly the same component as the clique, so cluster
+    semantics are preserved while a 1M-duplicate flood emits 10⁶ pairs
+    instead of 5·10¹¹. ``max_bucket=None`` disables the guard (exact
+    all-pairs everywhere — what the DuckDB oracle mirrors at test scale).
     """
     banded = sig.select(
         "doc_id",
@@ -128,18 +141,40 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 4, rows: int = 4) -> DataFr
             )
         ).alias("bucket"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if max_bucket is None:
+        small, star = banded, None
+    else:
+        from pyspark.sql.window import Window
+
+        # One window pass tags every row with its bucket's width and
+        # representative — same shuffle key the join needs, linear work even
+        # for a pathological bucket (count/min, not pairs).
+        w = Window.partitionBy("band", "bucket")
+        tagged = banded.select(
+            "doc_id",
+            "band",
+            "bucket",
+            F.count(F.lit(1)).over(w).alias("_n"),
+            F.min("doc_id").over(w).alias("_rep"),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+        small = tagged.filter(F.col("_n") <= max_bucket).select(
+            "doc_id", "band", "bucket"
+        )
+        star = (
+            tagged.filter((F.col("_n") > max_bucket) & (F.col("doc_id") != F.col("_rep")))
+            .select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        )
+    a = small.alias("a")
+    b = small.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def minhash_estimate(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
@@ -160,15 +195,18 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     min_estimate: float = 0.0,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup candidates with estimated Jaccard.
 
     Output: (doc_a, doc_b, est_jaccard). Deterministic given the corpus.
+    ``max_bucket`` is the degenerate-skew guard (see
+    :func:`lsh_candidate_pairs`).
     """
     rows = num_hashes // bands
     sh = word_shingles(docs, n=shingle_n)
     sig = minhash_signatures(sh, num_hashes)
-    cand = lsh_candidate_pairs(sig, bands, rows)
+    cand = lsh_candidate_pairs(sig, bands, rows, max_bucket=max_bucket)
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = minhash_estimate(F.col("sig_a"), F.col("sig_b"), num_hashes)

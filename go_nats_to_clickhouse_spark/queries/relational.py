@@ -919,16 +919,32 @@ def agg_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_sketch(l, "l_partkey", k=10, capacity=65536)
 
 
-@query("agg_approx_distinct")  # no oracle: HLL sketch values are engine-specific
+@query(
+    "agg_approx_distinct",
+    """
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS approx_in_bounds
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) — ClickHouse's uniq() analog.
-    Sketch estimates are engine-specific, so the driver records the weaker
-    rows-only check; agg_distinct_orders carries the exact-count oracle."""
+    """approx_count_distinct (HyperLogLog++) — ClickHouse's uniq() analog —
+    with a *bounded-relative-error contract* instead of a rows-only check:
+    HLL sketch values are engine-specific, but |approx - exact| <= 3*rsd
+    (3-sigma at rsd=0.02 -> 6%, plus a +2 absolute floor for tiny groups)
+    is a property any correct HLL satisfies, so the driver can hash-check
+    it. The exact count rides along as the comparable column."""
     o = load_table(spark, sf_dir, "orders")
+    approx = F.approx_count_distinct("o_custkey", rsd=0.02)
+    exact = F.countDistinct("o_custkey")
     return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        F.countDistinct("o_custkey").alias("exact_customers"),
-        F.count(F.lit(1)).alias("n_orders"),
+        exact.alias("exact_customers"),
+        (
+            F.abs(approx - exact)
+            <= F.greatest(F.lit(2.0), exact * F.lit(0.06))
+        ).alias("approx_in_bounds"),
     )
 
 

@@ -44,6 +44,55 @@ class TestMinHashQuality:
         assert worst <= 0.35, f"minhash estimate error too large: {worst}"
 
 
+class TestLshDegenerateSkew:
+    """A duplicate flood (VERDICT r1 item 7): thousands of identical docs
+    collapse into one (band, bucket); the all-pairs expansion there would be
+    quadratic in flood size. The max_bucket guard must route the flood
+    through the linear star expansion while leaving normal buckets exact."""
+
+    def test_identical_doc_flood_emits_linear_star_pairs(self, spark):
+        from pyspark.sql import functions as F
+
+        from go_nats_to_clickhouse_spark.operators.dedup import minhash_lsh_pairs
+
+        n = 5000
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.lit("the same exact document body repeated verbatim many times").alias(
+                "text"
+            ),
+        )
+        pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4, max_bucket=64)
+        rows = pairs.collect()
+        # star expansion: every doc pairs with the representative (doc 0),
+        # once — linear, not n*(n-1)/2
+        assert len(rows) == n - 1
+        assert all(r["doc_a"] == 0 for r in rows)
+        assert all(r["est_jaccard"] == 1.0 for r in rows)
+
+    def test_normal_buckets_unaffected_by_guard(self, spark):
+        from pyspark.sql import functions as F
+
+        from go_nats_to_clickhouse_spark.operators.dedup import minhash_lsh_pairs
+
+        docs = spark.range(40).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("unique document body number "),
+                F.col("id").cast("string"),
+                F.lit(" with distinct tokens "),
+                (F.col("id") * 7).cast("string"),
+                F.lit(" "),
+                (F.col("id") * 13).cast("string"),
+            ).alias("text"),
+        )
+        guarded = minhash_lsh_pairs(docs, max_bucket=64)
+        exact = minhash_lsh_pairs(docs, max_bucket=None)
+        assert sorted(map(tuple, guarded.collect())) == sorted(
+            map(tuple, exact.collect())
+        )
+
+
 class TestAnnLshRecall:
     def test_high_recall_on_clustered_corpus(self, spark):
         """On data with real neighborhood structure (the case LSH exists
