@@ -54,8 +54,6 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
-        # headline fields FIRST — a harness that truncates the line still
-        # captures metric/value/unit/sf; per-query detail trails.
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
@@ -63,7 +61,7 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
     }
     # Stop Spark BEFORE printing so no JVM shutdown chatter lands after (or
-    # interleaved with) the JSON line a harness scrapes from the tail.
+    # interleaved with) the JSON lines a harness scrapes from the tail.
     spark.stop()
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
@@ -72,7 +70,23 @@ def main() -> None:
     ) as fh:
         json.dump(result, fh, indent=1)
     sys.stdout.flush()
+    # Full detail first (for readers of the whole log), then a compact line
+    # LAST: the recording harness keeps only the final ~2000 chars of
+    # stdout, and a 90-query map (~3 KB) can never survive that window —
+    # round 1's record was an unparseable mid-line fragment. The compact
+    # line carries the headline plus the slowest queries and always fits.
     print(json.dumps(result), flush=True)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:25])
+    compact = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": result["sf"],
+        "n_queries": len(timings),
+        "queries": {k: round(v, 2) for k, v in slowest.items()},
+        "queries_full": "BENCH_LOCAL.json",
+    }
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":

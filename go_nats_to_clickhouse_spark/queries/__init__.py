@@ -7,17 +7,22 @@ Import side effect: importing this package registers all queries.
 
 from go_nats_to_clickhouse_spark.queries.registry import ORACLES, QUERIES
 
-# Register everything (order matters only for readability of listings).
+# Registration order = queries() dict order = the order any budgeted
+# correctness harness walks. Modules whose queries lack a driver-checked
+# row from round 1 come FIRST so a capped run verifies them before
+# re-verifying the already-green set (CORRECTNESS_r01 covered the first 50
+# registrations and nothing after).
 from go_nats_to_clickhouse_spark.queries import (  # noqa: E402,F401
-    behavioral,
-    clickhouse_aggs,
-    multimodal,
-    reference,
-    relational,
-    subqueries,
     text,
     tpch_extra,
     vector,
+    multimodal,
+    streaming,
+    subqueries,
+    behavioral,
+    clickhouse_aggs,
+    reference,
+    relational,
 )
 
 __all__ = ["QUERIES", "ORACLES"]

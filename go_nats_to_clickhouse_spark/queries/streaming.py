@@ -1,0 +1,175 @@
+"""Streaming correctness queries: stream/batch equivalence.
+
+Each query here runs a REAL Structured Streaming job — file-source
+micro-batches, state store, watermark plumbing — over the events fixture,
+lands the result in a memory sink, and returns that table. The DuckDB
+oracle computes the same result with plain batch SQL, so a green driver
+row proves the *streaming execution path* (not just the expression logic)
+agrees with batch semantics on identical data.
+
+Determinism: the fixture is fully written before the stream starts, so the
+first micro-batch sees every file and no watermark advancement can drop
+rows mid-run; complete/append-mode results are then exactly the batch
+answer. (Late-data *dropping* behavior is exercised separately in
+tests/test_streaming_windows.py, where batch boundaries are controlled.)
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_nats_to_clickhouse_spark.queries.registry import query
+from go_nats_to_clickhouse_spark.schemas import load_table
+
+
+def _events_stream(
+    spark: SparkSession, sf_dir: str, copies: int = 1
+) -> tuple[DataFrame, str]:
+    """File-source stream over a rewritten events fixture (micros
+    timestamps — the raw fixture is TIMESTAMP(NANOS), unreadable by a
+    schema-less readStream). Returns (stream_df, tmp_dir)."""
+    e = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="gntcs-stream-")
+    data_dir = os.path.join(tmp, "events")
+    e.write.mode("overwrite").parquet(data_dir)
+    for _ in range(copies - 1):
+        e.write.mode("append").parquet(data_dir)
+    schema = spark.read.parquet(data_dir).schema
+    return spark.readStream.schema(schema).parquet(data_dir), tmp
+
+
+def _run_to_table(stream_df: DataFrame, mode: str, tmp: str) -> DataFrame:
+    """Execute the streaming plan to completion into a memory sink and
+    return the sink table (bounded: the fixture is finite). The temp
+    source/checkpoint dir is deleted afterwards — the memory sink holds
+    its rows independently of the source files."""
+    import shutil
+
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return stream_df.sparkSession.table(name)
+
+
+@query(
+    "streaming_tumbling_daily",
+    """
+SELECT date_trunc('day', ts) AS day,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+""",
+)
+def streaming_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling daily counts executed AS A STREAM (complete
+    mode), equivalent to the batch GROUP BY — SURVEY §2.7 streaming row,
+    driver-checked."""
+    from go_nats_to_clickhouse_spark.streaming.windows import tumbling_counts
+
+    stream, tmp = _events_stream(spark, sf_dir)
+    agg = tumbling_counts(
+        stream, window="1 day", ts_col="ts", watermark="1 hour", key_col="event_type"
+    )
+    tbl = _run_to_table(agg, "complete", tmp)
+    return tbl.select(F.col("window_start").alias("day"), "event_type", "n")
+
+
+@query(
+    "streaming_sliding_12h",
+    """
+SELECT make_timestamp(CAST((floor(epoch(ts) / 43200) - j) * 43200 AS BIGINT)
+                      * 1000000) AS window_start,
+       CAST(count(*) AS BIGINT) AS n
+FROM events, range(0, 2) t(j)
+GROUP BY 1
+""",
+)
+def streaming_sliding_12h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-day/12-hour windows as a stream. Oracle: every event lands
+    in exactly window/slide = 2 epoch-aligned windows, enumerable with a
+    2-row cross join — the standard SQL expansion of a hopping window."""
+    from go_nats_to_clickhouse_spark.streaming.windows import sliding_counts
+
+    stream, tmp = _events_stream(spark, sf_dir)
+    agg = sliding_counts(
+        stream, window="1 day", slide="12 hours", ts_col="ts", watermark="1 hour"
+    )
+    tbl = _run_to_table(agg, "complete", tmp)
+    return tbl.select("window_start", F.col("n"))
+
+
+@query(
+    "streaming_session_windows",
+    """
+WITH marks AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS grp
+  FROM marks
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM g
+GROUP BY user_id, grp
+""",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap, keyed by user) executed as a stream —
+    the stateful session-merge path — vs the batch gaps-and-islands SQL."""
+    from go_nats_to_clickhouse_spark.streaming.windows import session_counts
+
+    stream, tmp = _events_stream(spark, sf_dir)
+    agg = session_counts(
+        stream, gap="30 minutes", key_col="user_id", ts_col="ts", watermark="1 hour"
+    )
+    tbl = _run_to_table(agg, "complete", tmp)
+    return tbl.select("user_id", "session_start", "session_end", "n")
+
+
+@query(
+    "streaming_dedup_counts",
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT DISTINCT user_id, event_type, ts FROM events)
+GROUP BY event_type
+""",
+)
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the fixture is written TWICE into the source
+    directory (every row at least doubled), the stream drops duplicates on
+    (user_id, event_type, ts) with watermark-bounded state, and the sink is
+    aggregated per type — equal to DISTINCT-then-count in batch."""
+    from go_nats_to_clickhouse_spark.streaming.windows import dedup_within_watermark
+
+    stream, tmp = _events_stream(spark, sf_dir, copies=2)
+    dedup = dedup_within_watermark(
+        stream, keys=("user_id", "event_type", "ts"), ts_col="ts", watermark="1 hour"
+    )
+    tbl = _run_to_table(dedup, "append", tmp)
+    return tbl.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))

@@ -128,8 +128,12 @@ class NatsStreamReader(DataSourceStreamReader):
         ]
         self._max_per_trigger = int(self._options.get("maxrecordspertrigger", 1000))
         self._num_partitions = int(self._options.get("partitions", 4))
-        self._last_planned: int | None = None  # driver-side planning cursor
-        self._fresh_start = False  # True iff initialOffset() ran (no checkpoint)
+        # Cursor state lives in module-level caches keyed by the source
+        # options, NOT on the instance: Spark may construct several reader
+        # instances for one query (schema probe, planner, recovery), and the
+        # restart-duplicate bug (ADVICE r1, high) comes exactly from a
+        # planner instance that has seen none of the query's history.
+        self._key = tuple(sorted((k, str(v)) for k, v in self._options.items()))
 
     @property
     def _client(self) -> JetStreamClient:
@@ -139,57 +143,81 @@ class NatsStreamReader(DataSourceStreamReader):
         # worker process connects (or parses the replay file) once.
         return _connect(self._options)
 
-    def _ratchet(self, seq: int) -> None:
-        """Never let the planning cursor move backwards. Offsets Spark hands
-        to partitions()/commit() come from the checkpoint log, so they are
-        the authoritative resume point — planning below them would make the
-        next batch re-read (and re-append) already-committed sequences."""
-        if self._last_planned is None or seq > self._last_planned:
-            self._last_planned = seq
+    # -- cursor bookkeeping ------------------------------------------------
+    # planned: the furthest offset ever planned/seen — the clamp base for
+    #   count-trigger admission. Ratcheted by everything.
+    # committed: a provably durable boundary — ONLY ratcheted from offsets
+    #   Spark derives from its logs where everything below is safe to skip:
+    #   the *start* of a batch it schedules (batch N starts where committed
+    #   batch N-1 ended) and the *end* passed to commit(). Used to clip
+    #   re-read ranges after a planning regression, never from planned
+    #   values (a planned-but-uncommitted end must be re-readable).
+
+    def _planned(self) -> int | None:
+        return _PLANNED_CURSOR.get(self._key)
+
+    def _ratchet_planned(self, seq: int) -> None:
+        cur = _PLANNED_CURSOR.get(self._key)
+        if cur is None or seq > cur:
+            _PLANNED_CURSOR[self._key] = seq
+
+    def _ratchet_committed(self, seq: int) -> None:
+        cur = _COMMITTED_CURSOR.get(self._key)
+        if cur is None or seq > cur:
+            _COMMITTED_CURSOR[self._key] = seq
+        self._ratchet_planned(seq)
 
     def initialOffset(self) -> dict:
-        # Spark calls this ONLY when no checkpoint exists — remembering that
-        # is what lets latestOffset() distinguish a fresh start (clamp from
-        # startingSequence) from a restart (resume point unknown until
-        # partitions()/commit() reveal it; see latestOffset).
-        self._fresh_start = True
-        return {"seq": int(self._options.get("startingsequence", 0))}
+        # Called only when no checkpoint exists; startingSequence is then a
+        # committed-equivalent boundary (nothing below it is wanted).
+        seq0 = int(self._options.get("startingsequence", 0))
+        self._ratchet_committed(seq0)
+        return {"seq": seq0}
 
     def latestOffset(self) -> dict:
         # Count-trigger admission control (ref batchSize=1000): admit at most
-        # maxRecordsPerTrigger sequences past the previous planned offset.
+        # maxRecordsPerTrigger sequences past the furthest planned offset.
         # Clamping HERE (not in partitions()) keeps the checkpointed offset
         # equal to what was actually read — nothing is silently skipped.
+        #
+        # After a restart in a NEW process both caches are empty and this
+        # method cannot see the checkpointed cursor (Python DS API limit), so
+        # the clamp base may sit below it and the returned end may regress.
+        # That is safe here because (a) a regressed range is planned as an
+        # empty batch, and (b) the first partitions() call reveals the true
+        # committed boundary, below which later reads are clipped — so the
+        # committed backlog is never re-appended (see partitions()).
         newest = self._client.max_sequence()
-        if self._last_planned is None and not self._fresh_start:
-            # Restart path: the Python DataSource API never shows this method
-            # the checkpointed offset, so any clamp base we could invent here
-            # (e.g. startingSequence) may sit BELOW the committed cursor, and
-            # a regressed end offset becomes the next batch's start → the
-            # whole committed backlog is re-read and double-appended. Stream
-            # sequences are monotone, so `newest` can never regress: admit
-            # the full backlog once, unclamped (partitions() bounds per-task
-            # work by slicing it), then resume clamped admission from the
-            # resume point partitions() reveals.
-            planned = newest
-        else:
-            base = (
-                self._last_planned
-                if self._last_planned is not None
-                else int(self._options.get("startingsequence", 0))
-            )
-            planned = min(max(newest, base), base + self._max_per_trigger)
-        self._ratchet(planned)
+        base = self._planned()
+        if base is None:
+            base = int(self._options.get("startingsequence", 0))
+        planned = min(max(newest, base), base + self._max_per_trigger)
+        self._ratchet_planned(planned)
         return {"seq": planned}
 
     def partitions(self, start: dict, end: dict) -> list[SeqRangePartition]:
         lo, hi = int(start["seq"]), int(end["seq"])
-        self._ratchet(max(lo, hi))
+        # The start of any batch Spark schedules is the end of the previous
+        # COMMITTED batch (recovery replays use their logged start, whose
+        # predecessor is committed too) — a durable boundary.
+        committed_before = _COMMITTED_CURSOR.get(self._key)
+        self._ratchet_committed(lo)
+        self._ratchet_planned(max(lo, hi))
         if hi <= lo:
             return [SeqRangePartition(lo, lo)]
-        # At least num_partitions slices; for a post-restart catch-up batch
-        # (range >> maxRecordsPerTrigger) cap each slice at the trigger size
-        # so per-task memory stays bounded and the backlog drains in parallel.
+        # Clip below the committed boundary known BEFORE this call: after a
+        # post-restart planning regression the offset log can hand us a range
+        # that dips under sequences committed before the restart; re-reading
+        # them would double-append. (The boundary learned from *this* call's
+        # own start must not clip this batch — a recovery replay reads its
+        # full logged range.)
+        if committed_before is not None and committed_before > lo:
+            lo = min(committed_before, hi)
+            if hi <= lo:
+                return [SeqRangePartition(lo, lo)]
+        # At least num_partitions slices; for a catch-up batch (range >>
+        # maxRecordsPerTrigger) cap each slice at the trigger size so
+        # per-task memory stays bounded and the backlog drains in parallel.
         n = max(
             max(1, self._num_partitions),
             (hi - lo + self._max_per_trigger - 1) // self._max_per_trigger,
@@ -223,7 +251,7 @@ class NatsStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # Ack-after-commit (main.go:199-208): Spark calls this only after the
         # micro-batch has been durably written + checkpointed.
-        self._ratchet(int(end["seq"]))
+        self._ratchet_committed(int(end["seq"]))
         self._client.ack_through(int(end["seq"]))
 
 
@@ -377,6 +405,20 @@ class NatsPyJetStreamClient(JetStreamClient):
 
 #: per-process transport cache (workers are reused across batches)
 _CLIENT_CACHE: dict = {}
+
+#: per-process cursor caches keyed by normalized source options — shared by
+#: every reader instance of the same query config (see NatsStreamReader
+#: cursor bookkeeping). Caveat: two concurrently running queries with
+#: IDENTICAL options in one process would share a cursor; give them
+#: distinct startingSequence/subjects/durable options.
+_PLANNED_CURSOR: dict = {}
+_COMMITTED_CURSOR: dict = {}
+
+
+def _reset_cursor_caches() -> None:
+    """Test hook: simulate a fresh driver process."""
+    _PLANNED_CURSOR.clear()
+    _COMMITTED_CURSOR.clear()
 
 
 def _connect(options: dict) -> JetStreamClient:

@@ -65,7 +65,9 @@ class TestGroupArray:
             lambda _s, _d, _n: _events(spark, rows),
         )
         [r] = agg_group_array_types(spark, "unused").collect()
-        assert r.event_types == ["a", "b"]
+        # comma-joined sorted set: scalar output so comparison harnesses
+        # can hash it (raw array cells are unhashable in pandas canon)
+        assert r.event_types == "a,b"
         assert r.n_types == 2
 
 

@@ -128,37 +128,64 @@ class TestAdmissionControl:
 
 
 class TestRestartCursor:
-    """Restart with backlog > maxRecordsPerTrigger (ADVICE r1, high): the
-    planner must never produce an end offset below the checkpointed resume
-    point, or Spark re-reads committed ranges and double-appends."""
+    """Restart with backlog > maxRecordsPerTrigger (ADVICE r1, high): a
+    planner that has lost its cursor may emit a regressed end offset, and
+    Spark then uses that regressed offset as the next batch's start. The
+    committed-boundary clip in partitions() must keep already-committed
+    sequence ranges from being re-read and double-appended — while leaving
+    fresh starts and recovery replays untouched."""
 
-    def test_restart_latest_offset_never_regresses(self):
-        # Simulated restart: a FRESH reader object (initialOffset NOT called
-        # — Spark only calls it when no checkpoint exists) over a stream
-        # whose committed cursor is 2000 but startingSequence defaults to 0.
+    def setup_method(self):
+        from go_nats_to_clickhouse_spark.sources.nats import _reset_cursor_caches
+
+        _reset_cursor_caches()
+
+    def test_fresh_start_stays_clamped(self):
+        # Admission control (B2) must hold for the very first batch of a
+        # fresh query — a flood is drained in trigger-sized slices.
         r = _reader(_msgs(2500), max_per_trigger=1000)
-        end = r.latestOffset()
-        # Resume point unknown at planning time -> must admit up to newest
-        # (2500), NOT clamp from startingSequence (which would plan 1000,
-        # below the committed 2000).
-        assert end["seq"] == 2500
+        assert r.initialOffset()["seq"] == 0
+        assert r.latestOffset()["seq"] == 1000
 
-    def test_restart_then_clamped_admission_resumes(self):
+    def test_planner_instance_without_initial_offset_stays_clamped(self):
+        # Spark may plan on a different reader instance than the one that
+        # answered initialOffset(); the options-keyed cursor cache must make
+        # both behave identically (a per-instance flag does not).
+        r1 = _reader(_msgs(2500), max_per_trigger=1000)
+        opts = dict(r1._options)
+        r1.initialOffset()
+        from go_nats_to_clickhouse_spark.schemas import MESSAGE_SCHEMA as S
+        from go_nats_to_clickhouse_spark.sources.nats import NatsStreamReader
+
+        r2 = NatsStreamReader(S, opts)  # planner instance, fresh object
+        assert r2.latestOffset()["seq"] == 1000
+
+    def test_regressed_batch_does_not_reread_committed_range(self):
+        # New-process restart: caches empty, committed cursor is 2000 but
+        # startingSequence says 0. latestOffset may regress (API limit) —
+        # but the committed boundary learned from Spark's own batch starts
+        # must clip any later range that dips below it.
         r = _reader(_msgs(2500), max_per_trigger=1000)
-        end = r.latestOffset()
-        parts = r.partitions({"seq": 2000}, end)  # Spark passes resume=2000
-        assert parts[0].start_seq == 2000
-        # cursor ratcheted; later batches clamp from the true resume point
-        nxt = r.latestOffset()
-        assert nxt["seq"] >= 2500
+        end = r.latestOffset()  # regressed: 1000 < committed 2000
+        assert end["seq"] == 1000
+        # Spark schedules [2000, 1000] — start reveals the committed boundary
+        parts = r.partitions({"seq": 2000}, end)
+        assert all(len(list(r.read(p))) == 0 for p in parts)  # empty batch
+        # next batch starts at the regressed offset; reads must clip to 2000
+        parts = r.partitions({"seq": 1000}, {"seq": 2500})
+        rows = [row for p in parts for row in r.read(p)]
+        assert sorted(r[2] for r in rows) == list(range(2001, 2501))
 
-    def test_recovery_batch_ratchets_before_planning(self):
-        # Restart with an uncommitted batch: Spark replays it by calling
-        # partitions(start, end) from the offset log BEFORE latestOffset.
+    def test_recovery_replay_reads_its_full_range(self):
+        # Restart with an uncommitted batch: Spark replays partitions(start,
+        # end) from the offset log FIRST. The boundary learned from this
+        # call's own start must not clip the replay itself.
         r = _reader(_msgs(5000), max_per_trigger=1000)
-        r.partitions({"seq": 2000}, {"seq": 3000})  # recovery replay
-        end = r.latestOffset()
-        assert end["seq"] == 4000  # clamped from 3000, not from 0
+        parts = r.partitions({"seq": 2000}, {"seq": 3000})
+        rows = [row for p in parts for row in r.read(p)]
+        assert sorted(r[2] for r in rows) == list(range(2001, 3001))
+        # and subsequent planning clamps from the replayed range, not from 0
+        assert r.latestOffset()["seq"] == 4000
 
     def test_commit_ratchets_cursor(self):
         r = _reader(_msgs(100), max_per_trigger=10)
@@ -166,8 +193,8 @@ class TestRestartCursor:
         assert r.latestOffset()["seq"] == 60
 
     def test_catchup_batch_slices_bounded_by_trigger_size(self):
-        # The unclamped post-restart batch must not become one giant task:
-        # slices are capped at maxRecordsPerTrigger sequences each.
+        # A catch-up batch must not become one giant task: slices are capped
+        # at maxRecordsPerTrigger sequences each.
         r = _reader(_msgs(5000), max_per_trigger=1000, partitions="2")
         parts = r.partitions({"seq": 0}, {"seq": 5000})
         assert len(parts) >= 5
