@@ -142,13 +142,18 @@ def lsh_candidate_pairs(
         ).alias("bucket"),
     )
     if max_bucket is None:
-        small, star = banded, None
+        left = right = banded
     else:
         from pyspark.sql.window import Window
 
         # One window pass tags every row with its bucket's width and
         # representative — same shuffle key the join needs, linear work even
-        # for a pathological bucket (count/min, not pairs).
+        # for a pathological bucket (count/min, not pairs). The guard is
+        # then encoded in the join's LEFT side alone: a small bucket keeps
+        # all its rows (classic all-pairs), an oversized bucket keeps only
+        # its representative — so the equi-join emits exactly the star pairs
+        # (rep, x) with O(B) work per flood bucket (1-row build side), no
+        # second branch and no extra consumption of the minhash lineage.
         w = Window.partitionBy("band", "bucket")
         tagged = banded.select(
             "doc_id",
@@ -157,24 +162,22 @@ def lsh_candidate_pairs(
             F.count(F.lit(1)).over(w).alias("_n"),
             F.min("doc_id").over(w).alias("_rep"),
         )
-        small = tagged.filter(F.col("_n") <= max_bucket).select(
-            "doc_id", "band", "bucket"
+        left = tagged.filter(
+            (F.col("_n") <= max_bucket) | (F.col("doc_id") == F.col("_rep"))
+        ).select("doc_id", "band", "bucket")
+        right = tagged.select("doc_id", "band", "bucket")
+    a = left.alias("a")
+    b = right.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        star = (
-            tagged.filter((F.col("_n") > max_bucket) & (F.col("doc_id") != F.col("_rep")))
-            .select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-        )
-    a = small.alias("a")
-    b = small.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    if star is not None:
-        pairs = pairs.unionByName(star)
-    return pairs.distinct()
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
 
 
 def minhash_estimate(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
