@@ -27,18 +27,32 @@ from go_nats_to_clickhouse_spark.queries.registry import query
 from go_nats_to_clickhouse_spark.schemas import load_table
 
 
+#: rewritten-fixture cache: the 4 streaming queries share one parquet
+#: rewrite per (sf_dir, copies) for the process lifetime (cleaned at exit)
+_FIXTURE_CACHE: dict[tuple[str, int], str] = {}
+
+
 def _events_stream(
     spark: SparkSession, sf_dir: str, copies: int = 1
 ) -> tuple[DataFrame, str]:
     """File-source stream over a rewritten events fixture (micros
     timestamps — the raw fixture is TIMESTAMP(NANOS), unreadable by a
-    schema-less readStream). Returns (stream_df, tmp_dir)."""
-    e = load_table(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="gntcs-stream-")
-    data_dir = os.path.join(tmp, "events")
-    e.write.mode("overwrite").parquet(data_dir)
-    for _ in range(copies - 1):
-        e.write.mode("append").parquet(data_dir)
+    schema-less readStream). Returns (stream_df, per_run_tmp_dir)."""
+    key = (sf_dir, copies)
+    data_dir = _FIXTURE_CACHE.get(key)
+    if data_dir is None or not os.path.isdir(data_dir):
+        import atexit
+        import shutil
+
+        fixture_root = tempfile.mkdtemp(prefix="gntcs-stream-fixture-")
+        atexit.register(shutil.rmtree, fixture_root, ignore_errors=True)
+        data_dir = os.path.join(fixture_root, "events")
+        e = load_table(spark, sf_dir, "events")
+        e.write.mode("overwrite").parquet(data_dir)
+        for _ in range(copies - 1):
+            e.write.mode("append").parquet(data_dir)
+        _FIXTURE_CACHE[key] = data_dir
+    tmp = tempfile.mkdtemp(prefix="gntcs-stream-run-")
     schema = spark.read.parquet(data_dir).schema
     return spark.readStream.schema(schema).parquet(data_dir), tmp
 
