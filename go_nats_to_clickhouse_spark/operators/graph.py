@@ -1,0 +1,79 @@
+"""Connected components over a pair graph — dedup cluster assignment.
+
+The near-dup pipeline (MinHash-LSH → candidate pairs) ends with "which
+documents form one duplicate cluster, and which single doc survives?" —
+that is connected components over the pair graph. This implements
+iterative min-label propagation with the DataFrame API:
+
+* label(v) starts as v; each round every vertex takes the min label among
+  itself and its neighbors; fixpoint = component id = min doc_id in the
+  component (deterministic, engine-portable).
+* rounds needed = graph diameter. Near-dup graphs are dense little cliques
+  (stars after the LSH flood guard), so diameter is tiny; ``max_iter``
+  bounds pathological chains. (At extreme scale the large-star/small-star
+  contraction [Kiveris et al., "Connected Components in MapReduce and
+  Beyond"] converges in O(log n) rounds; min-propagation is chosen here
+  for portability — every round is one join + one aggregate, and the
+  oracle can replay it as a recursive CTE.)
+* every round ``localCheckpoint``s its label table — the canonical lineage
+  truncation for iterative DataFrame algorithms: plans stay O(1) deep
+  instead of growing a join per round, and each round's input reads
+  executor-local blocks. (Tradeoff, as with all localCheckpoint use: blocks
+  are not recomputable after executor loss; a cluster deployment that needs
+  that durability swaps in ``checkpoint()`` on a reliable dir.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; component =
+    min node id reachable. Converges when a full round changes no label."""
+    from pyspark import StorageLevel
+
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = fwd.union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    und = und.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        neigh = (
+            und.join(labels, und["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select("node", F.col("label").alias("component"))

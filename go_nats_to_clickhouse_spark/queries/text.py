@@ -531,3 +531,144 @@ def sample_consistent_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(5)
     )
     return d.filter(bucket < rate).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Dedup cluster assignment (connected components) and PII scrubbing
+# ---------------------------------------------------------------------------
+
+_JACCARD_PAIRS_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                  i -> concat_ws(' ', string_split(text, ' ')[i],
+                                 string_split(text, ' ')[i + 1],
+                                 string_split(text, ' ')[i + 2]))) AS shingle
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+)
+"""
+
+
+@query(
+    "dedup_connected_components",
+    f"""
+WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+)
+SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+FROM reach
+GROUP BY node
+""",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster assignment: exact-Jaccard >= 0.5 pairs form the
+    near-dup graph; connected components (iterative min-label propagation,
+    operators/graph.py) assign every involved document its cluster id
+    (= min doc_id in the cluster). Downstream, `component == doc_id` picks
+    the canonical survivor — the step a training pipeline runs after pair
+    generation. Oracle: DuckDB recursive-CTE transitive closure."""
+    from go_nats_to_clickhouse_spark.operators.dedup import word_shingles
+    from go_nats_to_clickhouse_spark.operators.graph import connected_components
+
+    sh = word_shingles(load_table(spark, sf_dir, "documents"), n=3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    pairs = (
+        common.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
+@query(
+    "text_pii_scrub",
+    """
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-' || CAST(doc_id AS VARCHAR)
+                  || ' see https://example.org/d/' || CAST(doc_id AS VARCHAR),
+             'https?://[A-Za-z0-9./_-]+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\+?[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed,
+       (text || 'x' LIKE '%@%') AS had_email_in_body
+FROM documents
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the standard pre-training scrub pass: URLs, emails,
+    then phone-like digit runs replaced with typed placeholders, in that
+    order (URL first so credentials-in-URL don't leak a partial match).
+    Deterministic PII is appended to each document so the scrub is
+    exercised on every row regardless of fixture content. Map-only
+    codegen'd regexp_replace — no shuffle, scan-bound at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.col("doc_id").cast("string"),
+        F.lit(" see https://example.org/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(synth, r"https?://[A-Za-z0-9./_-]+", "<URL>"),
+            r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+            "<EMAIL>",
+        ),
+        r"\+?[0-9][0-9-]{6,}[0-9]",
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.concat(F.col("text"), F.lit("x")).like("%@%").alias("had_email_in_body"),
+    )
