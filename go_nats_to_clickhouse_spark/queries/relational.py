@@ -973,6 +973,35 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_percentile_bounds",
+    """
+SELECT
+  o_orderpriority,
+  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_median,
+  TRUE AS approx_in_bounds
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (ClickHouse ``quantileTDigest`` analog) with a
+    *bounded-rank-error contract*: sketch medians are engine-specific, but
+    at accuracy=100 the estimate must land within the p45..p55 exact rank
+    band — a property any correct quantile sketch satisfies, emitted as a
+    hashable boolean next to the exact median (same pattern as
+    agg_approx_distinct). Bounded memory at 100 TB where exact percentile
+    would buffer each group."""
+    o = load_table(spark, sf_dir, "orders")
+    approx = F.expr("percentile_approx(o_totalprice, 0.5, 100)")
+    lo = F.expr("percentile(o_totalprice, 0.45)")
+    hi = F.expr("percentile(o_totalprice, 0.55)")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("exact_median"),
+        ((approx >= lo) & (approx <= hi)).alias("approx_in_bounds"),
+    )
+
+
+@query(
     "join_asof_tolerance",
     """
 WITH purchases AS (

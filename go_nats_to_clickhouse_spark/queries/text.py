@@ -672,3 +672,40 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrubbed.alias("scrubbed"),
         F.concat(F.col("text"), F.lit("x")).like("%@%").alias("had_email_in_body"),
     )
+
+
+@query(
+    "text_vocab_top_terms",
+    """
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+)
+WHERE term <> ''
+GROUP BY term
+ORDER BY n_occurrences DESC, term
+LIMIT 50
+""",
+)
+def text_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: corpus-wide term and document frequencies,
+    top-50 — the first pass of any tokenizer/BPE training job. One
+    explode + one hash aggregate; doc_freq rides the same shuffle via
+    COUNT(DISTINCT doc_id) partial aggregation. The ORDER+LIMIT is a
+    TakeOrderedAndProject (top-k heap), never a full sort, and the
+    (n_occurrences, term) tiebreak makes the cut deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "term")
+        .limit(50)
+    )
