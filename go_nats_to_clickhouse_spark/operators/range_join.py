@@ -1,0 +1,99 @@
+"""Bucketized point-in-interval range join.
+
+The reference delegates ad-hoc joins to ClickHouse SQL (SURVEY.md §2.7 —
+no joins in main.go/init.sql); an interval/range join is part of the query
+surface we commit to natively. Spark has no range-join optimization: a
+plain ``left.join(right, (point >= start) & (point < end))`` has no equi
+condition, so Catalyst picks BroadcastNestedLoopJoin (O(n·m) and
+driver-memory-bound) or, without a broadcastable side, a cartesian
+product. Both are scale-killers at 100 TB.
+
+The classic fix (same trick Databricks' range-join hint and KDB's window
+joins use) is to discretize time into fixed-width buckets:
+
+- each point row gets one bucket: ``floor(point / W)``
+- each interval row is exploded to every bucket it overlaps:
+  ``sequence(floor(start / W), floor(end / W))``
+- equi-join on the bucket id (plus optional extra equi keys), then apply
+  the exact range predicate as a post-join filter.
+
+The plan becomes a shuffle equi-join (sort-merge or shuffled-hash, AQE's
+choice) partitioned by bucket — embarrassingly parallel, no driver
+involvement, and the shuffle width is bounded by ``span/W + 1`` exploded
+rows per interval. Pick ``bucket_width`` on the order of the typical
+interval length: W too small explodes long intervals into many buckets;
+W too large puts unrelated rows in one bucket and shifts work to the
+post-filter. Both stay *correct* — only the constant factor moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["range_join"]
+
+
+def _bucket(col: Column, width: float) -> Column:
+    # cast("double") maps timestamps to fractional epoch seconds and
+    # passes numerics through, so one expression serves both; floor is
+    # consistent between the point side and the interval side because
+    # both go through the same cast.
+    return F.floor(col.cast("double") / F.lit(float(width))).cast("long")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    point: str,
+    start: str,
+    end: str,
+    bucket_width: float,
+    closed: str = "left",
+    equi: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Join ``left`` rows whose ``point`` falls inside ``right``'s
+    ``[start, end]`` interval, as a bucketed equi-join.
+
+    closed: which interval ends admit equality — "left" ([start, end)),
+    "right" ((start, end]), "both" ([start, end]), "neither".
+    equi: optional extra equi-key pairs ``(left_col, right_col)`` ANDed
+    into the join; they tighten the shuffle partitioning for free.
+
+    Column names must be disjoint between the two sides (alias before
+    calling) — the result carries all columns from both.
+    """
+    if closed not in ("left", "right", "both", "neither"):
+        raise ValueError(f"closed must be left/right/both/neither, got {closed!r}")
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"column names must be disjoint; shared: {sorted(overlap)}")
+
+    lb, rb = "__rj_bucket_l", "__rj_bucket_r"
+    lhs = left.withColumn(lb, _bucket(F.col(point), bucket_width))
+    # Degenerate intervals (end before start — or equal, for half/fully
+    # open) can never match; drop them BEFORE sequence(), which would
+    # otherwise happily generate a *descending* bucket list.
+    nonempty = (
+        F.col(start) <= F.col(end) if closed == "both" else F.col(start) < F.col(end)
+    )
+    rhs = (
+        right.filter(nonempty)
+        .withColumn(
+            rb,
+            F.explode(
+                F.sequence(
+                    _bucket(F.col(start), bucket_width),
+                    _bucket(F.col(end), bucket_width),
+                )
+            ),
+        )
+    )
+
+    ge = F.col(point) >= F.col(start) if closed in ("left", "both") else F.col(point) > F.col(start)
+    lt = F.col(point) <= F.col(end) if closed in ("right", "both") else F.col(point) < F.col(end)
+    cond = (F.col(lb) == F.col(rb)) & ge & lt
+    for lcol, rcol in equi or []:
+        cond = cond & (F.col(lcol) == F.col(rcol))
+    return lhs.join(rhs, cond, "inner").drop(lb, rb)

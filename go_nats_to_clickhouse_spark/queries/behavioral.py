@@ -155,3 +155,54 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("retained_7d"),
     )
+
+
+@query(
+    "range_join_incident_events",
+    """
+WITH incidents AS (
+  SELECT event_id AS incident_id, ts AS start_ts,
+         ts + INTERVAL 15 MINUTE AS end_ts
+  FROM events WHERE event_type = 'error'
+)
+SELECT i.incident_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clicks
+FROM incidents i
+JOIN events e ON e.ts >= i.start_ts AND e.ts < i.end_ts
+GROUP BY i.incident_id
+""",
+)
+def range_join_incident_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: every error event opens a 15-minute
+    incident window; count the events (and clicks) that fall inside each
+    window. There is NO equi key — the naive `ts BETWEEN start AND end`
+    join is a BroadcastNestedLoopJoin / cartesian in Spark, O(n·m) at
+    100 TB. `operators/range_join.range_join` discretizes time into
+    900-second buckets and equi-joins on the bucket id, so the plan is a
+    shuffle equi-join partitioned by time bucket with the exact range
+    predicate as a post-filter; each interval explodes into at most
+    span/W + 1 = 2 bucket rows."""
+    from go_nats_to_clickhouse_spark.operators.range_join import range_join
+
+    e = load_table(spark, sf_dir, "events")
+    incidents = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("end_ts"),
+    )
+    points = e.select(F.col("ts").alias("ev_ts"), F.col("event_type").alias("ev_type"))
+    joined = range_join(
+        points,
+        incidents,
+        point="ev_ts",
+        start="start_ts",
+        end="end_ts",
+        bucket_width=900,
+        closed="left",
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("ev_type") == "click", 1).otherwise(0)).alias("n_clicks"),
+    )
