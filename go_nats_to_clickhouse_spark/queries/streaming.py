@@ -187,3 +187,43 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tbl = _run_to_table(dedup, "append", tmp)
     return tbl.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "streaming_stream_stream_join",
+    """
+SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join executed AS A STREAM: clicks correlated to
+    the same user's purchases within the following hour. Both sides carry
+    watermarks and the join has an event-time range condition, so Spark
+    can bound the join state (each side's buffered rows expire once the
+    other side's watermark passes the range) — the production-shape
+    stream-stream join, not the unbounded-state variant. Equi key user_id
+    keys the state-store shuffle; append mode emits each matched pair
+    exactly once. Oracle: the identical correlation as batch SQL."""
+    stream, tmp = _events_stream(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("user_id", "click_ts", "purchase_ts")
+    return _run_to_table(joined, "append", tmp)
