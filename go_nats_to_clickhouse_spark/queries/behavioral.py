@@ -206,3 +206,42 @@ def range_join_incident_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.when(F.col("ev_type") == "click", 1).otherwise(0)).alias("n_clicks"),
     )
+
+
+@query(
+    "timeseries_gap_fill",
+    """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS n_purchases
+  FROM events WHERE event_type = 'purchase' AND value > 15
+  GROUP BY 1
+),
+b AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM hourly),
+hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b)
+SELECT h.hr, COALESCE(hourly.n_purchases, 0) AS n_purchases
+FROM hours h LEFT JOIN hourly ON hourly.hr = h.hr
+""",
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ORDER BY hr WITH FILL STEP INTERVAL 1 HOUR`` analog:
+    hourly counts of a sparse event stream with empty hours densified to
+    zero rows. The fill axis is generated distributively —
+    ``sequence(min, max, 1 hour)`` exploded from the 1-row bounds
+    aggregate — then left-joined back; the generated side is bounded by
+    the time span (not the data volume), so at 100 TB it stays a
+    broadcast-sized dimension regardless of corpus size."""
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 15)
+    )
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n_purchases")
+    )
+    bounds = hourly.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    hours = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    )
+    return hours.join(hourly, "hr", "left").select(
+        "hr", F.coalesce("n_purchases", F.lit(0)).alias("n_purchases")
+    )
