@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis) for the semantics most likely to
+drift between engines: ClickHouse splitByChar indexing, toYYYYMM, and the
+bucketized range join's equivalence to the nested-loop definition.
+
+Each hypothesis example batches MANY generated cases into ONE small Spark
+job (a local DataFrame + collect), so shrinking still works per-case while
+the Spark round-trip cost stays ~constant per example.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from go_nats_to_clickhouse_spark.functions.clickhouse import (
+    ch_split_element,
+    to_yyyymm,
+)
+from go_nats_to_clickhouse_spark.operators.range_join import range_join
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# Text made of segment chars plus the delimiters under test, so splits at
+# position 0 / trailing / consecutive delimiters all get generated.
+_SEG = st.text(alphabet="ab.|*[é", max_size=12)
+
+
+def _py_split_element(s: str | None, n: int, delim: str) -> str:
+    """The ClickHouse contract, modeled independently in pure Python:
+    1-based index into split-keeping-empties, '' out of range / NULL."""
+    if s is None:
+        return ""
+    parts = s.split(delim)
+    return parts[n - 1] if n <= len(parts) else ""
+
+
+@given(
+    cases=st.lists(
+        st.tuples(st.one_of(st.none(), _SEG), st.integers(1, 6)),
+        min_size=1,
+        max_size=40,
+    ),
+    delim=st.sampled_from([".", "|", "*", "["]),
+)
+@settings(**SETTINGS)
+def test_split_element_matches_python_model(spark, cases, delim):
+    df = spark.createDataFrame(
+        [(i, s, n) for i, (s, n) in enumerate(cases)], "i long, s string, n long"
+    )
+    # n varies per row; build one column per distinct n and pick by row.
+    distinct_n = sorted({n for _, n in cases})
+    picked = F.lit(None).cast("string")
+    for n in distinct_n:
+        picked = F.when(F.col("n") == n, ch_split_element("s", n, delim)).otherwise(
+            picked
+        )
+    got = {r.i: r.v for r in df.select("i", picked.alias("v")).collect()}
+    for i, (s, n) in enumerate(cases):
+        assert got[i] == _py_split_element(s, n, delim), (s, n, delim)
+
+
+@given(
+    stamps=st.lists(
+        st.datetimes(
+            min_value=dt.datetime(1905, 1, 1),
+            max_value=dt.datetime(2261, 12, 31),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_to_yyyymm_matches_python_model(spark, stamps):
+    df = spark.createDataFrame(
+        [(i, ts) for i, ts in enumerate(stamps)], "i long, ts timestamp"
+    )
+    got = {r.i: r.v for r in df.select("i", to_yyyymm("ts").alias("v")).collect()}
+    for i, ts in enumerate(stamps):
+        assert got[i] == ts.year * 100 + ts.month, ts
+
+
+@given(
+    points=st.lists(st.integers(-50, 1050), min_size=1, max_size=25),
+    intervals=st.lists(
+        st.tuples(st.integers(-50, 1050), st.integers(-20, 300)),
+        min_size=1,
+        max_size=15,
+    ),
+    width=st.sampled_from([1, 3, 7, 50, 400]),
+    closed=st.sampled_from(["left", "right", "both", "neither"]),
+)
+@settings(**SETTINGS)
+def test_range_join_matches_nested_loop(spark, points, intervals, width, closed):
+    pdf = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(points)], "pid long, x double"
+    )
+    idf = spark.createDataFrame(
+        [(j, float(s), float(s + span)) for j, (s, span) in enumerate(intervals)],
+        "iid long, lo double, hi double",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(
+            pdf, idf, point="x", start="lo", end="hi", bucket_width=width, closed=closed
+        ).collect()
+    }
+    want = set()
+    for i, p in enumerate(points):
+        for j, (s, span) in enumerate(intervals):
+            lo, hi = s, s + span
+            ge = p >= lo if closed in ("left", "both") else p > lo
+            le = p <= hi if closed in ("right", "both") else p < hi
+            if ge and le:
+                want.add((i, j))
+    assert got == want, (width, closed)
