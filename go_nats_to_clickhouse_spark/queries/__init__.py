@@ -15,6 +15,7 @@ from go_nats_to_clickhouse_spark.queries.registry import ORACLES, QUERIES
 from go_nats_to_clickhouse_spark.queries import (  # noqa: E402,F401
     pipeline_extra,
     clickhouse_more,
+    stats,
     text,
     tpch_extra,
     vector,
