@@ -56,23 +56,22 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # Carry the pre-step label through the checkpoint so convergence
+        # detection is a filter over the materialized frame, not a second
+        # node==node join per round.
+        stepped = (
             labels.join(neigh, labels["node"] == neigh["u"], "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("label") != F.col("old_label")).count()
+        labels = stepped.select("node", "label")
         if changed == 0:
             break
     und.unpersist()
