@@ -199,11 +199,13 @@ TESTDATA_SCHEMAS: dict[str, T.StructType] = {
 
 TESTDATA_TABLES = tuple(TESTDATA_SCHEMAS)
 
-# events.parquet stores ts as Parquet TIMESTAMP(NANOS), which Spark's reader
-# rejects outright. Read it as raw nanos (legacy long mode) and convert:
-# nanos `div` 1000 -> micros -> timestamp. Truncation matches DuckDB's
-# nanos->micros handling, so oracles agree.
-_EVENTS_READ_SCHEMA = T.StructType(
+# Some fixture generations store events.ts as Parquet TIMESTAMP(NANOS), which
+# Spark's reader rejects outright; others use TIMESTAMP(MICROS), which reads
+# natively. Probing the parquet footer (not assuming either) keeps both
+# encodings correct: nanos -> read as raw long (legacy mode) and truncate to
+# micros (matches DuckDB's nanos handling, so oracles agree); micros -> plain
+# declared-schema read.
+_EVENTS_NANOS_READ_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
         T.StructField("ts", T.LongType(), True),  # raw nanos
@@ -213,6 +215,19 @@ _EVENTS_READ_SCHEMA = T.StructType(
         T.StructField("props", T.StringType(), True),
     ]
 )
+
+
+def _timestamp_units(path: str) -> dict[str, str]:
+    """Map timestamp-typed column name -> parquet footer time unit ('us', 'ns', ...)."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    schema = pq.ParquetFile(path).schema_arrow
+    return {
+        field.name: field.type.unit
+        for field in schema
+        if pat.is_timestamp(field.type)
+    }
 
 
 #: per-session DataFrame cache — a DataFrame is an immutable plan, so
@@ -232,11 +247,11 @@ def load_table(spark, sf_dir: str, name: str):
     # query — pin the session timezone at first table load.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
-    if name == "events":
+    if name == "events" and _timestamp_units(path).get("ts") == "ns":
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.schema(_EVENTS_READ_SCHEMA).parquet(path)
+        df = spark.read.schema(_EVENTS_NANOS_READ_SCHEMA).parquet(path)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(path)
