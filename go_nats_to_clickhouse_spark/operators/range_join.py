@@ -28,6 +28,8 @@ post-filter. Both stay *correct* — only the constant factor moves.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -52,6 +54,7 @@ def range_join(
     bucket_width: float,
     closed: str = "left",
     equi: list[tuple[str, str]] | None = None,
+    min_buckets: int | None = None,
 ) -> DataFrame:
     """Join ``left`` rows whose ``point`` falls inside ``right``'s
     ``[start, end]`` interval, as a bucketed equi-join.
@@ -60,6 +63,15 @@ def range_join(
     "right" ((start, end]), "both" ([start, end]), "neither".
     equi: optional extra equi-key pairs ``(left_col, right_col)`` ANDed
     into the join; they tighten the shuffle partitioning for free.
+    min_buckets: occupancy guard. When set, probe the point column's span
+    (one column-pruned min/max agg — parquet footer stats make it cheap)
+    and, if ``span / bucket_width`` would yield fewer buckets than this,
+    shrink the width to ``span / min_buckets``. A time axis that is far
+    more compressed than the caller assumed (skewed ingest, fixture drift,
+    clock-unit bugs) then degrades to a narrower-bucket equi-join instead
+    of collapsing every row into ~1 bucket and going quadratic inside it.
+    Any positive width is *correct* — only the constant factor moves — so
+    the guard never changes results.
 
     Column names must be disjoint between the two sides (alias before
     calling) — the result carries all columns from both.
@@ -69,6 +81,22 @@ def range_join(
     overlap = set(left.columns) & set(right.columns)
     if overlap:
         raise ValueError(f"column names must be disjoint; shared: {sorted(overlap)}")
+
+    if min_buckets is not None and min_buckets > 0:
+        lo, hi = left.select(
+            F.min(F.col(point).cast("double")), F.max(F.col(point).cast("double"))
+        ).first()
+        if lo is not None and hi is not None and hi > lo:
+            span = hi - lo
+            if span / bucket_width < min_buckets:
+                adapted = span / min_buckets
+                warnings.warn(
+                    f"range_join: point span {span:.3g}s yields only "
+                    f"{span / bucket_width:.1f} buckets at width {bucket_width:g}; "
+                    f"shrinking width to {adapted:.3g} for {min_buckets} buckets",
+                    stacklevel=2,
+                )
+                bucket_width = adapted
 
     lb, rb = "__rj_bucket_l", "__rj_bucket_r"
     lhs = left.withColumn(lb, _bucket(F.col(point), bucket_width))

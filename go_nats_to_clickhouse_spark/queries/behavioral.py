@@ -201,6 +201,11 @@ def range_join_incident_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         end="end_ts",
         bucket_width=900,
         closed="left",
+        # Occupancy guard: if the time axis turns out far more compressed
+        # than 15-minute buckets assume (skew, fixture drift), shrink the
+        # width so the equi-join keeps >=128 buckets instead of going
+        # quadratic inside ~1 giant bucket.
+        min_buckets=128,
     )
     return joined.groupBy("incident_id").agg(
         F.count(F.lit(1)).alias("n_events"),

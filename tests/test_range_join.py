@@ -115,6 +115,58 @@ def test_rejects_overlapping_columns_and_bad_closed(spark):
         range_join(df, other, point="x", start="lo", end="hi", bucket_width=1, closed="open")
 
 
+def test_occupancy_guard_adapts_width_on_degenerate_span(spark):
+    # A time axis 1000x more compressed than the caller assumed (the round-2
+    # fixture-drift failure mode): all points within 7.2 s, caller asks for
+    # 900 s buckets => every row in ~1 bucket. With min_buckets the width
+    # shrinks, results stay identical to the naive join, and the bucket
+    # column actually spreads.
+    base = dt.datetime(2024, 1, 1)
+    points = spark.createDataFrame(
+        [(i, base + dt.timedelta(milliseconds=7 * i)) for i in range(1000)],
+        "pid long, pts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (100 + j, base + dt.timedelta(milliseconds=700 * j),
+             base + dt.timedelta(milliseconds=700 * j + 350))
+            for j in range(10)
+        ],
+        "iid long, istart timestamp, iend timestamp",
+    )
+    with pytest.warns(UserWarning, match="shrinking width"):
+        got = range_join(
+            points, intervals,
+            point="pts", start="istart", end="iend",
+            bucket_width=900, closed="left", min_buckets=64,
+        )
+    want = _naive(points, intervals, "left")
+    key = lambda df: sorted(tuple(r) for r in df.select("pid", "iid").collect())
+    assert key(got) == key(want)
+
+
+def test_occupancy_guard_noop_on_healthy_span(spark):
+    # Healthy axis: span/width >= min_buckets, so no warning and identical
+    # results with and without the guard.
+    points, intervals = _points(spark), _intervals(spark)
+    import warnings as w
+
+    with w.catch_warnings():
+        w.simplefilter("error")  # any warning -> test failure
+        got = range_join(
+            points, intervals,
+            point="pts", start="istart", end="iend",
+            bucket_width=60, closed="left", min_buckets=32,
+        )
+        n = got.count()
+    base = range_join(
+        points, intervals,
+        point="pts", start="istart", end="iend",
+        bucket_width=60, closed="left",
+    )
+    assert n == base.count()
+
+
 def test_plan_is_equi_join_not_nested_loop(spark):
     points, intervals = _points(spark), _intervals(spark)
     plan = range_join(
