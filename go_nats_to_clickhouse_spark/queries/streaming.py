@@ -35,9 +35,10 @@ _FIXTURE_CACHE: dict[tuple[str, int], str] = {}
 def _events_stream(
     spark: SparkSession, sf_dir: str, copies: int = 1
 ) -> tuple[DataFrame, str]:
-    """File-source stream over a rewritten events fixture (micros
-    timestamps — the raw fixture is TIMESTAMP(NANOS), unreadable by a
-    schema-less readStream). Returns (stream_df, per_run_tmp_dir)."""
+    """File-source stream over a rewritten events fixture. The rewrite
+    goes through ``load_table`` so whatever timestamp encoding the raw
+    fixture carries (NANOS round 1, MICROS round 2+ — see schemas.py), the
+    stream always reads clean micros. Returns (stream_df, per_run_tmp_dir)."""
     key = (sf_dir, copies)
     data_dir = _FIXTURE_CACHE.get(key)
     if data_dir is None or not os.path.isdir(data_dir):
@@ -57,6 +58,18 @@ def _events_stream(
     return spark.readStream.schema(schema).parquet(data_dir), tmp
 
 
+#: State-store partition count for the finite fixture runs. Stateful
+#: operators pin their partitioning at the FIRST checkpoint (changing it
+#: later needs a state migration), and every partition pays a fixed
+#: per-micro-batch commit cost (delta file + fsync per state store
+#: instance — a stream-stream join carries 4 per partition). So state
+#: partitions must be sized to stream VOLUME: at 100 TB you want
+#: hundreds, but inheriting the batch engine's 32 for a ~100k-row fixture
+#: made commit overhead 80%+ of wall time (measured: the same join ran
+#: 10 s at 32 partitions, 2.8 s at 8).
+_STATE_PARTITIONS = 8
+
+
 def _run_to_table(stream_df: DataFrame, mode: str, tmp: str) -> DataFrame:
     """Execute the streaming plan to completion into a memory sink and
     return the sink table (bounded: the fixture is finite). The temp
@@ -64,19 +77,35 @@ def _run_to_table(stream_df: DataFrame, mode: str, tmp: str) -> DataFrame:
     its rows independently of the source files."""
     import shutil
 
+    spark = stream_df.sparkSession
     name = "s" + uuid.uuid4().hex[:12]
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .start()
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    saved_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
     )
+    # No-data micro-batches only evict expired state — useful for an
+    # unbounded stream, pure overhead for a finite fixture that is fully
+    # drained and then stopped (measured: the eviction batch costs as much
+    # as the data batch). Inner-join matches and complete-mode aggregates
+    # all emit in the data batch, so skipping eviction never drops rows.
+    spark.conf.set("spark.sql.shuffle.partitions", str(_STATE_PARTITIONS))
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
-        q.processAllAvailable()
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            shutil.rmtree(tmp, ignore_errors=True)
     finally:
-        q.stop()
-        shutil.rmtree(tmp, ignore_errors=True)
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", saved_nodata)
     return stream_df.sparkSession.table(name)
 
 
