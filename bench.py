@@ -60,6 +60,41 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "queries": {k: round(v, 2) for k, v in timings.items()},
     }
+    # Pre-snapshot correctness gate: a bench number for a WRONG query is
+    # worse than no number (round 2 recorded a green-looking bench while the
+    # flagship silently returned 1970-era timestamps). Before recording,
+    # re-verify the flagship + the streaming rows against the DuckDB oracle
+    # at sf0.001; on any mismatch, record nothing and exit non-zero.
+    from tools.selfcheck import check_queries, make_oracle_connection
+
+    gate_sf = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.001")
+    gate_queries = [
+        "mv_analytics_projection",
+        "streaming_tumbling_daily",
+        "streaming_sliding_12h",
+        "streaming_session_windows",
+        "streaming_dedup_counts",
+        "streaming_stream_stream_join",
+    ]
+    import contextlib
+
+    with contextlib.redirect_stdout(sys.stderr):  # keep stdout JSON-only
+        gate_failures = check_queries(
+            spark, make_oracle_connection(gate_sf), gate_sf, gate_queries
+        )
+    if gate_failures:
+        spark.stop()
+        print(
+            json.dumps(
+                {
+                    "metric": "total_query_wall_seconds",
+                    "error": f"pre-snapshot gate failed: {' '.join(gate_failures)}",
+                }
+            ),
+            flush=True,
+        )
+        sys.exit(1)
+
     # Stop Spark BEFORE printing so no JVM shutdown chatter lands after (or
     # interleaved with) the JSON lines a harness scrapes from the tail.
     spark.stop()

@@ -39,40 +39,63 @@ def connected_components(
     min node id reachable. Converges when a full round changes no label."""
     from pyspark import StorageLevel
 
+    spark = edges.sparkSession
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     und = fwd.union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
     und = und.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    n_edges = und.count()  # materializes the persist; also sizes the loop
 
-    labels = (
-        und.select(F.col("u").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
-    )
+    # Iteration cost is (jobs/round) x (fixed per-partition overhead), so
+    # over-partitioning a small label table multiplies pure overhead by the
+    # round count. Size the shuffle width to the edge count (~500k edges
+    # per partition) instead of inheriting the engine-wide default; a
+    # 100 TB pair graph scales the same formula up, capped by the session
+    # conf. Restored after the loop.
+    conf_key = "spark.sql.shuffle.partitions"
+    saved_parts = spark.conf.get(conf_key)
+    parts = max(4, min(int(saved_parts), 1 + n_edges // 500_000))
+    spark.conf.set(conf_key, str(parts))
+    try:
+        # Pre-hash und by the per-round join key: Catalyst sees the existing
+        # HashPartitioning(v, parts) and skips re-exchanging the (static)
+        # edge side every round — only the small evolving label table moves.
+        und_by_v = und.repartition(parts, "v").persist(StorageLevel.MEMORY_AND_DISK)
 
-    for _ in range(max_iter):
-        neigh = (
-            und.join(labels, und["v"] == labels["node"])
-            .groupBy("u")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        # Carry the pre-step label through the checkpoint so convergence
-        # detection is a filter over the materialized frame, not a second
-        # node==node join per round.
-        stepped = (
-            labels.join(neigh, labels["node"] == neigh["u"], "left")
-            .select(
-                "node",
-                F.col("label").alias("old_label"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
-            )
+        labels = (
+            und.select(F.col("u").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
             .localCheckpoint()
         )
-        changed = stepped.filter(F.col("label") != F.col("old_label")).count()
-        labels = stepped.select("node", "label")
-        if changed == 0:
-            break
-    und.unpersist()
+
+        for _ in range(max_iter):
+            neigh = (
+                und_by_v.join(labels, und_by_v["v"] == labels["node"])
+                .groupBy("u")
+                .agg(F.min("label").alias("nlabel"))
+            )
+            # Carry the pre-step label through the checkpoint so convergence
+            # detection is a filter over the materialized frame, not a second
+            # node==node join per round. The checkpoint is LAZY: the changed
+            # count below is the action that materializes it, so each round
+            # runs one job, not two.
+            stepped = (
+                labels.join(neigh, labels["node"] == neigh["u"], "left")
+                .select(
+                    "node",
+                    F.col("label").alias("old_label"),
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            changed = stepped.filter(F.col("label") != F.col("old_label")).count()
+            labels = stepped.select("node", "label")
+            if changed == 0:
+                break
+        und_by_v.unpersist()
+        und.unpersist()
+    finally:
+        spark.conf.set(conf_key, saved_parts)
     return labels.select("node", F.col("label").alias("component"))

@@ -87,23 +87,26 @@ def _hash_pdf(df: pd.DataFrame) -> str:
     return h.hexdigest()[:16]
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
+def make_oracle_connection(sf_dir: str):
+    """DuckDB connection with the testdata tables registered as views,
+    mirroring the driver's oracle setup."""
     import duckdb
 
-    import __spark_entry__ as entrymod
-    from go_nats_to_clickhouse_spark.config import EngineConfig
-    from go_nats_to_clickhouse_spark.session import get_spark
-
-    spark = get_spark(EngineConfig(shuffle_partitions=8), app_name="selfcheck")
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
 
+
+def check_queries(spark, con, sf_dir: str, only=()) -> list[str]:
+    """Run each named query (all when ``only`` is empty) against its DuckDB
+    oracle and return the list of failing query names. Reusable by
+    bench.py's pre-snapshot gate as well as the CLI below."""
+    import __spark_entry__ as entrymod
+
+    only = set(only)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
@@ -151,7 +154,19 @@ def main() -> int:
     print(f"\n{len(failures)} failures / {len(qs)} queries")
     if failures:
         print("failed:", " ".join(failures))
-    return 1 if failures else 0
+    return failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:]
+
+    from go_nats_to_clickhouse_spark.config import EngineConfig
+    from go_nats_to_clickhouse_spark.session import get_spark
+
+    spark = get_spark(EngineConfig(shuffle_partitions=8), app_name="selfcheck")
+    con = make_oracle_connection(sf_dir)
+    return 1 if check_queries(spark, con, sf_dir, only) else 0
 
 
 if __name__ == "__main__":
