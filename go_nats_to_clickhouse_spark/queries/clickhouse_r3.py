@@ -1,0 +1,274 @@
+"""Round-3 ClickHouse-analog widening: IP & encoding scalar families, the
+weighted exact quantile, and a windowFunnel behavioral analog.
+
+The reference delegates its whole ad-hoc surface to ClickHouse
+(SURVEY.md §2.7); these cover four ClickHouse families the registry did
+not yet exercise:
+
+* IPv4 functions (``IPv4StringToNum`` / ``IPv4NumToString`` /
+  ``isIPv4String`` / CIDR) — init.sql keeps addresses as raw strings, so
+  parsing stays query-side, all codegen expressions.
+* encoding functions (``hex`` / ``unhex`` / ``base64Encode`` /
+  ``base64Decode``) — round-trip proofs, map-only.
+* ``quantileExactWeighted`` — Spark's exact ``percentile`` with its
+  frequency argument; the oracle replays the weighted multiset by lateral
+  expansion.
+* ``windowFunnel(3600)`` — deepest view→click→purchase chain within one
+  hour of the entry view, built ON the bucketized ``range_join`` operator
+  (the scalable point-in-interval shape), not a per-row subquery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_nats_to_clickhouse_spark.queries.registry import query
+from go_nats_to_clickhouse_spark.schemas import load_table
+
+
+@query(
+    "scalar_ip_functions",
+    """
+WITH ips AS (
+  SELECT event_id,
+         concat(CASE WHEN user_id % 2 = 0 THEN '10' ELSE '203' END, '.',
+                CAST(user_id % 256 AS VARCHAR), '.',
+                CAST((event_id // 256) % 256 AS VARCHAR), '.',
+                CAST(event_id % 256 AS VARCHAR)) AS ip
+  FROM events WHERE event_id < 2000
+),
+octets AS (
+  SELECT event_id, ip,
+         CAST(split_part(ip, '.', 1) AS BIGINT) AS a,
+         CAST(split_part(ip, '.', 2) AS BIGINT) AS b,
+         CAST(split_part(ip, '.', 3) AS BIGINT) AS c,
+         CAST(split_part(ip, '.', 4) AS BIGINT) AS d
+  FROM ips
+)
+SELECT event_id, ip,
+       a * 16777216 + b * 65536 + c * 256 + d AS ip_num,
+       concat(CAST(a AS VARCHAR), '.', CAST(b AS VARCHAR), '.',
+              CAST(c AS VARCHAR), '.', CAST(d AS VARCHAR)) AS ip_roundtrip,
+       (a = 10) OR (a = 192 AND b = 168) OR (a = 172 AND b BETWEEN 16 AND 31)
+         AS is_private,
+       concat(CAST(a AS VARCHAR), '.', CAST(b AS VARCHAR), '.',
+              CAST(c AS VARCHAR), '.0/24') AS cidr24
+FROM octets
+ORDER BY event_id
+""",
+)
+def scalar_ip_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse IPv4 family (``IPv4StringToNum``, ``IPv4NumToString``,
+    ``isIPv4String``-style private-range check, ``IPv4CIDRToRange``) over
+    an address synthesized from event columns. Everything is a codegen
+    expression over ``split`` — no UDF, no shuffle; the oracle re-derives
+    the same arithmetic from ``split_part``."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    ip = F.concat_ws(
+        ".",
+        F.when(F.col("user_id") % 2 == 0, F.lit("10")).otherwise(F.lit("203")),
+        (F.col("user_id") % 256).cast("string"),
+        ((F.col("event_id") / 256).cast("long") % 256).cast("string"),
+        (F.col("event_id") % 256).cast("string"),
+    )
+    ipd = e.select("event_id", ip.alias("ip"))
+    oct_ = F.split(F.col("ip"), r"\.")
+    a = oct_.getItem(0).cast("long")
+    b = oct_.getItem(1).cast("long")
+    c = oct_.getItem(2).cast("long")
+    d = oct_.getItem(3).cast("long")
+    return (
+        ipd.select(
+            "event_id",
+            "ip",
+            (a * 16777216 + b * 65536 + c * 256 + d).alias("ip_num"),
+            F.concat_ws(
+                ".",
+                a.cast("string"),
+                b.cast("string"),
+                c.cast("string"),
+                d.cast("string"),
+            ).alias("ip_roundtrip"),
+            (
+                (a == 10)
+                | ((a == 192) & (b == 168))
+                | ((a == 172) & b.between(16, 31))
+            ).alias("is_private"),
+            F.concat(
+                F.concat_ws(".", a.cast("string"), b.cast("string"), c.cast("string")),
+                F.lit(".0/24"),
+            ).alias("cidr24"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "scalar_encoding_functions",
+    """
+SELECT doc_id,
+       hex(source) AS hex_source,
+       decode(unhex(hex(source))) = source AS hex_roundtrip_ok,
+       base64(CAST(lang AS BLOB)) AS b64_lang,
+       decode(from_base64(base64(CAST(lang AS BLOB)))) = lang AS b64_roundtrip_ok,
+       CAST(octet_length(CAST(source AS BLOB)) AS INT) AS source_bytes
+FROM documents
+ORDER BY doc_id
+""",
+)
+def scalar_encoding_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse encoding family (``hex``/``unhex``, ``base64Encode``/
+    ``base64Decode``) with round-trip proofs. Map-only codegen; Spark and
+    DuckDB must agree on the exact hex casing and base64 alphabet for the
+    value hash to match, which is the point of the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.hex(F.col("source")).alias("hex_source"),
+            (F.decode(F.unhex(F.hex(F.col("source"))), "UTF-8") == F.col("source"))
+            .alias("hex_roundtrip_ok"),
+            F.base64(F.col("lang").cast("binary")).alias("b64_lang"),
+            (
+                F.decode(F.unbase64(F.base64(F.col("lang").cast("binary"))), "UTF-8")
+                == F.col("lang")
+            ).alias("b64_roundtrip_ok"),
+            F.octet_length(F.col("source")).cast("int").alias("source_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "agg_quantile_exact_weighted",
+    """
+SELECT l_returnflag,
+       CAST(round(quantile_cont(l_quantity, 0.5), 6) AS DOUBLE) AS wmedian,
+       CAST(round(quantile_cont(l_quantity, 0.9), 6) AS DOUBLE) AS wp90
+FROM (SELECT l_returnflag, l_quantity
+      FROM lineitem, unnest(range(1, CAST(l_linenumber AS INT) + 1)))
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_quantile_exact_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantileExactWeighted(q)(x, w)`` analog: Spark's exact
+    ``percentile`` aggregate takes a frequency column directly, so the
+    weighted multiset never materializes — weights ride the partial
+    aggregate through the shuffle (O(distinct values) state, not O(sum of
+    weights)). The oracle proves the semantics by physically expanding
+    each row ``weight`` times and taking the continuous quantile."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.expr("percentile(l_quantity, 0.5, l_linenumber)"), 6
+            ).alias("wmedian"),
+            F.round(
+                F.expr("percentile(l_quantity, 0.9, l_linenumber)"), 6
+            ).alias("wp90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "window_funnel_depth",
+    """
+WITH views AS (
+  SELECT event_id AS vid, user_id AS v_user, ts AS vts
+  FROM events WHERE event_type = 'view'
+),
+in_window AS (
+  SELECT v.vid, v.v_user, v.vts, e.event_type, e.ts
+  FROM views v
+  JOIN events e
+    ON e.user_id = v.v_user AND e.ts > v.vts
+   AND e.ts <= v.vts + INTERVAL 1 HOUR
+   AND e.event_type IN ('click', 'purchase')
+),
+per_view AS (
+  SELECT vid, v_user,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+  FROM in_window
+  GROUP BY vid, v_user
+),
+depth_per_view AS (
+  SELECT v.v_user,
+         1 + CASE WHEN p.first_click IS NOT NULL THEN 1 ELSE 0 END
+           + CASE WHEN p.first_click IS NOT NULL
+                   AND p.last_purchase > p.first_click THEN 1 ELSE 0 END
+           AS depth
+  FROM views v LEFT JOIN per_view p ON v.vid = p.vid
+)
+SELECT v_user AS user_id, CAST(max(depth) AS INT) AS funnel_depth
+FROM depth_per_view
+GROUP BY v_user
+ORDER BY user_id
+""",
+)
+def window_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(3600)(ts, view, click, purchase)`` analog:
+    per user, the deepest view -> click -> purchase chain where every later
+    step lands within one hour of the entry view (a click exists strictly
+    after the view, and a purchase strictly after that click, inside the
+    window; ``min(click) < max(purchase)`` within the window is equivalent
+    to "some click precedes some purchase").
+
+    Scale shape: the per-view hour window is a point-in-interval problem,
+    so it runs on the bucketized ``range_join`` operator with ``user_id``
+    as an extra equi key — a shuffle equi-join on (bucket, user), never a
+    per-row subquery or nested loop."""
+    from go_nats_to_clickhouse_spark.operators.range_join import range_join
+
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("vts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("vend"),
+    )
+    steps = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_type").alias("s_type"),
+        F.col("ts").alias("s_ts"),
+    )
+    hits = range_join(
+        steps,
+        views,
+        point="s_ts",
+        start="vts",
+        end="vend",
+        bucket_width=3600,
+        closed="right",  # (vts, vts + 1h]: strictly after the view
+        equi=[("s_user", "v_user")],
+    )
+    per_view = hits.groupBy("vid", "v_user").agg(
+        F.min(F.when(F.col("s_type") == "click", F.col("s_ts"))).alias("first_click"),
+        F.max(F.when(F.col("s_type") == "purchase", F.col("s_ts"))).alias(
+            "last_purchase"
+        ),
+    )
+    depth = (
+        views.join(per_view, ["vid", "v_user"], "left")
+        .select(
+            "v_user",
+            (
+                F.lit(1)
+                + F.when(F.col("first_click").isNotNull(), 1).otherwise(0)
+                + F.when(
+                    F.col("first_click").isNotNull()
+                    & (F.col("last_purchase") > F.col("first_click")),
+                    1,
+                ).otherwise(0)
+            ).alias("depth"),
+        )
+    )
+    return (
+        depth.groupBy(F.col("v_user").alias("user_id"))
+        .agg(F.max("depth").cast("int").alias("funnel_depth"))
+        .orderBy("user_id")
+    )
