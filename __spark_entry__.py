@@ -56,6 +56,9 @@ _PRIORITY = [
     "scalar_encoding_functions",
     "agg_quantile_exact_weighted",
     "window_funnel_depth",
+    "agg_time_decayed_avg",
+    "agg_sequence_count",
+    "agg_bitmap_cardinalities",
     # never sampled by any driver round
     "agg_approx_percentile_bounds",
     "q2_best_supplier_per_part",

@@ -2,7 +2,7 @@
 weighted exact quantile, and a windowFunnel behavioral analog.
 
 The reference delegates its whole ad-hoc surface to ClickHouse
-(SURVEY.md §2.7); these cover four ClickHouse families the registry did
+(SURVEY.md §2.7); these cover ClickHouse families the registry did
 not yet exercise:
 
 * IPv4 functions (``IPv4StringToNum`` / ``IPv4NumToString`` /
@@ -16,6 +16,12 @@ not yet exercise:
 * ``windowFunnel(3600)`` — deepest view→click→purchase chain within one
   hour of the entry view, built ON the bucketized ``range_join`` operator
   (the scalable point-in-interval shape), not a per-row subquery.
+* ``exponentialTimeDecayedSum/Avg`` — telescoped into one running window
+  sum (no history self-join).
+* ``sequenceCount('(?1)(?2)')`` — the greedy automaton collapsed to a
+  stateless lag expression.
+* ``groupBitmap`` cardinalities (AND/OR set algebra) — membership flags
+  through a partial aggregate instead of serialized bitmaps.
 """
 
 from __future__ import annotations
@@ -271,4 +277,183 @@ def window_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         depth.groupBy(F.col("v_user").alias("user_id"))
         .agg(F.max("depth").cast("int").alias("funnel_depth"))
         .orderBy("user_id")
+    )
+
+
+@query(
+    "agg_time_decayed_avg",
+    """
+WITH t0 AS (
+  SELECT user_id, ts, value,
+         epoch_us(ts) / 1000000.0
+           - min(epoch_us(ts) / 1000000.0) OVER (PARTITION BY user_id) AS trel
+  FROM events WHERE user_id < 200
+),
+acc AS (
+  SELECT user_id, ts, trel,
+         sum(value * exp(trel / 86400.0))
+           OVER (PARTITION BY user_id ORDER BY ts, trel
+                 ROWS UNBOUNDED PRECEDING) AS wsum,
+         sum(exp(trel / 86400.0))
+           OVER (PARTITION BY user_id ORDER BY ts, trel
+                 ROWS UNBOUNDED PRECEDING) AS wcnt
+  FROM t0
+)
+SELECT user_id, ts,
+       CAST(round(exp(-trel / 86400.0) * wsum, 6) AS DOUBLE) AS decayed_sum,
+       CAST(round((exp(-trel / 86400.0) * wsum)
+                  / (exp(-trel / 86400.0) * wcnt), 6) AS DOUBLE) AS decayed_avg
+FROM acc
+ORDER BY user_id, ts
+""",
+)
+def agg_time_decayed_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``exponentialTimeDecayedSum/Avg(tau)(v, t)`` analog with
+    a one-day time constant: every prior event's value decays by
+    ``exp(-(t_i - t_j)/tau)``.
+
+    Spark-first trick: the decayed sum telescopes —
+    ``exp(-t_i/tau) * running_sum(v_j * exp(t_j/tau))`` — so the whole
+    operator is ONE running window sum plus map-side exponentials (no
+    self-join over history, no UDF). Timestamps are re-based per user
+    (t - min(t)) to keep ``exp(t/tau)`` inside double range; both engines
+    accumulate left-to-right in the same order, so results agree bit-for-
+    bit before the 6-dp rounding."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    from pyspark.sql.window import Window
+
+    tau = 86400.0
+    wuser = Window.partitionBy("user_id")
+    # unix_micros / 1e6, NOT unix_timestamp: the latter truncates to whole
+    # seconds while the oracle's epoch keeps the microsecond fraction, and
+    # a sub-second disagreement in t feeds straight into exp(t/tau).
+    tsec = F.unix_micros("ts").cast("double") / F.lit(1000000.0)
+    t0 = e.select(
+        "user_id",
+        "ts",
+        "value",
+        (tsec - F.min(tsec).over(wuser)).alias("trel"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "trel")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    acc = t0.select(
+        "user_id",
+        "ts",
+        "trel",
+        F.sum(F.col("value") * F.exp(F.col("trel") / tau)).over(wrun).alias("wsum"),
+        F.sum(F.exp(F.col("trel") / tau)).over(wrun).alias("wcnt"),
+    )
+    decay = F.exp(-F.col("trel") / tau)
+    return acc.select(
+        "user_id",
+        "ts",
+        F.round(decay * F.col("wsum"), 6).alias("decayed_sum"),
+        F.round((decay * F.col("wsum")) / (decay * F.col("wcnt")), 6).alias(
+            "decayed_avg"
+        ),
+    ).orderBy("user_id", "ts")
+
+
+@query(
+    "agg_sequence_count",
+    """
+WITH vp AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events WHERE event_type IN ('view', 'purchase')
+)
+SELECT user_id,
+       CAST(count(CASE WHEN event_type = 'purchase' AND prev_type = 'view'
+                       THEN 1 END) AS BIGINT) AS n_sequences
+FROM vp
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def agg_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceCount('(?1)(?2)')(ts, view, purchase)`` analog:
+    how many non-overlapping view -> purchase chains per user (greedy
+    left-to-right matching, adjacent steps).
+
+    The greedy automaton collapses to a stateless window expression: over
+    the view/purchase subsequence in time order, each purchase whose
+    IMMEDIATELY preceding row is a view closes exactly one chain (a
+    maximal V-block followed by a P-block contributes one match), so the
+    count is ``count(cur = P and lag = V)`` — one shuffle, no iteration,
+    no UDF."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    vp = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        vp.groupBy("user_id")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("prev_type") == "view"),
+                    1,
+                )
+            ).alias("n_sequences")
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "agg_bitmap_cardinalities",
+    """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT CAST(sum(has_click) AS BIGINT) AS click_users,
+       CAST(sum(has_purchase) AS BIGINT) AS purchase_users,
+       CAST(sum(has_click * has_purchase) AS BIGINT) AS and_users,
+       CAST(sum(CASE WHEN has_click = 1 OR has_purchase = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS or_users
+FROM per_user
+""",
+)
+def agg_bitmap_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupBitmap`` family analog (``bitmapCardinality``,
+    ``bitmapAndCardinality``, ``bitmapOrCardinality`` over per-event-type
+    user-id bitmaps). Spark-first shape: the bitmap IS the distinct-key
+    set, so one partial-aggregating groupBy produces per-user membership
+    flags and a second map-side sum folds the set algebra — two shuffles
+    total, cardinality-bounded state, no serialized bitmap blobs."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "has_click"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "has_purchase"
+        ),
+    )
+    return per_user.agg(
+        F.sum("has_click").cast("long").alias("click_users"),
+        F.sum("has_purchase").cast("long").alias("purchase_users"),
+        F.sum(F.col("has_click") * F.col("has_purchase"))
+        .cast("long")
+        .alias("and_users"),
+        F.sum(
+            F.when((F.col("has_click") == 1) | (F.col("has_purchase") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("or_users"),
     )

@@ -114,3 +114,56 @@ def test_encoding_roundtrip_non_ascii(spark):
         (F.decode(F.unbase64(F.base64(F.col("s").cast("binary"))), "UTF-8") == F.col("s")).alias("b64_ok"),
     ).collect()
     assert all(r.hex_ok and r.b64_ok for r in out)
+
+
+def test_sequence_count_greedy_blocks(spark):
+    # Greedy non-overlapping view->purchase matching equals counting
+    # purchases whose immediately-preceding (filtered) row is a view:
+    # V V P P V P -> 2;  P V P -> 1;  V V -> 0;  P P -> 0.
+    from pyspark.sql.window import Window
+
+    rows = []
+    seqs = {1: "VVPPVP", 2: "PVP", 3: "VV", 4: "PP"}
+    for uid, s in seqs.items():
+        for i, ch in enumerate(s):
+            rows.append((uid * 100 + i, dt.datetime(2024, 1, 1, 0, 0, i), uid,
+                         "view" if ch == "V" else "purchase"))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    vp = df.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev"))
+    got = {
+        r.user_id: r.n
+        for r in vp.groupBy("user_id").agg(
+            F.count(F.when((F.col("event_type") == "purchase") & (F.col("prev") == "view"), 1)).alias("n")
+        ).collect()
+    }
+    assert got == {1: 2, 2: 1, 3: 0, 4: 0}
+
+
+def test_time_decayed_sum_telescoping_matches_direct(spark):
+    # The telescoped running-sum form must equal the direct
+    # sum-over-history definition sum_j v_j * exp(-(t_i - t_j)/tau).
+    import math
+
+    ts = [0.0, 10.0, 25.0, 100.0]
+    vals = [1.0, 2.0, 4.0, 8.0]
+    tau = 30.0
+    direct = [
+        sum(v * math.exp(-(t_i - t_j) / tau) for t_j, v in zip(ts, vals) if t_j <= t_i)
+        for t_i in ts
+    ]
+    rows = [(1, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), v) for s, v in zip(ts, vals)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    from pyspark.sql.window import Window
+
+    tsec = F.unix_micros("ts").cast("double") / F.lit(1e6)
+    wuser = Window.partitionBy("user_id")
+    wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (
+        df.select("user_id", "ts", "value", (tsec - F.min(tsec).over(wuser)).alias("trel"))
+        .select("trel", F.sum(F.col("value") * F.exp(F.col("trel") / tau)).over(wrun).alias("wsum"))
+        .select((F.exp(-F.col("trel") / tau) * F.col("wsum")).alias("ds"))
+        .collect()
+    )
+    for got, want in zip([r.ds for r in out], direct):
+        assert abs(got - want) < 1e-9
