@@ -59,6 +59,7 @@ _PRIORITY = [
     "agg_time_decayed_avg",
     "agg_sequence_count",
     "agg_bitmap_cardinalities",
+    "scalar_geo_functions",
     # never sampled by any driver round
     "agg_approx_percentile_bounds",
     "q2_best_supplier_per_part",

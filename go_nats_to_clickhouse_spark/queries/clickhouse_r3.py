@@ -457,3 +457,73 @@ def agg_bitmap_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("or_users"),
     )
+
+
+@query(
+    "scalar_geo_functions",
+    """
+WITH pts AS (
+  SELECT event_id,
+         -60.0 + (user_id % 120) * 1.0 + (event_id % 97) / 97.0 AS lat,
+         -180.0 + ((event_id * 7) % 360) * 1.0 + (event_id % 89) / 89.0 AS lon
+  FROM events WHERE event_id < 2000
+)
+SELECT event_id,
+       CAST(round(lat, 6) AS DOUBLE) AS lat,
+       CAST(round(lon, 6) AS DOUBLE) AS lon,
+       CAST(round(
+         2 * 6371000.0 * asin(sqrt(
+           pow(sin(radians(lat - 52.52) / 2), 2)
+           + cos(radians(52.52)) * cos(radians(lat))
+             * pow(sin(radians(lon - 13.405) / 2), 2)
+         )) / 1000.0, 1) AS DOUBLE) AS km_to_berlin,
+       lat BETWEEN 35.0 AND 71.0 AND lon BETWEEN -10.0 AND 40.0
+         AS in_europe_bbox,
+       CAST(floor((lon + 180.0) / 30.0) * 12
+            + floor((lat + 90.0) / 15.0) AS BIGINT) AS geocell
+FROM pts
+ORDER BY event_id
+""",
+)
+def scalar_geo_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse geo family analog (``greatCircleDistance`` via haversine,
+    ``pointInPolygon``-style bounding box, ``geohashEncode``-style integer
+    cell id) over coordinates synthesized from event columns. All codegen
+    trig/arithmetic — no UDF, no shuffle; distance rounded to 0.1 km so
+    the value hash tolerates last-ulp libm differences between engines."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    lat = (
+        F.lit(-60.0)
+        + (F.col("user_id") % 120).cast("double")
+        + (F.col("event_id") % 97).cast("double") / 97.0
+    )
+    lon = (
+        F.lit(-180.0)
+        + ((F.col("event_id") * 7) % 360).cast("double")
+        + (F.col("event_id") % 89).cast("double") / 89.0
+    )
+    pts = e.select("event_id", lat.alias("lat"), lon.alias("lon"))
+    dlat = F.radians(F.col("lat") - 52.52) / 2
+    dlon = F.radians(F.col("lon") - 13.405) / 2
+    hav = (
+        F.pow(F.sin(dlat), 2)
+        + F.cos(F.radians(F.lit(52.52)))
+        * F.cos(F.radians(F.col("lat")))
+        * F.pow(F.sin(dlon), 2)
+    )
+    km = 2 * 6371000.0 * F.asin(F.sqrt(hav)) / 1000.0
+    return pts.select(
+        "event_id",
+        F.round(F.col("lat"), 6).alias("lat"),
+        F.round(F.col("lon"), 6).alias("lon"),
+        F.round(km, 1).alias("km_to_berlin"),
+        (
+            F.col("lat").between(35.0, 71.0) & F.col("lon").between(-10.0, 40.0)
+        ).alias("in_europe_bbox"),
+        (
+            F.floor((F.col("lon") + 180.0) / 30.0) * 12
+            + F.floor((F.col("lat") + 90.0) / 15.0)
+        )
+        .cast("long")
+        .alias("geocell"),
+    ).orderBy("event_id")
