@@ -60,6 +60,7 @@ _PRIORITY = [
     "agg_sequence_count",
     "agg_bitmap_cardinalities",
     "scalar_geo_functions",
+    "dedup_incremental_new_batch",
     # never sampled by any driver round
     "agg_approx_percentile_bounds",
     "q2_best_supplier_per_part",

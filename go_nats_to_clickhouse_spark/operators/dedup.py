@@ -103,6 +103,28 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
     )
 
 
+def band_buckets(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc_id, band, bucket) — md5 bucket per signature band; the join key
+    LSH candidate generation (self- or cross-corpus) runs on."""
+    return sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        "sig",
+    ).select(
+        "doc_id",
+        "band",
+        F.md5(
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.slice(F.col("sig"), F.col("band") * rows + 1, rows),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("bucket"),
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, bands: int = 4, rows: int = 4, max_bucket: int | None = 1024
 ) -> DataFrame:
@@ -124,23 +146,7 @@ def lsh_candidate_pairs(
     instead of 5·10¹¹. ``max_bucket=None`` disables the guard (exact
     all-pairs everywhere — what the DuckDB oracle mirrors at test scale).
     """
-    banded = sig.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-        "sig",
-    ).select(
-        "doc_id",
-        "band",
-        F.md5(
-            F.concat_ws(
-                "-",
-                F.transform(
-                    F.slice(F.col("sig"), F.col("band") * rows + 1, rows),
-                    lambda x: x.cast("string"),
-                ),
-            )
-        ).alias("bucket"),
-    )
+    banded = band_buckets(sig, bands, rows)
     if max_bucket is None:
         left = right = banded
     else:
@@ -252,3 +258,49 @@ def simhash_bits(df: DataFrame, text_col: str = "text", bits: int = 60) -> DataF
         ]
     )
     return votes.select("doc_id", fp.alias("simhash_bits"))
+
+
+def incremental_lsh_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-corpus near-dup candidates: which existing corpus documents
+    does each NEW document collide with? Output
+    (new_id, corpus_id, est_jaccard).
+
+    This is the production incremental-ingest shape: the corpus is huge
+    (100 TB) and static per batch, the new batch is small. The corpus's
+    (doc_id, band, bucket) table is the *persistable index* — at scale it
+    is computed once, stored partitioned by bucket, and only scanned per
+    batch; here it is derived inline from the same signature pipeline.
+    The bucket join BROADCASTS the new side, so the corpus never shuffles
+    for candidate generation — the only corpus-wide shuffle is signature
+    construction, which the persisted index amortizes away.
+    """
+    rows = num_hashes // bands
+    new_sig = minhash_signatures(word_shingles(new_docs, n=shingle_n), num_hashes)
+    corp_sig = minhash_signatures(word_shingles(corpus_docs, n=shingle_n), num_hashes)
+    new_bands = band_buckets(new_sig, bands, rows).select(
+        F.col("doc_id").alias("new_id"), "band", "bucket"
+    )
+    corp_bands = band_buckets(corp_sig, bands, rows).select(
+        F.col("doc_id").alias("corpus_id"), "band", "bucket"
+    )
+    cand = (
+        corp_bands.join(F.broadcast(new_bands), ["band", "bucket"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sa = new_sig.select(F.col("doc_id").alias("new_id"), F.col("sig").alias("sig_a"))
+    sb = corp_sig.select(
+        F.col("doc_id").alias("corpus_id"), F.col("sig").alias("sig_b")
+    )
+    est = minhash_estimate(F.col("sig_a"), F.col("sig_b"), num_hashes)
+    return (
+        cand.join(F.broadcast(sa), "new_id")
+        .join(sb, "corpus_id")
+        .select("new_id", "corpus_id", F.round(est, 6).alias("est_jaccard"))
+    )

@@ -527,3 +527,72 @@ def scalar_geo_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("geocell"),
     ).orderBy("event_id")
+
+
+def _incremental_oracle() -> str:
+    from go_nats_to_clickhouse_spark.queries.text import _mh_mins_sql
+
+    mins = _mh_mins_sql(16)
+    sig_list = ", ".join(f"m{s}" for s in range(16))
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                  i -> concat_ws(' ', string_split(text, ' ')[i],
+                                 string_split(text, ' ')[i + 1],
+                                 string_split(text, ' ')[i + 2]))) AS shingle
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+  )
+),
+based AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS base FROM sh
+),
+mh AS (
+  SELECT doc_id,
+         {mins}
+  FROM based
+  GROUP BY doc_id
+),
+sig AS (SELECT doc_id, [{sig_list}] AS sig FROM mh),
+bands AS (
+  SELECT doc_id, band,
+         md5(array_to_string(list_transform(range(1, 5),
+             r -> CAST(sig[band * 4 + r] AS VARCHAR)), '-')) AS bucket
+  FROM sig, UNNEST(range(4)) AS t(band)
+),
+new_ids AS (SELECT doc_id FROM documents WHERE source IN ('src0', 'src1')),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM bands n
+  JOIN new_ids ni ON ni.doc_id = n.doc_id
+  JOIN bands c ON c.band = n.band AND c.bucket = n.bucket
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM new_ids)
+)
+SELECT new_id, corpus_id,
+  ROUND(list_sum(list_transform(range(1, 17),
+        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0, 6)
+    AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = new_id
+JOIN sig sb ON sb.doc_id = corpus_id
+"""
+
+
+@query("dedup_incremental_new_batch", _incremental_oracle())
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a small NEW batch (sources src0/src1) is
+    checked against the EXISTING corpus (every other source) for near-dup
+    collisions — the per-batch production shape where the corpus is 100 TB
+    and static and only the batch is fresh. The corpus band table acts as
+    the persistable index; the bucket join broadcasts the new side so the
+    corpus never shuffles for candidate generation
+    (operators/dedup.incremental_lsh_pairs)."""
+    from go_nats_to_clickhouse_spark.operators.dedup import incremental_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    is_new = F.col("source").isin("src0", "src1")
+    return incremental_lsh_pairs(
+        d.filter(is_new), d.filter(~is_new), num_hashes=16, bands=4, shingle_n=3
+    )
