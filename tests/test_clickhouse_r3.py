@@ -167,3 +167,24 @@ def test_time_decayed_sum_telescoping_matches_direct(spark):
     )
     for got, want in zip([r.ds for r in out], direct):
         assert abs(got - want) < 1e-9
+
+
+def test_incremental_lsh_cross_corpus_only(spark):
+    # A new doc identical to a corpus doc must collide (est_jaccard 1.0);
+    # new-new and corpus-corpus pairs must NOT be emitted.
+    from go_nats_to_clickhouse_spark.operators.dedup import incremental_lsh_pairs
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different words about unrelated topics entirely here now"
+    new_docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"  # 1 and 2 are near-dups of each other
+    )
+    corpus = spark.createDataFrame(
+        [(100, text), (101, other)], "doc_id long, text string"
+    )
+    got = incremental_lsh_pairs(new_docs, corpus, num_hashes=16, bands=4).collect()
+    pairs = {(r.new_id, r.corpus_id): r.est_jaccard for r in got}
+    assert pairs.get((1, 100)) == 1.0
+    assert pairs.get((2, 100)) == 1.0
+    assert all(cid != 101 for (_, cid) in pairs), "unrelated corpus doc collided"
+    assert all(nid in (1, 2) and cid == 100 for (nid, cid) in pairs)
