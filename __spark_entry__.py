@@ -36,6 +36,7 @@ _PRIORITY = [
     "streaming_session_windows",
     "streaming_dedup_counts",
     "streaming_stream_stream_join",
+    "streaming_static_enrich",
     # fixed this round: flagship + MV cascade (latent-red in r2)
     "mv_analytics_projection",
     "mv_union_streams_monthly",

@@ -256,3 +256,43 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("user_id", "click_ts", "purchase_ts")
     return _run_to_table(joined, "append", tmp)
+
+
+@query(
+    "streaming_static_enrich",
+    """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(round(sum(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+WHERE e.event_type = 'purchase'
+GROUP BY c.c_mktsegment
+""",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment executed AS A STREAM: purchase events join
+    a static dimension (customer market segment) per micro-batch. The
+    static side is broadcast — the canonical dimension-join shape where
+    the stream never shuffles for the join and the dim re-reads per batch
+    (picking up slowly-changing updates). The memory sink holds enriched
+    rows; the aggregate over the sink equals the batch join the oracle
+    runs."""
+    from pyspark.sql.functions import broadcast
+
+    from go_nats_to_clickhouse_spark.queries.util import dec, dsum
+
+    stream, tmp = _events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select("user_id", "value")
+        .join(broadcast(dim), F.col("user_id") == F.col("c_custkey"), "inner")
+        .select("c_mktsegment", "value")
+    )
+    tbl = _run_to_table(enriched, "append", tmp)
+    return tbl.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        dsum(dec("value"), "total_value"),
+    )
