@@ -62,6 +62,8 @@ _PRIORITY = [
     "agg_bitmap_cardinalities",
     "scalar_geo_functions",
     "dedup_incremental_new_batch",
+    "scalar_rounding_functions",
+    "agg_cramers_v",
     # never sampled by any driver round
     "agg_approx_percentile_bounds",
     "q2_best_supplier_per_part",

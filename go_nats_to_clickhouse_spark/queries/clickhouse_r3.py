@@ -596,3 +596,120 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_lsh_pairs(
         d.filter(is_new), d.filter(~is_new), num_hashes=16, bands=4, shingle_n=3
     )
+
+
+@query(
+    "scalar_rounding_functions",
+    """
+SELECT l_orderkey, l_linenumber,
+       CAST(round_even(l_extendedprice / 128.0, 1) AS DOUBLE) AS bankers_1dp,
+       CAST(pow(2, floor(log2(l_extendedprice))) AS DOUBLE) AS to_exp2,
+       CAST(CASE
+         WHEN l_quantity < 1 THEN 0 WHEN l_quantity < 10 THEN 1
+         WHEN l_quantity < 30 THEN 10 WHEN l_quantity < 60 THEN 30
+         ELSE 60 END AS BIGINT) AS duration_bucket,
+       printf('%.2f KiB', floor(l_extendedprice / 1024.0 * 100) / 100)
+         AS readable_size
+FROM lineitem
+WHERE l_orderkey < 400
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def scalar_rounding_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse rounding family (``roundBankers``, ``roundToExp2``,
+    ``roundDuration``-style bucket ladder, ``formatReadableSize``-style
+    rendering). ``bround`` is Spark's banker's rounding (HALF_EVEN) and
+    must agree with DuckDB's ``round_even`` on the same doubles; the rest
+    are pure expression ladders."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 400)
+    return (
+        l.select(
+            "l_orderkey",
+            "l_linenumber",
+            # /128 (exact binary shift), NOT /100: a 2-dp price over 100
+            # can land at a decimal .x5 tie whose nearest double sits just
+            # off it — Spark's bround judges the tie on the shortest
+            # decimal repr while DuckDB's round_even judges the binary
+            # value, and they disagree (565.45 -> 565.4 vs 565.5). After
+            # /128 the only representable 1-dp ties are exact binary
+            # quarters, which both engines see identically.
+            F.bround(F.col("l_extendedprice") / 128.0, 1).alias("bankers_1dp"),
+            F.pow(F.lit(2.0), F.floor(F.log2("l_extendedprice"))).alias("to_exp2"),
+            F.when(F.col("l_quantity") < 1, 0)
+            .when(F.col("l_quantity") < 10, 1)
+            .when(F.col("l_quantity") < 30, 10)
+            .when(F.col("l_quantity") < 60, 30)
+            .otherwise(60)
+            .cast("long")
+            .alias("duration_bucket"),
+            # floor to 2dp BEFORE formatting: printf's own half-rounding
+            # differs between the JVM (HALF_UP on the decimal expansion)
+            # and C (half-even on the binary value); floor is exact on the
+            # same double in both engines, so the formatted string agrees.
+            F.format_string(
+                "%.2f KiB",
+                F.floor(F.col("l_extendedprice") / 1024.0 * 100) / 100,
+            ).alias("readable_size"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "agg_cramers_v",
+    """
+WITH cells AS (
+  SELECT event_type AS a, dayofweek(ts) AS b, CAST(count(*) AS DOUBLE) AS o
+  FROM events GROUP BY 1, 2
+),
+margins AS (
+  SELECT a, b, o,
+         sum(o) OVER (PARTITION BY a) AS row_tot,
+         sum(o) OVER (PARTITION BY b) AS col_tot,
+         sum(o) OVER () AS n
+  FROM cells
+),
+chi AS (
+  SELECT sum(pow(o - row_tot * col_tot / n, 2) / (row_tot * col_tot / n)) AS chi2,
+         max(n) AS n,
+         count(DISTINCT a) AS r,
+         count(DISTINCT b) AS c
+  FROM margins
+)
+SELECT CAST(round(sqrt(chi2 / (n * (least(r, c) - 1))), 6) AS DOUBLE) AS cramers_v
+FROM chi
+""",
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``cramersV(a, b)`` analog: association between event type
+    and day-of-week, computed exactly from the contingency table — one
+    groupBy for cell counts (the only full-data shuffle), window margins
+    over the tiny cell table, then the chi-square fold. No sampling, no
+    UDF; integer counts make the float fold deterministic across engines
+    before the 6-dp rounding."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    cells = e.groupBy(
+        F.col("event_type").alias("a"), F.dayofweek("ts").alias("b")
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    m = cells.select(
+        "a",
+        "b",
+        "o",
+        F.sum("o").over(Window.partitionBy("a")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("b")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    expected = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    chi = m.agg(
+        F.sum(F.pow(F.col("o") - expected, 2) / expected).alias("chi2"),
+        F.max("n").alias("n"),
+        F.countDistinct("a").alias("r"),
+        F.countDistinct("b").alias("c"),
+    )
+    return chi.select(
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n") * (F.least("r", "c") - 1))), 6
+        ).alias("cramers_v")
+    )
