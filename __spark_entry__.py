@@ -64,6 +64,7 @@ _PRIORITY = [
     "dedup_incremental_new_batch",
     "scalar_rounding_functions",
     "agg_cramers_v",
+    "join_dict_get",
     # never sampled by any driver round
     "agg_approx_percentile_bounds",
     "q2_best_supplier_per_part",

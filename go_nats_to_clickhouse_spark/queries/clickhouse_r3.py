@@ -713,3 +713,44 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("chi2") / (F.col("n") * (F.least("r", "c") - 1))), 6
         ).alias("cramers_v")
     )
+
+
+@query(
+    "join_dict_get",
+    """
+SELECT o.o_orderkey,
+       coalesce(n.n_name, 'UNKNOWN') AS cust_nation,
+       coalesce(r.r_name, 'UNKNOWN') AS cust_region
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE o.o_orderkey < 2000
+ORDER BY o.o_orderkey
+""",
+)
+def join_dict_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse dictionary-function analog (``dictGet`` /
+    ``dictGetOrDefault`` over a hierarchy: customer -> nation -> region).
+    CH dictionaries are in-RAM replicated lookup tables; the Spark-first
+    equivalent is a BROADCAST left join per dictionary level with
+    ``coalesce`` supplying the dictGetOrDefault fallback — the dimension
+    ships to every executor once, the fact side never shuffles for the
+    lookups."""
+    from pyspark.sql.functions import broadcast
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"), "left")
+        .join(broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"), "left")
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("n_name"), F.lit("UNKNOWN")).alias("cust_nation"),
+            F.coalesce(F.col("r_name"), F.lit("UNKNOWN")).alias("cust_region"),
+        )
+        .orderBy("o_orderkey")
+    )
