@@ -65,6 +65,9 @@ _PRIORITY = [
     "scalar_rounding_functions",
     "agg_cramers_v",
     "join_dict_get",
+    "scalar_uuid_functions",
+    "agg_bounding_ratio",
+    "text_ngram_distance",
     # never sampled by any driver round
     "agg_approx_percentile_bounds",
     "q2_best_supplier_per_part",

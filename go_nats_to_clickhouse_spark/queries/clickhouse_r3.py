@@ -754,3 +754,163 @@ def join_dict_get(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "scalar_uuid_functions",
+    """
+WITH u AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+),
+fmt AS (
+  SELECT doc_id,
+         concat(substr(h, 1, 8), '-', substr(h, 9, 4), '-',
+                substr(h, 13, 4), '-', substr(h, 17, 4), '-',
+                substr(h, 21, 12)) AS uuid
+  FROM u
+)
+SELECT doc_id, uuid,
+       ('0x' || substr(replace(uuid, '-', ''), 1, 15))::BIGINT AS uuid_hi60,
+       substr(uuid, 15, 1) AS version_nibble,
+       length(replace(uuid, '-', '')) = 32 AS roundtrip_ok
+FROM fmt
+ORDER BY doc_id
+""",
+)
+def scalar_uuid_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse UUID family analog (``UUIDStringToNum``/``UUIDNumToString``
+    formatting, version-nibble extraction) over md5-derived deterministic
+    UUIDs. Pure string codegen; the 60-bit numeric form reuses the
+    engine-portable hex-to-BIGINT trick from the dedup operators."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    uuid = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    u = d.select("doc_id", uuid.alias("uuid"))
+    bare = F.regexp_replace(F.col("uuid"), "-", "")
+    return (
+        u.select(
+            "doc_id",
+            "uuid",
+            F.conv(F.substring(bare, 1, 15), 16, 10).cast("long").alias("uuid_hi60"),
+            F.substring(F.col("uuid"), 15, 1).alias("version_nibble"),
+            (F.length(bare) == 32).alias("roundtrip_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "agg_bounding_ratio",
+    """
+WITH ordered AS (
+  SELECT user_id, ts, value, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+           AS rn_d
+  FROM events
+),
+ends AS (
+  SELECT user_id,
+         max(CASE WHEN rn_a = 1 THEN value END) AS first_v,
+         max(CASE WHEN rn_d = 1 THEN value END) AS last_v,
+         max(CASE WHEN rn_a = 1 THEN epoch_us(ts) END) AS first_t,
+         max(CASE WHEN rn_d = 1 THEN epoch_us(ts) END) AS last_t
+  FROM ordered GROUP BY user_id
+)
+SELECT user_id,
+       CAST(round((last_v - first_v) / ((last_t - first_t) / 1000000.0), 6)
+            AS DOUBLE) AS bounding_ratio
+FROM ends
+WHERE last_t > first_t
+ORDER BY user_id
+""",
+)
+def agg_bounding_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``boundingRatio(x, y)`` analog: per user, the slope
+    between the first and last (ts, value) points —
+    (y_last - y_first) / (t_last - t_first). Spark-first: ``min_by`` /
+    ``max_by`` with a (ts, event_id) struct key pick both endpoints in ONE
+    partial-aggregating pass (no window, no sort of the full history);
+    the oracle proves it against the explicit row_number formulation."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    ends = e.groupBy("user_id").agg(
+        F.min_by("value", key).alias("first_v"),
+        F.max_by("value", key).alias("last_v"),
+        F.min(F.unix_micros("ts")).alias("first_t"),
+        F.max(F.unix_micros("ts")).alias("last_t"),
+    )
+    return (
+        ends.filter(F.col("last_t") > F.col("first_t"))
+        .select(
+            "user_id",
+            F.round(
+                (F.col("last_v") - F.col("first_v"))
+                / ((F.col("last_t") - F.col("first_t")) / F.lit(1000000.0)),
+                6,
+            ).alias("bounding_ratio"),
+        )
+        .orderBy("user_id")
+    )
+
+
+#: 3-gram set of the fixed probe phrase, computed once in Python so both
+#: engines receive the identical literal list.
+_NGRAM_PROBE = "the quick brown fox jumps"
+_PROBE_GRAMS = sorted({_NGRAM_PROBE[i : i + 3] for i in range(len(_NGRAM_PROBE) - 2)})
+
+
+def _ngram_distance_oracle() -> str:
+    lits = ", ".join("'" + g.replace("'", "''") + "'" for g in _PROBE_GRAMS)
+    return f"""
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, length(lower(text)) - 1),
+                       i -> substr(lower(text), i, 3))) AS gs
+  FROM documents
+  WHERE length(text) >= 3
+)
+SELECT doc_id,
+       CAST(len(gs) AS BIGINT) AS n_grams,
+       CAST(len(list_intersect(gs, [{lits}])) AS BIGINT) AS n_shared,
+       CAST(round(1.0 - 2.0 * len(list_intersect(gs, [{lits}]))
+                  / (len(gs) + {len(_PROBE_GRAMS)}), 6) AS DOUBLE) AS ngram_dist
+FROM grams
+ORDER BY doc_id
+"""
+
+
+@query("text_ngram_distance", _ngram_distance_oracle())
+def text_ngram_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ngramDistance(text, needle)`` analog: Sorensen-Dice
+    distance between the distinct character-3-gram sets of each document
+    and a fixed probe phrase — 1 - 2|A intersect B| / (|A| + |B|). The
+    probe's gram set is computed once driver-side and shipped as a
+    literal array, so the whole operator is map-only codegen (transform /
+    array_distinct / array_intersect), no UDF, no shuffle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    low = F.lower(F.col("text"))
+    gs = F.array_distinct(
+        F.expr("transform(sequence(1, length(lower(text)) - 2), i -> substring(lower(text), i, 3))")
+    )
+    probe = F.array(*[F.lit(g) for g in _PROBE_GRAMS])
+    g = d.select("doc_id", gs.alias("gs"))
+    shared = F.size(F.array_intersect(F.col("gs"), probe))
+    return (
+        g.select(
+            "doc_id",
+            F.size("gs").cast("long").alias("n_grams"),
+            shared.cast("long").alias("n_shared"),
+            F.round(
+                1.0 - 2.0 * shared / (F.size("gs") + F.lit(len(_PROBE_GRAMS))), 6
+            ).alias("ngram_dist"),
+        )
+        .orderBy("doc_id")
+    )
