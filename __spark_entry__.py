@@ -68,6 +68,8 @@ _PRIORITY = [
     "scalar_uuid_functions",
     "agg_bounding_ratio",
     "text_ngram_distance",
+    "scalar_array_transforms",
+    "agg_linear_regression",
     # never sampled by any driver round
     "agg_approx_percentile_bounds",
     "q2_best_supplier_per_part",

@@ -914,3 +914,130 @@ def text_ngram_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "scalar_array_transforms",
+    """
+WITH a AS (
+  SELECT p_partkey,
+         [CAST(p_size AS BIGINT), CAST((p_size * 3) % 11 AS BIGINT),
+          CAST((p_size * 7) % 13 AS BIGINT), CAST(2 AS BIGINT)] AS arr
+  FROM part
+)
+SELECT p_partkey,
+       array_to_string(list_transform(range(1, 5),
+         i -> CASE WHEN i = 1 THEN 0 ELSE arr[i] - arr[i - 1] END), ',')
+         AS arr_diff,
+       array_to_string(list_transform(range(1, 5),
+         i -> list_sum(list_slice(arr, 1, i))), ',') AS arr_cumsum,
+       array_to_string(list_sort(arr), ',') AS arr_sorted,
+       CAST(list_sum(arr) AS BIGINT) AS arr_total
+FROM a
+ORDER BY p_partkey
+""",
+)
+def scalar_array_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse array-transform family (``arrayDifference``,
+    ``arrayCumSum``, ``arraySort``) over integer arrays built from part
+    attributes. Integer element math keeps the serialized form exact in
+    both engines (float arrays would hit repr differences); arrays are
+    emitted as joined strings because the driver's canonicalizer cannot
+    sort raw list cells."""
+    p = load_table(spark, sf_dir, "part")
+    arr = F.array(
+        F.col("p_size").cast("long"),
+        ((F.col("p_size") * 3) % 11).cast("long"),
+        ((F.col("p_size") * 7) % 13).cast("long"),
+        F.lit(2).cast("long"),
+    )
+    a = p.select("p_partkey", arr.alias("arr"))
+    diff = F.expr(
+        "transform(sequence(1, 4), i -> IF(i = 1, 0L, element_at(arr, i) - element_at(arr, i - 1)))"
+    )
+    cumsum = F.expr(
+        "transform(sequence(1, 4), i -> aggregate(slice(arr, 1, i), 0L, (acc, x) -> acc + x))"
+    )
+    join_ = lambda c: F.concat_ws(",", F.transform(c, lambda x: x.cast("string")))
+    return (
+        a.select(
+            "p_partkey",
+            join_(diff).alias("arr_diff"),
+            join_(cumsum).alias("arr_cumsum"),
+            join_(F.array_sort(F.col("arr"))).alias("arr_sorted"),
+            F.aggregate(F.col("arr"), F.lit(0).cast("long"), lambda acc, x: acc + x)
+            .alias("arr_total"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "agg_linear_regression",
+    """
+WITH q AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 1000000 - 1704067200 AS DECIMAL(12,0)) AS x,
+         CAST(round(value, 3) AS DECIMAL(7,3)) AS y
+  FROM events
+),
+sums AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(24,3))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(28,0))) AS DOUBLE) AS sxx
+  FROM q
+  GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS DOUBLE)
+         AS slope,
+       CAST(round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+            AS DOUBLE) AS intercept
+FROM sums
+ORDER BY event_type
+""",
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``simpleLinearRegression(x, y)`` analog: per event type,
+    least-squares slope/intercept of value over time. Same portability
+    discipline as the moment family (stats.py): the four cross sums
+    accumulate in EXACT decimal over quantized inputs (naive double sums
+    are summation-order-dependent and engines disagree in the last bits),
+    then the closed-form solution is evaluated in double from those exact
+    sums — bit-identical everywhere. One map-side-combinable aggregate,
+    no window, no second pass."""
+    e = load_table(spark, sf_dir, "events")
+    x = (
+        (F.unix_micros("ts") / F.lit(1000000)).cast("long") - F.lit(1704067200)
+    ).cast("decimal(12,0)")
+    y = F.round(F.col("value"), 3).cast("decimal(7,3)")
+    q = e.select("event_type", x.alias("x"), y.alias("y"))
+    sums = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(24,3)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,0)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        sums.select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(slope, 9).alias("slope"),
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+                "intercept"
+            ),
+        )
+        .orderBy("event_type")
+    )
