@@ -188,3 +188,17 @@ def test_incremental_lsh_cross_corpus_only(spark):
     assert pairs.get((2, 100)) == 1.0
     assert all(cid != 101 for (_, cid) in pairs), "unrelated corpus doc collided"
     assert all(nid in (1, 2) and cid == 100 for (nid, cid) in pairs)
+
+
+def test_priority_list_names_all_registered():
+    # A typo in __spark_entry__._PRIORITY silently drops that query from
+    # the driver's 50-row sample window — fail loudly instead.
+    import __spark_entry__ as m
+    from go_nats_to_clickhouse_spark.queries import ORACLES, QUERIES
+
+    missing = [n for n in m._PRIORITY if n not in QUERIES]
+    assert not missing, f"_PRIORITY names not in registry: {missing}"
+    assert len(set(m._PRIORITY)) == len(m._PRIORITY), "duplicate priority names"
+    ordered = list(m.queries())
+    assert ordered[: len(m._PRIORITY)] == m._PRIORITY
+    assert set(m.queries()) == set(m.oracle_sql()) == set(QUERIES) == set(ORACLES)
