@@ -56,3 +56,46 @@ def topk_sketch(
     partials = df.select(col).mapInPandas(summarize, f"item {in_type}, cnt long")
     merged = partials.groupBy("item").agg(F.sum("cnt").alias("est_count"))
     return merged.orderBy(F.col("est_count").desc(), F.col("item")).limit(k)
+
+
+def topk_weighted_sketch(
+    df: DataFrame, col: str, weight_col: str, k: int = 10, capacity: int = 4096
+) -> DataFrame:
+    """ClickHouse ``topKWeighted()`` analog: top-k items by SUM of a weight
+    instead of row count.
+
+    Same SpaceSaving shape as :func:`topk_sketch` — per-batch truncated
+    weight summaries via mapInPandas, one bounded groupBy — so shuffle
+    volume stays O(batches * capacity) at any cardinality. The MG bound
+    transfers to weights: after truncation every kept weight sum is a
+    lower bound, and any item whose true weight share exceeds
+    total_weight / capacity survives. Exact when capacity >= distinct.
+
+    Weights are summed as int64 (callers quantize floats first — weighted
+    rank stability across engines needs exact accumulation).
+    """
+    in_type = df.schema[col].dataType.simpleString()
+
+    def summarize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            sums = (
+                pdf.dropna(subset=[col])
+                .groupby(col, sort=False)[weight_col]
+                .sum()
+                .sort_values(ascending=False, kind="mergesort")
+            )
+            if len(sums) > capacity:
+                overflow = sums.iloc[capacity]
+                sums = (sums.iloc[:capacity] - overflow).clip(lower=0)
+                sums = sums[sums > 0]
+            yield pd.DataFrame(
+                {"item": sums.index, "w": sums.to_numpy().astype("int64")}
+            )
+
+    partials = df.select(col, weight_col).mapInPandas(
+        summarize, f"item {in_type}, w long"
+    )
+    merged = partials.groupBy("item").agg(F.sum("w").alias("est_weight"))
+    return merged.orderBy(F.col("est_weight").desc(), F.col("item")).limit(k)

@@ -1052,3 +1052,33 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_topk_weighted",
+    """
+SELECT l_suppkey AS item,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS est_weight
+FROM lineitem
+GROUP BY l_suppkey
+ORDER BY est_weight DESC, item
+LIMIT 10
+""",
+)
+def agg_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``topKWeighted(10)(l_suppkey, l_quantity)`` analog via
+    the weighted SpaceSaving sketch (operators/sketches.py). Run at a
+    capacity above the distinct supplier count the sketch is exact — the
+    GROUP BY oracle checks that; squeezing capacity bounds the shuffle at
+    O(batches * capacity) with the Misra-Gries survival guarantee carried
+    over to weight mass. Quantities are integral in this schema, so the
+    int64 weight accumulation is exact."""
+    from go_nats_to_clickhouse_spark.operators.sketches import topk_weighted_sketch
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", F.col("l_quantity").cast("long").alias("w")
+    )
+    return (
+        topk_weighted_sketch(l, "l_suppkey", "w", k=10, capacity=65536)
+        .select(F.col("item"), F.col("est_weight"))
+    )

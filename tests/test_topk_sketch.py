@@ -52,3 +52,24 @@ def test_counts_are_lower_bounds(spark):
     }
     for r in topk_sketch(df, "item_id", k=20, capacity=64).collect():
         assert r.est_count <= exact[r.item]
+
+
+def test_weighted_exact_at_full_capacity(spark):
+    from go_nats_to_clickhouse_spark.operators.sketches import topk_weighted_sketch
+
+    rows = [(i % 7, (i % 7) + 1) for i in range(700)]  # item j has weight 100*(j+1)
+    df = spark.createDataFrame(rows, "item long, w long")
+    got = topk_weighted_sketch(df, "item", "w", k=3, capacity=100).collect()
+    assert [(r.item, r.est_weight) for r in got] == [(6, 700), (5, 600), (4, 500)]
+
+
+def test_weighted_heavy_hitter_survives_truncation(spark):
+    from go_nats_to_clickhouse_spark.operators.sketches import topk_weighted_sketch
+
+    # one dominant item (half the total weight mass) + a long tail of
+    # distinct singletons; capacity far below distinct count
+    rows = [(0, 10_000)] + [(i, 1) for i in range(1, 2001)]
+    df = spark.createDataFrame(rows, "item long, w long").repartition(4)
+    got = topk_weighted_sketch(df, "item", "w", k=1, capacity=50).collect()
+    assert got[0].item == 0
+    assert got[0].est_weight <= 10_000  # lower bound contract
