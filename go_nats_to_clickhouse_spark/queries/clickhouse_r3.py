@@ -1082,3 +1082,97 @@ def agg_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk_weighted_sketch(l, "l_suppkey", "w", k=10, capacity=65536)
         .select(F.col("item"), F.col("est_weight"))
     )
+
+
+@query(
+    "scalar_bit_functions",
+    """
+SELECT event_id,
+       event_id & 255 AS low_byte,
+       event_id | 4096 AS with_flag,
+       xor(event_id, 1365) AS xored,
+       event_id << 3 AS shifted_l,
+       event_id >> 2 AS shifted_r,
+       CAST(bit_count(event_id) AS INT) AS popcount,
+       CAST((event_id >> 4) & 1 AS INT) AS bit4
+FROM events
+WHERE event_id < 5000
+ORDER BY event_id
+""",
+)
+def scalar_bit_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse scalar bit family (``bitAnd``/``bitOr``/``bitXor``/
+    ``bitShiftLeft``/``bitShiftRight``/``bitCount``/``bitTest``) — all
+    integer codegen on both engines, so values match exactly (the
+    aggregate counterparts live in ``agg_bit_ops``)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    eid = F.col("event_id")
+    return (
+        e.select(
+            "event_id",
+            eid.bitwiseAND(255).alias("low_byte"),
+            eid.bitwiseOR(4096).alias("with_flag"),
+            eid.bitwiseXOR(1365).alias("xored"),
+            F.shiftleft(eid, 3).alias("shifted_l"),
+            F.shiftright(eid, 2).alias("shifted_r"),
+            F.bit_count(eid).cast("int").alias("popcount"),
+            F.shiftright(eid, 4).bitwiseAND(1).cast("int").alias("bit4"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "agg_retention_flags",
+    """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'view'
+                   AND ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) AS c1,
+         max(CASE WHEN event_type = 'click'
+                   AND ts >= TIMESTAMP '2024-01-08'
+                   AND ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS c2,
+         max(CASE WHEN event_type = 'purchase'
+                   AND ts >= TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS c3
+  FROM events
+  GROUP BY user_id
+)
+SELECT CAST(sum(c1) AS BIGINT) AS r1,
+       CAST(sum(c1 * c2) AS BIGINT) AS r2,
+       CAST(sum(c1 * c3) AS BIGINT) AS r3
+FROM per_user
+""",
+)
+def agg_retention_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``retention(cond1, cond2, cond3)`` analog: per user,
+    flag whether they viewed in week 1, clicked in week 2, purchased
+    after week 2; the result is the summed flag array [r1, r1&r2, r1&r3]
+    (later flags only count when the entry condition held — exactly CH's
+    retention semantics). Two partial-aggregating passes, no window, no
+    event-list materialization."""
+    e = load_table(spark, sf_dir, "events")
+    w1 = F.lit("2024-01-08").cast("timestamp")
+    w2 = F.lit("2024-01-15").cast("timestamp")
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "view") & (F.col("ts") < w1), 1).otherwise(0)
+        ).alias("c1"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= w1)
+                & (F.col("ts") < w2),
+                1,
+            ).otherwise(0)
+        ).alias("c2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") >= w2), 1
+            ).otherwise(0)
+        ).alias("c3"),
+    )
+    return per_user.agg(
+        F.sum("c1").cast("long").alias("r1"),
+        F.sum(F.col("c1") * F.col("c2")).cast("long").alias("r2"),
+        F.sum(F.col("c1") * F.col("c3")).cast("long").alias("r3"),
+    )
