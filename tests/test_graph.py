@@ -29,3 +29,42 @@ def test_star_and_clique_mix(spark):
 
 def test_edge_direction_irrelevant(spark):
     assert _cc(spark, [(9, 1)]) == _cc(spark, [(1, 9)])
+
+
+def test_long_chain_converges_fast_with_shortcut(spark):
+    # A 300-node path has diameter 299: plain min-propagation cannot finish
+    # in 12 rounds, pointer-doubling must (2^12 >> 299). This pins the
+    # O(log d) convergence claim, not just correctness.
+    from go_nats_to_clickhouse_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], "doc_a long, doc_b long"
+    )
+    out = connected_components(edges, max_iter=12, shortcut=True).collect()
+    assert len(out) == 300
+    assert all(r.component == 0 for r in out)
+
+    partial = connected_components(edges, max_iter=12, shortcut=False).collect()
+    assert any(r.component != 0 for r in partial), (
+        "12 plain rounds resolved a 299-diameter chain — shortcut test is vacuous"
+    )
+
+
+def test_shortcut_matches_plain_on_random_graph(spark):
+    import random
+
+    from go_nats_to_clickhouse_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    plain = sorted(
+        (r.node, r.component)
+        for r in connected_components(df, shortcut=False).collect()
+    )
+    fast = sorted(
+        (r.node, r.component)
+        for r in connected_components(df, shortcut=True).collect()
+    )
+    assert plain == fast
