@@ -709,3 +709,75 @@ def text_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "term")
         .limit(50)
     )
+
+
+@query(
+    "dedup_survivors",
+    f"""
+WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+),
+components AS (
+  SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+LEFT JOIN components c ON c.doc_id = d.doc_id
+WHERE c.doc_id IS NULL OR c.component = d.doc_id
+ORDER BY d.doc_id
+""",
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual deliverable: the corpus AFTER near-dup
+    resolution. Exact-Jaccard pairs -> connected components -> keep every
+    document that either belongs to no duplicate cluster or IS its
+    cluster's canonical representative (component == doc_id, i.e. the min
+    id). One anti-ish left join against the (tiny) component table — the
+    100 TB corpus streams through map-side; only cluster members ever
+    shuffle."""
+    from go_nats_to_clickhouse_spark.operators.dedup import word_shingles
+    from go_nats_to_clickhouse_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(d, n=3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    pairs = (
+        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(pairs).select(
+        F.col("node").alias("c_doc"), "component"
+    )
+    return (
+        d.join(F.broadcast(comp), d["doc_id"] == F.col("c_doc"), "left")
+        .filter(F.col("c_doc").isNull() | (F.col("component") == F.col("doc_id")))
+        .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
