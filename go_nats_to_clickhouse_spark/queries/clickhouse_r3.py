@@ -1176,3 +1176,57 @@ def agg_retention_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c1") * F.col("c2")).cast("long").alias("r2"),
         F.sum(F.col("c1") * F.col("c3")).cast("long").alias("r3"),
     )
+
+
+@query(
+    "scalar_null_semantics",
+    """
+WITH n AS (
+  SELECT l_returnflag, nullif(l_linenumber, 3) AS ln
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(ln) AS BIGINT) AS n_nonnull,
+       CAST(sum(ln) AS BIGINT) AS sum_skips_null,
+       CAST(round(avg(ln), 6) AS DOUBLE) AS avg_skips_null,
+       CAST(min(least(ln, 2)) AS INT) AS least_skips_null,
+       CAST(max(greatest(ln, 2)) AS INT) AS greatest_skips_null,
+       CAST(sum(CASE WHEN ln IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS nullsafe_null_matches,
+       CAST(sum(CASE WHEN coalesce(ln, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS coalesced_zeros
+FROM n
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics family (ClickHouse ``ifNull``/``nullIf``/
+    ``assumeNotNull`` territory, plus the ANSI traps): COUNT(*) vs
+    COUNT(col), null-skipping SUM/AVG/LEAST/GREATEST, null-safe equality
+    (``<=>`` / IS NOT DISTINCT FROM), and coalesce defaults — the places
+    engines classically diverge, pinned here to identical answers."""
+    l = load_table(spark, sf_dir, "lineitem")
+    ln = F.nullif(F.col("l_linenumber"), F.lit(3))
+    n = l.select("l_returnflag", ln.alias("ln"))
+    return (
+        n.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("ln").alias("n_nonnull"),
+            F.sum("ln").cast("long").alias("sum_skips_null"),
+            F.round(F.avg("ln"), 6).alias("avg_skips_null"),
+            F.min(F.least(F.col("ln"), F.lit(2))).cast("int").alias("least_skips_null"),
+            F.max(F.greatest(F.col("ln"), F.lit(2)))
+            .cast("int")
+            .alias("greatest_skips_null"),
+            F.sum(F.when(F.col("ln").eqNullSafe(F.lit(None)), 1).otherwise(0))
+            .cast("long")
+            .alias("nullsafe_null_matches"),
+            F.sum(F.when(F.coalesce(F.col("ln"), F.lit(0)) == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("coalesced_zeros"),
+        )
+        .orderBy("l_returnflag")
+    )
