@@ -741,9 +741,11 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolution. Exact-Jaccard pairs -> connected components -> keep every
     document that either belongs to no duplicate cluster or IS its
     cluster's canonical representative (component == doc_id, i.e. the min
-    id). One anti-ish left join against the (tiny) component table — the
-    100 TB corpus streams through map-side; only cluster members ever
-    shuffle."""
+    id). The left join against the component table is left to AQE: the
+    component table is bounded by cluster MEMBERSHIP, which is small for a
+    lightly-duplicated corpus (broadcast) but corpus-scale for a
+    dup-heavy one (shuffle join) — forcing a broadcast here would OOM
+    exactly when dedup matters most."""
     from go_nats_to_clickhouse_spark.operators.dedup import word_shingles
     from go_nats_to_clickhouse_spark.operators.graph import connected_components
 
@@ -776,7 +778,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("c_doc"), "component"
     )
     return (
-        d.join(F.broadcast(comp), d["doc_id"] == F.col("c_doc"), "left")
+        d.join(comp, d["doc_id"] == F.col("c_doc"), "left")
         .filter(F.col("c_doc").isNull() | (F.col("component") == F.col("doc_id")))
         .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
         .orderBy("doc_id")
