@@ -826,7 +826,7 @@ ends AS (
 )
 SELECT user_id,
        CAST(round((last_v - first_v) / ((last_t - first_t) / 1000000.0), 6)
-            AS DOUBLE) AS bounding_ratio
+            AS DOUBLE) + 0.0 AS bounding_ratio
 FROM ends
 WHERE last_t > first_t
 ORDER BY user_id
@@ -838,7 +838,13 @@ def agg_bounding_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     (y_last - y_first) / (t_last - t_first). Spark-first: ``min_by`` /
     ``max_by`` with a (ts, event_id) struct key pick both endpoints in ONE
     partial-aggregating pass (no window, no sort of the full history);
-    the oracle proves it against the explicit row_number formulation."""
+    the oracle proves it against the explicit row_number formulation.
+
+    A tiny negative slope rounds to IEEE ``-0.0`` in one engine and
+    ``+0.0`` in the other (the round-3 driver red row: user 138 at sf0.01
+    stringifies as ``-0.000000`` vs ``0.000000``); ``+ 0.0`` after the
+    round() normalizes signed zero identically on both sides
+    (IEEE 754: ``-0.0 + 0.0 = +0.0``)."""
     e = load_table(spark, sf_dir, "events")
     key = F.struct(F.col("ts"), F.col("event_id"))
     ends = e.groupBy("user_id").agg(
@@ -851,10 +857,13 @@ def agg_bounding_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ends.filter(F.col("last_t") > F.col("first_t"))
         .select(
             "user_id",
-            F.round(
-                (F.col("last_v") - F.col("first_v"))
-                / ((F.col("last_t") - F.col("first_t")) / F.lit(1000000.0)),
-                6,
+            (
+                F.round(
+                    (F.col("last_v") - F.col("first_v"))
+                    / ((F.col("last_t") - F.col("first_t")) / F.lit(1000000.0)),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("bounding_ratio"),
         )
         .orderBy("user_id")
@@ -1005,9 +1014,9 @@ sums AS (
 SELECT event_type,
        CAST(n AS BIGINT) AS n,
        CAST(round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS DOUBLE)
-         AS slope,
+         + 0.0 AS slope,
        CAST(round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
-            AS DOUBLE) AS intercept
+            AS DOUBLE) + 0.0 AS intercept
 FROM sums
 ORDER BY event_type
 """,
@@ -1045,10 +1054,13 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         sums.select(
             "event_type",
             F.col("n").cast("long").alias("n"),
-            F.round(slope, 9).alias("slope"),
-            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
-                "intercept"
-            ),
+            # slope/intercept can round to zero from below; + 0.0 collapses
+            # IEEE -0.0 identically in both engines (agg_bounding_ratio r3 red)
+            (F.round(slope, 9) + F.lit(0.0)).alias("slope"),
+            (
+                F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+                + F.lit(0.0)
+            ).alias("intercept"),
         )
         .orderBy("event_type")
     )

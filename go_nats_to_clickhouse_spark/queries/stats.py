@@ -55,12 +55,12 @@ SELECT event_type,
        ROUND(s2 / n - (s1 / n) * (s1 / n), 6) AS var_pop,
        ROUND(sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS stddev_pop,
        ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
-             / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skew_pop,
+             / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) + 0.0 AS skew_pop,
        ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
               + 6 * (s1 / n) * (s1 / n) * (s2 / n)
               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
              / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)))
-             - 3, 6) AS kurt_pop
+             - 3, 6) + 0.0 AS kurt_pop
 FROM sums
 ORDER BY event_type
 """,
@@ -98,8 +98,12 @@ def agg_statistical_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m1, 6).alias("mean_v"),
         F.round(var, 6).alias("var_pop"),
         F.round(F.sqrt(var), 6).alias("stddev_pop"),
-        F.round(m3c / F.pow(var, 1.5), 6).alias("skew_pop"),
-        F.round(m4c / (var * var) - 3, 6).alias("kurt_pop"),
+        # skew/kurt are sign-free of the (positive) inputs, so a symmetric
+        # group can round to zero from below; + 0.0 collapses IEEE -0.0
+        # identically in both engines (DuckDB round() preserves the sign of
+        # a tiny negative, Spark's does not — the agg_bounding_ratio r3 red)
+        (F.round(m3c / F.pow(var, 1.5), 6) + F.lit(0.0)).alias("skew_pop"),
+        (F.round(m4c / (var * var) - 3, 6) + F.lit(0.0)).alias("kurt_pop"),
     ).orderBy("event_type")
 
 
@@ -147,7 +151,7 @@ WITH c AS (
 t AS (SELECT user_id, SUM(c) AS n FROM c GROUP BY user_id)
 SELECT c.user_id,
        ROUND(-SUM((CAST(c.c AS DOUBLE) / t.n)
-                  * log2(CAST(c.c AS DOUBLE) / t.n)), 6) AS entropy_bits,
+                  * log2(CAST(c.c AS DOUBLE) / t.n)), 6) + 0.0 AS entropy_bits,
        CAST(COUNT(*) AS BIGINT) AS n_types
 FROM c JOIN t ON c.user_id = t.user_id
 GROUP BY c.user_id
@@ -171,7 +175,9 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(t, "user_id")
         .groupBy("user_id")
         .agg(
-            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+            # a single-type user yields -SUM(+0.0) = IEEE -0.0; + 0.0
+            # normalizes the zero's sign identically in both engines
+            (F.round(-F.sum(p * F.log2(p)), 6) + F.lit(0.0)).alias("entropy_bits"),
             F.count(F.lit(1)).alias("n_types"),
         )
         .orderBy("user_id")

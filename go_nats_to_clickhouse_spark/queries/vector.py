@@ -93,7 +93,7 @@ ranked AS (
          cos
   FROM scored
 )
-SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cosine
+SELECT query_id, neighbor_id, rank, ROUND(cos, 4) + 0.0 AS cosine
 FROM ranked WHERE rank <= 10
 """
 
@@ -115,8 +115,13 @@ def vector_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
     )
     c = e.select(F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv"))
+    # + 0.0: a rank-k cosine can round to zero from below; collapse IEEE
+    # -0.0 identically in both engines (same class as vector_norms above)
     return brute_force_topk(q, c, k=10).select(
-        "query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine")
+        "query_id",
+        "neighbor_id",
+        "rank",
+        (F.round("cos", 4) + F.lit(0.0)).alias("cosine"),
     )
 
 
@@ -199,7 +204,7 @@ ranked AS (
          cos
   FROM scored
 )
-SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cosine
+SELECT query_id, neighbor_id, rank, ROUND(cos, 4) + 0.0 AS cosine
 FROM ranked WHERE rank <= 5
 """
 
@@ -217,7 +222,10 @@ def vector_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = e.select(F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv"))
     return lsh_topk(q, c, n_planes=_N_PLANES, dim=64, k=5).select(
-        "query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine")
+        "query_id",
+        "neighbor_id",
+        "rank",
+        (F.round("cos", 4) + F.lit(0.0)).alias("cosine"),
     )
 
 

@@ -60,3 +60,48 @@ def test_gate_catches_column_rename(spark, sf_dir, monkeypatch):
         )
     }
     assert _run_gate(spark, sf_dir, monkeypatch, bad) == ["q4_late_shipments"]
+
+
+def test_norm_cell_preserves_signed_zero():
+    """Driver canonicalization stringifies -0.0 as '-0.000000' (the
+    agg_bounding_ratio red row in CORRECTNESS_r03.json proves it does NOT
+    collapse signed zero); the local gate must do the same."""
+    from tools.selfcheck import _norm_cell
+
+    assert _norm_cell(-0.0) == "-0.000000"
+    assert _norm_cell(0.0) == "0.000000"
+    assert _norm_cell(-0.0) != _norm_cell(0.0)
+
+
+def test_gate_catches_signed_zero_divergence(spark, sf_dir, monkeypatch):
+    """An engine/oracle pair that differs only in the sign of a zero (Spark
+    round(-1e-9) = +0.0, DuckDB round(-1e-9) = -0.0) must fail the gate —
+    this is exactly the class tools/selfcheck.py used to mask."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    qs = entrymod.queries()
+    qs = dict(qs)
+    qs["q4_late_shipments"] = lambda sp, sf: sp.range(1).select(
+        F.round(F.lit(-1e-9), 6).alias("z")  # Spark: +0.0
+    )
+    monkeypatch.setattr(entrymod, "queries", lambda: qs)
+    # -1e-9 (not -0.000000001): DuckDB types the decimal literal as DECIMAL,
+    # which has no signed zero — only the DOUBLE path preserves -0.0
+    bad = {"q4_late_shipments": "SELECT round(-1e-9, 6) AS z"}  # DuckDB: -0.0
+    assert _run_gate(spark, sf_dir, monkeypatch, bad) == ["q4_late_shipments"]
+
+
+def test_gate_passes_signed_zero_when_normalized(spark, sf_dir, monkeypatch):
+    """`+ 0.0` after the round() is the sanctioned normalization: it turns
+    the same divergent pair into a green row."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    qs = dict(entrymod.queries())
+    qs["q4_late_shipments"] = lambda sp, sf: sp.range(1).select(
+        (F.round(F.lit(-1e-9), 6) + F.lit(0.0)).alias("z")
+    )
+    monkeypatch.setattr(entrymod, "queries", lambda: qs)
+    good = {"q4_late_shipments": "SELECT round(-1e-9, 6) + 0.0 AS z"}
+    assert _run_gate(spark, sf_dir, monkeypatch, good) == []

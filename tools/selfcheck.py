@@ -40,8 +40,12 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "␀"
-        if v == 0:
-            v = 0.0  # collapse IEEE -0.0
+        # Signed zero is NOT collapsed: the round-3 driver stringified a
+        # DuckDB -0.0 as "-0.000000" against Spark's "0.000000" and recorded
+        # a red row (agg_bounding_ratio, CORRECTNESS_r03.json) — the gate
+        # must reproduce driver canonicalization bit-for-bit on zeros, so
+        # queries that can emit -0.0 must normalize it engine-side (+ 0.0)
+        # on BOTH the Spark and oracle expressions.
         return f"{v:.6f}" if abs(v) < 1e15 else repr(v)
     if isinstance(v, bool):
         return "T" if v else "F"
