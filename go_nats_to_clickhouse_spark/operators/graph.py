@@ -79,6 +79,7 @@ def connected_components(
             .localCheckpoint()
         )
 
+        changed = 0
         for _ in range(max_iter):
             neigh = (
                 und_by_v.join(labels, und_by_v["v"] == labels["node"])
@@ -120,6 +121,21 @@ def connected_components(
             labels = stepped.select("node", "label")
             if changed == 0:
                 break
+        if changed != 0:
+            # Exiting with unconverged labels silently returns WRONG
+            # components (a >max_iter-diameter chain keeps stale labels) that
+            # would only surface as an opaque downstream mismatch — make the
+            # failure loud so the caller raises max_iter or sets shortcut.
+            import warnings
+
+            warnings.warn(
+                f"connected_components: {changed} labels still changing after "
+                f"max_iter={max_iter} rounds (graph diameter exceeds the "
+                "budget) — result is NOT a fixpoint; raise max_iter or use "
+                "shortcut=True",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         und_by_v.unpersist()
         und.unpersist()
     finally:

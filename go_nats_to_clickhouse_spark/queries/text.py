@@ -738,43 +738,35 @@ ORDER BY d.doc_id
 )
 def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's actual deliverable: the corpus AFTER near-dup
-    resolution. Exact-Jaccard pairs -> connected components -> keep every
-    document that either belongs to no duplicate cluster or IS its
-    cluster's canonical representative (component == doc_id, i.e. the min
-    id). The left join against the component table is left to AQE: the
+    resolution. PRODUCTION pair generation — banded-LSH candidates with
+    exact Jaccard verified on candidates only (operators/dedup.py
+    lsh_verified_jaccard_pairs; never an all-pairs shingle join, whose
+    O(freq²) blowup on a hot shingle is exactly what kills a 100 TB run)
+    -> connected components -> keep every document that either belongs to
+    no duplicate cluster or IS its cluster's canonical representative
+    (component == doc_id, i.e. the min id).
+
+    The oracle stays the EXACT all-pairs transitive closure: with the
+    rows=1 banding the LSH miss probability at the 0.5 threshold is
+    ≤ 1.5e-5 per pair (recall pinned to 1.0 on the fixtures by
+    tests/test_dedup_lsh_recall.py), so both sides see identical pair
+    sets. shortcut=True because an open-corpus duplicate graph has no
+    diameter guarantee (drifting near-dup chains) — pointer doubling
+    converges in O(log d) rounds instead of O(d).
+
+    The left join against the component table is left to AQE: the
     component table is bounded by cluster MEMBERSHIP, which is small for a
     lightly-duplicated corpus (broadcast) but corpus-scale for a
     dup-heavy one (shuffle join) — forcing a broadcast here would OOM
     exactly when dedup matters most."""
-    from go_nats_to_clickhouse_spark.operators.dedup import word_shingles
+    from go_nats_to_clickhouse_spark.operators.dedup import (
+        lsh_verified_jaccard_pairs,
+    )
     from go_nats_to_clickhouse_spark.operators.graph import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(d, n=3)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_common").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
-    )
-    pairs = (
-        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b")
-    )
-    comp = connected_components(pairs).select(
+    pairs = lsh_verified_jaccard_pairs(d, threshold=0.5).select("doc_a", "doc_b")
+    comp = connected_components(pairs, shortcut=True).select(
         F.col("node").alias("c_doc"), "component"
     )
     return (
