@@ -24,60 +24,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Queries a budget-capped correctness harness should reach FIRST (the
-#: round-2 driver sampled the first 50 registrations). Ordered by "newest
-#: green signal wanted": queries that were red or latent-red under the
-#: round-2 fixture-encoding bug (fixed in schemas.load_table), then the
-#: nine queries no driver round has ever sampled, then everything newly
-#: added this round. The rest keep registration order behind them.
+#: driver samples the first 50 registrations). Ordered by "newest green
+#: signal wanted" for round 4: the five queries no driver round has ever
+#: sampled (all round-3 additions registered behind the 50-row window),
+#: then the round-3 red row (signed-zero fix) and its recomposed /
+#: changed-this-round companions, then everything newly added this round.
+#: The rest keep registration order behind them.
 _PRIORITY = [
-    # fixed this round: streaming rows (4 were red in CORRECTNESS_r02)
+    # never sampled by ANY driver round (VERDICT r3 "What's missing" #1)
+    "dedup_survivors",
+    "agg_topk_weighted",
+    "scalar_bit_functions",
+    "agg_retention_flags",
+    "scalar_null_semantics",
+    # the r3 red row — signed-zero normalization fixed this round
+    "agg_bounding_ratio",
+    # changed this round (signed-zero + 0.0 on both engine/oracle sides)
+    "agg_statistical_moments",
+    "agg_entropy",
+    "agg_linear_regression",
+    "vector_ann_cosine_topk",
+    "vector_ann_lsh_topk",
+    # shares the recomposed LSH pair pipeline with dedup_survivors
+    "dedup_connected_components",
+    "dedup_minhash_lsh_pairs",
+    # r3-green rows worth re-confirming on current fixtures (flagship +
+    # streaming + MV cascade — the reference's core semantics)
+    "mv_analytics_projection",
+    "mv_union_streams_monthly",
+    "mv_message_type_stats",
     "streaming_tumbling_daily",
     "streaming_sliding_12h",
     "streaming_session_windows",
     "streaming_dedup_counts",
     "streaming_stream_stream_join",
     "streaming_static_enrich",
-    # fixed this round: flagship + MV cascade (latent-red in r2)
-    "mv_analytics_projection",
-    "mv_union_streams_monthly",
-    "mv_message_type_stats",
-    # fixed this round: event-time queries that were latent-red in r2
-    "funnel_conversion",
-    "retention_cohorts",
-    "range_join_incident_events",
-    "timeseries_gap_fill",
-    "tumbling_window_daily_events",
-    "session_window_events",
-    "window_lag_events",
-    "window_range_frame_events",
-    "join_asof_last_click",
-    "join_asof_tolerance",
-    # new this round
-    "scalar_ip_functions",
-    "scalar_encoding_functions",
-    "agg_quantile_exact_weighted",
-    "window_funnel_depth",
-    "agg_time_decayed_avg",
-    "agg_sequence_count",
-    "agg_bitmap_cardinalities",
-    "scalar_geo_functions",
-    "dedup_incremental_new_batch",
-    "scalar_rounding_functions",
-    "agg_cramers_v",
-    "join_dict_get",
-    "scalar_uuid_functions",
-    "agg_bounding_ratio",
-    "text_ngram_distance",
-    "scalar_array_transforms",
-    "agg_linear_regression",
-    # never sampled by any driver round
-    "agg_approx_percentile_bounds",
-    "q2_best_supplier_per_part",
-    "q14_promo_revenue_ratio",
-    "q16_supplier_count_by_part",
-    "q18_large_volume_orders",
-    "q19_disjunctive_join_filter",
-    "q22_dormant_rich_customers",
 ]
 
 
