@@ -71,7 +71,16 @@ def range_join(
     clock-unit bugs) then degrades to a narrower-bucket equi-join instead
     of collapsing every row into ~1 bucket and going quadratic inside it.
     Any positive width is *correct* — only the constant factor moves — so
-    the guard never changes results.
+    the guard never changes results. The shrink is itself fan-out-capped:
+    each right-side interval explodes into ``(end-start)/width`` bucket
+    rows, so a width adapted to the *point* axis alone could multiply the
+    build side by orders of magnitude when the interval axis is not
+    equally compressed; the adapted width is clamped to
+    ``max(end-start) / 64`` (≤64 bucket rows per interval). NOTE: the
+    guard runs one or two small eager Spark jobs (point-span min/max and,
+    on shrink, interval max-length) at plan-CONSTRUCTION time — callers
+    building plans they never execute pay it anyway; pass
+    ``min_buckets=None`` on hot construction paths that are known sane.
 
     Column names must be disjoint between the two sides (alias before
     calling) — the result carries all columns from both.
@@ -90,13 +99,26 @@ def range_join(
             span = hi - lo
             if span / bucket_width < min_buckets:
                 adapted = span / min_buckets
-                warnings.warn(
-                    f"range_join: point span {span:.3g}s yields only "
-                    f"{span / bucket_width:.1f} buckets at width {bucket_width:g}; "
-                    f"shrinking width to {adapted:.3g} for {min_buckets} buckets",
-                    stacklevel=2,
-                )
-                bucket_width = adapted
+                # Fan-out cap: shrinking the width multiplies every right
+                # interval's bucket-row count; clamp so no interval explodes
+                # into more than 64 bucket rows, even if that leaves fewer
+                # than min_buckets point buckets (a partially-degenerate
+                # axis beats an exploded build side).
+                max_ival = right.select(
+                    F.max(F.col(end).cast("double") - F.col(start).cast("double"))
+                ).first()[0]
+                if max_ival is not None and max_ival > 0:
+                    adapted = max(adapted, max_ival / 64.0)
+                if adapted < bucket_width:
+                    warnings.warn(
+                        f"range_join: point span {span:.3g}s yields only "
+                        f"{span / bucket_width:.1f} buckets at width "
+                        f"{bucket_width:g}; shrinking width to {adapted:.3g} "
+                        f"(target {min_buckets} buckets, interval fan-out "
+                        "capped at 64)",
+                        stacklevel=2,
+                    )
+                    bucket_width = adapted
 
     lb, rb = "__rj_bucket_l", "__rj_bucket_r"
     lhs = left.withColumn(lb, _bucket(F.col(point), bucket_width))

@@ -72,17 +72,35 @@ def topk_weighted_sketch(
     total_weight / capacity survives. Exact when capacity >= distinct.
 
     Weights are summed as int64 (callers quantize floats first — weighted
-    rank stability across engines needs exact accumulation).
+    rank stability across engines needs exact accumulation), and MUST be
+    non-negative: a negative weight breaks the Misra-Gries lower-bound
+    contract (truncation charges a positive overflow against survivors).
+    Enforced, not just documented: non-integral weight columns are rejected
+    at the boundary, NULL weights are dropped with their rows, and a
+    negative weight fails the job loudly inside the sketch batch.
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    wtype = df.schema[weight_col].dataType
+    if not isinstance(wtype, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"topk_weighted_sketch: weight column {weight_col!r} must be an "
+            f"integral type (quantize floats first), got {wtype.simpleString()}"
+        )
     in_type = df.schema[col].dataType.simpleString()
 
     def summarize(batches):
         import pandas as pd
 
         for pdf in batches:
+            pdf = pdf.dropna(subset=[col, weight_col])
+            if (pdf[weight_col] < 0).any():
+                raise ValueError(
+                    f"topk_weighted_sketch: negative weight in {weight_col!r} "
+                    "violates the Misra-Gries lower-bound contract"
+                )
             sums = (
-                pdf.dropna(subset=[col])
-                .groupby(col, sort=False)[weight_col]
+                pdf.groupby(col, sort=False)[weight_col]
                 .sum()
                 .sort_values(ascending=False, kind="mergesort")
             )

@@ -284,7 +284,7 @@ def window_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_time_decayed_avg",
     """
 WITH t0 AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          epoch_us(ts) / 1000000.0
            - min(epoch_us(ts) / 1000000.0) OVER (PARTITION BY user_id) AS trel
   FROM events WHERE user_id < 200
@@ -292,10 +292,10 @@ WITH t0 AS (
 acc AS (
   SELECT user_id, ts, trel,
          sum(value * exp(trel / 86400.0))
-           OVER (PARTITION BY user_id ORDER BY ts, trel
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS wsum,
          sum(exp(trel / 86400.0))
-           OVER (PARTITION BY user_id ORDER BY ts, trel
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS wcnt
   FROM t0
 )
@@ -331,12 +331,16 @@ def agg_time_decayed_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     t0 = e.select(
         "user_id",
         "ts",
+        "event_id",
         "value",
         (tsec - F.min(tsec).over(wuser)).alias("trel"),
     )
+    # event_id tiebreak (not trel, which is a pure function of ts and breaks
+    # no ties): duplicate (user_id, ts) rows would otherwise make the
+    # running-sum accumulation order engine-dependent.
     wrun = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "trel")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     acc = t0.select(

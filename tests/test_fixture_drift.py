@@ -57,7 +57,25 @@ def _footer_minmax(path: str) -> dict[str, tuple[object, object]]:
 def _normalize(value):
     """Footer stats come back as python datetimes (tz-aware or naive) or
     numbers; Spark collect() gives naive datetimes in session tz (UTC).
-    Compare on a common form."""
+    Compare on a common form, truncated to microseconds: Spark timestamps
+    are micros-precision, so under a TIMESTAMP(NANOS) fixture with nonzero
+    sub-microsecond components the intended nanos->micros truncation in
+    load_table would otherwise trip this test's exact-equality assert (a
+    false drift alarm — python datetime already holds only micros, but
+    pyarrow nanos stats may arrive as integers)."""
+    if isinstance(value, int) and abs(value) > 10**15:
+        # raw nanos-since-epoch stat (pyarrow returns int when the logical
+        # type isn't mapped): truncate to micros and lift to datetime
+        value = datetime.datetime.fromtimestamp(
+            (value // 1000) / 1e6, tz=datetime.timezone.utc
+        )
+    try:
+        import pandas as pd
+
+        if isinstance(value, pd.Timestamp):  # datetime subclass carrying nanos
+            value = value.floor("us").to_pydatetime()
+    except ImportError:
+        pass
     if isinstance(value, datetime.datetime):
         if value.tzinfo is not None:
             value = value.astimezone(datetime.timezone.utc).replace(tzinfo=None)
