@@ -45,6 +45,13 @@ _PRIORITY = [
     "agg_linear_regression",
     "vector_ann_cosine_topk",
     "vector_ann_lsh_topk",
+    # new this round (clickhouse_r4.py)
+    "agg_interval_length_sum",
+    "agg_max_intersections",
+    "agg_welch_ttest",
+    "agg_rank_corr",
+    "agg_covar_corr",
+    "vector_distance_functions",
     # shares the recomposed LSH pair pipeline with dedup_survivors
     "dedup_connected_components",
     "dedup_minhash_lsh_pairs",
