@@ -52,6 +52,8 @@ _PRIORITY = [
     "agg_rank_corr",
     "agg_covar_corr",
     "vector_distance_functions",
+    "text_repetition_ratio",
+    "behavioral_next_event",
     # shares the recomposed LSH pair pipeline with dedup_survivors
     "dedup_connected_components",
     "dedup_minhash_lsh_pairs",

@@ -448,6 +448,92 @@ def agg_covar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+@query(
+    "text_repetition_ratio",
+    """
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(string_split(text, ' ')) - 1),
+                        i -> concat_ws(' ', string_split(text, ' ')[i],
+                                       string_split(text, ' ')[i + 1],
+                                       string_split(text, ' ')[i + 2])) AS gs
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+)
+SELECT doc_id,
+       CAST(len(gs) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+       round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs), 6)
+         AS dup_gram_ratio
+FROM g
+ORDER BY doc_id
+""",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (the Gopher/MassiveText "fraction of
+    duplicate n-grams" quality rule): per document, total vs distinct word
+    3-grams and the duplicate fraction. High ratios flag boilerplate /
+    degenerate generations before training. Map-only codegen (split once,
+    transform + array_distinct) — no shuffle, embarrassingly parallel at
+    any corpus size. The ratio is 1 - distinct/total ∈ [0, 1) — it cannot
+    round to zero from below, so no signed-zero exposure."""
+    d = load_table(spark, sf_dir, "documents")
+    parts = ", ".join(f"element_at(ws, i + {j})" for j in range(3))
+    grams = F.expr(
+        f"transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', {parts}))"
+    )
+    g = (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select("doc_id", grams.alias("gs"))
+    )
+    return g.select(
+        "doc_id",
+        F.size("gs").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("gs")).cast("long").alias("n_distinct"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct("gs")).cast("double") / F.size("gs"),
+            6,
+        ).alias("dup_gram_ratio"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "behavioral_next_event",
+    """
+WITH nxt AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+)
+SELECT next_type, CAST(count(*) AS BIGINT) AS n
+FROM nxt
+WHERE event_type = 'view' AND next_type IS NOT NULL
+GROUP BY next_type
+ORDER BY next_type
+""",
+)
+def behavioral_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceNextNode()`` analog: what does a user do
+    immediately after a 'view'? One lead() window on the (user_id) shuffle
+    plus a tiny aggregate over event-type pairs — the per-user event
+    history never leaves its partition, and the output is bounded by the
+    event-type vocabulary."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        nxt.filter((F.col("event_type") == "view") & F.col("next_type").isNotNull())
+        .groupBy("next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("next_type")
+    )
+
+
 #: deterministic 64-dim probe vector shared verbatim by both engines
 #: (same driver-side-literal idiom as text.py's _PROBE_GRAMS)
 _PROBE_VEC = [((i * 37) % 13 - 6) / 7.0 for i in range(64)]
