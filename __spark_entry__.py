@@ -54,6 +54,9 @@ _PRIORITY = [
     "vector_distance_functions",
     "text_repetition_ratio",
     "behavioral_next_event",
+    "timeseries_resample_interpolate",
+    "scalar_string_search_functions",
+    "text_mix_report",
     # shares the recomposed LSH pair pipeline with dedup_survivors
     "dedup_connected_components",
     "dedup_minhash_lsh_pairs",

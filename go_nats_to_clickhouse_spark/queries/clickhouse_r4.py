@@ -534,6 +534,208 @@ def behavioral_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "timeseries_resample_interpolate",
+    """
+WITH base AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(round(value, 3) AS DECIMAL(7,3))) AS DOUBLE)
+           / COUNT(*) AS v
+  FROM events
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+bounds AS (
+  SELECT event_type, min(h) AS h0, max(h) AS h1 FROM base GROUP BY event_type
+),
+grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+),
+joined AS (
+  SELECT g.event_type, g.h, b.v,
+         last_value(b.v IGNORE NULLS)
+           OVER (PARTITION BY g.event_type ORDER BY g.h
+                 ROWS UNBOUNDED PRECEDING) AS pv,
+         last_value(CASE WHEN b.v IS NOT NULL THEN g.h END IGNORE NULLS)
+           OVER (PARTITION BY g.event_type ORDER BY g.h
+                 ROWS UNBOUNDED PRECEDING) AS ph,
+         first_value(b.v IGNORE NULLS)
+           OVER (PARTITION BY g.event_type ORDER BY g.h
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN b.v IS NOT NULL THEN g.h END IGNORE NULLS)
+           OVER (PARTITION BY g.event_type ORDER BY g.h
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM grid g LEFT JOIN base b ON b.event_type = g.event_type AND b.h = g.h
+)
+SELECT event_type, h,
+       v IS NOT NULL AS observed,
+       round(CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN pv IS NULL THEN nv
+         WHEN nv IS NULL THEN pv
+         ELSE pv + (nv - pv) * (epoch_us(h) - epoch_us(ph))
+                   / (epoch_us(nh) - epoch_us(ph))
+       END, 6) AS v_interp
+FROM joined
+ORDER BY event_type, h
+""",
+)
+def timeseries_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ORDER BY ... WITH FILL ... INTERPOLATE`` analog: hourly
+    resample of value per event type with LINEAR interpolation across
+    missing hours (edges carry the nearest observation). Hourly means come
+    from exact decimal sums (naive double averages are summation-order-
+    dependent across engines); the interpolation is then deterministic
+    double algebra over those means. Grid axis comes from a 2-row bounds
+    aggregate exploded with sequence() — never a driver-side loop; the
+    ignore-nulls window pair resolves both interpolation endpoints on ONE
+    event_type shuffle. Interpolated values inherit positivity from the
+    fixture (value ≥ 0.01), so no signed-zero exposure."""
+    e = load_table(spark, sf_dir, "events")
+    base = (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(
+            (
+                F.sum(F.round(F.col("value"), 3).cast("decimal(7,3)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("v")
+        )
+    )
+    bounds = base.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    j = grid.join(base, ["event_type", "h"], "left")
+    wback = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wfwd = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    joined = j.select(
+        "event_type",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(wback).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(wback).alias("ph"),
+        F.first("v", ignorenulls=True).over(wfwd).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(wfwd).alias("nh"),
+    )
+    frac = (
+        (F.unix_micros("h") - F.unix_micros("ph")).cast("double")
+        / (F.unix_micros("nh") - F.unix_micros("ph")).cast("double")
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return joined.select(
+        "event_type",
+        "h",
+        F.col("v").isNotNull().alias("observed"),
+        F.round(interp, 6).alias("v_interp"),
+    ).orderBy("event_type", "h")
+
+
+@query(
+    "scalar_string_search_functions",
+    """
+SELECT doc_id,
+       CAST(instr(text, 'the') AS BIGINT) AS pos_the,
+       CAST(instr(lower(text), 'lorem') AS BIGINT) AS pos_lorem_ci,
+       CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT)
+         AS n_the,
+       (instr(text, 'data') > 0 OR instr(text, 'fox') > 0
+        OR instr(text, 'lorem') > 0) AS multi_any,
+       text LIKE 'The%' AS starts_the,
+       text LIKE '%.' AS ends_period
+FROM documents
+ORDER BY doc_id
+""",
+)
+def scalar_string_search_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse string-search family analog: ``position`` (1-based, 0
+    when absent), ``positionCaseInsensitive``, ``countSubstrings``
+    (non-overlapping, via the length-difference identity — no regex
+    engine), ``multiSearchAny``, ``startsWith``/``endsWith``. Map-only
+    codegen over the documents table."""
+    d = load_table(spark, sf_dir, "documents")
+    n_the = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("the"))))
+        / 3
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        F.instr(F.col("text"), "the").cast("long").alias("pos_the"),
+        F.instr(F.lower(F.col("text")), "lorem").cast("long").alias("pos_lorem_ci"),
+        n_the.alias("n_the"),
+        (
+            (F.instr(F.col("text"), "data") > 0)
+            | (F.instr(F.col("text"), "fox") > 0)
+            | (F.instr(F.col("text"), "lorem") > 0)
+        ).alias("multi_any"),
+        F.col("text").startswith("The").alias("starts_the"),
+        F.col("text").endswith(".").alias("ends_period"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_mix_report",
+    """
+WITH per AS (
+  SELECT lang, source,
+         COUNT(*) AS n_docs,
+         SUM(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(n_tokens AS DOUBLE)
+             / sum(n_tokens) OVER (), 6) AS token_share
+FROM per
+ORDER BY lang, source
+""",
+)
+def text_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix report: document and whitespace-token counts per
+    (lang, source) cell with each cell's share of corpus tokens — the
+    table a data-mixture rebalancing pass starts from. One hash aggregate
+    over the corpus (token counts reduce map-side); the share is a window
+    over the tiny |langs|x|sources| cell table. Shares are ratios of
+    positive counts — no signed-zero exposure."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(
+        Window.partitionBy()
+    )
+    return per.select(
+        "lang",
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(share, 6).alias("token_share"),
+    ).orderBy("lang", "source")
+
+
 #: deterministic 64-dim probe vector shared verbatim by both engines
 #: (same driver-side-literal idiom as text.py's _PROBE_GRAMS)
 _PROBE_VEC = [((i * 37) % 13 - 6) / 7.0 for i in range(64)]
