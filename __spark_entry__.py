@@ -31,6 +31,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #: changed-this-round companions, then everything newly added this round.
 #: The rest keep registration order behind them.
 _PRIORITY = [
+    # new this session (clickhouse_r5.py) — never sampled
+    "agg_mann_whitney",
+    "agg_ks_test",
+    "agg_theils_u",
+    "agg_categorical_iv",
+    "scalar_string_distance",
+    "agg_lttb_downsample",
+    "dedup_semantic_buckets",
     # never sampled by ANY driver round (VERDICT r3 "What's missing" #1)
     "dedup_survivors",
     "agg_topk_weighted",

@@ -1,0 +1,683 @@
+"""Round-4 (second wave) ClickHouse analog families: nonparametric
+two-sample tests (``mannWhitneyUTest``, ``kolmogorovSmirnovTest``),
+categorical dependence (``theilsU``, ``categoricalInformationValue``),
+string-distance scalars (``editDistance``/``levenshteinDistance``,
+``hammingDistance``, ``stringJaccardIndex``), time-series downsampling
+(``largestTriangleThreeBuckets``), and a SemDeDup-style semantic-bucket
+near-duplicate pass for the LLM-pipeline surface.
+
+The reference (go-nats-to-clickhouse) delegates its entire query surface to
+ClickHouse (init.sql:8-121); these are further ClickHouse built-ins a user
+of that stack reaches for, re-expressed Spark-first.
+
+Portability discipline (stats.py / clickhouse_r4.py conventions):
+
+* rank statistics use DOUBLED average ranks so every rank sum is an exact
+  int64 — the closed-form statistic then sees identical doubles in both
+  engines;
+* ECDF gaps are compared on the INTEGER cross-multiplied form
+  ``|cc1*n2 - cc2*n1|`` and divided exactly once at the end;
+* every rounded value that can reach zero from below carries ``+ 0.0``
+  (IEEE: -0.0 + 0.0 = +0.0) — the round-3 signed-zero lesson;
+* float SUMs over category log-terms follow the agg_entropy precedent:
+  the sums run over a tiny (≤ ~100-row) reduced relation of exact integer
+  counts, and outputs are rounded to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from go_nats_to_clickhouse_spark.queries.registry import query
+from go_nats_to_clickhouse_spark.queries.util import load_table
+from go_nats_to_clickhouse_spark.queries.vector import as_double, cosine, _cos_sql
+
+# ---------------------------------------------------------------------------
+# Two-sample rank statistics: view vs click event values.
+#
+# value has 2 fixture decimals; DECIMAL(7,2) makes tie-grouping exact.
+# The groupBy(value) reduction bounds the ranked relation by the value
+# DOMAIN (~49k distinct cents values), not the row count — at 100 TB the
+# single-partition rank window still sorts ≤ |domain| rows.
+# ---------------------------------------------------------------------------
+
+_TWO_SAMPLE_SQL = """
+base AS (
+  SELECT CAST(round(value, 2) AS DECIMAL(7,2)) AS v,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS s1
+  FROM events WHERE event_type IN ('view', 'click')
+),
+pv AS (
+  SELECT v, SUM(s1) AS c1, COUNT(*) - SUM(s1) AS c2, COUNT(*) AS c
+  FROM base GROUP BY v
+),
+r AS (
+  SELECT v, c1, c2, c,
+         COALESCE(SUM(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM pv
+)
+"""
+
+
+@query(
+    "agg_mann_whitney",
+    f"""
+WITH {_TWO_SAMPLE_SQL},
+sums AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(c2) AS BIGINT) AS n2,
+         CAST(SUM(c1 * (2 * cb + c + 1)) AS BIGINT) AS r1d,
+         CAST(SUM(c * c * c - c) AS BIGINT) AS t
+  FROM r
+)
+SELECT n1, n2,
+       CAST(r1d - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+       round(
+         CAST(r1d - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+         / (2.0 * sqrt(
+             CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+             * ((CAST(n1 + n2 + 1 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                 * CAST(n1 + n2 - 1 AS DOUBLE)) - CAST(t AS DOUBLE))
+             / (12.0 * CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))
+           )), 6) + 0.0 AS z
+FROM sums
+""",
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``mannWhitneyUTest(value, sample)`` analog between the
+    'view' and 'click' populations: the U statistic and its tie-corrected
+    normal approximation z.
+
+    Rank machinery: groupBy(value) reduces the 100-TB event stream to the
+    value DOMAIN (map-side combinable); doubled average ranks
+    ``2*cum_before + count + 1`` keep every rank sum an exact int64, so
+    U and z are closed-form over four integer sums — both engines hit
+    identical doubles. z can round to zero from below, hence ``+ 0.0``.
+    """
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    base = events.select(
+        F.round("value", 2).cast("decimal(7,2)").alias("v"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("s1"),
+    )
+    pv = base.groupBy("v").agg(
+        F.sum("s1").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("s1")).alias("c2"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r = pv.withColumn("cb", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    sums = r.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("cb") + F.col("c") + 1))
+        .cast("long")
+        .alias("r1d"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("t"),
+    )
+    n1, n2, r1d, t = (F.col(c) for c in ("n1", "n2", "r1d", "t"))
+    nd = lambda off: (n1 + n2 + F.lit(off)).cast("double")  # noqa: E731
+    var = (
+        n1.cast("double")
+        * n2.cast("double")
+        * ((nd(1) * nd(0) * nd(-1)) - t.cast("double"))
+        / (F.lit(12.0) * nd(0) * nd(-1))
+    )
+    return sums.select(
+        "n1",
+        "n2",
+        ((r1d - n1 * (n1 + 1)).cast("double") / F.lit(2.0)).alias("u1"),
+        (
+            F.round(
+                (r1d - n1 * (n1 + 1) - n1 * n2).cast("double")
+                / (F.lit(2.0) * F.sqrt(var)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("z"),
+    )
+
+
+@query(
+    "agg_ks_test",
+    f"""
+WITH {_TWO_SAMPLE_SQL},
+tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        FROM pv),
+ecdf AS (
+  SELECT v,
+         SUM(c1) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc1,
+         SUM(c2) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc2
+  FROM pv
+),
+gaps AS (
+  SELECT e.v, ABS(e.cc1 * t.n2 - e.cc2 * t.n1) AS gap, t.n1, t.n2
+  FROM ecdf e CROSS JOIN tot t
+)
+SELECT n1, n2,
+       CAST(MAX(gap) AS BIGINT) AS d_num,
+       CAST(MAX(gap) AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+         AS ks_d,
+       CAST(MIN(CASE WHEN gap = (SELECT MAX(gap) FROM gaps) THEN v END)
+            AS DOUBLE) AS ks_at
+FROM gaps GROUP BY n1, n2
+""",
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``kolmogorovSmirnovTest`` analog: the two-sample KS
+    statistic D between 'view' and 'click' value distributions, plus the
+    value where the ECDF gap is attained (min such value on ties).
+
+    The ECDF comparison runs on the integer cross-multiplied form
+    ``|cc1*n2 - cc2*n1|`` — exact int64 throughout; D is one final
+    division of exact operands, bit-identical across engines. GroupBy
+    bounds the windowed relation by the value domain, not the row count.
+    """
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    base = events.select(
+        F.round("value", 2).cast("decimal(7,2)").alias("v"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("s1"),
+    )
+    pv = base.groupBy("v").agg(
+        F.sum("s1").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("s1")).alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    ecdf = pv.select(
+        "v",
+        F.sum("c1").over(w).alias("cc1"),
+        F.sum("c2").over(w).alias("cc2"),
+        F.sum("c1").over(wall).cast("long").alias("n1"),
+        F.sum("c2").over(wall).cast("long").alias("n2"),
+    )
+    gaps = ecdf.withColumn(
+        "gap", F.abs(F.col("cc1") * F.col("n2") - F.col("cc2") * F.col("n1"))
+    ).withColumn("mg", F.max("gap").over(wall))
+    return gaps.groupBy("n1", "n2").agg(
+        F.max("gap").cast("long").alias("d_num"),
+        (
+            F.max("gap").cast("double")
+            / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+        ).alias("ks_d"),
+        F.min(F.when(F.col("gap") == F.col("mg"), F.col("v")))
+        .cast("double")
+        .alias("ks_at"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Categorical dependence: event_type vs user segment (user_id % 10).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_theils_u",
+    """
+WITH cells AS (
+  SELECT event_type AS x, user_id % 10 AS y, COUNT(*) AS c
+  FROM events GROUP BY event_type, user_id % 10
+),
+xs AS (SELECT x, SUM(c) AS cx FROM cells GROUP BY x),
+ys AS (SELECT y, SUM(c) AS cy FROM cells GROUP BY y),
+n AS (SELECT SUM(c) AS n FROM cells),
+parts AS (
+  SELECT
+    (SELECT SUM(CAST(cx AS DOUBLE) * ln(CAST(cx AS DOUBLE))) FROM xs) AS a,
+    (SELECT SUM(CAST(cy AS DOUBLE) * ln(CAST(cy AS DOUBLE))) FROM ys) AS b,
+    (SELECT SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) FROM cells) AS cc,
+    (SELECT CAST(n AS DOUBLE) FROM n) AS n
+)
+SELECT
+  round(ln(n) - a / n, 6) AS h_x,
+  round((b - cc) / n, 6) AS h_x_given_y,
+  round(((ln(n) - a / n) - (b - cc) / n) / (ln(n) - a / n), 6) + 0.0
+    AS theils_u
+FROM parts
+""",
+)
+def agg_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``theilsU(event_type, segment)`` analog: the uncertainty
+    coefficient U(X|Y) = (H(X) - H(X|Y)) / H(X) with natural-log entropies.
+
+    Shape: one groupBy reduces 100 TB of events to the |X|x|Y| contingency
+    cells (5x10 here); every entropy term is ``count * ln(count)`` of an
+    exact integer, summed over that tiny relation (agg_entropy precedent).
+    U can round to zero from below when X ⫫ Y, hence ``+ 0.0``.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        F.col("event_type").alias("x"), (F.col("user_id") % 10).alias("y")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cells = cells.cache()
+    xln = lambda c: c.cast("double") * F.log(c.cast("double"))  # noqa: E731
+    a = cells.groupBy("x").agg(F.sum("c").alias("cx")).agg(
+        F.sum(xln(F.col("cx"))).alias("a")
+    )
+    b = cells.groupBy("y").agg(F.sum("c").alias("cy")).agg(
+        F.sum(xln(F.col("cy"))).alias("b")
+    )
+    cc = cells.agg(
+        F.sum(xln(F.col("c"))).alias("cc"),
+        F.sum("c").cast("double").alias("n"),
+    )
+    parts = a.crossJoin(b).crossJoin(cc)
+    n = F.col("n")
+    h_x = F.log(n) - F.col("a") / n
+    h_xy = (F.col("b") - F.col("cc")) / n
+    return parts.select(
+        F.round(h_x, 6).alias("h_x"),
+        F.round(h_xy, 6).alias("h_x_given_y"),
+        (F.round((h_x - h_xy) / h_x, 6) + F.lit(0.0)).alias("theils_u"),
+    )
+
+
+@query(
+    "agg_categorical_iv",
+    """
+WITH seg AS (
+  SELECT user_id % 10 AS seg,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b,
+         SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS g
+  FROM events GROUP BY user_id % 10
+),
+tot AS (SELECT SUM(b) AS tb, SUM(g) AS tg FROM seg),
+woe AS (
+  SELECT s.seg, s.g, s.b,
+         round(ln((CAST(s.g AS DOUBLE) * t.tb)
+                  / (CAST(s.b AS DOUBLE) * t.tg)), 6) + 0.0 AS woe,
+         round((CAST(s.g AS DOUBLE) / t.tg - CAST(s.b AS DOUBLE) / t.tb)
+               * ln((CAST(s.g AS DOUBLE) * t.tb)
+                    / (CAST(s.b AS DOUBLE) * t.tg)), 6) + 0.0 AS iv_term
+  FROM seg s CROSS JOIN tot t
+  WHERE s.g > 0 AND s.b > 0
+)
+SELECT seg, CAST(g AS BIGINT) AS g, CAST(b AS BIGINT) AS b, woe, iv_term,
+       round(SUM(iv_term) OVER (), 6) + 0.0 AS iv_total
+FROM woe ORDER BY seg
+""",
+)
+def agg_categorical_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``categoricalInformationValue`` analog: weight-of-evidence
+    and information value of user segment (user_id % 10) against the binary
+    'purchase' outcome.
+
+    One map-side-combinable groupBy reduces the stream to |segments| rows;
+    WoE's log-odds ratio is computed from exact integer counts with the
+    engine-shared expression shape ``(g*TB)/(b*TG)``. The IV total sums the
+    already-rounded per-segment terms (≤ 1e-15 accumulated error on ~10
+    six-decimal values — re-rounding to 6 is engine-stable). WoE and IV
+    terms can round to zero from below, hence ``+ 0.0``.
+    """
+    events = load_table(spark, sf_dir, "events")
+    is_b = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    seg = events.groupBy((F.col("user_id") % 10).alias("seg")).agg(
+        F.sum(is_b).alias("b"),
+        F.sum(1 - is_b).alias("g"),
+    )
+    wall = Window.partitionBy()
+    tot = seg.select(
+        "*",
+        F.sum("b").over(wall).alias("tb"),
+        F.sum("g").over(wall).alias("tg"),
+    ).filter((F.col("g") > 0) & (F.col("b") > 0))
+    lodds = F.log(
+        (F.col("g").cast("double") * F.col("tb"))
+        / (F.col("b").cast("double") * F.col("tg"))
+    )
+    woe = tot.select(
+        "seg",
+        F.col("g").cast("long").alias("g"),
+        F.col("b").cast("long").alias("b"),
+        (F.round(lodds, 6) + F.lit(0.0)).alias("woe"),
+        (
+            F.round(
+                (
+                    F.col("g").cast("double") / F.col("tg")
+                    - F.col("b").cast("double") / F.col("tb")
+                )
+                * lodds,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("iv_term"),
+    )
+    return woe.select(
+        "*",
+        (F.round(F.sum("iv_term").over(wall), 6) + F.lit(0.0)).alias("iv_total"),
+    ).orderBy("seg")
+
+
+# ---------------------------------------------------------------------------
+# String-distance scalar family over documents.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string_distance",
+    """
+WITH d AS (
+  SELECT doc_id,
+         substring(text, 1, 16) AS a,
+         substring(text, 17, 16) AS b,
+         substring(text, 1, 8) AS a8,
+         substring(text, 17, 8) AS b8
+  FROM documents WHERE n_chars >= 40
+),
+cs AS (
+  SELECT doc_id, a, b, a8, b8,
+         list_distinct(list_transform(range(1, length(a) + 1),
+             i -> substring(a, i, 1))) AS sa,
+         list_distinct(list_transform(range(1, length(b) + 1),
+             i -> substring(b, i, 1))) AS sb
+  FROM d
+)
+SELECT doc_id,
+       CAST(levenshtein(a, b) AS INT) AS lev,
+       CAST(hamming(a8, b8) AS INT) AS ham,
+       round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+             / (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6)
+         AS char_jaccard
+FROM cs ORDER BY doc_id
+""",
+)
+def scalar_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse string-distance scalar family: ``editDistance`` /
+    ``levenshteinDistance`` (built-in both engines), ``hammingDistance``
+    over equal-length slices (positional fold — Spark has no built-in),
+    and ``stringJaccardIndex`` over character sets.
+
+    Map-only, no shuffle; all outputs are integers or a single division of
+    exact integers, so no float portability hazard. Slices are
+    fixture-guaranteed in-range (n_chars >= 40 filter).
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") >= 40)
+        .select(
+            "doc_id",
+            F.substring("text", 1, 16).alias("a"),
+            F.substring("text", 17, 16).alias("b"),
+            F.substring("text", 1, 8).alias("a8"),
+            F.substring("text", 17, 8).alias("b8"),
+        )
+    )
+    # positional char extraction via expr (substring with a column pos)
+    d = d.withColumn(
+        "sa",
+        F.expr(
+            "array_distinct(transform(sequence(1, length(a)),"
+            " i -> substring(a, i, 1)))"
+        ),
+    ).withColumn(
+        "sb",
+        F.expr(
+            "array_distinct(transform(sequence(1, length(b)),"
+            " i -> substring(b, i, 1)))"
+        ),
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return d.select(
+        "doc_id",
+        F.levenshtein("a", "b").alias("lev"),
+        F.expr(
+            "aggregate(sequence(1, 8), 0, (acc, i) -> acc +"
+            " CASE WHEN substring(a8, i, 1) = substring(b8, i, 1)"
+            " THEN 0 ELSE 1 END)"
+        ).alias("ham"),
+        F.round(
+            inter.cast("double") / (F.size("sa") + F.size("sb") - inter), 6
+        ).alias("char_jaccard"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# largestTriangleThreeBuckets — parallel-friendly variant with bucket-mean
+# anchors (deterministic, window-expressible; classic LTTB's sequential
+# previous-selected-point recurrence does not distribute).
+# ---------------------------------------------------------------------------
+
+_LTTB_K = 12
+
+
+@query(
+    "agg_lttb_downsample",
+    f"""
+WITH s AS (
+  SELECT user_id, event_id, epoch_us(ts) AS x,
+         CAST(round(value, 2) AS DECIMAL(7,2)) AS yd, ts
+  FROM events WHERE user_id < 10
+),
+rn AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY x, event_id)
+              AS rn,
+            COUNT(*) OVER (PARTITION BY user_id) AS cnt
+  FROM s
+),
+bk AS (
+  SELECT *, CAST(floor(((rn - 1) * {_LTTB_K} * 1.0) / cnt) AS BIGINT) AS b,
+         CAST(yd AS DOUBLE) AS y
+  FROM rn WHERE cnt >= {_LTTB_K}
+),
+av AS (
+  SELECT user_id, b,
+         CAST(SUM(x) AS DOUBLE) / COUNT(*) AS ax,
+         CAST(SUM(yd) AS DOUBLE) / COUNT(*) AS ay
+  FROM bk GROUP BY user_id, b
+),
+anchors AS (
+  SELECT user_id, b,
+         lag(ax) OVER (PARTITION BY user_id ORDER BY b) AS pax,
+         lag(ay) OVER (PARTITION BY user_id ORDER BY b) AS pay,
+         lead(ax) OVER (PARTITION BY user_id ORDER BY b) AS nax,
+         lead(ay) OVER (PARTITION BY user_id ORDER BY b) AS nay
+  FROM av
+),
+scored AS (
+  SELECT k.user_id, k.b, k.event_id, k.ts, k.y, k.rn, k.cnt,
+         CASE WHEN k.b = 0 THEN CAST(k.rn AS DOUBLE)
+              WHEN k.b = {_LTTB_K} - 1 THEN CAST(k.cnt - k.rn AS DOUBLE)
+              ELSE -abs((a.pax - a.nax) * (k.y - a.pay)
+                        - (a.pax - CAST(k.x AS DOUBLE)) * (a.nay - a.pay))
+         END AS sort1
+  FROM bk k JOIN anchors a ON k.user_id = a.user_id AND k.b = a.b
+),
+pick AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, b
+                               ORDER BY sort1, event_id) AS pr
+  FROM scored
+)
+SELECT user_id, CAST(b AS BIGINT) AS bucket, event_id, ts,
+       round(y, 2) AS y
+FROM pick WHERE pr = 1 ORDER BY user_id, bucket
+""",
+)
+def agg_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``largestTriangleThreeBuckets(k)`` analog: downsample each
+    user's (ts, value) series to k={_K} visually-representative points.
+
+    Parallel variant: triangle anchors are the NEIGHBOR BUCKET MEANS
+    (classic LTTB anchors on the previously *selected* point — a sequential
+    recurrence that cannot distribute); first/last buckets pin the series
+    endpoints, matching LTTB's contract. Entirely window/groupBy — per-user
+    partition parallel at any scale. Determinism: x is exact epoch-micros
+    int64, y an exact 2-dec decimal; bucket means are single divisions of
+    exact sums, and the per-row area is the same IEEE expression shape in
+    both engines, so the argmax (tie → min event_id) picks identical rows.
+    """
+    k = _LTTB_K
+    s = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("x"),
+            F.round("value", 2).cast("decimal(7,2)").alias("yd"),
+            "ts",
+        )
+    )
+    wu = Window.partitionBy("user_id")
+    rn = s.select(
+        "*",
+        F.row_number().over(wu.orderBy("x", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wu).alias("cnt"),
+    ).filter(F.col("cnt") >= k)
+    bk = rn.withColumn(
+        "b",
+        F.floor((F.col("rn") - 1) * k * F.lit(1.0) / F.col("cnt")).cast("long"),
+    ).withColumn("y", F.col("yd").cast("double"))
+    # epoch-micros sums exceed int64 (1.7e18 * bucket size); sum as exact
+    # decimal — DuckDB's SUM(BIGINT) widens to HUGEINT natively.
+    av = bk.groupBy("user_id", "b").agg(
+        (F.sum(F.col("x").cast("decimal(28,0)")).cast("double")
+         / F.count(F.lit(1))).alias("ax"),
+        (F.sum("yd").cast("double") / F.count(F.lit(1))).alias("ay"),
+    )
+    wb = Window.partitionBy("user_id").orderBy("b")
+    anchors = av.select(
+        "user_id",
+        "b",
+        F.lag("ax").over(wb).alias("pax"),
+        F.lag("ay").over(wb).alias("pay"),
+        F.lead("ax").over(wb).alias("nax"),
+        F.lead("ay").over(wb).alias("nay"),
+    )
+    scored = bk.join(anchors, ["user_id", "b"]).withColumn(
+        "sort1",
+        F.when(F.col("b") == 0, F.col("rn").cast("double"))
+        .when(F.col("b") == k - 1, (F.col("cnt") - F.col("rn")).cast("double"))
+        .otherwise(
+            -F.abs(
+                (F.col("pax") - F.col("nax")) * (F.col("y") - F.col("pay"))
+                - (F.col("pax") - F.col("x").cast("double"))
+                * (F.col("nay") - F.col("pay"))
+            )
+        ),
+    )
+    pick = scored.withColumn(
+        "pr",
+        F.row_number().over(
+            Window.partitionBy("user_id", "b").orderBy("sort1", "event_id")
+        ),
+    ).filter(F.col("pr") == 1)
+    return pick.select(
+        "user_id",
+        F.col("b").cast("long").alias("bucket"),
+        "event_id",
+        "ts",
+        F.round("y", 2).alias("y"),
+    ).orderBy("user_id", "bucket")
+
+
+agg_lttb_downsample.__doc__ = agg_lttb_downsample.__doc__.replace(
+    "{_K}", str(_LTTB_K)
+)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic near-duplicate pass: coarse-quantize embeddings to
+# centroid buckets, then near-dup only WITHIN buckets.
+# ---------------------------------------------------------------------------
+
+_N_CENTROIDS = 8
+_SEM_THRESHOLD = 0.4
+
+
+@query(
+    "dedup_semantic_buckets",
+    f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_N_CENTROIDS}),
+scored AS (
+  SELECT e.vec_id, c.cid, {_cos_sql('e.v', 'c.cv')} AS cos_c,
+         e.v
+  FROM e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, cid AS bucket, v,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos_c DESC, cid) AS rn
+  FROM scored
+)
+SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_cos_sql('a.v', 'b.v')}, 4) AS cosine
+FROM assigned a JOIN assigned b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE a.rn = 1 AND b.rn = 1
+  AND {_cos_sql('a.v', 'b.v')} >= {_SEM_THRESHOLD}
+ORDER BY 1, 2, 3
+""",
+)
+def dedup_semantic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pass (Abbas et al. 2023, arXiv
+    2303.09540): assign every embedding to its nearest of K fixed centroids
+    (cosine argmax, tie → lowest centroid id), then emit near-duplicate
+    pairs (cos >= {_T}) only WITHIN each bucket.
+
+    Scale shape: the K centroids broadcast (kilobytes); assignment is
+    map-side — the corpus never shuffles for it. The pair join is
+    bucket-local, so its cost is Σ bucket² instead of corpus² — the whole
+    point of semantic bucketing at 100 TB. Centroids here are the first K
+    vectors (deterministic, oracle-reproducible); a production run plugs in
+    k-means centroids without changing the plan. Cross-bucket pairs are
+    deliberately not emitted (the SemDeDup trade), and the oracle encodes
+    the same semantics. The cosine fold is the shared sequential kernel
+    (queries/vector.py) so both engines see identical doubles.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    cents = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", "v", cosine(F.col("v"), F.col("cv")).alias("cos_c")
+    )
+    assigned = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("cos_c").desc(), F.col("cid")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("bucket"), "v")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos_ab = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos_ab >= _SEM_THRESHOLD)
+        .select(
+            F.col("a.bucket").alias("bucket"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos_ab, 4).alias("cosine"),
+        )
+        .orderBy("bucket", "vec_a", "vec_b")
+    )
+
+
+dedup_semantic_buckets.__doc__ = dedup_semantic_buckets.__doc__.replace(
+    "{_T}", str(_SEM_THRESHOLD)
+)

@@ -1,0 +1,276 @@
+"""Reference-implementation tests for the round-4 second-wave ClickHouse
+analog families (queries/clickhouse_r5.py): each operator is checked
+against a from-scratch Python brute force, independent of the DuckDB
+oracle (which proves engine agreement, not semantics)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+
+def _two_sample_values(spark, sf_dir):
+    from go_nats_to_clickhouse_spark.queries.util import load_table
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    vals = {"view": [], "click": []}
+    for r in e.select("event_type", F.round("value", 2).alias("v")).collect():
+        vals[r.event_type].append(round(float(r.v), 2))
+    return vals["view"], vals["click"]
+
+
+def _avg_ranks(combined):
+    """Textbook average ranks (1-based, ties share the mean rank)."""
+    order = sorted(range(len(combined)), key=lambda i: combined[i])
+    ranks = [0.0] * len(combined)
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and combined[order[j + 1]] == combined[order[i]]:
+            j += 1
+        avg = (i + j + 2) / 2.0  # mean of 1-based positions i+1 .. j+1
+        for k in range(i, j + 1):
+            ranks[order[k]] = avg
+        i = j + 1
+    return ranks
+
+
+def test_mann_whitney_matches_textbook(spark, sf_dir):
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import agg_mann_whitney
+
+    row = agg_mann_whitney(spark, sf_dir).collect()[0]
+    a, b = _two_sample_values(spark, sf_dir)
+    combined = a + b
+    ranks = _avg_ranks(combined)
+    n1, n2 = len(a), len(b)
+    r1 = sum(ranks[: len(a)])
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    # tie correction over tie-group sizes
+    from collections import Counter
+
+    tie = sum(c**3 - c for c in Counter(combined).values())
+    n = n1 + n2
+    var = n1 * n2 / 12.0 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u1 - n1 * n2 / 2.0) / math.sqrt(var)
+    assert row.n1 == n1 and row.n2 == n2
+    assert abs(row.u1 - u1) < 1e-6, (row.u1, u1)
+    assert abs(row.z - z) < 1e-5, (row.z, z)
+
+
+def test_ks_matches_bruteforce(spark, sf_dir):
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import agg_ks_test
+
+    row = agg_ks_test(spark, sf_dir).collect()[0]
+    a, b = _two_sample_values(spark, sf_dir)
+    n1, n2 = len(a), len(b)
+    xs = sorted(set(a + b))
+    sa, sb = sorted(a), sorted(b)
+
+    import bisect
+
+    best, best_at = -1, None
+    for x in xs:
+        c1 = bisect.bisect_right(sa, x)
+        c2 = bisect.bisect_right(sb, x)
+        gap = abs(c1 * n2 - c2 * n1)
+        if gap > best:
+            best, best_at = gap, x
+    assert row.n1 == n1 and row.n2 == n2
+    assert row.d_num == best
+    assert abs(row.ks_d - best / (n1 * n2)) < 1e-12
+    assert abs(row.ks_at - best_at) < 1e-9
+
+
+def test_theils_u_matches_bruteforce(spark, sf_dir):
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import agg_theils_u
+    from go_nats_to_clickhouse_spark.queries.util import load_table
+
+    row = agg_theils_u(spark, sf_dir).collect()[0]
+    cells = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", (F.col("user_id") % 10).alias("y"))
+        .collect()
+    ):
+        cells[(r.event_type, r.y)] = cells.get((r.event_type, r.y), 0) + 1
+    n = sum(cells.values())
+
+    def entropy(counts):
+        return -sum(c / n * math.log(c / n) for c in counts)
+
+    xs = {}
+    ys = {}
+    for (x, y), c in cells.items():
+        xs[x] = xs.get(x, 0) + c
+        ys[y] = ys.get(y, 0) + c
+    h_x = entropy(xs.values())
+    # H(X|Y) = H(X,Y) - H(Y)
+    h_xy = entropy(cells.values()) - entropy(ys.values())
+    u = (h_x - h_xy) / h_x
+    assert abs(row.h_x - h_x) < 1e-5
+    assert abs(row.h_x_given_y - h_xy) < 1e-5
+    assert abs(row.theils_u - u) < 1e-5
+
+
+def test_categorical_iv_matches_bruteforce(spark, sf_dir):
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import (
+        agg_categorical_iv,
+    )
+    from go_nats_to_clickhouse_spark.queries.util import load_table
+
+    rows = agg_categorical_iv(spark, sf_dir).collect()
+    seg = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select((F.col("user_id") % 10).alias("s"), "event_type")
+        .collect()
+    ):
+        g, b = seg.get(r.s, (0, 0))
+        if r.event_type == "purchase":
+            seg[r.s] = (g, b + 1)
+        else:
+            seg[r.s] = (g + 1, b)
+    tg = sum(g for g, _ in seg.values())
+    tb = sum(b for _, b in seg.values())
+    iv = 0.0
+    for r in rows:
+        g, b = seg[r.seg]
+        assert (r.g, r.b) == (g, b)
+        woe = math.log((g / tg) / (b / tb))
+        assert abs(r.woe - woe) < 1e-5
+        term = (g / tg - b / tb) * woe
+        assert abs(r.iv_term - term) < 1e-5
+        iv += term
+    assert abs(rows[0].iv_total - iv) < 1e-4
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_string_distance_matches_python(spark, sf_dir):
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import (
+        scalar_string_distance,
+    )
+
+    got = {r.doc_id: r for r in scalar_string_distance(spark, sf_dir).collect()}
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    checked = 0
+    for doc in tbl:
+        if doc["n_chars"] < 40 or checked >= 40:
+            continue
+        a, b = doc["text"][:16], doc["text"][16:32]
+        r = got[doc["doc_id"]]
+        assert r.lev == _lev(a, b), (a, b)
+        assert r.ham == sum(x != y for x, y in zip(a[:8], b[:8]))
+        sa, sb = set(a), set(b)
+        assert abs(r.char_jaccard - len(sa & sb) / len(sa | sb)) < 1e-6
+        checked += 1
+    assert checked > 0
+
+
+def test_lttb_pins_endpoints_and_maximizes_area(spark, sf_dir):
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import (
+        _LTTB_K,
+        agg_lttb_downsample,
+    )
+    from go_nats_to_clickhouse_spark.queries.util import load_table
+
+    out = agg_lttb_downsample(spark, sf_dir).collect()
+    series = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("x"),
+            F.round("value", 2).alias("y"),
+        )
+        .collect()
+    ):
+        series.setdefault(r.user_id, []).append(
+            (r.x, r.event_id, float(r.y))
+        )
+    for uid in series:
+        series[uid].sort()
+
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, picks in by_user.items():
+        pts = series[uid]
+        cnt = len(pts)
+        assert cnt >= _LTTB_K
+        assert len(picks) == _LTTB_K  # every bucket non-empty, one pick each
+        assert [p.bucket for p in picks] == list(range(_LTTB_K))
+        # endpoints pinned
+        assert picks[0].event_id == pts[0][1]
+        assert picks[-1].event_id == pts[-1][1]
+
+        # recompute the bucket-mean-anchor argmax for one middle bucket
+        buckets = {}
+        for rn, (x, eid, y) in enumerate(pts, 1):
+            buckets.setdefault((rn - 1) * _LTTB_K // cnt, []).append(
+                (x, eid, y)
+            )
+        b = _LTTB_K // 2
+        pax = sum(x for x, _, _ in buckets[b - 1]) / len(buckets[b - 1])
+        pay = sum(y for _, _, y in buckets[b - 1]) / len(buckets[b - 1])
+        nax = sum(x for x, _, _ in buckets[b + 1]) / len(buckets[b + 1])
+        nay = sum(y for _, _, y in buckets[b + 1]) / len(buckets[b + 1])
+
+        def area(p):
+            x, _, y = p
+            return abs((pax - nax) * (y - pay) - (pax - x) * (nay - pay))
+
+        best = max(buckets[b], key=lambda p: (area(p), -p[1]))
+        assert picks[b].event_id == best[1]
+
+
+def test_semantic_buckets_match_numpy(spark, sf_dir):
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import (
+        _N_CENTROIDS,
+        _SEM_THRESHOLD,
+        dedup_semantic_buckets,
+    )
+
+    got = {
+        (r.vec_a, r.vec_b): (r.bucket, r.cosine)
+        for r in dedup_semantic_buckets(spark, sf_dir).collect()
+    }
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(tbl.column("vec_id").to_pylist())
+    m = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    norms = np.linalg.norm(m, axis=1)
+    cents = m[ids < _N_CENTROIDS]
+    cos_c = (m @ cents.T) / np.outer(norms, np.linalg.norm(cents, axis=1))
+    bucket = np.argmin(-cos_c, axis=1)  # argmax cos, tie -> lowest cid
+
+    want = {}
+    for bi in range(_N_CENTROIDS):
+        members = np.where(bucket == bi)[0]
+        for i_pos, i in enumerate(members):
+            for j in members[i_pos + 1 :]:
+                cos = float(m[i] @ m[j] / (norms[i] * norms[j]))
+                if cos >= _SEM_THRESHOLD:
+                    a, b = int(ids[i]), int(ids[j])
+                    want[(min(a, b), max(a, b))] = bi
+    assert set(got) == set(want)
+    for k, bi in want.items():
+        assert got[k][0] == bi
