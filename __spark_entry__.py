@@ -32,6 +32,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: The rest keep registration order behind them.
 _PRIORITY = [
     # new this session (clickhouse_r5.py) — never sampled
+    "agg_student_ttest",
+    "agg_contingency_coefs",
+    "text_global_shuffle",
+    "text_bigram_lm_score",
+    "vector_quantize_int8",
     "agg_mann_whitney",
     "agg_ks_test",
     "agg_theils_u",

@@ -71,11 +71,14 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     shingle_arr = F.expr(
         f"transform(sequence(1, size(ws) - {n - 1}), i -> concat_ws(' ', {parts}))"
     )
+    # No .distinct() after the explode: array_distinct already dedupes
+    # within the document and (doc_id, shingle) cannot repeat across rows,
+    # so a global distinct would be a semantic no-op costing a full shuffle
+    # of every shingle row in every consumer.
     return (
         df.select("doc_id", F.split(F.col(text_col), " ").alias("ws"))
         .filter(F.size("ws") >= n)
         .select("doc_id", F.explode(F.array_distinct(shingle_arr)).alias("shingle"))
-        .distinct()
     )
 
 
@@ -259,13 +262,42 @@ def lsh_verified_jaccard_pairs(
     the verification stage keeps precision exact either way.
     """
     rows = num_hashes // bands
+    # The shingle explode + 17 hash expressions per row is the CPU-heavy
+    # stage; a raw parquet read often yields 1-2 input splits at test
+    # scale, which would serialize it. Repartition the (cheap, pre-explode)
+    # doc rows to full core width first — at 100 TB the reader already
+    # produces thousands of splits and this is a near-no-op round-robin.
+    sc = docs.sparkSession.sparkContext
+    docs = docs.repartition(sc.defaultParallelism)
     sh = word_shingles(docs, n=shingle_n)
-    sig = minhash_signatures(sh, num_hashes)
+    # ONE pass over the exploded shingle rows computes BOTH the minhash
+    # components and the distinct-shingle set (a separate sets groupBy
+    # would re-read + re-explode the corpus); the localCheckpoint
+    # materializes the per-doc table once so the signature path, the set
+    # joins, and any iterative consumer (connected components re-evaluates
+    # its edge input every round) all reuse it instead of re-deriving the
+    # whole LSH lineage.
+    base = portable_hash28(F.col("shingle"))
+    hashed = sh.select(
+        "doc_id",
+        "shingle",
+        *[
+            F.pmod(F.lit(a) * base + F.lit(b), F.lit(UH_PRIME)).alias(f"h{s}")
+            for s, (a, b) in enumerate(_uh_constants(num_hashes))
+        ],
+    )
+    per_doc = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{s}").alias(f"m{s}") for s in range(num_hashes)],
+        F.collect_set("shingle").alias("sset"),
+    ).localCheckpoint(eager=False)
+    sig = per_doc.select(
+        "doc_id",
+        F.array(*[F.col(f"m{s}") for s in range(num_hashes)]).alias("sig"),
+    )
     cand = lsh_candidate_pairs(sig, bands, rows, max_bucket=max_bucket)
-    # Distinct-shingle sets per doc: one groupBy over the same exploded
-    # shingle rows the signatures consume. Arrays are bounded by document
-    # length, and only candidate docs' sets ride the verification joins.
-    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sset"))
+    # Arrays are bounded by document length, and only candidate docs' sets
+    # ride the verification joins.
+    sets = per_doc.select("doc_id", "sset")
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("set_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("set_b"))
     scored = (

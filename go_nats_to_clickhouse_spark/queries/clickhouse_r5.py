@@ -637,6 +637,8 @@ def dedup_semantic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same semantics. The cosine fold is the shared sequential kernel
     (queries/vector.py) so both engines see identical doubles.
     """
+    from go_nats_to_clickhouse_spark.queries.vector import dot
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
@@ -646,6 +648,10 @@ def dedup_semantic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id", "cid", "v", cosine(F.col("v"), F.col("cv")).alias("cos_c")
     )
+    # Precompute each vector's norm ONCE: sqrt(dot(v,v)) here is the exact
+    # same fold -> same double -> same sqrt as an inline computation, so the
+    # pair-stage cosine dot(a,b)/(na*nb) stays bit-identical to the oracle's
+    # inline form while doing one array fold per pair instead of three.
     assigned = (
         scored.withColumn(
             "rn",
@@ -656,23 +662,56 @@ def dedup_semantic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("bucket"), "v")
+        .select(
+            "vec_id",
+            F.col("cid").alias("bucket"),
+            "v",
+            F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
+        )
     )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    cos_ab = cosine(F.col("a.v"), F.col("b.v"))
+    # Salt the bucket-local pair join: K buckets alone cap parallelism at
+    # K partitions; salting the left side by vec_id and replicating the
+    # right side per salt keeps the SAME pair set while spreading each
+    # bucket's quadratic work across K*salt tasks. Pure partitioning —
+    # no semantic change, so the oracle is untouched.
+    # The explicit repartition(n, keys) is load-bearing: AQE coalesces the
+    # join's shuffle by BYTES (a few thousand fat rows look tiny) down to
+    # 2-3 partitions, serializing a stage whose per-row cost is quadratic
+    # pair scoring. User-specified partition counts are exempt from AQE
+    # coalescing, so the scoring keeps full width.
+    n_salt = 4
+    width = assigned.sparkSession.sparkContext.defaultParallelism
+    a = (
+        assigned.withColumn("salt", F.pmod("vec_id", F.lit(n_salt)))
+        .repartition(width, "bucket", "salt")
+        .alias("a")
+    )
+    b = (
+        assigned.crossJoin(
+            F.broadcast(
+                assigned.sparkSession.range(n_salt).select(
+                    F.col("id").cast("int").alias("salt")
+                )
+            )
+        )
+        .repartition(width, "bucket", "salt")
+        .alias("b")
+    )
+    cos_ab = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(cos_ab >= _SEM_THRESHOLD)
+        .withColumn("cos_ab", cos_ab)
+        .filter(F.col("cos_ab") >= _SEM_THRESHOLD)
         .select(
             F.col("a.bucket").alias("bucket"),
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cos_ab, 4).alias("cosine"),
+            F.round("cos_ab", 4).alias("cosine"),
         )
         .orderBy("bucket", "vec_a", "vec_b")
     )
@@ -681,3 +720,393 @@ def dedup_semantic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_semantic_buckets.__doc__ = dedup_semantic_buckets.__doc__.replace(
     "{_T}", str(_SEM_THRESHOLD)
 )
+
+
+# ---------------------------------------------------------------------------
+# Student's t (pooled variance) — companion to agg_welch_ttest, same exact
+# decimal power-sum idiom (clickhouse_r4.py:_WELCH_SUMS_SQL).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_student_ttest",
+    """
+WITH sums AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(v) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(v * v AS DECIMAL(19,6))) AS DOUBLE) AS s2
+  FROM (SELECT event_type, CAST(round(value, 3) AS DECIMAL(7,3)) AS v
+        FROM events WHERE event_type IN ('view', 'click'))
+  GROUP BY event_type
+),
+ab AS (
+  SELECT
+    max(CASE WHEN event_type = 'view' THEN n END) AS na,
+    max(CASE WHEN event_type = 'view' THEN s1 END) AS sa1,
+    max(CASE WHEN event_type = 'view' THEN s2 END) AS sa2,
+    max(CASE WHEN event_type = 'click' THEN n END) AS nb,
+    max(CASE WHEN event_type = 'click' THEN s1 END) AS sb1,
+    max(CASE WHEN event_type = 'click' THEN s2 END) AS sb2
+  FROM sums
+)
+SELECT CAST(na AS BIGINT) AS n_view,
+       CAST(nb AS BIGINT) AS n_click,
+       CAST(na + nb - 2 AS BIGINT) AS df,
+       round((sa1 / na - sb1 / nb)
+             / sqrt(((sa2 - sa1 * sa1 / na) + (sb2 - sb1 * sb1 / nb))
+                    / (na + nb - 2) * (1.0 / na + 1.0 / nb)), 6) + 0.0
+         AS t_stat
+FROM ab
+""",
+)
+def agg_student_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``studentTTest(value, group)`` analog: the pooled-variance
+    two-sample t statistic between 'view' and 'click' populations, df =
+    n1+n2-2. Same shape as agg_welch_ttest — one map-side-combinable
+    aggregate reduces 100 TB to two power-sum rows; the algebra runs once.
+    t can round to zero from below, hence ``+ 0.0``."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    v = F.round(F.col("value"), 3).cast("decimal(7,3)")
+    sums = e.select("event_type", v.alias("v")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("double").alias("s1"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(19,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    ab = sums.agg(
+        F.max(F.when(F.col("event_type") == "view", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("event_type") == "view", F.col("s1"))).alias("sa1"),
+        F.max(F.when(F.col("event_type") == "view", F.col("s2"))).alias("sa2"),
+        F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("event_type") == "click", F.col("s1"))).alias("sb1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("s2"))).alias("sb2"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ssa = F.col("sa2") - F.col("sa1") * F.col("sa1") / na
+    ssb = F.col("sb2") - F.col("sb1") * F.col("sb1") / nb
+    t = (F.col("sa1") / na - F.col("sb1") / nb) / F.sqrt(
+        (ssa + ssb) / (na + nb - 2) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    return ab.select(
+        F.col("na").cast("long").alias("n_view"),
+        F.col("nb").cast("long").alias("n_click"),
+        (F.col("na") + F.col("nb") - 2).cast("long").alias("df"),
+        (F.round(t, 6) + F.lit(0.0)).alias("t_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contingency coefficient + bias-corrected Cramér's V — companions to
+# agg_cramers_v (clickhouse_r3.py:663), same chi-square machinery.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_contingency_coefs",
+    """
+WITH cells AS (
+  SELECT event_type AS a, dayofweek(ts) AS b, CAST(count(*) AS DOUBLE) AS o
+  FROM events GROUP BY 1, 2
+),
+margins AS (
+  SELECT a, b, o,
+         sum(o) OVER (PARTITION BY a) AS row_tot,
+         sum(o) OVER (PARTITION BY b) AS col_tot,
+         sum(o) OVER () AS n
+  FROM cells
+),
+chi AS (
+  SELECT sum(pow(o - row_tot * col_tot / n, 2) / (row_tot * col_tot / n)) AS chi2,
+         max(n) AS n,
+         CAST(count(DISTINCT a) AS DOUBLE) AS r,
+         CAST(count(DISTINCT b) AS DOUBLE) AS c
+  FROM margins
+)
+SELECT round(chi2, 6) + 0.0 AS chi2,
+       round(sqrt(chi2 / (chi2 + n)), 6) + 0.0 AS contingency_coef,
+       round(sqrt(
+         greatest(0.0, chi2 / n - (r - 1) * (c - 1) / (n - 1))
+         / least(r - (r - 1) * (r - 1) / (n - 1),
+                 c - (c - 1) * (c - 1) / (n - 1))), 6) + 0.0
+         AS cramers_v_bc
+FROM chi
+""",
+)
+def agg_contingency_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``contingency(a, b)`` and ``cramersVBiasCorrected(a, b)``
+    analogs over the same event_type x day-of-week table as agg_cramers_v:
+    Pearson's contingency coefficient sqrt(chi2/(chi2+n)) and the
+    Bergsma-corrected Cramér's V (phi2 debiased by (r-1)(c-1)/(n-1),
+    dimensions shrunk the same way; the max(0, .) clamp uses GREATEST so
+    an independent table yields +0.0 in both engines).
+
+    One groupBy for cell counts is the only full-data shuffle; margins and
+    the chi-square fold run over the tiny |X|x|Y| relation."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.col("event_type").alias("a"), F.dayofweek("ts").alias("b")
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    m = cells.select(
+        "a",
+        "b",
+        "o",
+        F.sum("o").over(Window.partitionBy("a")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("b")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    chi = m.agg(
+        F.sum(F.pow(F.col("o") - exp, 2) / exp).alias("chi2"),
+        F.max("n").alias("n"),
+        F.countDistinct("a").cast("double").alias("r"),
+        F.countDistinct("b").cast("double").alias("c"),
+    )
+    chi2, n, r, c = (F.col(x) for x in ("chi2", "n", "r", "c"))
+    phi2_bc = F.greatest(
+        F.lit(0.0), chi2 / n - (r - 1) * (c - 1) / (n - 1)
+    )
+    dim_bc = F.least(
+        r - (r - 1) * (r - 1) / (n - 1), c - (c - 1) * (c - 1) / (n - 1)
+    )
+    return chi.select(
+        (F.round(chi2, 6) + F.lit(0.0)).alias("chi2"),
+        (F.round(F.sqrt(chi2 / (chi2 + n)), 6) + F.lit(0.0)).alias(
+            "contingency_coef"
+        ),
+        (F.round(F.sqrt(phi2_bc / dim_bc), 6) + F.lit(0.0)).alias(
+            "cramers_v_bc"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline: deterministic global shuffle + sharding.
+# ---------------------------------------------------------------------------
+
+_SHUF_SALT = "shuf-1:"
+_N_SHARDS = 8
+
+
+@query(
+    "text_global_shuffle",
+    f"""
+WITH h AS (
+  SELECT doc_id, md5('{_SHUF_SALT}' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, h,
+         ('0x' || substr(h, 1, 7))::BIGINT % {_N_SHARDS} AS shard
+  FROM h
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS BIGINT) AS pos
+FROM sh ORDER BY shard, pos
+""",
+)
+def text_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order global shuffle: place every document at a
+    deterministic pseudo-random position in one of N shards (salted-md5
+    order) — the "shuffle 100 TB before epoch 0" op of an LLM data
+    pipeline.
+
+    Scale shape: the md5 key is map-side; the only shuffle is the
+    repartition-by-shard, and within-shard ordering is a sort on a
+    uniformly-distributed key, so range partitioning cannot skew. Salt the
+    key to re-shuffle between epochs without rewriting data. The md5 hash
+    keeps both engines (and any future re-run) in byte-identical order —
+    no RNG state anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit(_SHUF_SALT), F.col("doc_id").cast("string")))
+    sh = d.select(
+        "doc_id",
+        h.alias("h"),
+        (F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % _N_SHARDS).alias(
+            "shard"
+        ),
+    )
+    return sh.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.row_number()
+        .over(Window.partitionBy("shard").orderBy("h", "doc_id"))
+        .cast("long")
+        .alias("pos"),
+    ).orderBy("shard", "pos")
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline: corpus-trained character-bigram LM quality score.
+# ---------------------------------------------------------------------------
+
+_LM_PREFIX_LEN = 200
+
+
+@query(
+    "text_bigram_lm_score",
+    f"""
+WITH t AS (
+  SELECT doc_id, substring(lower(text), 1, {_LM_PREFIX_LEN}) AS s
+  FROM documents WHERE length(text) >= 2
+),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(s)),
+                 i -> substring(s, i, 2))) AS bigram
+  FROM t
+),
+cnt AS (
+  SELECT bigram, COUNT(*) AS cb FROM bg GROUP BY bigram
+),
+pfx AS (
+  SELECT bigram, cb,
+         SUM(cb) OVER (PARTITION BY substring(bigram, 1, 1)) AS cp
+  FROM cnt
+),
+scored AS (
+  SELECT b.doc_id,
+         CAST(round(ln(CAST(p.cb AS DOUBLE) / CAST(p.cp AS DOUBLE))
+                    * 1000000) AS BIGINT) AS q
+  FROM bg b JOIN pfx p ON b.bigram = p.bigram
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(q) AS DOUBLE) / (1000000.0 * COUNT(*)), 6) + 0.0
+         AS avg_logp
+FROM scored GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained character-bigram language-model score per document:
+    avg over positions of ln P(c_i | c_{{i-1}}) with probabilities from the
+    corpus's own bigram counts — the classic cheap fluency/quality signal
+    (gibberish and boilerplate score far from the corpus mode).
+
+    Scale shape: the "model" (bigram count table) is at most |charset|²
+    rows — broadcast; scoring is map-side behind one explode, and the only
+    full-data shuffles are the bigram count and the per-doc reduce.
+    Portability: each log-prob is ln of a ratio of exact integers →
+    identical doubles; per-term micro-rounding to 1e-6 then an INTEGER sum
+    makes the per-doc accumulation order-independent (float-sum order
+    would otherwise differ across engines), and the final division is one
+    IEEE op of exact operands."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    t = d.select(
+        "doc_id", F.substring(F.lower("text"), 1, _LM_PREFIX_LEN).alias("s")
+    )
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(s) - 1),"
+                   " i -> substring(s, i, 2))")
+        ).alias("bigram"),
+    )
+    cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    pfx = cnt.withColumn(
+        "cp",
+        F.sum("cb").over(Window.partitionBy(F.substring("bigram", 1, 1))),
+    )
+    q = F.round(
+        F.log(F.col("cb").cast("double") / F.col("cp").cast("double"))
+        * 1000000,
+        0,
+    ).cast("long")
+    scored = bg.join(F.broadcast(pfx), "bigram").select("doc_id", q.alias("q"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.round(
+                    F.sum("q").cast("double")
+                    / (F.lit(1000000.0) * F.count(F.lit(1))),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector int8 quantization — the storage/ANN-at-scale companion op.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "vector_quantize_int8",
+    """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+m AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS maxabs
+  FROM e
+),
+qz AS (
+  SELECT vec_id, v, maxabs,
+         list_transform(v, x -> CAST(round(x * 127.0 / maxabs) AS BIGINT))
+           AS q
+  FROM m WHERE maxabs > 0
+)
+SELECT vec_id,
+       round(maxabs / 127.0, 6) AS scale,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS q_norm2,
+       round(sqrt(list_sum(list_transform(range(1, len(v) + 1),
+             i -> (v[i] - q[i] * maxabs / 127.0)
+                  * (v[i] - q[i] * maxabs / 127.0)))), 6) AS l2_err
+FROM qz ORDER BY vec_id
+""",
+)
+def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector
+    max-abs scale, the standard ANN storage layout: 4x smaller + SIMD
+    int8 GEMM downstream) with reconstruction-error audit columns.
+
+    Map-only, no shuffle; arrays stay JVM-side (codegen transform/fold).
+    The quantized vector itself is summarized (sum, norm², L2 error)
+    because the driver harness can't hash raw array cells; a production
+    sink would write the int8 array column as-is. Determinism: the
+    quantization grid point round(x*127/maxabs) is the same double in both
+    engines (values never land exactly on .5 in binary), and the error
+    fold is the shared sequential kernel."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    m = e.withColumn(
+        "maxabs", F.array_max(F.transform("v", lambda x: F.abs(x)))
+    ).filter(F.col("maxabs") > 0)
+    qz = m.withColumn(
+        "q",
+        F.transform(
+            "v", lambda x: F.round(x * 127.0 / F.col("maxabs"), 0).cast("long")
+        ),
+    )
+
+    def fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    deq_err = F.zip_with(
+        "v",
+        "q",
+        lambda v, q: (v - q * F.col("maxabs") / F.lit(127.0))
+        * (v - q * F.col("maxabs") / F.lit(127.0)),
+    )
+    return qz.select(
+        "vec_id",
+        F.round(F.col("maxabs") / 127.0, 6).alias("scale"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "q_sum"
+        ),
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda a, x: a + x * x
+        ).alias("q_norm2"),
+        F.round(F.sqrt(fold(deq_err)), 6).alias("l2_err"),
+    ).orderBy("vec_id")

@@ -711,10 +711,60 @@ def text_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: banded-LSH candidate pairs (4 bands x 4 rows over minhash-16, exactly the
+#: Spark operator's constants) with exact Jaccard verified on candidates —
+#: the production pair-generation shape, replicated in SQL so both engines
+#: see the SAME deterministic candidate set (the LSH miss pattern is a pure
+#: function of the md5-derived hashes, not randomness).
+_LSH_VERIFIED_PAIRS_CTE = f"""
+{_SH_CTE.strip().rstrip()},
+based AS (
+  SELECT doc_id, shingle,
+         ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS base
+  FROM sh
+),
+mh AS (
+  SELECT doc_id,
+         {{mins}}
+  FROM based
+  GROUP BY doc_id
+),
+sig AS (SELECT doc_id, [{", ".join(f"m{s}" for s in range(16))}] AS sig
+        FROM mh),
+bands AS (
+  SELECT doc_id, band,
+         md5(array_to_string(list_transform(range(1, 5),
+             r -> CAST(sig[band * 4 + r] AS VARCHAR)), '-')) AS bucket
+  FROM sig, UNNEST(range(4)) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN based x ON x.doc_id = c.doc_a
+  JOIN based y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+)
+"""
+
+
 @query(
     "dedup_survivors",
     f"""
-WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+WITH RECURSIVE {_LSH_VERIFIED_PAIRS_CTE.format(mins=_mh_mins_sql(16))},
 edges AS (
   SELECT doc_a AS u, doc_b AS v FROM pairs
   UNION
@@ -746,11 +796,15 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     no duplicate cluster or IS its cluster's canonical representative
     (component == doc_id, i.e. the min id).
 
-    The oracle stays the EXACT all-pairs transitive closure: with the
-    rows=1 banding the LSH miss probability at the 0.5 threshold is
-    ≤ 1.5e-5 per pair (recall pinned to 1.0 on the fixtures by
-    tests/test_dedup_lsh_recall.py), so both sides see identical pair
-    sets. shortcut=True because an open-corpus duplicate graph has no
+    Banding is the production 4 bands x 4 rows (the rows=1 recall-max
+    configuration floods the verifier: at sf0.1 it admits ~157k candidate
+    pairs vs 4x4's ~255, because P(collide | J) = 1-(1-J)^16 is ~0.82
+    even at J=0.1). The ORACLE replicates the banding bit-for-bit (md5
+    bucket keys, same universal-hash constants) + exact Jaccard on the
+    candidates, so both engines compute the same deterministic pair set by
+    construction — recall is a quality property (pinned by
+    tests/test_dedup_lsh_recall.py on the fixtures), not a correctness
+    coupling. shortcut=True because an open-corpus duplicate graph has no
     diameter guarantee (drifting near-dup chains) — pointer doubling
     converges in O(log d) rounds instead of O(d).
 
@@ -765,7 +819,9 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_nats_to_clickhouse_spark.operators.graph import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = lsh_verified_jaccard_pairs(d, threshold=0.5).select("doc_a", "doc_b")
+    pairs = lsh_verified_jaccard_pairs(d, threshold=0.5, bands=4).select(
+        "doc_a", "doc_b"
+    )
     comp = connected_components(pairs, shortcut=True).select(
         F.col("node").alias("c_doc"), "component"
     )

@@ -274,3 +274,148 @@ def test_semantic_buckets_match_numpy(spark, sf_dir):
     assert set(got) == set(want)
     for k, bi in want.items():
         assert got[k][0] == bi
+
+
+def test_student_ttest_matches_textbook(spark, sf_dir):
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import (
+        agg_student_ttest,
+    )
+    from go_nats_to_clickhouse_spark.queries.util import load_table
+
+    row = agg_student_ttest(spark, sf_dir).collect()[0]
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    vals = {"view": [], "click": []}
+    for r in e.select("event_type", F.round("value", 3).alias("v")).collect():
+        vals[r.event_type].append(float(r.v))
+    a, b = vals["view"], vals["click"]
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    ssa = sum((x - ma) ** 2 for x in a)
+    ssb = sum((x - mb) ** 2 for x in b)
+    sp2 = (ssa + ssb) / (na + nb - 2)
+    t = (ma - mb) / math.sqrt(sp2 * (1 / na + 1 / nb))
+    assert (row.n_view, row.n_click, row.df) == (na, nb, na + nb - 2)
+    assert abs(row.t_stat - t) < 1e-4, (row.t_stat, t)
+
+
+def test_contingency_coefs_match_bruteforce(spark, sf_dir):
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import (
+        agg_contingency_coefs,
+    )
+    from go_nats_to_clickhouse_spark.queries.util import load_table
+
+    row = agg_contingency_coefs(spark, sf_dir).collect()[0]
+    cells = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.dayofweek("ts").alias("b"))
+        .collect()
+    ):
+        cells[(r.event_type, r.b)] = cells.get((r.event_type, r.b), 0) + 1
+    rows_tot, cols_tot = {}, {}
+    for (a, b), c in cells.items():
+        rows_tot[a] = rows_tot.get(a, 0) + c
+        cols_tot[b] = cols_tot.get(b, 0) + c
+    n = sum(cells.values())
+    chi2 = sum(
+        (c - rows_tot[a] * cols_tot[b] / n) ** 2
+        / (rows_tot[a] * cols_tot[b] / n)
+        for (a, b), c in cells.items()
+    )
+    r_, c_ = len(rows_tot), len(cols_tot)
+    assert abs(row.chi2 - chi2) < 1e-3
+    assert abs(row.contingency_coef - math.sqrt(chi2 / (chi2 + n))) < 1e-5
+    phi2_bc = max(0.0, chi2 / n - (r_ - 1) * (c_ - 1) / (n - 1))
+    dim = min(
+        r_ - (r_ - 1) ** 2 / (n - 1), c_ - (c_ - 1) ** 2 / (n - 1)
+    )
+    assert abs(row.cramers_v_bc - math.sqrt(phi2_bc / dim)) < 1e-5
+
+
+def test_global_shuffle_is_md5_order(spark, sf_dir):
+    import hashlib
+
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import (
+        _N_SHARDS,
+        _SHUF_SALT,
+        text_global_shuffle,
+    )
+
+    out = text_global_shuffle(spark, sf_dir).collect()
+    ids = [d["doc_id"] for d in pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]).to_pylist()]
+    want = {}
+    by_shard = {}
+    for doc_id in ids:
+        h = hashlib.md5(f"{_SHUF_SALT}{doc_id}".encode()).hexdigest()
+        shard = int(h[:7], 16) % _N_SHARDS
+        by_shard.setdefault(shard, []).append((h, doc_id))
+    for shard, lst in by_shard.items():
+        for pos, (_, doc_id) in enumerate(sorted(lst), 1):
+            want[doc_id] = (shard, pos)
+    assert len(out) == len(ids)
+    for r in out:
+        assert want[r.doc_id] == (r.shard, r.pos)
+
+
+def test_bigram_lm_score_matches_bruteforce(spark, sf_dir):
+    from collections import Counter
+
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import (
+        _LM_PREFIX_LEN,
+        text_bigram_lm_score,
+    )
+
+    got = {r.doc_id: r for r in text_bigram_lm_score(spark, sf_dir).collect()}
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    cb = Counter()
+    for d in docs:
+        if len(d["text"]) < 2:
+            continue
+        s = d["text"].lower()[:_LM_PREFIX_LEN]
+        for i in range(len(s) - 1):
+            cb[s[i : i + 2]] += 1
+    cp = Counter()
+    for bg, c in cb.items():
+        cp[bg[0]] += c
+    checked = 0
+    for d in docs[:50]:
+        if len(d["text"]) < 2:
+            continue
+        s = d["text"].lower()[:_LM_PREFIX_LEN]
+        qs = [
+            round(math.log(cb[s[i : i + 2]] / cp[s[i]]) * 1e6)
+            for i in range(len(s) - 1)
+        ]
+        want = sum(qs) / (1e6 * len(qs))
+        r = got[d["doc_id"]]
+        assert r.n_bigrams == len(qs)
+        assert abs(r.avg_logp - want) < 1e-5, (r.avg_logp, want)
+        checked += 1
+    assert checked > 0
+
+
+def test_quantize_int8_matches_numpy(spark, sf_dir):
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import (
+        vector_quantize_int8,
+    )
+
+    got = {r.vec_id: r for r in vector_quantize_int8(spark, sf_dir).collect()}
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    for row in tbl[:100]:
+        v = np.asarray(row["embedding"], dtype=np.float64)
+        maxabs = np.abs(v).max()
+        if maxabs == 0:
+            assert row["vec_id"] not in got
+            continue
+        q = np.round(v * 127.0 / maxabs).astype(np.int64)
+        r = got[row["vec_id"]]
+        assert r.q_sum == int(q.sum())
+        assert r.q_norm2 == int((q * q).sum())
+        l2 = float(np.sqrt(((v - q * maxabs / 127.0) ** 2).sum()))
+        assert abs(r.l2_err - l2) < 1e-5
+        assert abs(r.scale - maxabs / 127.0) < 1e-6
