@@ -32,6 +32,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: The rest keep registration order behind them.
 _PRIORITY = [
     # new this session (clickhouse_r5.py) — never sampled
+    "join_asof_nearest",
+    "scalar_point_in_polygon",
+    "agg_sparkbar",
     "agg_student_ttest",
     "agg_contingency_coefs",
     "text_global_shuffle",

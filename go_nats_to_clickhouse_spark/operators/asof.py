@@ -37,11 +37,23 @@ def asof_join(
     direction='backward': match the latest right row with
     ``right.on <= left.on`` (``<`` when strict). 'forward': earliest
     right row with ``right.on >= left.on`` (``>`` when strict).
+    'nearest': whichever of those two candidates has the smaller absolute
+    time gap (microsecond precision); an exact gap tie resolves backward.
     Ties inside the right side resolve to the row latest in (on, struct)
     order — deterministic for distinct timestamps per key.
+
+    'nearest' runs BOTH sweeps over the one merged stream — still a single
+    shuffle on the key (two window sorts of the same partitioning), never
+    a join.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, on, by, strict, tolerance_seconds, right_prefix
+        )
     keys = [by] if by else []
     l_tag = left.select(
         *keys, F.col(on).alias("_t"), F.lit(0).alias("_is_r"), F.struct(*left.columns).alias("_l"), F.lit(None).cast(
@@ -80,6 +92,85 @@ def asof_join(
             "_m", F.when(gap <= tolerance_seconds, F.col("_m"))
         )
 
+    out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns] + [
+        F.col(f"_m.{c}").alias(f"{right_prefix}{c}") for c in right.columns
+    ]
+    return matched.select(*out_cols)
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | None,
+    strict: bool,
+    tolerance_seconds: int | None,
+    right_prefix: str,
+) -> DataFrame:
+    """direction='nearest': the backward and forward sweeps share one
+    merged stream (one shuffle on the key; the two windows sort the same
+    partitions in opposite directions), then each left row keeps the
+    candidate with the smaller absolute gap — exact tie goes backward."""
+    keys = [by] if by else []
+    r_struct_t = right.select(F.struct(*right.columns).alias("s")).schema[
+        "s"
+    ].dataType
+    l_struct_t = left.select(F.struct(*left.columns).alias("s")).schema[
+        "s"
+    ].dataType
+    l_tag = left.select(
+        *keys,
+        F.col(on).alias("_t"),
+        F.lit(0).alias("_is_r"),
+        F.struct(*left.columns).alias("_l"),
+        F.lit(None).cast(r_struct_t).alias("_r"),
+    )
+    r_tag = right.select(
+        *keys,
+        F.col(on).alias("_t"),
+        F.lit(1).alias("_is_r"),
+        F.lit(None).cast(l_struct_t).alias("_l"),
+        F.struct(*right.columns).alias("_r"),
+    )
+    merged = l_tag.unionByName(r_tag)
+    tie = F.col("_is_r") if not strict else -F.col("_is_r")
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_t").asc(), tie.desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_t").desc(), tie.desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r_vis = F.when(F.col("_is_r") == 1, F.col("_r"))
+    matched = (
+        merged.withColumn("_mb", F.last(r_vis, ignorenulls=True).over(wb))
+        .withColumn("_mf", F.last(r_vis, ignorenulls=True).over(wf))
+        .filter(F.col("_is_r") == 0)
+    )
+    gap_b = F.abs(
+        F.unix_micros(F.col("_t")) - F.unix_micros(F.col(f"_mb.{on}"))
+    )
+    gap_f = F.abs(
+        F.unix_micros(F.col("_t")) - F.unix_micros(F.col(f"_mf.{on}"))
+    )
+    matched = matched.withColumn(
+        "_m",
+        F.when(F.col("_mb").isNull(), F.col("_mf"))
+        .when(F.col("_mf").isNull(), F.col("_mb"))
+        .when(gap_f < gap_b, F.col("_mf"))
+        .otherwise(F.col("_mb")),
+    )
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.unix_micros(F.col("_t")) - F.unix_micros(F.col(f"_m.{on}"))
+        )
+        matched = matched.withColumn(
+            "_m",
+            F.when(gap <= tolerance_seconds * 1_000_000, F.col("_m")),
+        )
     out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns] + [
         F.col(f"_m.{c}").alias(f"{right_prefix}{c}") for c in right.columns
     ]

@@ -1005,7 +1005,14 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                    " i -> substring(s, i, 2))")
         ).alias("bigram"),
     )
-    cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    # Aggregate to (doc, bigram, count) ONCE: the model counts roll up
+    # from this table (two-level agg — Catalyst's ReusedExchange shares
+    # the shuffle between the model path and the scoring path, measured
+    # faster than an explicit checkpoint) and the scoring join runs on the
+    # deduplicated per-doc counts — per-instance q is constant per bigram,
+    # so sum(q * c_doc) equals the per-instance integer sum exactly.
+    bgc = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c_doc"))
+    cnt = bgc.groupBy("bigram").agg(F.sum("c_doc").alias("cb"))
     pfx = cnt.withColumn(
         "cp",
         F.sum("cb").over(Window.partitionBy(F.substring("bigram", 1, 1))),
@@ -1015,15 +1022,17 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1000000,
         0,
     ).cast("long")
-    scored = bg.join(F.broadcast(pfx), "bigram").select("doc_id", q.alias("q"))
+    scored = bgc.join(F.broadcast(pfx), "bigram").select(
+        "doc_id", "c_doc", (q * F.col("c_doc")).alias("qc")
+    )
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c_doc").cast("long").alias("n_bigrams"),
             (
                 F.round(
-                    F.sum("q").cast("double")
-                    / (F.lit(1000000.0) * F.count(F.lit(1))),
+                    F.sum("qc").cast("double")
+                    / (F.lit(1000000.0) * F.sum("c_doc")),
                     6,
                 )
                 + F.lit(0.0)
@@ -1110,3 +1119,230 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_norm2"),
         F.round(F.sqrt(fold(deq_err)), 6).alias("l2_err"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# As-of join, direction='nearest' — the remaining pandas.merge_asof mode.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_asof_nearest",
+    """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+),
+cand AS (
+  SELECT p.event_id, p.user_id, p.ts,
+         (SELECT max(c.ts) FROM clicks c
+          WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS bwd,
+         (SELECT min(c.ts) FROM clicks c
+          WHERE c.user_id = p.user_id AND c.ts >= p.ts) AS fwd
+  FROM purchases p
+)
+SELECT event_id, user_id,
+       CASE
+         WHEN bwd IS NULL AND fwd IS NULL THEN NULL
+         WHEN fwd IS NULL THEN epoch_us(ts) - epoch_us(bwd)
+         WHEN bwd IS NULL THEN epoch_us(ts) - epoch_us(fwd)
+         WHEN epoch_us(fwd) - epoch_us(ts) < epoch_us(ts) - epoch_us(bwd)
+           THEN epoch_us(ts) - epoch_us(fwd)
+         ELSE epoch_us(ts) - epoch_us(bwd)
+       END AS gap_us
+FROM cand ORDER BY event_id
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with direction='nearest' (pandas merge_asof's third
+    mode): each purchase matches the click closest in time either side,
+    exact-distance ties resolving backward. The operator runs BOTH sweeps
+    over one merged stream — still a single shuffle on user_id, no join
+    (operators/asof.py:_asof_nearest). The gap is signed (positive =
+    matched click precedes the purchase), in exact integer microseconds,
+    so the tie-pick is hash-visible and both engines must agree on it.
+    The oracle's correlated min/max subqueries express the same semantics
+    relationally at test scale."""
+    from go_nats_to_clickhouse_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(
+        purchases, clicks, on="ts", by="user_id", direction="nearest"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros("right_ts")).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# pointInPolygon — geo family extension (ray casting, unrolled edges).
+# ---------------------------------------------------------------------------
+
+#: irregular pentagon, counterclockwise; "odd" coordinates so fixture
+#: points (2-dec x, 1-dec y) cannot land exactly on an edge.
+_POLY = [(1.13, 0.21), (8.77, 1.09), (9.43, 6.88), (4.96, 9.37), (0.62, 5.41)]
+
+
+def _pip_edges():
+    return [
+        (_POLY[i], _POLY[(i + 1) % len(_POLY)]) for i in range(len(_POLY))
+    ]
+
+
+def _pip_sql() -> str:
+    terms = []
+    for (xi, yi), (xj, yj) in _pip_edges():
+        terms.append(
+            f"CASE WHEN (({yi!r} > py) != ({yj!r} > py))"
+            f" AND px < ({xj!r} - {xi!r}) * (py - {yi!r})"
+            f" / ({yj!r} - {yi!r}) + {xi!r} THEN 1 ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "scalar_point_in_polygon",
+    f"""
+WITH pts AS (
+  SELECT event_id,
+         round(value, 2) % 10 AS px,
+         (event_id % 100) * 0.1 AS py
+  FROM events WHERE user_id < 30
+),
+cr AS (
+  SELECT event_id, px, py, {_pip_sql()} AS crossings
+  FROM pts
+)
+SELECT event_id, round(px, 2) AS px, round(py, 1) AS py,
+       CAST(crossings AS INT) AS crossings,
+       crossings % 2 = 1 AS inside
+FROM cr ORDER BY event_id
+""",
+)
+def scalar_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``pointInPolygon((x, y), polygon)`` analog: even-odd ray
+    casting against a fixed pentagon, unrolled to one flat codegen
+    expression per edge (integer crossing votes — no float accumulation to
+    diverge). Map-only, no shuffle; at 100 TB this is a pure projection.
+    Polygon vertices are deliberately off-grid so fixture points never sit
+    exactly on an edge (where even-odd is ambiguous)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    pts = e.select(
+        "event_id",
+        (F.round("value", 2) % 10).alias("px"),
+        ((F.col("event_id") % 100) * F.lit(0.1)).alias("py"),
+    )
+    px, py = F.col("px"), F.col("py")
+    crossings: F.Column = F.lit(0)
+    for (xi, yi), (xj, yj) in _pip_edges():
+        cond = ((F.lit(yi) > py) != (F.lit(yj) > py)) & (
+            px < (F.lit(xj) - F.lit(xi)) * (py - F.lit(yi))
+            / (F.lit(yj) - F.lit(yi)) + F.lit(xi)
+        )
+        crossings = crossings + F.when(cond, 1).otherwise(0)
+    return (
+        pts.withColumn("crossings", crossings)
+        .select(
+            "event_id",
+            F.round("px", 2).alias("px"),
+            F.round("py", 1).alias("py"),
+            F.col("crossings").cast("int").alias("crossings"),
+            (F.col("crossings") % 2 == 1).alias("inside"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sparkbar — the ClickHouse terminal-visualization aggregate.
+# ---------------------------------------------------------------------------
+
+_BAR_CHARS = "▁▂▃▄▅▆▇█"
+
+
+@query(
+    "agg_sparkbar",
+    f"""
+WITH c AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS h, COUNT(*) AS c
+  FROM events GROUP BY event_type, hour(ts)
+),
+axis AS (
+  SELECT t.event_type, CAST(r.range AS INT) AS h
+  FROM (SELECT DISTINCT event_type FROM events) t, range(24) r
+),
+filled AS (
+  SELECT a.event_type, a.h, COALESCE(c.c, 0) AS c,
+         MAX(COALESCE(c.c, 0)) OVER (PARTITION BY a.event_type) AS maxc
+  FROM axis a LEFT JOIN c ON c.event_type = a.event_type AND c.h = a.h
+),
+lv AS (
+  SELECT event_type, h, c, maxc,
+         CASE WHEN c = 0 THEN ' '
+              ELSE substring('{_BAR_CHARS}',
+                   CAST(1 + floor(7.0 * c / maxc) AS INT), 1) END AS ch
+  FROM filled
+)
+SELECT event_type,
+       string_agg(ch, '' ORDER BY h) AS bar,
+       CAST(MAX(maxc) AS BIGINT) AS max_hour_count
+FROM lv GROUP BY event_type ORDER BY event_type
+""",
+)
+def agg_sparkbar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sparkbar(24)(hour, count)`` analog: one 24-character
+    unicode bar per event type, each hour scaled to eight block heights
+    against the type's peak hour. Heights come from exact integer counts
+    (``1 + floor(7*c/maxc)`` — the division is correctly rounded in both
+    engines, and floor of it is engine-stable), empty hours render as a
+    space. Both engines index the bar alphabet per CHARACTER (not byte).
+    Two tiny shuffles: the (type, hour) count and the per-type fold."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    axis = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(
+            e.sparkSession.range(24).select(F.col("id").cast("int").alias("h"))
+        )
+    )
+    filled = (
+        axis.join(c, ["event_type", "h"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+        .withColumn(
+            "maxc", F.max("c").over(Window.partitionBy("event_type"))
+        )
+    )
+    lv = filled.withColumn(
+        "ch",
+        F.when(F.col("c") == 0, F.lit(" ")).otherwise(
+            F.expr(
+                f"substring('{_BAR_CHARS}',"
+                " CAST(1 + floor(7.0 * c / maxc) AS INT), 1)"
+            )
+        ),
+    )
+    return (
+        lv.groupBy("event_type")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("h", "ch"))),
+                    lambda s: s.ch,
+                ),
+                "",
+            ).alias("bar"),
+            F.max("maxc").cast("long").alias("max_hour_count"),
+        )
+        .orderBy("event_type")
+    )

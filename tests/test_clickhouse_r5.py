@@ -419,3 +419,115 @@ def test_quantize_int8_matches_numpy(spark, sf_dir):
         l2 = float(np.sqrt(((v - q * maxabs / 127.0) ** 2).sum()))
         assert abs(r.l2_err - l2) < 1e-5
         assert abs(r.scale - maxabs / 127.0) < 1e-6
+
+
+def test_asof_nearest_matches_pandas(spark):
+    """Random distinct-timestamp data: direction='nearest' must agree with
+    pandas.merge_asof(direction='nearest'); a constructed exact tie then
+    pins the documented backward preference."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(11)
+    lt = sorted(rng.sample(range(0, 500000, 7), 120))
+    rt = sorted(rng.sample(range(3, 500000, 11), 90))
+    ldf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(lt, unit="s"),
+            "k": [i % 3 for i in range(len(lt))],
+            "lid": range(len(lt)),
+        }
+    )
+    rdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(rt, unit="s"),
+            "k": [i % 3 for i in range(len(rt))],
+            "rv": [i * 10 for i in range(len(rt))],
+        }
+    )
+    from go_nats_to_clickhouse_spark.operators.asof import asof_join
+
+    sl = spark.createDataFrame(ldf)
+    sr = spark.createDataFrame(rdf)
+    got = (
+        asof_join(sl, sr, on="ts", by="k", direction="nearest")
+        .orderBy("lid")
+        .collect()
+    )
+    want = pd.merge_asof(
+        ldf.sort_values("ts"),
+        rdf.sort_values("ts"),
+        on="ts",
+        by="k",
+        direction="nearest",
+    ).sort_values("lid")
+    for g, (_, w) in zip(got, want.iterrows()):
+        assert g.lid == w["lid"]
+        if pd.isna(w["rv"]):
+            assert g.right_rv is None
+        else:
+            assert g.right_rv == w["rv"], (g.lid, g.right_rv, w["rv"])
+
+    # exact tie: right rows 10s before AND 10s after -> backward wins
+    tl = spark.createDataFrame(
+        pd.DataFrame({"ts": pd.to_datetime([100], unit="s"), "k": [0]})
+    )
+    tr = spark.createDataFrame(
+        pd.DataFrame(
+            {"ts": pd.to_datetime([90, 110], unit="s"), "k": [0, 0],
+             "tag": ["before", "after"]}
+        )
+    )
+    row = asof_join(tl, tr, on="ts", by="k", direction="nearest").collect()[0]
+    assert row.right_tag == "before"
+
+
+def test_point_in_polygon_matches_halfplane(spark, sf_dir):
+    """The pentagon is convex and CCW, so even-odd ray casting must agree
+    with the independent all-edges-left half-plane test."""
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import (
+        _POLY,
+        scalar_point_in_polygon,
+    )
+
+    rows = scalar_point_in_polygon(spark, sf_dir).collect()
+    assert len(rows) > 0
+    n = len(_POLY)
+    inside_count = 0
+    for r in rows:
+        left_of_all = all(
+            (_POLY[(i + 1) % n][0] - _POLY[i][0]) * (r.py - _POLY[i][1])
+            - (_POLY[(i + 1) % n][1] - _POLY[i][1]) * (r.px - _POLY[i][0])
+            > 0
+            for i in range(n)
+        )
+        assert r.inside == left_of_all, (r.px, r.py, r.crossings)
+        inside_count += r.inside
+    assert 0 < inside_count < len(rows)  # both classes exercised
+
+
+def test_sparkbar_levels_match_counts(spark, sf_dir):
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import (
+        _BAR_CHARS,
+        agg_sparkbar,
+    )
+    from go_nats_to_clickhouse_spark.queries.util import load_table
+
+    bars = {r.event_type: r for r in agg_sparkbar(spark, sf_dir).collect()}
+    counts = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.hour("ts").alias("h"))
+        .collect()
+    ):
+        counts.setdefault(r.event_type, [0] * 24)
+        counts[r.event_type][r.h] += 1
+    for et, per_hour in counts.items():
+        bar = bars[et].bar
+        assert len(bar) == 24
+        maxc = max(per_hour)
+        assert bars[et].max_hour_count == maxc
+        for h, c in enumerate(per_hour):
+            want = " " if c == 0 else _BAR_CHARS[int(7 * c // maxc)]
+            assert bar[h] == want, (et, h, c, maxc, bar)
