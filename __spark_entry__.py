@@ -32,6 +32,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: The rest keep registration order behind them.
 _PRIORITY = [
     # new this session (clickhouse_r5.py) — never sampled
+    "join_interval_overlap",
+    "text_tfidf_keywords",
     "join_asof_nearest",
     "scalar_point_in_polygon",
     "agg_sparkbar",

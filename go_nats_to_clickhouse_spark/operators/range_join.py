@@ -33,7 +33,7 @@ import warnings
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["range_join"]
+__all__ = ["range_join", "interval_join"]
 
 
 def _bucket(col: Column, width: float) -> Column:
@@ -147,3 +147,60 @@ def range_join(
     for lcol, rcol in equi or []:
         cond = cond & (F.col(lcol) == F.col(rcol))
     return lhs.join(rhs, cond, "inner").drop(lb, rb)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: float,
+    equi: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Interval x interval OVERLAP join (half-open: ``[s, e)`` sides
+    overlap iff ``sa < eb AND sb < ea``), as a bucketed equi-join — the
+    second range-join shape a pipeline needs (point-in-interval is
+    :func:`range_join`).
+
+    Both sides explode to the buckets they cover; the equi-join on the
+    bucket id makes the plan a shuffle join partitioned by time bucket.
+    De-duplication is FREE: a pair overlapping k shared buckets would
+    match k times, so the join keeps only the match in the FIRST bucket
+    both cover — ``bucket == floor(max(sa, sb) / W)`` — and every
+    overlapping pair survives exactly once with no distinct shuffle.
+
+    Column names must be disjoint between the two sides (alias before
+    calling) — the result carries all columns from both.
+    """
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"column names must be disjoint; shared: {sorted(overlap)}")
+    lb, rb = "__ij_bucket_l", "__ij_bucket_r"
+
+    def explode_buckets(df: DataFrame, s: str, e: str, out: str) -> DataFrame:
+        return df.filter(F.col(s) < F.col(e)).withColumn(
+            out,
+            F.explode(
+                F.sequence(
+                    _bucket(F.col(s), bucket_width),
+                    _bucket(F.col(e), bucket_width),
+                )
+            ),
+        )
+
+    lhs = explode_buckets(left, left_start, left_end, lb)
+    rhs = explode_buckets(right, right_start, right_end, rb)
+    cond = F.col(lb) == F.col(rb)
+    for lc, rc in equi or []:
+        cond = cond & (F.col(lc) == F.col(rc))
+    sa, ea = F.col(left_start), F.col(left_end)
+    sb, eb = F.col(right_start), F.col(right_end)
+    first_shared = _bucket(F.greatest(sa, sb), bucket_width)
+    return (
+        lhs.join(rhs, cond)
+        .filter((sa < eb) & (sb < ea) & (F.col(lb) == first_shared))
+        .drop(lb, rb)
+    )

@@ -1346,3 +1346,156 @@ def agg_sparkbar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval x interval overlap join — the second range-join shape.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_interval_overlap",
+    f"""
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(round(value * 100000000) AS BIGINT) AS e
+  FROM events WHERE user_id < 40
+)
+SELECT a.user_id, a.event_id AS ev_a, b.event_id AS ev_b,
+       CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_us
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND a.s < b.e AND b.s < a.e
+ORDER BY a.user_id, ev_a, ev_b
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: pairs of same-user event windows
+    ``[ts, ts + 100*value seconds)`` (1 s .. ~13.6 h — long enough that
+    overlap is common) that overlap in time, with the exact
+    integer-microsecond overlap length.
+
+    Scale shape: operators/range_join.interval_join — both sides explode
+    to 5-minute time buckets and the plan is a shuffle equi-join on
+    (bucket, user), never a nested loop; a pair sharing k buckets is kept
+    only in the first bucket both cover, so no distinct pass. The oracle
+    is the direct quadratic join (fine at test scale; the bucket join
+    computes the identical pair set)."""
+    from go_nats_to_clickhouse_spark.operators.range_join import interval_join
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("s"),
+            (
+                F.unix_micros("ts")
+                + F.round(F.col("value") * F.lit(100000000.0), 0).cast("long")
+            ).alias("e"),
+        )
+    )
+    a = e.select(
+        F.col("user_id").alias("ua"),
+        F.col("event_id").alias("ev_a"),
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+    )
+    b = e.select(
+        F.col("user_id").alias("ub"),
+        F.col("event_id").alias("ev_b"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+    )
+    joined = interval_join(
+        a,
+        b,
+        left_start="sa",
+        left_end="ea",
+        right_start="sb",
+        right_end="eb",
+        bucket_width=6 * 3600e6,  # 6 h in micros; typical interval ~6.8 h
+        equi=[("ua", "ub")],
+    ).filter(F.col("ev_a") < F.col("ev_b"))
+    return joined.select(
+        F.col("ua").alias("user_id"),
+        "ev_a",
+        "ev_b",
+        (F.least("ea", "eb") - F.greatest("sa", "sb"))
+        .cast("long")
+        .alias("overlap_us"),
+    ).orderBy("user_id", "ev_a", "ev_b")
+
+
+# ---------------------------------------------------------------------------
+# Per-document TF-IDF keywords — the classic keyword-extraction pass.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_tfidf_keywords",
+    """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM words WHERE w <> '' GROUP BY doc_id, w
+),
+df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+scored AS (
+  SELECT t.doc_id, t.w, t.tf, d.df,
+         t.tf * ln(CAST(nn.n AS DOUBLE) / d.df) AS tfidf
+  FROM tf t JOIN df d ON d.w = t.w CROSS JOIN n nn
+),
+ranked AS (
+  SELECT doc_id, w, tf, df, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, w) AS rnk
+  FROM scored
+)
+SELECT doc_id, CAST(rnk AS INT) AS rank, w AS term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       round(tfidf, 6) AS tfidf
+FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rank
+""",
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: top-3 terms per doc by
+    ``tf * ln(N / df)`` (ties break on the term). The IDF table is tiny
+    (vocabulary-sized) and broadcast; TF is one shuffle on (doc, term) and
+    the document-frequency table rolls up from it map-side-combinably —
+    at 100 TB nothing quadratic, nothing driver-side. tfidf is a product
+    of an exact integer and ln of an exact integer ratio — identical
+    doubles in both engines, so the DESC ranking agrees too."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.select(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")),
+        )
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "w")
+        ),
+    ).filter(F.col("rnk") <= 3)
+    return ranked.select(
+        "doc_id",
+        F.col("rnk").cast("int").alias("rank"),
+        F.col("w").alias("term"),
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.round("tfidf", 6).alias("tfidf"),
+    ).orderBy("doc_id", "rank")

@@ -531,3 +531,85 @@ def test_sparkbar_levels_match_counts(spark, sf_dir):
         for h, c in enumerate(per_hour):
             want = " " if c == 0 else _BAR_CHARS[int(7 * c // maxc)]
             assert bar[h] == want, (et, h, c, maxc, bar)
+
+
+def test_interval_join_matches_bruteforce(spark):
+    """Randomized intervals, many spanning multiple buckets: the bucketed
+    overlap join must produce each overlapping pair EXACTLY once (the
+    first-shared-bucket trick), matching an O(n²) brute force."""
+    import random
+
+    from go_nats_to_clickhouse_spark.operators.range_join import interval_join
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(300):
+        s = rng.randrange(0, 10_000)
+        length = rng.choice([1, 5, 50, 500, 3000])  # up to 30 buckets wide
+        rows.append((i, i % 4, s, s + length))
+    df = spark.createDataFrame(rows, "iid long, k long, s long, e long")
+    a = df.select(
+        F.col("iid").alias("ia"), F.col("k").alias("ka"),
+        F.col("s").alias("sa"), F.col("e").alias("ea"),
+    )
+    b = df.select(
+        F.col("iid").alias("ib"), F.col("k").alias("kb"),
+        F.col("s").alias("sb"), F.col("e").alias("eb"),
+    )
+    got = (
+        interval_join(
+            a, b,
+            left_start="sa", left_end="ea",
+            right_start="sb", right_end="eb",
+            bucket_width=100.0,
+            equi=[("ka", "kb")],
+        )
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib")
+        .collect()
+    )
+    got_pairs = [(r.ia, r.ib) for r in got]
+    want = set()
+    for i, ki, si, ei in rows:
+        for j, kj, sj, ej in rows:
+            if i < j and ki == kj and si < ej and sj < ei:
+                want.add((i, j))
+    assert len(got_pairs) == len(set(got_pairs)), "duplicate pairs emitted"
+    assert set(got_pairs) == want
+
+
+def test_tfidf_keywords_match_bruteforce(spark, sf_dir):
+    from collections import Counter
+
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import (
+        text_tfidf_keywords,
+    )
+
+    out = {}
+    for r in text_tfidf_keywords(spark, sf_dir).collect():
+        out.setdefault(r.doc_id, []).append(r)
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    tf = {}
+    df = Counter()
+    for d in docs:
+        words = [w for w in d["text"].lower().split(" ") if w]
+        c = Counter(words)
+        tf[d["doc_id"]] = c
+        for w in c:
+            df[w] += 1
+    n = len([d for d in docs if tf[d["doc_id"]]])
+    for d in docs[:40]:
+        c = tf[d["doc_id"]]
+        if not c:
+            continue
+        scored = sorted(
+            ((t * math.log(n / df[w]), w) for w, t in c.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        got = out[d["doc_id"]]
+        assert [g.term for g in got] == [w for _, w in scored]
+        for g, (s, w) in zip(got, scored):
+            assert abs(g.tfidf - s) < 1e-5
+            assert g.tf == c[w] and g.df == df[w]
