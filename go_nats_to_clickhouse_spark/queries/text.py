@@ -591,7 +591,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/graph.py) assign every involved document its cluster id
     (= min doc_id in the cluster). Downstream, `component == doc_id` picks
     the canonical survivor — the step a training pipeline runs after pair
-    generation. Oracle: DuckDB recursive-CTE transitive closure."""
+    generation. Oracle: DuckDB recursive-CTE transitive closure.
+
+    Pair generation here is the EXACT all-pairs shingle join — the
+    verifier-grade variant (same role as dedup_ngram_jaccard_pairs),
+    quadratic per hot shingle by design so the clustering itself is pinned
+    against ground truth. The production pair path (banded LSH + exact
+    Jaccard on candidates only) is what dedup_survivors runs."""
     from go_nats_to_clickhouse_spark.operators.dedup import word_shingles
     from go_nats_to_clickhouse_spark.operators.graph import connected_components
 

@@ -613,3 +613,26 @@ def test_tfidf_keywords_match_bruteforce(spark, sf_dir):
         for g, (s, w) in zip(got, scored):
             assert abs(g.tfidf - s) < 1e-5
             assert g.tf == c[w] and g.df == df[w]
+
+
+def test_zorder_key_matches_python(spark, sf_dir):
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import (
+        scalar_zorder_key,
+    )
+
+    def morton(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = scalar_zorder_key(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        z = morton(r.a, r.b)
+        assert r.z_key == z
+        assert r.z_cell == z >> 24
+    # locality sanity: two points adjacent in both dims stay in nearby
+    # z range (the property data skipping exploits)
+    assert morton(5, 5) ^ morton(4, 4) < 1 << 6
