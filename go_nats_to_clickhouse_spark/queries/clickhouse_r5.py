@@ -1561,3 +1561,117 @@ def scalar_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_key"),
         F.shiftright(z, 24).cast("long").alias("z_cell"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# windowFunnel strict_order mode — companion to window_funnel_depth.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_funnel_strict_order",
+    """
+WITH tracked AS (
+  SELECT user_id, event_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS seq
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+d AS (
+  SELECT vw.user_id,
+         1 + CASE WHEN f1.event_type = 'click'
+                   AND f1.ts > vw.ts
+                   AND f1.ts <= vw.ts + INTERVAL 1 HOUR THEN 1 ELSE 0 END
+           + CASE WHEN f1.event_type = 'click'
+                   AND f1.ts > vw.ts
+                   AND f1.ts <= vw.ts + INTERVAL 1 HOUR
+                   AND f2.event_type = 'purchase'
+                   AND f2.ts <= vw.ts + INTERVAL 1 HOUR THEN 1 ELSE 0 END
+           AS depth
+  FROM tracked vw
+  LEFT JOIN tracked f1
+    ON f1.user_id = vw.user_id AND f1.seq = vw.seq + 1
+  LEFT JOIN tracked f2
+    ON f2.user_id = vw.user_id AND f2.seq = vw.seq + 2
+  WHERE vw.event_type = 'view'
+)
+SELECT user_id, CAST(MAX(depth) AS INT) AS funnel_strict_order
+FROM d GROUP BY user_id ORDER BY user_id
+""",
+)
+def window_funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(3600, 'strict_order')`` analog: the
+    view -> click -> purchase chain BREAKS if any other funnel-condition
+    event intervenes (including a second view) — so the tracked event
+    immediately after the entry view (in (ts, event_id) order) must be
+    the click, and the one right after that the purchase, all inside the
+    hour. Non-condition events (signup, error) never break chains, per
+    ClickHouse semantics.
+
+    Shape: number the condition events per user once (window row_number),
+    then two equi-joins on (user, seq+1) / (user, seq+2) fetch each
+    view's immediate successors. Fully deterministic under the event_id
+    tiebreak; no per-view scan of the event history — at 100 TB this is
+    one window shuffle plus two equi-joins on user_id."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    wuser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tracked = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.row_number().over(wuser).alias("seq"),
+    )
+    views = tracked.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "seq"
+    )
+    f1 = tracked.select(
+        F.col("user_id").alias("u1"),
+        F.col("seq").alias("s1"),
+        F.col("ts").alias("ts1"),
+        F.col("event_type").alias("type1"),
+    )
+    f2 = tracked.select(
+        F.col("user_id").alias("u2"),
+        F.col("seq").alias("s2"),
+        F.col("ts").alias("ts2"),
+        F.col("event_type").alias("type2"),
+    )
+    j = (
+        views.join(
+            f1,
+            (F.col("u1") == F.col("user_id"))
+            & (F.col("s1") == F.col("seq") + 1),
+            "left",
+        )
+        .join(
+            f2,
+            (F.col("u2") == F.col("user_id"))
+            & (F.col("s2") == F.col("seq") + 2),
+            "left",
+        )
+    )
+    hour = F.expr("INTERVAL 1 HOUR")
+    step2 = (
+        (F.col("type1") == "click")
+        & (F.col("ts1") > F.col("ts"))
+        & (F.col("ts1") <= F.col("ts") + hour)
+    )
+    step3 = step2 & (F.col("type2") == "purchase") & (
+        F.col("ts2") <= F.col("ts") + hour
+    )
+    d = j.select(
+        "user_id",
+        (
+            F.lit(1)
+            + F.when(step2, 1).otherwise(0)
+            + F.when(step3, 1).otherwise(0)
+        ).alias("depth"),
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(F.max("depth").cast("int").alias("funnel_strict_order"))
+        .orderBy("user_id")
+    )

@@ -636,3 +636,51 @@ def test_zorder_key_matches_python(spark, sf_dir):
     # locality sanity: two points adjacent in both dims stay in nearby
     # z range (the property data skipping exploits)
     assert morton(5, 5) ^ morton(4, 4) < 1 << 6
+
+
+def test_funnel_strict_order_matches_bruteforce(spark, sf_dir):
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import (
+        window_funnel_strict_order,
+    )
+    from go_nats_to_clickhouse_spark.queries.util import load_table
+
+    got = {
+        r.user_id: r.funnel_strict_order
+        for r in window_funnel_strict_order(spark, sf_dir).collect()
+    }
+    per_user = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_id", "ts", "event_type")
+        .collect()
+    ):
+        per_user.setdefault(r.user_id, []).append(
+            (r.ts, r.event_id, r.event_type)
+        )
+    import datetime as dt
+
+    hour = dt.timedelta(hours=1)
+    for uid, evs in per_user.items():
+        evs.sort()
+        best = 0
+        for i, (ts, _, et) in enumerate(evs):
+            if et != "view":
+                continue
+            depth = 1
+            if (
+                i + 1 < len(evs)
+                and evs[i + 1][2] == "click"
+                and evs[i + 1][0] > ts
+                and evs[i + 1][0] <= ts + hour
+            ):
+                depth = 2
+                if (
+                    i + 2 < len(evs)
+                    and evs[i + 2][2] == "purchase"
+                    and evs[i + 2][0] <= ts + hour
+                ):
+                    depth = 3
+            best = max(best, depth)
+        if best:
+            assert got[uid] == best, (uid, got[uid], best)
