@@ -1675,3 +1675,140 @@ def window_funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("depth").cast("int").alias("funnel_strict_order"))
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-gram detection — cross-document repeated-shingle audit.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_boilerplate_ngrams",
+    """
+WITH sh AS (
+  SELECT DISTINCT source, doc_id, shingle FROM (
+    SELECT source, doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                  i -> concat_ws(' ', string_split(text, ' ')[i],
+                                 string_split(text, ' ')[i + 1],
+                                 string_split(text, ' ')[i + 2]))) AS shingle
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+  )
+),
+src AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM sh GROUP BY source),
+df AS (
+  SELECT source, shingle, COUNT(*) AS df FROM sh GROUP BY source, shingle
+)
+SELECT d.source, d.shingle AS ngram, CAST(d.df AS BIGINT) AS df,
+       round(CAST(d.df AS DOUBLE) / s.n_docs, 6) AS df_ratio
+FROM df d JOIN src s ON s.source = d.source
+WHERE d.df >= 3
+ORDER BY d.source, ngram
+""",
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: word-3-grams repeated across >= 3 documents
+    of the same source — the pass a training pipeline runs to find and
+    strip shared headers/footers/templates before dedup (repeated
+    boilerplate otherwise dominates near-dup similarity).
+
+    Shape: one explode -> one (source, shingle) count (map-side
+    combinable) plus a tiny per-source doc-count join — nothing pairwise,
+    so unlike the dedup verifiers this is linear in corpus size at 100 TB.
+    The df threshold keeps output bounded by the true boilerplate set.
+    """
+    from go_nats_to_clickhouse_spark.operators.dedup import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(d, n=3)
+    with_src = sh.join(d.select("doc_id", "source"), "doc_id")
+    src = with_src.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    df = with_src.groupBy("source", "shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    return (
+        df.filter(F.col("df") >= 3)
+        .join(F.broadcast(src), "source")
+        .select(
+            "source",
+            F.col("shingle").alias("ngram"),
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                F.col("df").cast("double") / F.col("n_docs"), 6
+            ).alias("df_ratio"),
+        )
+        .orderBy("source", "ngram")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining — contrastive-training data prep over embeddings.
+# ---------------------------------------------------------------------------
+
+_HN_QUERIES = 8
+_HN_TOPK = 5
+
+
+@query(
+    "vector_hard_negatives",
+    f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+      FROM e WHERE vec_id < {_HN_QUERIES}),
+scored AS (
+  SELECT q.qid, e.vec_id AS nid, {_cos_sql('e.v', 'q.qv')} AS cos
+  FROM e CROSS JOIN q
+  WHERE e.label <> q.qlabel
+),
+ranked AS (
+  SELECT qid, nid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+  FROM scored
+)
+SELECT qid AS query_id, CAST(rnk AS INT) AS rank, nid AS negative_id,
+       round(cos, 4) + 0.0 AS cosine
+FROM ranked WHERE rnk <= {_HN_TOPK} ORDER BY query_id, rank
+""",
+)
+def vector_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    embedding, the top-k most-similar vectors with a DIFFERENT label —
+    the negatives that actually teach the model (random negatives are too
+    easy). Same scale shape as the brute-force ANN: the query set
+    broadcasts, scoring is map-side over the corpus, and only the top-k
+    per query survive the rank window. A production run swaps the
+    brute-force scorer for the IVF path without changing the contract."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < _HN_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            cosine(F.col("v"), F.col("qv")).alias("cos"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nid")
+        ),
+    ).filter(F.col("rnk") <= _HN_TOPK)
+    return ranked.select(
+        F.col("qid").alias("query_id"),
+        F.col("rnk").cast("int").alias("rank"),
+        F.col("nid").alias("negative_id"),
+        (F.round("cos", 4) + F.lit(0.0)).alias("cosine"),
+    ).orderBy("query_id", "rank")

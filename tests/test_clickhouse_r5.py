@@ -684,3 +684,62 @@ def test_funnel_strict_order_matches_bruteforce(spark, sf_dir):
             best = max(best, depth)
         if best:
             assert got[uid] == best, (uid, got[uid], best)
+
+
+def test_boilerplate_ngrams_match_bruteforce(spark, sf_dir):
+    from collections import Counter
+
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import (
+        text_boilerplate_ngrams,
+    )
+
+    got = {
+        (r.source, r.ngram): (r.df, r.df_ratio)
+        for r in text_boilerplate_ngrams(spark, sf_dir).collect()
+    }
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).to_pylist()
+    df = Counter()
+    n_docs = Counter()
+    for d in docs:
+        ws = d["text"].split(" ")
+        grams = {
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        } if len(ws) >= 3 else set()
+        if grams:
+            n_docs[d["source"]] += 1
+        for g in grams:
+            df[(d["source"], g)] += 1
+    want = {
+        k: (c, round(c / n_docs[k[0]], 6)) for k, c in df.items() if c >= 3
+    }
+    assert set(got) == set(want)
+    for k, (c, ratio) in want.items():
+        assert got[k][0] == c
+        assert abs(got[k][1] - ratio) < 1e-9
+
+
+def test_hard_negatives_match_numpy(spark, sf_dir):
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import (
+        _HN_QUERIES,
+        _HN_TOPK,
+        vector_hard_negatives,
+    )
+
+    got = {}
+    for r in vector_hard_negatives(spark, sf_dir).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.negative_id))
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    ids = np.asarray([t["vec_id"] for t in tbl])
+    labels = np.asarray([t["label"] for t in tbl])
+    m = np.asarray([t["embedding"] for t in tbl], dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    for qpos in np.where(ids < _HN_QUERIES)[0]:
+        cos = (m @ m[qpos]) / (norms * norms[qpos])
+        mask = labels != labels[qpos]
+        order = sorted(
+            ((-c, int(i)) for c, i, ok in zip(cos, ids, mask) if ok)
+        )[:_HN_TOPK]
+        want = [(rk + 1, nid) for rk, (_, nid) in enumerate(order)]
+        assert got[int(ids[qpos])] == want
