@@ -32,6 +32,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: The rest keep registration order behind them.
 _PRIORITY = [
     # new this session (clickhouse_r5.py) — never sampled
+    "behavioral_markov_transitions",
+    "timeseries_anomaly_mad",
     "text_boilerplate_ngrams",
     "vector_hard_negatives",
     "window_funnel_strict_order",

@@ -1812,3 +1812,135 @@ def vector_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nid").alias("negative_id"),
         (F.round("cos", 4) + F.lit(0.0)).alias("cosine"),
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over the behavioral event stream.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "behavioral_markov_transitions",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+tot AS (SELECT from_type, SUM(n) AS tn FROM c GROUP BY from_type)
+SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+       round(CAST(c.n AS DOUBLE) / t.tn, 6) AS p
+FROM c JOIN tot t ON t.from_type = c.from_type
+ORDER BY 1, 2
+""",
+)
+def behavioral_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the per-user event stream:
+    P(next event type | current) with exact counts — the behavioral model
+    behind ClickHouse sequence analytics (and a Markov-chain text/session
+    generator's training pass).
+
+    One window shuffle on user_id for the lead(), then the count matrix
+    is |types|² rows — map-side-combinable aggregation all the way; each
+    probability is a single division of exact integers."""
+    e = load_table(spark, sf_dir, "events")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    c = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("from_type").agg(F.sum("n").alias("tn"))
+    return (
+        c.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("tn"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD-based anomaly detection over per-user value series.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "timeseries_anomaly_mad",
+    """
+WITH v AS (
+  SELECT user_id, event_id, ts, CAST(round(value, 2) AS DOUBLE) AS x
+  FROM events WHERE user_id < 50
+),
+med AS (
+  SELECT user_id, quantile_cont(x, 0.5) AS med FROM v GROUP BY user_id
+),
+dev AS (
+  SELECT v.user_id, v.event_id, v.ts, v.x, m.med,
+         abs(v.x - m.med) AS ad
+  FROM v JOIN med m ON m.user_id = v.user_id
+),
+mad AS (
+  SELECT user_id, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY user_id
+)
+SELECT d.user_id, d.event_id,
+       round(d.med, 6) AS med,
+       round(m.mad, 6) AS mad,
+       round(d.ad / (1.4826 * m.mad), 6) AS score
+FROM dev d JOIN mad m ON m.user_id = d.user_id
+WHERE m.mad > 0 AND d.ad / (1.4826 * m.mad) > 3.0
+ORDER BY d.user_id, d.event_id
+""",
+)
+def timeseries_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per user series: flag events whose value
+    deviates from the user's median by more than 3 robust standard
+    deviations (MAD * 1.4826 — the normal-consistency constant). Median
+    and MAD are the robust location/scale pair that outliers cannot
+    drag, unlike mean/stddev.
+
+    Two grouped exact percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont`` on exact 2-dec inputs — agg_percentiles pins the
+    convention) + one broadcast-sized stats join back; at 100 TB swap
+    ``percentile`` for ``percentile_approx`` with the same plan."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    v = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round("value", 2).cast("double").alias("x"),
+    )
+    med = v.groupBy("user_id").agg(F.expr("percentile(x, 0.5)").alias("med"))
+    dev = v.join(F.broadcast(med), "user_id").withColumn(
+        "ad", F.abs(F.col("x") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    scored = dev.join(F.broadcast(mad), "user_id").withColumn(
+        "score", F.col("ad") / (F.lit(1.4826) * F.col("mad"))
+    )
+    return (
+        scored.filter((F.col("mad") > 0) & (F.col("score") > 3.0))
+        .select(
+            "user_id",
+            "event_id",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -743,3 +743,76 @@ def test_hard_negatives_match_numpy(spark, sf_dir):
         )[:_HN_TOPK]
         want = [(rk + 1, nid) for rk, (_, nid) in enumerate(order)]
         assert got[int(ids[qpos])] == want
+
+
+def test_markov_transitions_match_bruteforce(spark, sf_dir):
+    from collections import Counter
+
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import (
+        behavioral_markov_transitions,
+    )
+    from go_nats_to_clickhouse_spark.queries.util import load_table
+
+    got = {
+        (r.from_type, r.to_type): (r.n, r.p)
+        for r in behavioral_markov_transitions(spark, sf_dir).collect()
+    }
+    per_user = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "event_type")
+        .collect()
+    ):
+        per_user.setdefault(r.user_id, []).append(
+            (r.ts, r.event_id, r.event_type)
+        )
+    pairs = Counter()
+    for evs in per_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            pairs[(a, b)] += 1
+    totals = Counter()
+    for (a, _), c in pairs.items():
+        totals[a] += c
+    assert set(got) == set(pairs)
+    for k, c in pairs.items():
+        assert got[k][0] == c
+        # query rounds p to 6 decimals; brute force doesn't
+        assert abs(got[k][1] - c / totals[k[0]]) < 5.1e-7
+
+
+def test_anomaly_mad_matches_bruteforce(spark, sf_dir):
+    import statistics
+
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import (
+        timeseries_anomaly_mad,
+    )
+    from go_nats_to_clickhouse_spark.queries.util import load_table
+
+    got = {
+        (r.user_id, r.event_id): r.score
+        for r in timeseries_anomaly_mad(spark, sf_dir).collect()
+    }
+    per_user = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select("user_id", "event_id", F.round("value", 2).alias("x"))
+        .collect()
+    ):
+        per_user.setdefault(r.user_id, []).append((r.event_id, float(r.x)))
+    want = {}
+    for uid, evs in per_user.items():
+        xs = [x for _, x in evs]
+        med = statistics.median(xs)  # interpolated for even n == quantile_cont
+        ads = [abs(x - med) for x in xs]
+        mad = statistics.median(ads)
+        if mad <= 0:
+            continue
+        for eid, x in evs:
+            score = abs(x - med) / (1.4826 * mad)
+            if score > 3.0:
+                want[(uid, eid)] = score
+    assert set(got) == set(want)
+    for k, s in want.items():
+        assert abs(got[k] - s) < 1e-5
