@@ -86,9 +86,10 @@ _PRIORITY = [
     "dedup_minhash_lsh_pairs",
     # r3-green rows worth re-confirming on current fixtures (flagship +
     # streaming + MV cascade — the reference's core semantics)
+    # flagship + two streaming rows kept inside the driver's 50-row sample
+    # window; mv_union/mv_message_type (driver-green r2 AND r3, unchanged)
+    # yield their slots to the streaming family
     "mv_analytics_projection",
-    "mv_union_streams_monthly",
-    "mv_message_type_stats",
     "streaming_tumbling_daily",
     "streaming_sliding_12h",
     "streaming_session_windows",
