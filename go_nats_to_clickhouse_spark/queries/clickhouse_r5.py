@@ -1944,3 +1944,108 @@ def timeseries_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Period detection — seriesPeriodDetectFFT-intent analog via exact
+# phase-folding (no trig: cos/sin differ at 1 ulp between JVM and libm,
+# which the micro-rounding trick cannot fully absorb over many terms).
+# ---------------------------------------------------------------------------
+
+_PD_PERIODS = [6, 8, 12, 24]
+
+
+@query(
+    "timeseries_period_power",
+    f"""
+WITH hc AS (
+  SELECT event_type, CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS h,
+         COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+t0 AS (
+  SELECT event_type, h, x,
+         h - MIN(h) OVER (PARTITION BY event_type) AS t
+  FROM hc
+),
+phase AS (
+  SELECT event_type, p.period, t0.t % p.period AS k, SUM(x) AS s
+  FROM t0 CROSS JOIN (SELECT UNNEST({_PD_PERIODS}) AS period) p
+  GROUP BY event_type, p.period, t0.t % p.period
+),
+tot AS (
+  SELECT event_type, period, SUM(s) AS total, COUNT(*) AS nbins FROM phase
+  GROUP BY event_type, period
+)
+SELECT ph.event_type, CAST(ph.period AS INT) AS period_hours,
+       round(CAST(SUM((ph.period * ph.s - t.total)
+                      * (ph.period * ph.s - t.total)) AS DOUBLE)
+             / (CAST(ph.period AS DOUBLE) * ph.period * t.total), 6)
+         AS dispersion
+FROM phase ph JOIN tot t
+  ON t.event_type = ph.event_type AND t.period = ph.period
+GROUP BY ph.event_type, ph.period, t.total
+ORDER BY 1, 2
+""",
+)
+def timeseries_period_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period detection with the intent of ClickHouse
+    ``seriesPeriodDetectFFT``, restricted to candidate periods and
+    computed by exact PHASE FOLDING instead of a DFT: fold each event
+    type's hourly count series into P phase bins, and score each period
+    by the normalized dispersion of the phase profile
+    ``Σ (P·s_k - total)² / (P² · total)`` — flat profile (no periodicity)
+    → ~0, concentrated profile → large. The astronomy phase-dispersion
+    trick; unlike cos/sin bins it is EXACT: every term is int64 until one
+    final division, so engines cannot diverge (JVM and libm trig differ
+    in the last ulp, which no rounding discipline fully absorbs across
+    thousands of terms).
+
+    Scale: the series reduces to (type, hour) counts bounded by the time
+    span; folding is a second tiny groupBy. Everything map-side
+    combinable."""
+    e = load_table(spark, sf_dir, "events")
+    hc = e.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(3600000000.0))
+        .cast("long")
+        .alias("h"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    t0 = hc.withColumn(
+        "t", F.col("h") - F.min("h").over(Window.partitionBy("event_type"))
+    )
+    periods = t0.sparkSession.createDataFrame(
+        [(p,) for p in _PD_PERIODS], "period int"
+    )
+    phase = (
+        t0.crossJoin(F.broadcast(periods))
+        .groupBy(
+            "event_type", "period", (F.col("t") % F.col("period")).alias("k")
+        )
+        .agg(F.sum("x").alias("s"))
+    )
+    tot = phase.groupBy("event_type", "period").agg(
+        F.sum("s").alias("total")
+    )
+    dev = F.col("period") * F.col("s") - F.col("total")
+    return (
+        phase.join(tot, ["event_type", "period"])
+        .groupBy("event_type", "period", "total")
+        .agg(
+            F.round(
+                F.sum(dev * dev).cast("double")
+                / (
+                    F.col("period").cast("double")
+                    * F.col("period")
+                    * F.col("total")
+                ),
+                6,
+            ).alias("dispersion")
+        )
+        .select(
+            "event_type",
+            F.col("period").cast("int").alias("period_hours"),
+            "dispersion",
+        )
+        .orderBy("event_type", "period_hours")
+    )

@@ -816,3 +816,36 @@ def test_anomaly_mad_matches_bruteforce(spark, sf_dir):
     assert set(got) == set(want)
     for k, s in want.items():
         assert abs(got[k] - s) < 1e-5
+
+
+def test_period_power_matches_bruteforce(spark, sf_dir):
+    from collections import Counter
+
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import (
+        _PD_PERIODS,
+        timeseries_period_power,
+    )
+    from go_nats_to_clickhouse_spark.queries.util import load_table
+
+    got = {
+        (r.event_type, r.period_hours): r.dispersion
+        for r in timeseries_period_power(spark, sf_dir).collect()
+    }
+    hours = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", (F.unix_micros("ts") / 3600000000).alias("hf"))
+        .collect()
+    ):
+        hours.setdefault(r.event_type, Counter())[int(r.hf)] += 1
+    for et, hc in hours.items():
+        h0 = min(hc)
+        for p in _PD_PERIODS:
+            s = Counter()
+            for h, x in hc.items():
+                s[(h - h0) % p] += x
+            total = sum(s.values())
+            disp = sum((p * v - total) ** 2 for v in s.values()) / (
+                p * p * total
+            )
+            assert abs(got[(et, p)] - disp) < 1e-5, (et, p)
