@@ -32,6 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: The rest keep registration order behind them.
 _PRIORITY = [
     # new this session (clickhouse_r5.py) — never sampled
+    "scalar_timezone_functions",
     "timeseries_period_power",
     "behavioral_markov_transitions",
     "timeseries_anomaly_mad",

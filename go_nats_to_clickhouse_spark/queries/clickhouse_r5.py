@@ -2049,3 +2049,53 @@ def timeseries_period_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "period_hours")
     )
+
+
+# ---------------------------------------------------------------------------
+# Timezone scalar family — toTimeZone / formatDateTime-in-zone analogs.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_timezone_functions",
+    """
+WITH s AS (
+  SELECT event_id, ts FROM events WHERE event_id < 2000
+)
+SELECT event_id,
+       ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' AS ny_wall,
+       ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Tokyo' AS tokyo_wall,
+       ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Kolkata' AS kolkata_wall,
+       CAST(hour(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York')
+            AS INT) AS ny_hour,
+       CAST(CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Tokyo' AS DATE)
+            <> CAST(ts AS DATE) AS BOOLEAN) AS tokyo_crosses_date,
+       ((ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Kolkata')
+        AT TIME ZONE 'Asia/Kolkata' AT TIME ZONE 'UTC') = ts
+         AS kolkata_roundtrip_ok
+FROM s ORDER BY event_id
+""",
+)
+def scalar_timezone_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``toTimeZone(ts, tz)`` analog family: wall-clock
+    rendering of UTC instants in DST-bearing (America/New_York),
+    fixed-offset (Asia/Tokyo) and half-hour-offset (Asia/Kolkata) zones,
+    plus derived zone-local hour, a date-boundary-crossing flag, and a
+    to/from round-trip proof. Spark's ``from_utc_timestamp`` == DuckDB's
+    ``AT TIME ZONE 'UTC' AT TIME ZONE z`` (both ICU/IANA tzdata). Pure
+    map-side projection — no shuffle beyond the output sort."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    tokyo = F.from_utc_timestamp("ts", "Asia/Tokyo")
+    kolkata = F.from_utc_timestamp("ts", "Asia/Kolkata")
+    return e.select(
+        "event_id",
+        ny.alias("ny_wall"),
+        tokyo.alias("tokyo_wall"),
+        kolkata.alias("kolkata_wall"),
+        F.hour(ny).cast("int").alias("ny_hour"),
+        (F.to_date(tokyo) != F.to_date("ts")).alias("tokyo_crosses_date"),
+        (
+            F.to_utc_timestamp(kolkata, "Asia/Kolkata") == F.col("ts")
+        ).alias("kolkata_roundtrip_ok"),
+    ).orderBy("event_id")

@@ -849,3 +849,35 @@ def test_period_power_matches_bruteforce(spark, sf_dir):
                 p * p * total
             )
             assert abs(got[(et, p)] - disp) < 1e-5, (et, p)
+
+
+def test_timezone_functions_match_zoneinfo(spark, sf_dir):
+    from datetime import timezone
+    from zoneinfo import ZoneInfo
+
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import (
+        scalar_timezone_functions,
+    )
+
+    rows = scalar_timezone_functions(spark, sf_dir).collect()
+    assert rows
+    from go_nats_to_clickhouse_spark.queries.util import load_table
+
+    base = {
+        r.event_id: r.ts
+        for r in load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "ts")
+        .collect()
+    }
+    for r in rows[:200]:
+        utc = base[r.event_id].replace(tzinfo=timezone.utc)
+        ny = utc.astimezone(ZoneInfo("America/New_York")).replace(tzinfo=None)
+        tokyo = utc.astimezone(ZoneInfo("Asia/Tokyo")).replace(tzinfo=None)
+        kolkata = utc.astimezone(ZoneInfo("Asia/Kolkata")).replace(tzinfo=None)
+        assert r.ny_wall == ny
+        assert r.tokyo_wall == tokyo
+        assert r.kolkata_wall == kolkata
+        assert r.ny_hour == ny.hour
+        assert r.tokyo_crosses_date == (tokyo.date() != base[r.event_id].date())
+        assert r.kolkata_roundtrip_ok is True
