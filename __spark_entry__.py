@@ -32,6 +32,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: The rest keep registration order behind them.
 _PRIORITY = [
     # new this session (clickhouse_r5.py) — never sampled
+    "scalar_hash_functions",
+    "agg_partial_state_merge",
     "scalar_timezone_functions",
     "timeseries_period_power",
     "behavioral_markov_transitions",

@@ -2099,3 +2099,132 @@ def scalar_timezone_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_utc_timestamp(kolkata, "Asia/Kolkata") == F.col("ts")
         ).alias("kolkata_roundtrip_ok"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Hash scalar family — the portable digest subset.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_hash_functions",
+    """
+WITH s AS (
+  SELECT doc_id, substring(text, 1, 32) AS frag FROM documents
+)
+SELECT doc_id,
+       md5(frag) AS md5_hex,
+       sha256(frag) AS sha256_hex,
+       ('0x' || substr(md5(frag), 1, 15))::BIGINT AS md5_60bit,
+       ('0x' || substr(md5(frag), 1, 15))::BIGINT % 1024 AS hash_bucket
+FROM s ORDER BY doc_id
+""",
+)
+def scalar_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse hash-function family (``MD5``/``SHA256``/
+    ``halfMD5``-style truncations) — the engine-portable digest subset
+    (xxHash/cityHash are engine-specific and deliberately absent; every
+    internal hash in this repo routes through md5 for the same reason).
+    The 60-bit truncation and modulo bucket are the building blocks the
+    dedup/sampling/shuffle operators use. Map-only."""
+    d = load_table(spark, sf_dir, "documents")
+    frag = F.substring("text", 1, 32)
+    md5 = F.md5(frag)
+    h60 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
+    return d.select(
+        "doc_id",
+        md5.alias("md5_hex"),
+        F.sha2(frag, 256).alias("sha256_hex"),
+        h60.alias("md5_60bit"),
+        (h60 % 1024).alias("hash_bucket"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Partial-state merge — the -State / -Merge combinator contract.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_partial_state_merge",
+    """
+WITH halves AS (
+  SELECT user_id % 2 AS shard,
+         event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(round(value, 2) AS DECIMAL(12,2))) AS DECIMAL(20,2))
+           AS s,
+         MIN(ts) AS mn,
+         MAX(ts) AS mx
+  FROM events GROUP BY user_id % 2, event_type
+),
+merged AS (
+  SELECT event_type,
+         CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(s) AS DOUBLE) AS s,
+         MIN(mn) AS first_ts, MAX(mx) AS last_ts
+  FROM halves GROUP BY event_type
+),
+direct AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(value, 2) AS DECIMAL(12,2))) AS DOUBLE) AS s,
+         MIN(ts) AS first_ts, MAX(ts) AS last_ts
+  FROM events GROUP BY event_type
+)
+SELECT m.event_type, m.n, round(m.s, 2) AS total,
+       m.first_ts, m.last_ts,
+       (m.n = d.n AND m.s = d.s AND m.first_ts = d.first_ts
+        AND m.last_ts = d.last_ts) AS merge_equals_direct
+FROM merged m JOIN direct d ON d.event_type = m.event_type
+ORDER BY m.event_type
+""",
+)
+def agg_partial_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``-State`` / ``-Merge`` combinator contract, proved in
+    the result: aggregate each shard to PARTIAL STATES (count, exact
+    decimal sum, min/max), merge the states, and assert bit-equality with
+    the direct aggregation — the algebra that makes AggregatingMergeTree,
+    map-side combine, and incremental MV refresh all correct. The states
+    here are exact (decimal sum, not float), which is WHY merge order
+    cannot matter; the boolean column carries the proof into the
+    hash-compared output."""
+    e = load_table(spark, sf_dir, "events")
+    vdec = F.round("value", 2).cast("decimal(12,2)")
+    halves = e.groupBy(
+        (F.col("user_id") % 2).alias("shard"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vdec).cast("decimal(20,2)").alias("s"),
+        F.min("ts").alias("mn"),
+        F.max("ts").alias("mx"),
+    )
+    merged = halves.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").cast("double").alias("s"),
+        F.min("mn").alias("first_ts"),
+        F.max("mx").alias("last_ts"),
+    )
+    direct = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("dn"),
+        F.sum(vdec).cast("double").alias("ds"),
+        F.min("ts").alias("dfirst"),
+        F.max("ts").alias("dlast"),
+    )
+    return (
+        merged.join(direct, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.round("s", 2).alias("total"),
+            "first_ts",
+            "last_ts",
+            (
+                (F.col("n") == F.col("dn"))
+                & (F.col("s") == F.col("ds"))
+                & (F.col("first_ts") == F.col("dfirst"))
+                & (F.col("last_ts") == F.col("dlast"))
+            ).alias("merge_equals_direct"),
+        )
+        .orderBy("event_type")
+    )

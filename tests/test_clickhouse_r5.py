@@ -881,3 +881,34 @@ def test_timezone_functions_match_zoneinfo(spark, sf_dir):
         assert r.ny_hour == ny.hour
         assert r.tokyo_crosses_date == (tokyo.date() != base[r.event_id].date())
         assert r.kolkata_roundtrip_ok is True
+
+
+def test_hash_functions_match_hashlib(spark, sf_dir):
+    import hashlib
+
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import (
+        scalar_hash_functions,
+    )
+
+    got = {r.doc_id: r for r in scalar_hash_functions(spark, sf_dir).collect()}
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    for d in docs[:60]:
+        frag = d["text"][:32].encode()
+        r = got[d["doc_id"]]
+        assert r.md5_hex == hashlib.md5(frag).hexdigest()
+        assert r.sha256_hex == hashlib.sha256(frag).hexdigest()
+        h60 = int(hashlib.md5(frag).hexdigest()[:15], 16)
+        assert r.md5_60bit == h60
+        assert r.hash_bucket == h60 % 1024
+
+
+def test_partial_state_merge_proof_holds(spark, sf_dir):
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import (
+        agg_partial_state_merge,
+    )
+
+    rows = agg_partial_state_merge(spark, sf_dir).collect()
+    assert rows
+    assert all(r.merge_equals_direct for r in rows)
