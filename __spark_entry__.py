@@ -68,8 +68,6 @@ _PRIORITY = [
     # the r3 red row — signed-zero normalization fixed this round
     "agg_bounding_ratio",
     # changed this round (signed-zero + 0.0 on both engine/oracle sides)
-    "agg_statistical_moments",
-    "agg_entropy",
     "agg_linear_regression",
     "vector_ann_cosine_topk",
     "vector_ann_lsh_topk",
@@ -94,6 +92,8 @@ _PRIORITY = [
     # window; mv_union/mv_message_type (driver-green r2 AND r3, unchanged)
     # yield their slots to the streaming family
     "mv_analytics_projection",
+    "agg_statistical_moments",
+    "agg_entropy",
     "streaming_tumbling_daily",
     "streaming_sliding_12h",
     "streaming_session_windows",
