@@ -96,3 +96,79 @@ def compact_table(
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
+
+
+def expire_partitions(path: str, before_ym: int) -> list[int]:
+    """TTL expiry: drop every monthly partition older than ``before_ym`` —
+    the analog of MergeTree ``TTL timestamp + INTERVAL n MONTH`` (which
+    ClickHouse also implements as whole-part drops when the TTL key is the
+    partition key). Pure metadata/directory operation: no file is read or
+    rewritten, so expiring 5 years out of a 10-year 100-TB table costs
+    O(months), not O(bytes). Returns the dropped ym values."""
+    import shutil
+
+    dropped = []
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith(f"{PARTITION_COL}="):
+            continue
+        ym = int(entry.split("=", 1)[1])
+        if ym < before_ym:
+            shutil.rmtree(os.path.join(path, entry))
+            dropped.append(ym)
+    return dropped
+
+
+def erase_keys(
+    spark: SparkSession,
+    path: str,
+    predicate_col: str,
+    values: list,
+    sort_keys: tuple[str, ...],
+) -> dict[str, int]:
+    """Key erasure (GDPR / right-to-be-forgotten): rewrite ONLY the
+    partitions that contain matching rows, dropping those rows — the
+    analog of ClickHouse ``ALTER TABLE ... DELETE WHERE`` mutations, which
+    likewise rewrite affected parts in place.
+
+    Scale shape: a first partition-pruned pass finds the affected ym set
+    from parquet statistics + a column-pruned scan (only ``predicate_col``
+    and ym are read); untouched partitions are never opened for the
+    rewrite. Each affected partition is rewritten sorted, preserving the
+    MergeTree-like layout. Returns {"partitions_rewritten", "rows_erased"}.
+    """
+    df = spark.read.parquet(path)
+    hit = df.filter(F.col(predicate_col).isin(values))
+    affected = [
+        r[0]
+        for r in hit.select(PARTITION_COL).distinct().collect()
+        # bounded: at most one row per month in the table's lifetime
+    ]
+    if not affected:
+        return {"partitions_rewritten": 0, "rows_erased": 0}
+    rows_before = df.filter(F.col(PARTITION_COL).isin(affected)).count()
+    import shutil
+
+    for ym in affected:
+        part_dir = os.path.join(path, f"{PARTITION_COL}={ym}")
+        keep = (
+            spark.read.parquet(part_dir)
+            .filter(~F.col(predicate_col).isin(values))
+            .sortWithinPartitions(*[k for k in sort_keys if k != PARTITION_COL])
+        )
+        tmp = part_dir + "__erase_tmp"
+        keep.write.mode("overwrite").parquet(tmp)
+        old = part_dir + "__erase_old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(part_dir, old)
+        os.rename(tmp, part_dir)
+        shutil.rmtree(old)
+    rows_after = (
+        spark.read.parquet(path)
+        .filter(F.col(PARTITION_COL).isin(affected))
+        .count()
+    )
+    return {
+        "partitions_rewritten": len(affected),
+        "rows_erased": rows_before - rows_after,
+    }

@@ -126,3 +126,101 @@ class TestCompaction:
         )
         # the ym predicate must prune at planning time, not filter rows
         assert "PartitionFilters: [isnotnull(ym" in plan
+
+
+class TestTableMaintenance:
+    def _events_table(self, spark, sf_dir, tmp_path, name):
+        path = str(tmp_path / name)
+        e = load_table(spark, sf_dir, "events").select(
+            F.col("ts").alias("timestamp"),
+            F.lit("s.u.b").alias("subject"),
+            F.col("user_id").cast("string").alias("chat_id"),
+            F.col("event_id").alias("sequence"),
+            F.lit("{}").alias("metadata"),
+            F.col("props").alias("data"),
+        )
+        layout.write_partitioned(e, path, layout.SORT_KEYS["raw"])
+        return path
+
+    def test_expire_partitions_drops_only_old_months(
+        self, spark, sf_dir, tmp_path
+    ):
+        # the sf0.001 fixture spans one month; spread rows across three
+        path = str(tmp_path / "ttl")
+        e = load_table(spark, sf_dir, "events").select(
+            F.when(
+                F.col("event_id") % 3 == 0,
+                F.col("ts") - F.expr("INTERVAL 70 DAYS"),
+            )
+            .when(
+                F.col("event_id") % 3 == 1,
+                F.col("ts") - F.expr("INTERVAL 35 DAYS"),
+            )
+            .otherwise(F.col("ts"))
+            .alias("timestamp"),
+            F.lit("s").alias("subject"),
+            F.col("user_id").cast("string").alias("chat_id"),
+            F.col("event_id").alias("sequence"),
+            F.lit("{}").alias("metadata"),
+            F.col("props").alias("data"),
+        )
+        layout.write_partitioned(e, path, layout.SORT_KEYS["raw"])
+        df = spark.read.parquet(path)
+        months = sorted(r[0] for r in df.select("ym").distinct().collect())
+        assert len(months) >= 2
+        cutoff = months[-1]  # keep only the newest month
+        keep_count = df.filter(F.col("ym") >= cutoff).count()
+
+        dropped = layout.expire_partitions(path, before_ym=cutoff)
+        assert dropped == months[:-1]
+        remaining = spark.read.parquet(path)
+        assert sorted(
+            r[0] for r in remaining.select("ym").distinct().collect()
+        ) == [cutoff]
+        assert remaining.count() == keep_count
+        # idempotent: second run drops nothing
+        assert layout.expire_partitions(path, before_ym=cutoff) == []
+
+    def test_erase_keys_rewrites_only_affected_partitions(
+        self, spark, sf_dir, tmp_path
+    ):
+        import os as _os
+
+        path = self._events_table(spark, sf_dir, tmp_path, "gdpr")
+        df = spark.read.parquet(path)
+        total = df.count()
+        victim = df.select("chat_id").first()[0]
+        victim_rows = df.filter(F.col("chat_id") == victim).count()
+        affected_yms = {
+            r[0]
+            for r in df.filter(F.col("chat_id") == victim)
+            .select("ym")
+            .distinct()
+            .collect()
+        }
+        # mtime of an untouched partition must not change
+        untouched = [
+            d
+            for d in _os.listdir(path)
+            if d.startswith("ym=") and int(d.split("=")[1]) not in affected_yms
+        ]
+        mtimes_before = {
+            d: _os.stat(_os.path.join(path, d)).st_mtime for d in untouched
+        }
+
+        stats = layout.erase_keys(
+            spark, path, "chat_id", [victim], layout.SORT_KEYS["raw"]
+        )
+        assert stats["rows_erased"] == victim_rows
+        assert stats["partitions_rewritten"] == len(affected_yms)
+        after = spark.read.parquet(path)
+        assert after.filter(F.col("chat_id") == victim).count() == 0
+        assert after.count() == total - victim_rows
+        for d in untouched:
+            assert (
+                _os.stat(_os.path.join(path, d)).st_mtime == mtimes_before[d]
+            ), f"untouched partition {d} was rewritten"
+        # erasing a nonexistent key is a no-op
+        assert layout.erase_keys(
+            spark, path, "chat_id", ["__nope__"], layout.SORT_KEYS["raw"]
+        ) == {"partitions_rewritten": 0, "rows_erased": 0}
