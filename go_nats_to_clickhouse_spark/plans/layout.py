@@ -172,3 +172,79 @@ def erase_keys(
         "partitions_rewritten": len(affected),
         "rows_erased": rows_before - rows_after,
     }
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...],
+    sort_keys: tuple[str, ...],
+    ts_col: str = "timestamp",
+) -> dict[str, int]:
+    """Latest-wins upsert — the ReplacingMergeTree ingestion contract
+    (and the idempotent-re-ingestion primitive: replaying a batch after a
+    crash replaces rather than duplicates). Only the partitions the
+    update batch touches are rewritten: existing rows whose key appears
+    in the batch are dropped, the batch is unioned in, and the partition
+    is rewritten sorted. Returns {"partitions_rewritten", "rows_upserted"}.
+
+    At 100 TB this is the mutation shape a table format (Delta/Iceberg
+    MERGE) implements with the same pruning; here the commit is the same
+    atomic directory swap :func:`compact_table` uses."""
+    import shutil
+
+    up = with_partition_col(updates, ts_col)
+    affected = [r[0] for r in up.select(PARTITION_COL).distinct().collect()]
+    n_up = updates.count()
+    for ym in affected:
+        part_dir = os.path.join(path, f"{PARTITION_COL}={ym}")
+        batch = up.filter(F.col(PARTITION_COL) == ym).drop(PARTITION_COL)
+        if os.path.exists(part_dir):
+            old_rows = spark.read.parquet(part_dir)
+            keys = batch.select(*key_cols)
+            kept = old_rows.join(keys, list(key_cols), "left_anti")
+            merged = kept.unionByName(batch)
+        else:
+            merged = batch
+        merged = merged.sortWithinPartitions(
+            *[k for k in sort_keys if k != PARTITION_COL]
+        )
+        tmp = part_dir + "__upsert_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = part_dir + "__upsert_old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(part_dir):
+            os.rename(part_dir, old)
+        os.rename(tmp, part_dir)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    return {"partitions_rewritten": len(affected), "rows_upserted": n_up}
+
+
+def read_table_final(
+    spark: SparkSession,
+    path: str,
+    key_cols: tuple[str, ...],
+    version_col: str,
+) -> DataFrame:
+    """``SELECT ... FINAL`` analog for tables ingested WITHOUT the upsert
+    pass (plain at-least-once appends may hold several versions of a key):
+    keep only each key's highest-``version_col`` row, ties broken by the
+    full remaining column tuple for determinism. One window shuffle on the
+    key — partition pruning still applies to any pushed ym predicate
+    because the window runs after the scan filters."""
+    from pyspark.sql.window import Window
+
+    df = spark.read.parquet(path)
+    tie_cols = [c for c in df.columns if c not in key_cols]
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(),
+        *[F.col(c).desc() for c in tie_cols if c != version_col],
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -224,3 +224,90 @@ class TestTableMaintenance:
         assert layout.erase_keys(
             spark, path, "chat_id", ["__nope__"], layout.SORT_KEYS["raw"]
         ) == {"partitions_rewritten": 0, "rows_erased": 0}
+
+    def test_upsert_latest_wins_and_prunes_partitions(
+        self, spark, sf_dir, tmp_path
+    ):
+        import os as _os
+
+        path = self._events_table(spark, sf_dir, tmp_path, "upsert")
+        base = spark.read.parquet(path)
+        total = base.count()
+        months = sorted(r[0] for r in base.select("ym").distinct().collect())
+
+        # update 3 existing keys (same chat, same sequence, new payload)
+        victims = [
+            (r["chat_id"], r["sequence"])
+            for r in base.select("chat_id", "sequence").limit(3).collect()
+        ]
+        cond = None
+        for c, s in victims:
+            one = (F.col("chat_id") == c) & (F.col("sequence") == s)
+            cond = one if cond is None else (cond | one)
+        upd = (
+            base.filter(cond)
+            .drop("ym")
+            .withColumn("data", F.lit('{"updated": true}'))
+        )
+        affected_yms = {
+            r[0]
+            for r in layout.with_partition_col(upd)
+            .select("ym")
+            .distinct()
+            .collect()
+        }
+        untouched = [
+            d
+            for d in _os.listdir(path)
+            if d.startswith("ym=") and int(d.split("=")[1]) not in affected_yms
+        ]
+        mtimes = {
+            d: _os.stat(_os.path.join(path, d)).st_mtime for d in untouched
+        }
+
+        stats = layout.upsert_partitioned(
+            spark,
+            path,
+            upd,
+            key_cols=("chat_id", "sequence"),
+            sort_keys=layout.SORT_KEYS["raw"],
+        )
+        assert stats["rows_upserted"] == 3
+        assert stats["partitions_rewritten"] == len(affected_yms)
+        after = spark.read.parquet(path)
+        assert after.count() == total  # replaced, not duplicated
+        for c, s in victims:
+            row = after.filter(
+                (F.col("chat_id") == c) & (F.col("sequence") == s)
+            ).collect()
+            assert len(row) == 1 and row[0]["data"] == '{"updated": true}'
+        for d in untouched:
+            assert _os.stat(_os.path.join(path, d)).st_mtime == mtimes[d]
+        assert sorted(
+            r[0] for r in after.select("ym").distinct().collect()
+        ) == months
+
+    def test_read_final_keeps_latest_version(self, spark, sf_dir, tmp_path):
+        path = self._events_table(spark, sf_dir, tmp_path, "final")
+        base = spark.read.parquet(path)
+        # append DUPLICATE keys with a later timestamp (at-least-once replay)
+        dup = (
+            base.drop("ym")
+            .limit(5)
+            .withColumn("timestamp", F.col("timestamp") + F.expr("INTERVAL 1 HOUR"))
+            .withColumn("data", F.lit('{"v": 2}'))
+        )
+        layout.write_partitioned(dup, path, layout.SORT_KEYS["raw"])
+        raw_count = spark.read.parquet(path).count()
+        assert raw_count == base.count() + 5  # duplicates present pre-FINAL
+
+        final = layout.read_table_final(
+            spark, path, key_cols=("chat_id", "sequence"), version_col="timestamp"
+        )
+        assert final.count() == base.count()
+        dup_keys = [(r["chat_id"], r["sequence"]) for r in dup.collect()]
+        for c, s in dup_keys:
+            row = final.filter(
+                (F.col("chat_id") == c) & (F.col("sequence") == s)
+            ).collect()
+            assert len(row) == 1 and row[0]["data"] == '{"v": 2}'
