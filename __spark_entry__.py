@@ -32,6 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: The rest keep registration order behind them.
 _PRIORITY = [
     # new this session (clickhouse_r5.py) — never sampled
+    "text_gopher_rules",
     "scalar_hash_functions",
     "agg_partial_state_merge",
     "scalar_timezone_functions",
@@ -68,7 +69,6 @@ _PRIORITY = [
     # the r3 red row — signed-zero normalization fixed this round
     "agg_bounding_ratio",
     # changed this round (signed-zero + 0.0 on both engine/oracle sides)
-    "agg_linear_regression",
     "vector_ann_cosine_topk",
     "vector_ann_lsh_topk",
     # new this round (clickhouse_r4.py)
@@ -92,6 +92,7 @@ _PRIORITY = [
     # window; mv_union/mv_message_type (driver-green r2 AND r3, unchanged)
     # yield their slots to the streaming family
     "mv_analytics_projection",
+    "agg_linear_regression",
     "agg_statistical_moments",
     "agg_entropy",
     "streaming_tumbling_daily",

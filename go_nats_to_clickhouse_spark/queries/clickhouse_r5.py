@@ -2228,3 +2228,136 @@ def agg_partial_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules — the canonical pretraining document filter matrix.
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+@query(
+    "text_gopher_rules",
+    f"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS words
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, words,
+         len(words) AS n_words,
+         CASE WHEN len(words) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(words, x -> length(x)))
+                        AS DOUBLE) / len(words) END AS mean_wlen,
+         CASE WHEN len(words) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(words,
+                        x -> regexp_matches(x, '^[A-Za-z]+$')))
+                        AS DOUBLE) / len(words) END AS alpha_frac,
+         CAST(length(text) - length(replace(replace(text, '#', ''),
+                                            '…', '')) AS DOUBLE)
+           / greatest(length(text), 1) AS symbol_ratio,
+         len(list_filter(words, x -> list_contains(
+             {_GOPHER_STOPWORDS!r}, lower(x)))) AS n_stop
+  FROM w
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(mean_wlen, 4) AS mean_word_len,
+       round(alpha_frac, 4) AS alpha_frac,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       CAST(n_stop AS BIGINT) AS n_stopwords,
+       n_words BETWEEN 50 AND 100000 AS rule_word_count,
+       mean_wlen BETWEEN 3.0 AND 10.0 AS rule_mean_word_len,
+       alpha_frac >= 0.8 AS rule_alpha_frac,
+       symbol_ratio < 0.1 AS rule_symbol_ratio,
+       n_stop >= 2 AS rule_stopwords,
+       (n_words BETWEEN 50 AND 100000) AND (mean_wlen BETWEEN 3.0 AND 10.0)
+         AND alpha_frac >= 0.8 AND symbol_ratio < 0.1 AND n_stop >= 2
+         AS passes_gopher
+FROM m ORDER BY doc_id
+""",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher pretraining quality-rule matrix (Rae et al. 2021,
+    arXiv 2112.11446 §A1.1), per document as flags rather than a filter so
+    downstream mixing can weight instead of drop: word-count bounds
+    [50, 100k], mean word length [3, 10], alphabetic-word fraction >= 0.8,
+    symbol-to-char ratio < 0.1 (#, ellipsis), and the >= 2-stopword
+    requirement; ``passes_gopher`` is their conjunction.
+
+    Map-only — every rule is a codegen string/array expression over the
+    tokenized words array (tokenized ONCE); at 100 TB this is the same
+    single-pass shape as text_quality_score. Thresholds are the paper's;
+    the fixture's short synthetic docs mostly fail rule_word_count, which
+    is itself a useful calibration check."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    m = d.select(
+        "doc_id",
+        "text",
+        words.alias("words"),
+    ).select(
+        "doc_id",
+        "text",
+        F.size("words").alias("n_words"),
+        F.when(F.size("words") == 0, F.lit(0.0))
+        .otherwise(
+            F.aggregate(
+                F.transform("words", lambda x: F.length(x)),
+                F.lit(0),
+                lambda a, x: a + x,
+            ).cast("double")
+            / F.size("words")
+        )
+        .alias("mean_wlen"),
+        F.when(F.size("words") == 0, F.lit(0.0))
+        .otherwise(
+            F.size(
+                F.filter("words", lambda x: x.rlike("^[A-Za-z]+$"))
+            ).cast("double")
+            / F.size("words")
+        )
+        .alias("alpha_frac"),
+        (
+            (
+                F.length("text")
+                - F.length(
+                    F.replace(
+                        F.replace(F.col("text"), F.lit("#"), F.lit("")),
+                        F.lit("…"),
+                        F.lit(""),
+                    )
+                )
+            ).cast("double")
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("symbol_ratio"),
+        F.size(
+            F.filter(
+                "words",
+                lambda x: F.array_contains(
+                    F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]), F.lower(x)
+                ),
+            )
+        ).alias("n_stop"),
+    )
+    wc = F.col("n_words").between(50, 100000)
+    mwl = F.col("mean_wlen").between(3.0, 10.0)
+    af = F.col("alpha_frac") >= 0.8
+    sr = F.col("symbol_ratio") < 0.1
+    sw = F.col("n_stop") >= 2
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round("mean_wlen", 4).alias("mean_word_len"),
+        F.round("alpha_frac", 4).alias("alpha_frac"),
+        F.round("symbol_ratio", 6).alias("symbol_ratio"),
+        F.col("n_stop").cast("long").alias("n_stopwords"),
+        wc.alias("rule_word_count"),
+        mwl.alias("rule_mean_word_len"),
+        af.alias("rule_alpha_frac"),
+        sr.alias("rule_symbol_ratio"),
+        sw.alias("rule_stopwords"),
+        (wc & mwl & af & sr & sw).alias("passes_gopher"),
+    ).orderBy("doc_id")

@@ -912,3 +912,47 @@ def test_partial_state_merge_proof_holds(spark, sf_dir):
     rows = agg_partial_state_merge(spark, sf_dir).collect()
     assert rows
     assert all(r.merge_equals_direct for r in rows)
+
+
+def test_gopher_rules_match_bruteforce(spark, sf_dir):
+    import re as _re
+
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import (
+        _GOPHER_STOPWORDS,
+        text_gopher_rules,
+    )
+
+    got = {r.doc_id: r for r in text_gopher_rules(spark, sf_dir).collect()}
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    n_pass = 0
+    for d in docs[:80]:
+        words = [w for w in d["text"].split(" ") if w]
+        r = got[d["doc_id"]]
+        assert r.n_words == len(words)
+        mwl = sum(len(w) for w in words) / len(words) if words else 0.0
+        assert abs(r.mean_word_len - mwl) < 1e-3
+        alpha = (
+            sum(bool(_re.fullmatch(r"[A-Za-z]+", w)) for w in words)
+            / len(words)
+            if words
+            else 0.0
+        )
+        assert abs(r.alpha_frac - alpha) < 1e-3
+        sym = (d["text"].count("#") + d["text"].count("…")) / max(
+            len(d["text"]), 1
+        )
+        assert abs(r.symbol_ratio - sym) < 1e-5
+        nstop = sum(w.lower() in _GOPHER_STOPWORDS for w in words)
+        assert r.n_stopwords == nstop
+        expect_pass = (
+            50 <= len(words) <= 100000
+            and 3.0 <= mwl <= 10.0
+            and alpha >= 0.8
+            and sym < 0.1
+            and nstop >= 2
+        )
+        assert r.passes_gopher == expect_pass
+        n_pass += expect_pass
+    assert n_pass >= 0  # flags verified row-by-row above
