@@ -24,12 +24,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Queries a budget-capped correctness harness should reach FIRST (the
-#: driver samples the first 50 registrations). Ordered by "newest green
-#: signal wanted" for round 4: the five queries no driver round has ever
-#: sampled (all round-3 additions registered behind the 50-row window),
-#: then the round-3 red row (signed-zero fix) and its recomposed /
-#: changed-this-round companions, then everything newly added this round.
-#: The rest keep registration order behind them.
+#: driver samples the first 50 registrations). Invariant maintained every
+#: time a query is added: every never-driver-sampled query and every query
+#: whose engine/oracle changed this round sits INSIDE the first 50, with
+#: the flagship pinned at index <= 49; already-double-green re-confirmation
+#: rows yield their slots first. The rest keep registration order behind.
 _PRIORITY = [
     # new this session (clickhouse_r5.py) — never sampled
     "text_gopher_rules",
