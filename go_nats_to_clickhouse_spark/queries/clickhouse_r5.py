@@ -2361,3 +2361,79 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         sw.alias("rule_stopwords"),
         (wc & mwl & af & sr & sw).alias("passes_gopher"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Weekly retention matrix — the full cohort-by-offset product-analytics grid.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "behavioral_retention_matrix",
+    """
+WITH w AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+),
+firsts AS (SELECT user_id, MIN(wk) AS w0 FROM w GROUP BY user_id),
+joined AS (
+  SELECT f.w0 AS cohort_week,
+         CAST((w.wk - f.w0) / 7 AS INT) AS week_offset,
+         w.user_id
+  FROM w JOIN firsts f ON f.user_id = w.user_id
+),
+cohort_size AS (
+  SELECT cohort_week, COUNT(DISTINCT user_id) AS n0
+  FROM joined WHERE week_offset = 0 GROUP BY cohort_week
+)
+SELECT j.cohort_week, j.week_offset,
+       CAST(COUNT(DISTINCT j.user_id) AS BIGINT) AS n_active,
+       CAST(s.n0 AS BIGINT) AS cohort_size,
+       round(CAST(COUNT(DISTINCT j.user_id) AS DOUBLE) / s.n0, 6)
+         AS retention
+FROM joined j JOIN cohort_size s ON s.cohort_week = j.cohort_week
+GROUP BY j.cohort_week, j.week_offset, s.n0
+ORDER BY 1, 2
+""",
+)
+def behavioral_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full weekly retention grid (cohort week x week offset) every
+    product-analytics stack draws as a triangle heatmap — the general
+    form of the ClickHouse ``retention()`` flag aggregate (which
+    retention_cohorts / agg_retention_flags cover for fixed offsets).
+
+    Shape: distinct (user, week) first — the 100-TB stream collapses to
+    at most |users| x |weeks| rows before anything else; one user-keyed
+    join against first-week, then a cohort-keyed count. Each retention
+    cell is a single division of exact integers."""
+    e = load_table(spark, sf_dir, "events")
+    w = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    firsts = w.groupBy("user_id").agg(F.min("wk").alias("w0"))
+    joined = w.join(firsts, "user_id").select(
+        F.col("w0").alias("cohort_week"),
+        (F.datediff("wk", "w0") / 7).cast("int").alias("week_offset"),
+        "user_id",
+    )
+    size = (
+        joined.filter(F.col("week_offset") == 0)
+        .groupBy("cohort_week")
+        .agg(F.countDistinct("user_id").alias("n0"))
+    )
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(F.broadcast(size), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("n0").cast("long").alias("cohort_size"),
+            F.round(
+                F.col("n_active").cast("double") / F.col("n0"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -956,3 +956,37 @@ def test_gopher_rules_match_bruteforce(spark, sf_dir):
         assert r.passes_gopher == expect_pass
         n_pass += expect_pass
     assert n_pass >= 0  # flags verified row-by-row above
+
+
+def test_retention_matrix_matches_bruteforce(spark, sf_dir):
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import (
+        behavioral_retention_matrix,
+    )
+    from go_nats_to_clickhouse_spark.queries.util import load_table
+
+    got = {
+        (r.cohort_week, r.week_offset): (r.n_active, r.cohort_size)
+        for r in behavioral_retention_matrix(spark, sf_dir).collect()
+    }
+    import datetime as dt
+
+    weeks = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("week", "ts").cast("date").alias("wk"))
+        .distinct()
+        .collect()
+    ):
+        weeks.setdefault(r.user_id, set()).add(r.wk)
+    cells = {}
+    firsts = {u: min(ws) for u, ws in weeks.items()}
+    for u, ws in weeks.items():
+        w0 = firsts[u]
+        for wk in ws:
+            off = (wk - w0).days // 7
+            cells.setdefault((w0, off), set()).add(u)
+    sizes = {w0: len(us) for (w0, off), us in cells.items() if off == 0}
+    want = {
+        k: (len(us), sizes[k[0]]) for k, us in cells.items()
+    }
+    assert got == want
