@@ -31,6 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: rows yield their slots first. The rest keep registration order behind.
 _PRIORITY = [
     # new this session (clickhouse_r5.py) — never sampled
+    "pipeline_training_manifest",
     "behavioral_retention_matrix",
     "text_gopher_rules",
     "scalar_hash_functions",
@@ -83,7 +84,6 @@ _PRIORITY = [
     "scalar_string_search_functions",
     "text_mix_report",
     # shares the recomposed LSH pair pipeline with dedup_survivors
-    "dedup_connected_components",
     "dedup_minhash_lsh_pairs",
     # r3-green rows worth re-confirming on current fixtures (flagship +
     # streaming + MV cascade — the reference's core semantics)
@@ -91,6 +91,7 @@ _PRIORITY = [
     # window; mv_union/mv_message_type (driver-green r2 AND r3, unchanged)
     # yield their slots to the streaming family
     "mv_analytics_projection",
+    "dedup_connected_components",
     "vector_ann_lsh_topk",
     "agg_linear_regression",
     "agg_statistical_moments",

@@ -2437,3 +2437,108 @@ def behavioral_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# The composed deliverable: quality gate ∩ dedup survivors -> sharded
+# training-order manifest.
+# ---------------------------------------------------------------------------
+
+
+def _manifest_oracle() -> str:
+    from go_nats_to_clickhouse_spark.queries.text import (
+        _LSH_VERIFIED_PAIRS_CTE,
+        _mh_mins_sql,
+    )
+
+    gopher = """
+gw AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words,
+         text
+  FROM documents
+),
+gpass AS (
+  SELECT doc_id FROM gw
+  WHERE len(words) BETWEEN 50 AND 100000
+    AND CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+        / len(words) BETWEEN 3.0 AND 10.0
+    AND CAST(len(list_filter(words, x -> regexp_matches(x, '^[A-Za-z]+$')))
+        AS DOUBLE) / len(words) >= 0.8
+    AND CAST(length(text) - length(replace(replace(text, '#', ''), '…', ''))
+        AS DOUBLE) / greatest(length(text), 1) < 0.1
+    AND len(list_filter(words, x -> list_contains(
+        ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+        lower(x)))) >= 2
+)
+"""
+    return f"""
+WITH RECURSIVE {_LSH_VERIFIED_PAIRS_CTE.format(mins=_mh_mins_sql(16))},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+),
+components AS (
+  SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+),
+survivors AS (
+  SELECT d.doc_id FROM documents d
+  LEFT JOIN components c ON c.doc_id = d.doc_id
+  WHERE c.doc_id IS NULL OR c.component = d.doc_id
+),
+{gopher.strip().lstrip()},
+kept AS (
+  SELECT s.doc_id FROM survivors s JOIN gpass g ON g.doc_id = s.doc_id
+),
+sh2 AS (
+  SELECT doc_id, md5('manifest-1:' || CAST(doc_id AS VARCHAR)) AS h,
+         ('0x' || substr(md5('manifest-1:' || CAST(doc_id AS VARCHAR)),
+                         1, 7))::BIGINT % 8 AS shard
+  FROM kept
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS BIGINT) AS pos
+FROM sh2 ORDER BY shard, pos
+"""
+
+
+@query("pipeline_training_manifest", _manifest_oracle())
+def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-pipeline END PRODUCT in one query: documents that pass the
+    Gopher quality rules AND survive banded-LSH near-dup resolution,
+    placed at deterministic salted-md5 positions in 8 training shards —
+    the manifest a loader consumes for epoch 0.
+
+    Composition of the already-verified stages (text_gopher_rules gate,
+    dedup_survivors' LSH-verified components, text_global_shuffle's
+    sharding), so each stage's scale shape carries over: quality is
+    map-only, dedup never runs an all-pairs join, and the shard sort key
+    is uniform so range partitioning cannot skew. Filter-then-shuffle
+    order matches production (shuffle positions exist only for kept
+    docs)."""
+    from go_nats_to_clickhouse_spark.queries.text import dedup_survivors
+
+    rules = text_gopher_rules(spark, sf_dir).filter(F.col("passes_gopher"))
+    surv = dedup_survivors(spark, sf_dir).select("doc_id")
+    kept = surv.join(rules.select("doc_id"), "doc_id")
+    h = F.md5(F.concat(F.lit("manifest-1:"), F.col("doc_id").cast("string")))
+    sh = kept.select(
+        "doc_id",
+        h.alias("h"),
+        (F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % 8).alias("shard"),
+    )
+    return sh.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.row_number()
+        .over(Window.partitionBy("shard").orderBy("h", "doc_id"))
+        .cast("long")
+        .alias("pos"),
+    ).orderBy("shard", "pos")

@@ -990,3 +990,34 @@ def test_retention_matrix_matches_bruteforce(spark, sf_dir):
         k: (len(us), sizes[k[0]]) for k, us in cells.items()
     }
     assert got == want
+
+
+def test_training_manifest_composes_stages(spark, sf_dir):
+    import hashlib
+
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import (
+        pipeline_training_manifest,
+        text_gopher_rules,
+    )
+    from go_nats_to_clickhouse_spark.queries.text import dedup_survivors
+
+    out = pipeline_training_manifest(spark, sf_dir).collect()
+    passed = {
+        r.doc_id
+        for r in text_gopher_rules(spark, sf_dir).collect()
+        if r.passes_gopher
+    }
+    surv = {r.doc_id for r in dedup_survivors(spark, sf_dir).collect()}
+    want_ids = passed & surv
+    assert {r.doc_id for r in out} == want_ids
+    # shard/pos are the salted-md5 order over exactly the kept set
+    by_shard = {}
+    for doc_id in want_ids:
+        h = hashlib.md5(f"manifest-1:{doc_id}".encode()).hexdigest()
+        by_shard.setdefault(int(h[:7], 16) % 8, []).append((h, doc_id))
+    want = {}
+    for shard, lst in by_shard.items():
+        for pos, (_, doc_id) in enumerate(sorted(lst), 1):
+            want[doc_id] = (shard, pos)
+    for r in out:
+        assert want[r.doc_id] == (r.shard, r.pos)
