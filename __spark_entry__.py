@@ -31,6 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: rows yield their slots first. The rest keep registration order behind.
 _PRIORITY = [
     # new this session (clickhouse_r5.py) — never sampled
+    "join_dict_hierarchy",
     "pipeline_training_manifest",
     "behavioral_retention_matrix",
     "text_gopher_rules",
@@ -84,7 +85,6 @@ _PRIORITY = [
     "scalar_string_search_functions",
     "text_mix_report",
     # shares the recomposed LSH pair pipeline with dedup_survivors
-    "dedup_minhash_lsh_pairs",
     # r3-green rows worth re-confirming on current fixtures (flagship +
     # streaming + MV cascade — the reference's core semantics)
     # flagship + two streaming rows kept inside the driver's 50-row sample
@@ -92,6 +92,7 @@ _PRIORITY = [
     # yield their slots to the streaming family
     "mv_analytics_projection",
     "dedup_connected_components",
+    "dedup_minhash_lsh_pairs",
     "vector_ann_lsh_topk",
     "agg_linear_regression",
     "agg_statistical_moments",

@@ -2542,3 +2542,48 @@ def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pos"),
     ).orderBy("shard", "pos")
+
+
+# ---------------------------------------------------------------------------
+# dictGetHierarchy — hierarchy expansion through broadcast dictionaries.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_dict_hierarchy",
+    """
+SELECT s.s_suppkey, s.s_name,
+       n.n_name || '>' || r.r_name AS hierarchy,
+       CAST(n.n_nationkey AS BIGINT) AS nation_key,
+       CAST(r.r_regionkey AS BIGINT) AS region_key,
+       r.r_name = 'ASIA' AS is_in_asia
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+ORDER BY s.s_suppkey
+""",
+)
+def join_dict_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``dictGetHierarchy`` / ``dictIsIn`` analog: expand each
+    supplier's full dimension chain (nation > region) through the
+    hierarchical dictionary, plus the dictIsIn-style ancestor membership
+    test. Both dictionary levels broadcast (they are dimension-sized by
+    definition); the fact side never shuffles — at 100 TB this is two
+    map-side hash lookups per row, exactly what ClickHouse's in-memory
+    dictionary does."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.concat_ws(">", "n_name", "r_name").alias("hierarchy"),
+            F.col("n_nationkey").cast("long").alias("nation_key"),
+            F.col("r_regionkey").cast("long").alias("region_key"),
+            (F.col("r_name") == "ASIA").alias("is_in_asia"),
+        )
+        .orderBy("s_suppkey")
+    )

@@ -1021,3 +1021,23 @@ def test_training_manifest_composes_stages(spark, sf_dir):
             want[doc_id] = (shard, pos)
     for r in out:
         assert want[r.doc_id] == (r.shard, r.pos)
+
+
+def test_dict_hierarchy_matches_bruteforce(spark, sf_dir):
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import (
+        join_dict_hierarchy,
+    )
+
+    got = {r.s_suppkey: r for r in join_dict_hierarchy(spark, sf_dir).collect()}
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet").to_pylist()
+    nat = {n["n_nationkey"]: n for n in
+           pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()}
+    reg = {r["r_regionkey"]: r for r in
+           pq.read_table(f"{sf_dir}/region.parquet").to_pylist()}
+    assert len(got) == len(sup)
+    for s in sup:
+        n = nat[s["s_nationkey"]]
+        r = reg[n["n_regionkey"]]
+        g = got[s["s_suppkey"]]
+        assert g.hierarchy == f"{n['n_name']}>{r['r_name']}"
+        assert g.is_in_asia == (r["r_name"] == "ASIA")
