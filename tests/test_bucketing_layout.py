@@ -311,3 +311,38 @@ class TestTableMaintenance:
                 (F.col("chat_id") == c) & (F.col("sequence") == s)
             ).collect()
             assert len(row) == 1 and row[0]["data"] == '{"v": 2}'
+
+    def test_upsert_creates_new_partition_for_new_month(
+        self, spark, sf_dir, tmp_path
+    ):
+        import os as _os
+
+        path = self._events_table(spark, sf_dir, tmp_path, "upsert_new")
+        base = spark.read.parquet(path)
+        total = base.count()
+        months = {r[0] for r in base.select("ym").distinct().collect()}
+        # a batch landing in a month the table has never seen
+        newrows = (
+            base.drop("ym")
+            .limit(4)
+            .withColumn(
+                "timestamp", F.col("timestamp") + F.expr("INTERVAL 90 DAYS")
+            )
+            .withColumn("sequence", F.col("sequence") + 1_000_000)
+        )
+        stats = layout.upsert_partitioned(
+            spark,
+            path,
+            newrows,
+            key_cols=("chat_id", "sequence"),
+            sort_keys=layout.SORT_KEYS["raw"],
+        )
+        assert stats["rows_upserted"] == 4
+        after = spark.read.parquet(path)
+        assert after.count() == total + 4
+        new_months = {
+            r[0] for r in after.select("ym").distinct().collect()
+        } - months
+        assert len(new_months) >= 1
+        for ym in new_months:
+            assert _os.path.isdir(_os.path.join(path, f"ym={ym}"))

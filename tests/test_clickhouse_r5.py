@@ -1041,3 +1041,31 @@ def test_dict_hierarchy_matches_bruteforce(spark, sf_dir):
         g = got[s["s_suppkey"]]
         assert g.hierarchy == f"{n['n_name']}>{r['r_name']}"
         assert g.is_in_asia == (r["r_name"] == "ASIA")
+
+
+def test_interval_join_drops_degenerate_intervals(spark):
+    from go_nats_to_clickhouse_spark.operators.range_join import interval_join
+
+    rows = [
+        (0, 10, 20),   # normal
+        (1, 30, 30),   # empty [30, 30) — must never match
+        (2, 50, 40),   # inverted — must never match (and not crash sequence())
+        (3, 15, 35),   # overlaps row 0
+    ]
+    df = spark.createDataFrame(rows, "iid long, s long, e long")
+    a = df.select(
+        F.col("iid").alias("ia"), F.col("s").alias("sa"), F.col("e").alias("ea")
+    )
+    b = df.select(
+        F.col("iid").alias("ib"), F.col("s").alias("sb"), F.col("e").alias("eb")
+    )
+    got = {
+        (r.ia, r.ib)
+        for r in interval_join(
+            a, b,
+            left_start="sa", left_end="ea",
+            right_start="sb", right_end="eb",
+            bucket_width=8.0,
+        ).filter(F.col("ia") < F.col("ib")).collect()
+    }
+    assert got == {(0, 3)}
