@@ -1,10 +1,18 @@
-"""Round-4 (second wave) ClickHouse analog families: nonparametric
-two-sample tests (``mannWhitneyUTest``, ``kolmogorovSmirnovTest``),
-categorical dependence (``theilsU``, ``categoricalInformationValue``),
-string-distance scalars (``editDistance``/``levenshteinDistance``,
-``hammingDistance``, ``stringJaccardIndex``), time-series downsampling
-(``largestTriangleThreeBuckets``), and a SemDeDup-style semantic-bucket
-near-duplicate pass for the LLM-pipeline surface.
+"""Round-4 (second wave) ClickHouse analog families and LLM-pipeline
+operators: nonparametric two-sample tests (``mannWhitneyUTest``,
+``kolmogorovSmirnovTest``, ``studentTTest``), categorical dependence
+(``theilsU``, ``categoricalInformationValue``, ``contingency`` /
+``cramersVBiasCorrected``), string distance / hashing / timezone /
+point-in-polygon / sparkbar / z-order scalar families, time-series
+downsampling + anomaly + period detection (``largestTriangleThreeBuckets``,
+median/MAD, phase-folding ``seriesPeriodDetectFFT`` intent), the
+``-State``/``-Merge`` combinator contract, nearest as-of and
+interval-overlap joins, behavioral Markov transitions / strict-order
+``windowFunnel`` / weekly retention matrix, and the LLM-pipeline wave:
+SemDeDup semantic buckets, global shuffle + sharding, char-bigram LM
+scoring, TF-IDF keywords, boilerplate audit, hard-negative mining, int8
+quantization, Gopher quality rules, and the composed
+``pipeline_training_manifest`` deliverable.
 
 The reference (go-nats-to-clickhouse) delegates its entire query surface to
 ClickHouse (init.sql:8-121); these are further ClickHouse built-ins a user
