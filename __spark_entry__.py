@@ -31,6 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: rows yield their slots first. The rest keep registration order behind.
 _PRIORITY = [
     # new this session (clickhouse_r5.py) — never sampled
+    "scalar_readable_timedelta",
     "join_dict_hierarchy",
     "pipeline_training_manifest",
     "behavioral_retention_matrix",
@@ -71,7 +72,6 @@ _PRIORITY = [
     # the r3 red row — signed-zero normalization fixed this round
     "agg_bounding_ratio",
     # changed this round (signed-zero + 0.0 on both engine/oracle sides)
-    "vector_ann_cosine_topk",
     # new this round (clickhouse_r4.py)
     "agg_interval_length_sum",
     "agg_max_intersections",
@@ -91,6 +91,7 @@ _PRIORITY = [
     # window; mv_union/mv_message_type (driver-green r2 AND r3, unchanged)
     # yield their slots to the streaming family
     "mv_analytics_projection",
+    "vector_ann_cosine_topk",
     "dedup_connected_components",
     "dedup_minhash_lsh_pairs",
     "vector_ann_lsh_topk",

@@ -2595,3 +2595,61 @@ def join_dict_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# formatReadableTimeDelta — human-readable durations from integer math.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_readable_timedelta",
+    """
+WITH d AS (
+  SELECT event_id,
+         CAST(round(value * 1000) AS BIGINT) AS secs
+  FROM events WHERE user_id < 20
+),
+p AS (
+  SELECT event_id, secs,
+         secs // 86400 AS dd,
+         (secs % 86400) // 3600 AS hh,
+         (secs % 3600) // 60 AS mm,
+         secs % 60 AS ss
+  FROM d
+)
+SELECT event_id, CAST(secs AS BIGINT) AS total_seconds,
+       CASE WHEN dd > 0 THEN CAST(dd AS VARCHAR) || 'd ' ELSE '' END
+       || CASE WHEN dd > 0 OR hh > 0 THEN CAST(hh AS VARCHAR) || 'h '
+               ELSE '' END
+       || CAST(mm AS VARCHAR) || 'm '
+       || CAST(ss AS VARCHAR) || 's' AS readable
+FROM p ORDER BY event_id
+""",
+)
+def scalar_readable_timedelta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``formatReadableTimeDelta(sec)`` analog: durations
+    rendered as 'Nd Nh Nm Ns' with leading zero units elided. Pure int64
+    floor-division decomposition plus string concat — no float anywhere,
+    so the two engines cannot disagree on a single character. Map-only."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    secs = F.round(F.col("value") * 1000, 0).cast("long")
+    d = e.select("event_id", secs.alias("secs"))
+    dd = (F.col("secs") / 86400).cast("long")
+    hh = ((F.col("secs") % 86400) / 3600).cast("long")
+    mm = ((F.col("secs") % 3600) / 60).cast("long")
+    ss = F.col("secs") % 60
+    readable = F.concat(
+        F.when(dd > 0, F.concat(dd.cast("string"), F.lit("d "))).otherwise(""),
+        F.when((dd > 0) | (hh > 0), F.concat(hh.cast("string"), F.lit("h ")))
+        .otherwise(""),
+        mm.cast("string"),
+        F.lit("m "),
+        ss.cast("string"),
+        F.lit("s"),
+    )
+    return d.select(
+        "event_id",
+        F.col("secs").cast("long").alias("total_seconds"),
+        readable.alias("readable"),
+    ).orderBy("event_id")

@@ -1069,3 +1069,24 @@ def test_interval_join_drops_degenerate_intervals(spark):
         ).filter(F.col("ia") < F.col("ib")).collect()
     }
     assert got == {(0, 3)}
+
+
+def test_readable_timedelta_matches_python(spark, sf_dir):
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import (
+        scalar_readable_timedelta,
+    )
+
+    rows = scalar_readable_timedelta(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:200]:
+        s = r.total_seconds
+        dd, rem = divmod(s, 86400)
+        hh, rem = divmod(rem, 3600)
+        mm, ss = divmod(rem, 60)
+        want = ""
+        if dd > 0:
+            want += f"{dd}d "
+        if dd > 0 or hh > 0:
+            want += f"{hh}h "
+        want += f"{mm}m {ss}s"
+        assert r.readable == want, (s, r.readable, want)
