@@ -75,8 +75,17 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     # within the document and (doc_id, shingle) cannot repeat across rows,
     # so a global distinct would be a semantic no-op costing a full shuffle
     # of every shingle row in every consumer.
+    #
+    # Repartition the (cheap, pre-explode) doc rows to full core width
+    # FIRST: a raw parquet read often yields 1-2 input splits at test
+    # scale, which would serialize the tokenize+explode for every consumer
+    # (all-pairs joins, minhash, boilerplate counts). At 100 TB the reader
+    # already produces thousands of splits and this is a near-no-op
+    # round-robin of row pointers.
+    width = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.select("doc_id", F.split(F.col(text_col), " ").alias("ws"))
+        df.repartition(width)
+        .select("doc_id", F.split(F.col(text_col), " ").alias("ws"))
         .filter(F.size("ws") >= n)
         .select("doc_id", F.explode(F.array_distinct(shingle_arr)).alias("shingle"))
     )
@@ -262,13 +271,8 @@ def lsh_verified_jaccard_pairs(
     the verification stage keeps precision exact either way.
     """
     rows = num_hashes // bands
-    # The shingle explode + 17 hash expressions per row is the CPU-heavy
-    # stage; a raw parquet read often yields 1-2 input splits at test
-    # scale, which would serialize it. Repartition the (cheap, pre-explode)
-    # doc rows to full core width first — at 100 TB the reader already
-    # produces thousands of splits and this is a near-no-op round-robin.
-    sc = docs.sparkSession.sparkContext
-    docs = docs.repartition(sc.defaultParallelism)
+    # word_shingles repartitions to core width itself, so the explode and
+    # the 17 hash expressions per shingle row run fully parallel.
     sh = word_shingles(docs, n=shingle_n)
     # ONE pass over the exploded shingle rows computes BOTH the minhash
     # components and the distinct-shingle set (a separate sets groupBy
