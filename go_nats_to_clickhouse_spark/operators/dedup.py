@@ -332,8 +332,10 @@ def simhash_bits(df: DataFrame, text_col: str = "text", bits: int = 60) -> DataF
     # Shape: explode words, md5 each word ONCE, then one groupBy(doc) with
     # `bits` integer SUM aggregates (codegen'd hash agg) — orders of
     # magnitude faster than folding a nested higher-order expression per
-    # row, and exactly portable (integer votes, no floats).
-    words = df.select(
+    # row, and exactly portable (integer votes, no floats). Pre-explode
+    # repartition: same 1-2-input-split serialization fix as word_shingles.
+    width = df.sparkSession.sparkContext.defaultParallelism
+    words = df.repartition(width).select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w")
     )
     hashed = words.select("doc_id", portable_hash64(F.col("w")).alias("h"))

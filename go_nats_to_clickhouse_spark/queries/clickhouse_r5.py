@@ -1003,7 +1003,9 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     would otherwise differ across engines), and the final division is one
     IEEE op of exact operands."""
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
-    t = d.select(
+    # pre-explode repartition: same 1-2-input-split fix as word_shingles
+    width = spark.sparkContext.defaultParallelism
+    t = d.repartition(width).select(
         "doc_id", F.substring(F.lower("text"), 1, _LM_PREFIX_LEN).alias("s")
     )
     bg = t.select(
@@ -1479,9 +1481,12 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     of an exact integer and ln of an exact integer ratio — identical
     doubles in both engines, so the DESC ranking agrees too."""
     d = load_table(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
-    ).filter(F.col("w") != "")
+    # pre-explode repartition: same 1-2-input-split fix as word_shingles
+    words = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
     tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n = tf.select(F.countDistinct("doc_id").alias("n"))
