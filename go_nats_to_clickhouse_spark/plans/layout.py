@@ -155,9 +155,18 @@ def erase_keys(
             .filter(~F.col(predicate_col).isin(values))
             .sortWithinPartitions(*[k for k in sort_keys if k != PARTITION_COL])
         )
-        tmp = part_dir + "__erase_tmp"
+        # Staging dirs are '.'-prefixed AND '='-free so partition
+        # inference can NEVER see them (empirically: a '_'-prefixed dir
+        # whose name contains '=' IS still parsed as a partition dir and
+        # raises CONFLICTING_PARTITION_COLUMN_NAMES; '.'-prefixed and
+        # '='-free names are skipped). A crash between the renames below
+        # leaves at most a hidden leftover to sweep, not a discoverable
+        # ym=<v>__erase_old dir that would resurrect supposedly-erased
+        # rows on the next read (ADVICE r4, medium; pinned by
+        # test_crashed_swap_leftovers_are_invisible_to_reads).
+        tmp = os.path.join(path, f".erase_tmp-{PARTITION_COL}-{ym}")
         keep.write.mode("overwrite").parquet(tmp)
-        old = part_dir + "__erase_old"
+        old = os.path.join(path, f".erase_old-{PARTITION_COL}-{ym}")
         if os.path.exists(old):
             shutil.rmtree(old)
         os.rename(part_dir, old)
@@ -210,9 +219,12 @@ def upsert_partitioned(
         merged = merged.sortWithinPartitions(
             *[k for k in sort_keys if k != PARTITION_COL]
         )
-        tmp = part_dir + "__upsert_tmp"
+        # Hidden ('.'-prefixed, '='-free) staging names — crash-safe
+        # against partition inference picking up half-swapped dirs (see
+        # erase_keys for the empirical visibility rules).
+        tmp = os.path.join(path, f".upsert_tmp-{PARTITION_COL}-{ym}")
         merged.write.mode("overwrite").parquet(tmp)
-        old = part_dir + "__upsert_old"
+        old = os.path.join(path, f".upsert_old-{PARTITION_COL}-{ym}")
         if os.path.exists(old):
             shutil.rmtree(old)
         if os.path.exists(part_dir):

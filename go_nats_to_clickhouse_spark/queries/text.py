@@ -825,9 +825,15 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_nats_to_clickhouse_spark.operators.graph import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = lsh_verified_jaccard_pairs(d, threshold=0.5, bands=4).select(
-        "doc_a", "doc_b"
-    )
+    # max_bucket=None: the oracle CTE enumerates ALL pairs per LSH bucket,
+    # so the engine must too — with the default 1024 guard, a bucket
+    # exceeding it would switch Spark to star expansion and (since star
+    # pairs still need exact-Jaccard >= 0.5) could diverge from the oracle
+    # (ADVICE r4). The guard itself is a production knob pinned by
+    # tests/test_sketch_quality.py; max observed bucket here is 4.
+    pairs = lsh_verified_jaccard_pairs(
+        d, threshold=0.5, bands=4, max_bucket=None
+    ).select("doc_a", "doc_b")
     comp = connected_components(pairs, shortcut=True).select(
         F.col("node").alias("c_doc"), "component"
     )

@@ -50,7 +50,7 @@ def _expected(left, right, direction, tolerance=None):
     }
 
 
-@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @pytest.mark.parametrize("tolerance", [None, 3600])
 def test_asof_matches_pandas(spark, direction, tolerance):
     from go_nats_to_clickhouse_spark.operators.asof import asof_join
@@ -128,3 +128,63 @@ def test_strict_excludes_equal_timestamps(spark):
     strict = asof_join(left, right, by="key", direction="backward", strict=True).collect()[0]
     assert inclusive.right_rid == 7  # equal timestamp visible
     assert strict.right_rid == 5  # equal timestamp skipped
+
+
+def test_nearest_equal_gap_tie_breaks_backward(spark):
+    """direction='nearest' with an exactly equidistant candidate on each
+    side must pick the BACKWARD one — both here and in pandas.merge_asof
+    (direct equivalence for the mode that previously had only the indirect
+    join_asof_nearest oracle; ADVICE r4)."""
+    from go_nats_to_clickhouse_spark.operators.asof import asof_join
+
+    left_pd = pd.DataFrame(
+        {"lid": [1], "key": [0], "ts": [pd.Timestamp("2000-01-01 10:00:00")]}
+    )
+    right_pd = pd.DataFrame(
+        {
+            "rid": [5, 9],
+            "key": [0, 0],
+            "ts": pd.to_datetime(
+                ["2000-01-01 09:30:00", "2000-01-01 10:30:00"]  # both 30 min away
+            ),
+        }
+    )
+    expected = pd.merge_asof(
+        left_pd,
+        right_pd.rename(columns={"ts": "r_ts"}),
+        left_on="ts",
+        right_on="r_ts",
+        by="key",
+        direction="nearest",
+    )
+    got = asof_join(
+        spark.createDataFrame(left_pd),
+        spark.createDataFrame(right_pd),
+        by="key",
+        direction="nearest",
+    ).collect()[0]
+    assert int(expected.rid[0]) == 5  # pandas breaks the tie backward
+    assert got.right_rid == 5
+
+
+def test_nearest_tolerance_drops_far_matches(spark):
+    from go_nats_to_clickhouse_spark.operators.asof import asof_join
+
+    left_pd = pd.DataFrame(
+        {"lid": [1, 2], "key": [0, 0],
+         "ts": pd.to_datetime(["2000-01-01 10:00:00", "2000-01-05 00:00:00"])}
+    )
+    right_pd = pd.DataFrame(
+        {"rid": [5], "key": [0], "ts": pd.to_datetime(["2000-01-01 10:10:00"])}
+    )
+    got = {
+        int(r.lid): (None if r.right_rid is None else int(r.right_rid))
+        for r in asof_join(
+            spark.createDataFrame(left_pd),
+            spark.createDataFrame(right_pd),
+            by="key",
+            direction="nearest",
+            tolerance_seconds=3600,
+        ).collect()
+    }
+    assert got == {1: 5, 2: None}

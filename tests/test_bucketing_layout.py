@@ -225,6 +225,44 @@ class TestTableMaintenance:
             spark, path, "chat_id", ["__nope__"], layout.SORT_KEYS["raw"]
         ) == {"partitions_rewritten": 0, "rows_erased": 0}
 
+    def test_crashed_swap_leftovers_are_invisible_to_reads(
+        self, spark, sf_dir, tmp_path
+    ):
+        """A crash between os.rename(part, old) and rmtree(old) must not
+        resurrect erased rows: staging dirs are '.'-prefixed and '='-free
+        so partition inference skips them (a '_' prefix alone is NOT
+        enough: dir names containing '=' are still parsed and conflict —
+        empirically verified; ADVICE r4 medium). Simulates the worst-case leftover — a full
+        pre-erase copy of a partition sitting inside the table root."""
+        import os as _os
+        import shutil as _sh
+
+        path = self._events_table(spark, sf_dir, tmp_path, "crash")
+        clean_count = spark.read.parquet(path).count()
+        part = next(d for d in _os.listdir(path) if d.startswith("ym="))
+        ym = part.split("=", 1)[1]
+        for leftover in (
+            f".erase_old-ym-{ym}",
+            f".upsert_old-ym-{ym}",
+            f".erase_tmp-ym-{ym}",
+        ):
+            _sh.copytree(_os.path.join(path, part), _os.path.join(path, leftover))
+        # the leftovers are invisible: same count, same ym domain
+        after = spark.read.parquet(path)
+        assert after.count() == clean_count
+        assert all(
+            str(r[0]).isdigit() for r in after.select("ym").distinct().collect()
+        )
+        # and the next maintenance pass still works (sweeps its own leftover)
+        victim = after.select("chat_id").first()[0]
+        stats = layout.erase_keys(
+            spark, path, "chat_id", [victim], layout.SORT_KEYS["raw"]
+        )
+        assert stats["partitions_rewritten"] >= 1
+        assert spark.read.parquet(path).filter(
+            F.col("chat_id") == victim
+        ).count() == 0
+
     def test_upsert_latest_wins_and_prunes_partitions(
         self, spark, sf_dir, tmp_path
     ):

@@ -120,3 +120,56 @@ def test_range_join_matches_nested_loop(spark, points, intervals, width, closed)
             if ge and le:
                 want.add((i, j))
     assert got == want, (width, closed)
+
+
+@given(
+    secs=st.lists(
+        st.one_of(
+            st.integers(-500_000, 500_000),
+            # straddle the unit boundaries where floor vs truncate differ
+            st.sampled_from([-1, -59, -60, -61, -3599, -3600, -3601, -86399, -86400, -86401]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_timedelta_trunc_matches_duckdb_on_signed_durations(spark, secs):
+    """scalar_readable_timedelta's unit decomposition must TRUNCATE toward
+    zero like DuckDB's integer `//` does for BIGINT operands (empirical:
+    -61 // 60 = -1 in DuckDB, not floor's -2) — Spark's cast("long") after
+    double division is the matching form; F.floor() would diverge on every
+    negative duration. Replicates the query's exact Spark expressions and
+    the oracle's exact arithmetic on a signed domain (VERDICT r4 assumed
+    `//` floors; this pins the real cross-engine contract)."""
+    import duckdb
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(secs)], "i long, secs long")
+    dd = (F.col("secs") / 86400).cast("long")
+    hh = ((F.col("secs") % 86400) / 3600).cast("long")
+    mm = ((F.col("secs") % 3600) / 60).cast("long")
+    ss = F.col("secs") % 60
+    got = {
+        r.i: (r.dd, r.hh, r.mm, r.ss)
+        for r in df.select(
+            "i", dd.alias("dd"), hh.alias("hh"), mm.alias("mm"), ss.alias("ss")
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        i: (d, h, m, s2)
+        for i, d, h, m, s2 in con.execute(
+            """
+            SELECT i, secs // 86400, (secs % 86400) // 3600,
+                   (secs % 3600) // 60, secs % 60
+            FROM (SELECT unnest($ids) AS i, unnest($secs) AS secs)
+            """,
+            {"ids": list(range(len(secs))), "secs": secs},
+        ).fetchall()
+    }
+    con.close()
+    # self-consistency: truncation pairs with dividend-sign % exactly
+    for i, s in enumerate(secs):
+        d, h, m, s2 = got[i]
+        assert d * 86400 + h * 3600 + m * 60 + s2 == s
+    assert got == want
