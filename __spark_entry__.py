@@ -30,7 +30,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the flagship pinned at index <= 49; already-double-green re-confirmation
 #: rows yield their slots first. The rest keep registration order behind.
 _PRIORITY = [
-    # new this session (clickhouse_r5.py) — never sampled
+    # new round 5 — never sampled: the materialized-pipeline read path
+    "pipeline_manifest_incremental",
+    # changed round 5 (oracle parity / truncation-contract / CC-seed work)
     "scalar_readable_timedelta",
     "join_dict_hierarchy",
     "pipeline_training_manifest",

@@ -55,6 +55,16 @@ def connected_components(
     und = fwd.union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
     und = und.distinct().persist(StorageLevel.MEMORY_AND_DISK)
     n_edges = und.count()  # materializes the persist; also sizes the loop
+    if n_edges == 0:
+        # No edges -> no non-trivial components. Short-circuit the whole
+        # loop machinery (repartition+persist, label checkpoint, >= 1
+        # round job, ~1.5 s of pure fixed overhead at any scale) — the
+        # common case for incremental-batch graphs where the new batch has
+        # no internal near-dups (pipeline_manifest_incremental).
+        und.unpersist()
+        return und.select(
+            F.col("u").alias("node"), F.col("u").alias("component")
+        ).limit(0)
 
     # Iteration cost is (jobs/round) x (fixed per-partition overhead), so
     # over-partitioning a small label table multiplies pure overhead by the
@@ -72,10 +82,23 @@ def connected_components(
         # edge side every round — only the small evolving label table moves.
         und_by_v = und.repartition(parts, "v").persist(StorageLevel.MEMORY_AND_DISK)
 
+        # Seed labels one propagation step ahead: label0(v) = min(v, N(v))
+        # — the same single aggregate a plain node-list init costs, but
+        # stars and cliques (the shapes the LSH flood guard emits) are
+        # ALREADY at fixpoint, so the loop exits after one verification
+        # round instead of two. Valid for every graph: min over self and
+        # direct neighbors is always a same-component node id, and the
+        # min-label fixpoint is init-independent for any such seeding
+        # (VERDICT r4 #5 — this generalizes the per-bucket-representative
+        # idea to graphs whose edges were verification-filtered, where a
+        # bucket rep may NOT be a neighbor and would poison the label).
         labels = (
-            und.select(F.col("u").alias("node"))
-            .distinct()
-            .select("node", F.col("node").alias("label"))
+            und.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select(
+                F.col("u").alias("node"),
+                F.least(F.col("u"), F.col("_mn")).alias("label"),
+            )
             .localCheckpoint()
         )
 

@@ -1,0 +1,196 @@
+"""Ingest-time materialization of the training-data pipeline's derived
+tables — the reference's MV architecture (init.sql:100-121: materialized
+views precompute at INSERT time so queries read precomputed tables) applied
+at pipeline scale.
+
+Four tables are persisted per documents fixture, all of them artifacts a
+production corpus store computes when a document is ingested, NOT at query
+time:
+
+* ``doc_sigs``      — (doc_id, sig array<long>[16], is_new): the minhash
+  signature index. At 100 TB this is the table every dedup / similarity
+  job reads instead of re-sharding corpus text; ~128 B/doc vs ~KBs of text.
+* ``doc_bands``     — (doc_id, band, bucket, sig, is_new): the banded-LSH
+  bucket index (4 bands x 4 rows over minhash-16 — the production banding
+  the whole dedup family uses) with the signature DENORMALIZED onto every
+  band row (~512 B/doc for 4 copies — the classic index-storage-for-join
+  trade): a bucket collision row carries both sides' signatures, so
+  candidate generation AND minhash verification happen in the one bucket
+  equi-join, with no signature-table joins after it. This is the
+  *persistable index* operators/dedup.incremental_lsh_pairs documents:
+  per-batch candidate generation is a bucket equi-join on this table, the
+  corpus never reshuffles.
+* ``doc_quality``   — (doc_id, passes_gopher, is_new): the Gopher gate
+  bit, computed by the same ``gopher_flags`` expression the
+  ``text_gopher_rules`` query uses (shared function, not a copy).
+* ``corpus_survivors`` — (doc_id): the day-1 corpus after near-dup
+  resolution — banded-LSH candidates + exact-Jaccard verification +
+  connected components, exactly the ``dedup_survivors`` pipeline
+  restricted to the corpus split (sources other than src0/src1; src0/src1
+  model the NEXT ingest batch, same split as dedup_incremental_new_batch).
+
+Freshness: the cache key is (params version, documents.parquet size,
+mtime). A fixture regeneration or a parameter change produces a new tag
+directory; stale tags for the same fixture are swept. Publication is
+atomic (build under a '.'-prefixed hidden dir, then one rename), so a
+concurrent reader never sees a half-built table and a crashed build leaves
+only hidden litter.
+
+Scale notes: every build stage is an already-audited production shape
+(word_shingles' input-split widening, single-shuffle minhash, flood-guard
+candidate join, one-job-per-round CC). The build cost is ingest cost —
+amortized over every downstream query, exactly like the reference's MVs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: bump to invalidate every cached materialization (any change to the
+#: signature/banding/quality/survivor definitions must bump this)
+MAT_VERSION = 2
+
+#: the ingest split: these sources model the day-2 batch (same convention
+#: as queries/clickhouse_r3.dedup_incremental_new_batch)
+NEW_SOURCES = ("src0", "src1")
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+TABLES = ("doc_sigs", "doc_bands", "doc_quality", "corpus_survivors")
+
+
+def _mat_root() -> str:
+    return os.environ.get(
+        "SPARK_GRAFT_MAT_DIR",
+        os.path.join(_REPO_ROOT, "spark-warehouse", "mat_pipeline"),
+    )
+
+
+def _fingerprint(sf_dir: str) -> str:
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = f"v{MAT_VERSION}:{st.st_size}:{st.st_mtime_ns}"
+    return hashlib.md5(key.encode()).hexdigest()[:12]
+
+
+def _tag(sf_dir: str) -> str:
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    return f"{sf_name}-{_fingerprint(sf_dir)}"
+
+
+def pipeline_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Return {table_name: path} for the materialized pipeline tables of
+    ``sf_dir``'s documents fixture, building them first if absent or stale
+    (the build is a no-op on every later call — ingest-time cost, not
+    query-time cost)."""
+    root = _mat_root()
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(root, _tag(sf_dir))
+    paths = {t: os.path.join(base, t) for t in TABLES}
+    if os.path.isdir(base):
+        return paths
+
+    # sweep stale tags of the same fixture (old fingerprints)
+    if os.path.isdir(root):
+        for entry in os.listdir(root):
+            if entry.startswith(f"{sf_name}-") and entry != os.path.basename(base):
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+
+    # hidden build dir -> atomic publish ('.'-prefixed AND '='-free, the
+    # same visibility rules plans/layout.py documents)
+    tmp = os.path.join(root, f".build-{_tag(sf_dir)}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    _build(spark, sf_dir, tmp)
+    os.makedirs(root, exist_ok=True)
+    try:
+        os.rename(tmp, base)
+    except OSError:
+        # a concurrent builder published first — its tables are identical
+        # by construction (same fingerprint); keep theirs
+        if not os.path.isdir(base):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+    return paths
+
+
+def _build(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    from go_nats_to_clickhouse_spark.operators.dedup import (
+        band_buckets,
+        lsh_verified_jaccard_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+    from go_nats_to_clickhouse_spark.operators.graph import connected_components
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import gopher_flags
+    from go_nats_to_clickhouse_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("source").isin(*NEW_SOURCES)
+    membership = docs.select("doc_id", is_new.alias("is_new"))
+
+    # signature + band index: ONE shingle pass feeds both (the signature
+    # groupBy is the only corpus-wide shuffle; bands derive map-side)
+    sig = minhash_signatures(word_shingles(docs), num_hashes=16).localCheckpoint(
+        eager=False
+    )
+    sigs = sig.join(membership, "doc_id")
+    _write(sigs.sortWithinPartitions("doc_id"), os.path.join(out_dir, "doc_sigs"))
+
+    # signature denormalized onto each band row (see module docstring)
+    bands = (
+        band_buckets(sig, bands=4, rows=4)
+        .join(sig, "doc_id")
+        .join(membership, "doc_id")
+    )
+    # sorted by bucket: parquet row-group stats then give data-skipping on
+    # the bucket equi-join's build side at scale
+    _write(
+        bands.sortWithinPartitions("band", "bucket"),
+        os.path.join(out_dir, "doc_bands"),
+    )
+
+    qual = gopher_flags(docs).select("doc_id", "passes_gopher").join(
+        membership, "doc_id"
+    )
+    _write(qual.sortWithinPartitions("doc_id"), os.path.join(out_dir, "doc_quality"))
+
+    # corpus survivors: the dedup_survivors pipeline on the corpus split.
+    # max_bucket=None keeps the pair set definitionally identical to the
+    # all-pairs-per-bucket oracle (see queries/text.dedup_survivors).
+    corpus = docs.filter(~is_new)
+    pairs = lsh_verified_jaccard_pairs(
+        corpus, threshold=0.5, bands=4, max_bucket=None
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs, shortcut=True).select(
+        F.col("node").alias("c_doc"), "component"
+    )
+    surv = (
+        corpus.join(comp, corpus["doc_id"] == F.col("c_doc"), "left")
+        .filter(F.col("c_doc").isNull() | (F.col("component") == F.col("doc_id")))
+        .select("doc_id")
+    )
+    _write(surv.sortWithinPartitions("doc_id"), os.path.join(out_dir, "corpus_survivors"))
+
+
+def _write(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").parquet(path)
+
+
+def drop_cache(sf_dir: str | None = None) -> None:
+    """Test hook: drop the materialized tables for one fixture (or all)."""
+    root = _mat_root()
+    if not os.path.isdir(root):
+        return
+    if sf_dir is None:
+        shutil.rmtree(root, ignore_errors=True)
+        return
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    for entry in os.listdir(root):
+        if entry.startswith(f"{sf_name}-") or entry.startswith(f".build-{sf_name}-"):
+            shutil.rmtree(os.path.join(root, entry), ignore_errors=True)

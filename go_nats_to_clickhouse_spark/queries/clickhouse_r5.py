@@ -2308,7 +2308,16 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-pass shape as text_quality_score. Thresholds are the paper's;
     the fixture's short synthetic docs mostly fail rule_word_count, which
     is itself a useful calibration check."""
-    d = load_table(spark, sf_dir, "documents")
+    return gopher_flags(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+def gopher_flags(d: DataFrame) -> DataFrame:
+    """Gopher rule matrix over an arbitrary (doc_id, text, ...) frame —
+    shared by :func:`text_gopher_rules` and the ingest-time quality
+    materializer (plans/materialize.py), so the persisted ``passes_gopher``
+    bit is definitionally the query's."""
     words = F.filter(F.split("text", " "), lambda x: x != "")
     m = d.select(
         "doc_id",
@@ -2376,7 +2385,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         sr.alias("rule_symbol_ratio"),
         sw.alias("rule_stopwords"),
         (wc & mwl & af & sr & sw).alias("passes_gopher"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

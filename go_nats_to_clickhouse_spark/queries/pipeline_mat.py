@@ -1,0 +1,334 @@
+"""Materialized-pipeline read path: the training manifest built by
+READING persisted pipeline tables instead of recomputing the dedup /
+quality stages inline.
+
+This is the reference's own architecture at pipeline scale: its
+materialized views precompute at ingest so queries read precomputed
+tables (init.sql:100-121). ``pipeline_training_manifest``
+(queries/clickhouse_r5.py) stays as the from-scratch variant; the queries
+here are what a PRODUCTION manifest job runs daily — parquet scans of the
+ingest-time tables (plans/materialize.py) plus a small day-2 incremental
+batch, with ZERO shingle explodes and zero corpus text reads at query
+time.
+
+Incremental dedup semantics (deliberate, documented design):
+
+* The day-1 corpus (sources other than src0/src1) was near-dup-resolved
+  at ingest with the full exact-Jaccard-verified pipeline — that result is
+  the ``corpus_survivors`` table.
+* The day-2 batch (src0/src1) is deduplicated against the corpus and
+  within itself using the SIGNATURE index only: banded-LSH candidates,
+  then minhash-estimated Jaccard (>= 8 of 16 matching components, i.e.
+  est >= 0.5) as the accept test. Exact verification would need corpus
+  shingle sets — rescanning 100 TB of text per daily batch, which is
+  precisely what the signature index exists to avoid. The estimate is an
+  integer component count, so both engines agree bit-for-bit.
+* A batch doc colliding with a corpus survivor is dropped (the corpus
+  copy wins — stable doc identity across days); the remaining batch docs
+  near-dup-resolve among themselves keeping the min doc_id.
+* The Gopher gate bit was computed at ingest (``doc_quality``, same
+  expression as text_gopher_rules) and is just read back.
+
+The oracle recomputes all of it from the source ``documents`` view —
+bit-for-bit banding (md5 buckets, shared universal-hash constants), exact
+Jaccard for the corpus-internal stage, integer signature-match counts for
+the incremental stage — so a green row proves the persisted tables carry
+exactly the semantics they claim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from go_nats_to_clickhouse_spark.queries.registry import query
+from go_nats_to_clickhouse_spark.queries.text import _mh_mins_sql, _SH_CTE
+from go_nats_to_clickhouse_spark.plans.materialize import (
+    NEW_SOURCES,
+    pipeline_tables,
+)
+
+_SIG_LIST = ", ".join(f"m{s}" for s in range(16))
+
+#: integer signature agreement — est Jaccard >= 0.5 is >= 8 of 16 equal
+#: components; pure integer count, no float threshold to diverge on
+_EST_MATCH_SQL = (
+    "list_sum(list_transform(range(1, 17), "
+    "i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) >= 8"
+)
+
+_NEW_SRC_SQL = "('" + "', '".join(NEW_SOURCES) + "')"
+
+
+def _incremental_manifest_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_SH_CTE.strip().rstrip()},
+based AS (
+  SELECT doc_id, shingle,
+         ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS base
+  FROM sh
+),
+mh AS (
+  SELECT doc_id,
+         {_mh_mins_sql(16)}
+  FROM based
+  GROUP BY doc_id
+),
+sig AS (SELECT doc_id, [{_SIG_LIST}] AS sig FROM mh),
+bands AS (
+  SELECT doc_id, band,
+         md5(array_to_string(list_transform(range(1, 5),
+             r -> CAST(sig[band * 4 + r] AS VARCHAR)), '-')) AS bucket
+  FROM sig, UNNEST(range(4)) AS t(band)
+),
+new_ids AS (SELECT doc_id FROM documents WHERE source IN {_NEW_SRC_SQL}),
+corp_ids AS (SELECT doc_id FROM documents WHERE source NOT IN {_NEW_SRC_SQL}),
+-- day-1 ingest: exact-verified survivors within the corpus split
+ccand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+  WHERE a.doc_id IN (SELECT doc_id FROM corp_ids)
+    AND b.doc_id IN (SELECT doc_id FROM corp_ids)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+ccommon AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM ccand c
+  JOIN based x ON x.doc_id = c.doc_a
+  JOIN based y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+),
+cpairs AS (
+  SELECT doc_a, doc_b
+  FROM ccommon
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+),
+cedges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cpairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM cpairs
+),
+cnodes AS (SELECT DISTINCT u AS node FROM cedges),
+creach(node, r) AS (
+  SELECT node, node FROM cnodes
+  UNION
+  SELECT e.u, creach.r FROM cedges e JOIN creach ON creach.node = e.v
+),
+ccomp AS (SELECT node AS doc_id, MIN(r) AS component FROM creach GROUP BY node),
+corp_surv AS (
+  SELECT d.doc_id FROM corp_ids d
+  LEFT JOIN ccomp c ON c.doc_id = d.doc_id
+  WHERE c.doc_id IS NULL OR c.component = d.doc_id
+),
+-- day-2: batch vs corpus-survivor signature collisions
+xdup AS (
+  SELECT DISTINCT x.new_id FROM (
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+    FROM bands n
+    JOIN bands c ON c.band = n.band AND c.bucket = n.bucket
+    WHERE n.doc_id IN (SELECT doc_id FROM new_ids)
+      AND c.doc_id IN (SELECT doc_id FROM corp_surv)
+  ) x
+  JOIN sig sa ON sa.doc_id = x.new_id
+  JOIN sig sb ON sb.doc_id = x.corpus_id
+  WHERE {_EST_MATCH_SQL}
+),
+b1 AS (
+  SELECT doc_id FROM new_ids
+  WHERE doc_id NOT IN (SELECT new_id FROM xdup)
+),
+-- day-2: within-batch resolution among the corpus-clean docs
+wpairs AS (
+  SELECT w.doc_a, w.doc_b FROM (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id
+    WHERE a.doc_id IN (SELECT doc_id FROM b1)
+      AND b.doc_id IN (SELECT doc_id FROM b1)
+  ) w
+  JOIN sig sa ON sa.doc_id = w.doc_a
+  JOIN sig sb ON sb.doc_id = w.doc_b
+  WHERE {_EST_MATCH_SQL}
+),
+wedges AS (
+  SELECT doc_a AS u, doc_b AS v FROM wpairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM wpairs
+),
+wnodes AS (SELECT DISTINCT u AS node FROM wedges),
+wreach(node, r) AS (
+  SELECT node, node FROM wnodes
+  UNION
+  SELECT e.u, wreach.r FROM wedges e JOIN wreach ON wreach.node = e.v
+),
+wcomp AS (SELECT node AS doc_id, MIN(r) AS component FROM wreach GROUP BY node),
+new_surv AS (
+  SELECT d.doc_id FROM b1 d
+  LEFT JOIN wcomp c ON c.doc_id = d.doc_id
+  WHERE c.doc_id IS NULL OR c.component = d.doc_id
+),
+-- quality gate (same rules as text_gopher_rules)
+gw AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words,
+         text
+  FROM documents
+),
+gpass AS (
+  SELECT doc_id FROM gw
+  WHERE len(words) BETWEEN 50 AND 100000
+    AND CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+        / len(words) BETWEEN 3.0 AND 10.0
+    AND CAST(len(list_filter(words, x -> regexp_matches(x, '^[A-Za-z]+$')))
+        AS DOUBLE) / len(words) >= 0.8
+    AND CAST(length(text) - length(replace(replace(text, '#', ''), '…', ''))
+        AS DOUBLE) / greatest(length(text), 1) < 0.1
+    AND len(list_filter(words, x -> list_contains(
+        ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+        lower(x)))) >= 2
+),
+kept AS (
+  SELECT doc_id, FALSE AS from_batch FROM corp_surv
+  WHERE doc_id IN (SELECT doc_id FROM gpass)
+  UNION ALL
+  SELECT doc_id, TRUE AS from_batch FROM new_surv
+  WHERE doc_id IN (SELECT doc_id FROM gpass)
+),
+m AS (
+  SELECT doc_id, from_batch,
+         md5('manifest-2:' || CAST(doc_id AS VARCHAR)) AS h,
+         ('0x' || substr(md5('manifest-2:' || CAST(doc_id AS VARCHAR)),
+                         1, 7))::BIGINT % 8 AS shard
+  FROM kept
+)
+SELECT doc_id, from_batch, CAST(shard AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS BIGINT) AS pos
+FROM m ORDER BY shard, pos
+"""
+
+
+def _est_matches(sig_a, sig_b):
+    """Count of equal signature components — the integer form of the
+    minhash Jaccard estimate (>= 8 of 16 <=> est >= 0.5)."""
+    return F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+
+
+@query("pipeline_manifest_incremental", _incremental_manifest_oracle())
+def pipeline_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 training manifest from the MATERIALIZED pipeline tables: the
+    persisted corpus survivors + quality bits are read back (parquet
+    scans), only the small day-2 batch is deduplicated — against the
+    corpus via the persisted band/signature index, then within itself —
+    and the combined keep-set is placed at deterministic salted-md5
+    positions in 8 shards.
+
+    Scale shape (the whole point): NO shingle explode and NO corpus text
+    scan anywhere in this plan — the corpus contributes three narrow
+    parquet scans (survivors, quality, index). The batch-vs-corpus
+    candidate join broadcasts the batch's band table (batch-sized); the
+    index side arrives bucket-sorted so row-group stats skip
+    non-colliding buckets. Within-batch CC runs on a batch-sized graph.
+    At 100 TB: daily manifest cost = O(batch + index scan), not
+    O(corpus) — the reference's ingest-time-precompute contract
+    (init.sql:100-121) applied to the dedup pipeline."""
+    from go_nats_to_clickhouse_spark.operators.graph import connected_components
+
+    t = pipeline_tables(spark, sf_dir)
+    bands = spark.read.parquet(t["doc_bands"])
+    qual = spark.read.parquet(t["doc_quality"])
+    surv = spark.read.parquet(t["corpus_survivors"])
+
+    # Day-2 batch vs corpus-survivor collisions through the persisted
+    # index. The index carries each row's signature (denormalized at
+    # ingest, see plans/materialize.py), so the ONE bucket equi-join both
+    # generates candidates and verifies them — no signature-table joins.
+    # The batch side broadcasts (batch-sized by definition); the corpus
+    # index side only streams, never shuffles.
+    nb = bands.filter(F.col("is_new")).select(
+        F.col("doc_id").alias("new_id"), "band", "bucket",
+        F.col("sig").alias("sig_a"),
+    )
+    cb = (
+        bands.filter(~F.col("is_new"))
+        .join(surv, "doc_id", "left_semi")
+        .select("band", "bucket", F.col("sig").alias("sig_b"))
+    )
+    # no distinct on xdup — the left_anti below dedups by construction
+    xdup = (
+        cb.join(F.broadcast(nb), ["band", "bucket"])
+        .filter(_est_matches(F.col("sig_a"), F.col("sig_b")) >= 8)
+        .select("new_id")
+    )
+    new_ids = qual.filter(F.col("is_new")).select("doc_id")
+    # lazy checkpoint: connected_components' eager edge count materializes
+    # this subtree once; without it the final job recomputes the whole
+    # batch-vs-corpus stage a second time (same AQE ReusedExchange miss as
+    # dedup_survivors documents).
+    b1 = new_ids.join(
+        xdup, new_ids["doc_id"] == xdup["new_id"], "left_anti"
+    ).localCheckpoint(eager=False)
+
+    # within-batch resolution among the corpus-clean docs (batch-sized;
+    # signatures ride the same index rows, so verification is again part
+    # of the bucket self-join)
+    nb1 = nb.join(b1, nb["new_id"] == b1["doc_id"], "left_semi")
+    l = nb1.select(F.col("new_id").alias("doc_a"), "band", "bucket", "sig_a")
+    r = nb1.select(
+        F.col("new_id").alias("doc_b"), "band", "bucket",
+        F.col("sig_a").alias("sig_b"),
+    )
+    # no distinct: connected_components dedups its undirected edge set
+    # itself, so a pair colliding in k bands costs k rows here, not a
+    # shuffle
+    wpairs = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(_est_matches(F.col("sig_a"), F.col("sig_b")) >= 8)
+        .select("doc_a", "doc_b")
+    )
+    wcomp = connected_components(wpairs, shortcut=True).select(
+        F.col("node").alias("c_doc"), "component"
+    )
+    new_surv = (
+        b1.join(wcomp, b1["doc_id"] == F.col("c_doc"), "left")
+        .filter(F.col("c_doc").isNull() | (F.col("component") == F.col("doc_id")))
+        .select("doc_id")
+    )
+
+    # quality gate read back from the ingest-time bit
+    gpass = qual.filter(F.col("passes_gopher")).select("doc_id")
+    kept = (
+        surv.join(gpass, "doc_id", "left_semi")
+        .select("doc_id", F.lit(False).alias("from_batch"))
+        .unionByName(
+            new_surv.join(gpass, "doc_id", "left_semi").select(
+                "doc_id", F.lit(True).alias("from_batch")
+            )
+        )
+    )
+    h = F.md5(F.concat(F.lit("manifest-2:"), F.col("doc_id").cast("string")))
+    sh = kept.select(
+        "doc_id",
+        "from_batch",
+        h.alias("h"),
+        (F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % 8).alias("shard"),
+    )
+    return sh.select(
+        "doc_id",
+        "from_batch",
+        F.col("shard").cast("long").alias("shard"),
+        F.row_number()
+        .over(Window.partitionBy("shard").orderBy("h", "doc_id"))
+        .cast("long")
+        .alias("pos"),
+    ).orderBy("shard", "pos")
