@@ -30,14 +30,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the flagship pinned at index <= 49; already-double-green re-confirmation
 #: rows yield their slots first. The rest keep registration order behind.
 _PRIORITY = [
-    # new round 5 — never sampled: the materialized-pipeline read path
-    "pipeline_manifest_incremental",
-    # changed round 5 (oracle parity / truncation-contract / CC-seed work)
-    "scalar_readable_timedelta",
+    # --- round 5: new queries (never driver-sampled) ---
+    "pipeline_manifest_incremental",  # materialized-pipeline read path
+    "streaming_late_data_drop",       # watermark-eviction proof
+    # --- round 5: engine and/or oracle changed -> must re-sample ---
+    "scalar_readable_timedelta",      # truncation contract documented
+    "join_interval_overlap",          # oracle degenerate-interval filter
+    "dedup_survivors",                # max_bucket=None parity + CC seed
+    "dedup_connected_components",     # CC neighbor-min init + empty exit
+    "dedup_minhash_lsh_pairs",        # shares CC-adjacent pair pipeline
+    "pipeline_training_manifest",     # composes gopher + survivors
+    "text_gopher_rules",              # refactored through gopher_flags
+    "join_asof_nearest",              # nearest mode gained direct tests
+    # --- flagship + streaming family (the reference's core semantics) ---
+    "mv_analytics_projection",
+    "streaming_tumbling_daily",
+    "streaming_sliding_12h",
+    "streaming_session_windows",
+    "streaming_dedup_counts",
+    "streaming_stream_stream_join",
+    "streaming_static_enrich",
+    # --- r4-green rows rotating through re-confirmation ---
     "join_dict_hierarchy",
-    "pipeline_training_manifest",
     "behavioral_retention_matrix",
-    "text_gopher_rules",
     "scalar_hash_functions",
     "agg_partial_state_merge",
     "scalar_timezone_functions",
@@ -48,9 +63,7 @@ _PRIORITY = [
     "vector_hard_negatives",
     "window_funnel_strict_order",
     "scalar_zorder_key",
-    "join_interval_overlap",
     "text_tfidf_keywords",
-    "join_asof_nearest",
     "scalar_point_in_polygon",
     "agg_sparkbar",
     "agg_student_ttest",
@@ -65,47 +78,13 @@ _PRIORITY = [
     "scalar_string_distance",
     "agg_lttb_downsample",
     "dedup_semantic_buckets",
-    # never sampled by ANY driver round (VERDICT r3 "What's missing" #1)
-    "dedup_survivors",
     "agg_topk_weighted",
     "scalar_bit_functions",
     "agg_retention_flags",
     "scalar_null_semantics",
-    # the r3 red row — signed-zero normalization fixed this round
     "agg_bounding_ratio",
-    # changed this round (signed-zero + 0.0 on both engine/oracle sides)
-    # new this round (clickhouse_r4.py)
-    "agg_interval_length_sum",
-    "agg_max_intersections",
-    "agg_welch_ttest",
-    "agg_rank_corr",
-    "agg_covar_corr",
-    "vector_distance_functions",
-    "text_repetition_ratio",
-    "behavioral_next_event",
-    "timeseries_resample_interpolate",
-    "scalar_string_search_functions",
-    "text_mix_report",
-    # shares the recomposed LSH pair pipeline with dedup_survivors
-    # r3-green rows worth re-confirming on current fixtures (flagship +
-    # streaming + MV cascade — the reference's core semantics)
-    # flagship + two streaming rows kept inside the driver's 50-row sample
-    # window; mv_union/mv_message_type (driver-green r2 AND r3, unchanged)
-    # yield their slots to the streaming family
-    "mv_analytics_projection",
     "vector_ann_cosine_topk",
-    "dedup_connected_components",
-    "dedup_minhash_lsh_pairs",
-    "vector_ann_lsh_topk",
     "agg_linear_regression",
-    "agg_statistical_moments",
-    "agg_entropy",
-    "streaming_tumbling_daily",
-    "streaming_sliding_12h",
-    "streaming_session_windows",
-    "streaming_dedup_counts",
-    "streaming_stream_stream_join",
-    "streaming_static_enrich",
 ]
 
 

@@ -49,10 +49,14 @@ def main() -> None:
     # copy of events that exists only because the memory-sink harness needs
     # a directory to stream from). It is harness setup, not operator cost —
     # the first streaming query should not be billed ~5 s for it.
-    from go_nats_to_clickhouse_spark.queries.streaming import _events_stream
+    from go_nats_to_clickhouse_spark.queries.streaming import (
+        _events_stream,
+        _late_replay_fixture,
+    )
 
     for copies in (1, 2):
         _events_stream(spark, sf_dir, copies=copies)
+    _late_replay_fixture(spark, sf_dir)
 
     # Pre-build the materialized pipeline tables (signature/band index,
     # quality bits, corpus survivors). This is INGEST-time cost by design —

@@ -70,11 +70,18 @@ def _events_stream(
 _STATE_PARTITIONS = 8
 
 
-def _run_to_table(stream_df: DataFrame, mode: str, tmp: str) -> DataFrame:
+def _run_to_table(
+    stream_df: DataFrame, mode: str, tmp: str, no_data_batches: bool = False
+) -> DataFrame:
     """Execute the streaming plan to completion into a memory sink and
     return the sink table (bounded: the fixture is finite). The temp
     source/checkpoint dir is deleted afterwards — the memory sink holds
-    its rows independently of the source files."""
+    its rows independently of the source files.
+
+    ``no_data_batches=True`` re-enables Spark's no-data micro-batches for
+    runs that NEED the final eviction batch — append-mode aggregations
+    whose last windows only emit once a post-data batch applies the final
+    watermark (streaming_late_data_drop)."""
     import shutil
 
     spark = stream_df.sparkSession
@@ -89,7 +96,10 @@ def _run_to_table(stream_df: DataFrame, mode: str, tmp: str) -> DataFrame:
     # as the data batch). Inner-join matches and complete-mode aggregates
     # all emit in the data batch, so skipping eviction never drops rows.
     spark.conf.set("spark.sql.shuffle.partitions", str(_STATE_PARTITIONS))
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        "true" if no_data_batches else "false",
+    )
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -295,4 +305,135 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_purchases"),
         dsum(dec("value"), "total_value"),
+    )
+
+
+
+#: replay-fixture cache for streaming_late_data_drop: the 4-file replay is
+#: a pure function of the fixture, so build it once per process
+_LATE_REPLAY_CACHE: dict[str, str] = {}
+
+
+def _late_replay_fixture(spark: SparkSession, sf_dir: str) -> str:
+    data_dir = _LATE_REPLAY_CACHE.get(sf_dir)
+    if data_dir is not None and os.path.isdir(data_dir):
+        return data_dir
+    import atexit
+    import shutil
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    root = tempfile.mkdtemp(prefix="gntcs-late-replay-")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    data_dir = os.path.join(root, "events")
+    os.makedirs(data_dir)
+    straggler = F.col("event_id") % 7 == 0
+    max_ts = e.filter(~straggler).agg(F.max("ts")).first()[0]
+    base = spark.createDataFrame(
+        [(-1, max_ts, "hb"), (-2, max_ts, "flush")],
+        "event_id long, ts timestamp, event_type string",
+    )
+    hb = base.filter(F.col("event_type") == "hb")
+    flush = base.filter(F.col("event_type") == "flush").select(
+        "event_id", (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        "event_type",
+    )
+    # one single-task partitioned write produces all four replay files in
+    # one pass (4 separate coalesce(1) writes measured ~4x slower)
+    tagged = (
+        e.withColumn("b", F.when(straggler, F.lit(2)).otherwise(F.lit(0)))
+        .unionByName(hb.withColumn("b", F.lit(1)))
+        .unionByName(flush.withColumn("b", F.lit(3)))
+    )
+    part_root = os.path.join(root, "parts")
+    tagged.repartition(1).write.partitionBy("b").mode("overwrite").parquet(
+        part_root
+    )
+    for i in range(4):
+        bdir = os.path.join(part_root, f"b={i}")
+        src = next(f for f in os.listdir(bdir) if f.endswith(".parquet"))
+        dst = os.path.join(data_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(bdir, src), dst)
+        # file-source processing order is oldest-modification-time first;
+        # force strictly increasing mtimes so batch boundaries are exact
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+    shutil.rmtree(part_root, ignore_errors=True)
+    _LATE_REPLAY_CACHE[sf_dir] = data_dir
+    return data_dir
+
+
+@query(
+    "streaming_late_data_drop",
+    """
+WITH on_time AS (SELECT * FROM events WHERE event_id % 7 <> 0),
+strag AS (SELECT * FROM events WHERE event_id % 7 = 0),
+wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM on_time),
+kept AS (
+  SELECT ts, event_type FROM on_time
+  UNION ALL
+  SELECT s.ts, s.event_type FROM strag s, wm
+  WHERE date_trunc('day', s.ts) + INTERVAL 1 DAY > wm.w
+)
+SELECT date_trunc('day', ts) AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM kept GROUP BY 1, 2 ORDER BY day, event_type
+""",
+)
+def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WATERMARK ITSELF, oracle-checked: a controlled multi-batch file
+    replay where a later micro-batch carries genuinely late rows, so state
+    eviction — not just stream/batch equivalence on complete data — is
+    what the hash compare proves (VERDICT r4 Missing #2).
+
+    Replay construction (deterministic): batch 0 = every event with
+    event_id % 7 != 0 (the on-time flow); batch 1 = one 'hb' heartbeat row
+    at the on-time max timestamp; batch 2 = the stragglers
+    (event_id % 7 == 0); batch 3 = one far-future 'flush' row that pushes
+    the final watermark past every real window so append mode emits them.
+    Files are processed oldest-mtime-first with maxFilesPerTrigger=1, so
+    batch boundaries — and therefore the watermark trajectory — are
+    pinned.
+
+    Why the heartbeat batch exists (empirically verified on this Spark,
+    semantics of SPARK-40925): stateful operators filter late records
+    with the PREVIOUS batch's watermark while evicting with the current
+    one — i.e. the late-record filter lags eviction by one batch. With
+    stragglers in batch 1 their filter watermark would still be the
+    epoch and NOTHING would drop; the heartbeat advances the lagging
+    filter so batch 2's stragglers are tested against
+    max(on-time ts) - 1 hour. A straggler is then DROPPED exactly when
+    its daily window closed before that (window end <= watermark), which
+    is what the oracle computes in SQL from the same split — a Spark that
+    failed to evict (or evicted too much) hash-mismatches. The hb/flush
+    helper rows use reserved event_type values and are filtered from the
+    result by type (their types do not occur in the fixture).
+
+    (Boundary note: Spark drops on window_end <= wm, the oracle keeps on
+    window_end > wm — identical up to exact microsecond equality of a
+    midnight window end with max_ts - 1h, which random-micros fixtures
+    cannot hit.)"""
+    import tempfile
+
+    data_dir = _late_replay_fixture(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="gntcs-late-run-")
+    schema = spark.read.parquet(data_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    from go_nats_to_clickhouse_spark.streaming.windows import tumbling_counts
+
+    agg = tumbling_counts(
+        stream, window="1 day", ts_col="ts", watermark="1 hour",
+        key_col="event_type",
+    )
+    # append mode: ONLY windows the watermark has closed are in the sink —
+    # the run that proves eviction; no-data batches on so the final
+    # watermark emits the tail
+    tbl = _run_to_table(agg, "append", root, no_data_batches=True)
+    return (
+        tbl.filter(~F.col("event_type").isin("hb", "flush"))
+        .select(F.col("window_start").alias("day"), "event_type", "n")
+        .orderBy("day", "event_type")
     )
