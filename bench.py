@@ -67,11 +67,31 @@ def main() -> None:
 
     pipeline_tables(spark, sf_dir)
 
-    timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
+    # Per-query timing with contention guards (VERDICT r4 #6): a single
+    # contended run inflated the r4 vector family 3-4x over solo cost and
+    # generated false regression signals. Queries over 1 s get a second
+    # run (min wins — closest to uncontended truth); if the two disagree
+    # by >25% a third run decides by median. The spread (max-min over
+    # runs) is recorded alongside so a noisy number is VISIBLY noisy.
+    def timed(fn) -> float:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        return time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        runs = [timed(fn)]
+        if runs[0] > 1.0:
+            runs.append(timed(fn))
+            if abs(runs[0] - runs[1]) / min(runs) > 0.25:
+                runs.append(timed(fn))
+        runs.sort()
+        # median-of-3 when a tiebreak ran, else best-of-n
+        t = runs[1] if len(runs) == 3 else runs[0]
+        timings[name] = round(t, 3)
+        if len(runs) > 1:
+            spreads[name] = round(runs[-1] - runs[0], 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -81,6 +101,7 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "queries": {k: round(v, 2) for k, v in timings.items()},
+        "spread": {k: round(v, 2) for k, v in sorted(spreads.items())},
     }
     # Pre-snapshot correctness gate: a bench number for a WRONG query is
     # worse than no number (round 2 recorded a green-looking bench while the

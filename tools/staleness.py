@@ -1,0 +1,156 @@
+"""Stale-green governance for the driver's 50-row sample window.
+
+The correctness driver samples the FIRST 50 entries of
+``__spark_entry__.queries()`` per round; the other ~126 registry queries
+rely on older driver rows plus the local selfcheck. That is sound only
+under an invariant the repo used to maintain BY HAND: any query whose
+engine function or oracle SQL changes after its last driver sample must
+be re-fronted into the window. This module mechanizes it (VERDICT r4 #4).
+
+Model:
+
+* ``STALENESS.json`` (repo root, committed) maps every registered query to
+  {"round": <last driver round with a green row>, "hash": <md5 of the
+  engine function's source + the oracle SQL at the time that baseline was
+  taken>}.
+* ``tests/test_staleness.py`` recomputes the hashes at test time: a query
+  whose current hash differs from its baseline (or which has no baseline
+  entry — i.e. is new) MUST sit inside the first 50 of ``_PRIORITY``,
+  else the test fails with the exact list to front.
+* At round start (when the driver publishes ``CORRECTNESS_r{N}.json``),
+  run ``python tools/staleness.py --update`` to fold the new green rows
+  into the baseline at the current source state.
+
+Scope note: the hash covers the query function's own source and its
+oracle string — the direct-edit case the hand-maintained invariant
+existed for. Edits to shared operators are covered by their unit tests
+and by whichever queries ARE in the window; fronting every transitive
+dependent would blow the 50-slot budget.
+
+Usage:
+    python tools/staleness.py            # report stale-green queries
+    python tools/staleness.py --update   # refresh baseline from the
+                                         # newest CORRECTNESS_r*.json +
+                                         # current source
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import inspect
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASELINE_PATH = os.path.join(REPO, "STALENESS.json")
+WINDOW = 50
+
+
+def current_hashes() -> dict[str, str]:
+    sys.path.insert(0, REPO)
+    from go_nats_to_clickhouse_spark.queries import ORACLES, QUERIES
+
+    out = {}
+    for name, fn in QUERIES.items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):  # dynamically-defined fallback
+            src = repr(fn)
+        key = src + "\n---oracle---\n" + ORACLES.get(name, "")
+        out[name] = hashlib.md5(key.encode()).hexdigest()[:16]
+    return out
+
+
+def last_green_rounds() -> dict[str, int]:
+    """query -> newest round whose driver CORRECTNESS file has an
+    all-green row for it."""
+    rounds: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rno = int(m.group(1))
+        with open(path, encoding="utf-8") as fh:
+            data = json.load(fh)
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("rows_match")
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
+            if green:
+                rounds[name] = max(rounds.get(name, 0), rno)
+    return rounds
+
+
+def load_baseline() -> dict[str, dict]:
+    if not os.path.exists(BASELINE_PATH):
+        return {}
+    with open(BASELINE_PATH, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def priority_window() -> list[str]:
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry
+
+    return list(entry.queries())[:WINDOW]
+
+
+def stale_outside_window() -> list[str]:
+    """Queries that changed since their baseline (or are new) but are NOT
+    in the driver's next sample window — the governance violation."""
+    baseline = load_baseline()
+    hashes = current_hashes()
+    window = set(priority_window())
+    bad = []
+    for name, h in hashes.items():
+        entry = baseline.get(name)
+        if (entry is None or entry.get("hash") != h) and name not in window:
+            bad.append(name)
+    return sorted(bad)
+
+
+def update_baseline() -> dict[str, dict]:
+    """Fold the newest driver rounds into the baseline at current source.
+
+    A query's baseline (round, hash) advances only when it has a green
+    driver row from a round >= its recorded one; new queries enter with
+    round 0 (never sampled) so they stay 'changed' until a driver round
+    covers them — but being in the window satisfies the test meanwhile.
+    """
+    baseline = load_baseline()
+    hashes = current_hashes()
+    rounds = last_green_rounds()
+    for name, h in hashes.items():
+        rno = rounds.get(name, 0)
+        prev = baseline.get(name)
+        if prev is None or rno >= prev.get("round", 0):
+            baseline[name] = {"round": rno, "hash": h}
+    # drop unregistered leftovers
+    baseline = {k: v for k, v in baseline.items() if k in hashes}
+    with open(BASELINE_PATH, "w", encoding="utf-8") as fh:
+        json.dump(baseline, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    return baseline
+
+
+if __name__ == "__main__":
+    if "--update" in sys.argv:
+        b = update_baseline()
+        print(f"baseline updated: {len(b)} queries -> {BASELINE_PATH}")
+    else:
+        bad = stale_outside_window()
+        if bad:
+            print("STALE-GREEN VIOLATIONS (changed but not in the next "
+                  f"driver window of {WINDOW}):")
+            for name in bad:
+                print(f"  {name}")
+            sys.exit(1)
+        print("ok: every changed/new query sits inside the driver window")
