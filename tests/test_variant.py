@@ -62,3 +62,67 @@ def test_variant_typed_access(spark):
     assert len(ok) == 10
     assert all(isinstance(r["ts_v"], int) and r["ts_v"] >= 1700000000 for r in ok)
     assert all(isinstance(r["seq_v"], int) for r in ok)
+
+
+def test_variant_capability_gate(spark):
+    from go_nats_to_clickhouse_spark.operators.variant import variant_supported
+
+    assert variant_supported(spark)  # Spark 4: the gate is open here
+
+
+def test_projection_variant_matches_string_path(spark):
+    """F7 fidelity (VERDICT r4 #8): the parse-once VariantType projection
+    must be bit-identical to the string-based MV projection on the same
+    raw rows — including the ''-for-non-string JSONExtractString rule,
+    the 0-default DateTime, and malformed payloads."""
+    from go_nats_to_clickhouse_spark.operators.variant import (
+        analytics_projection_variant,
+    )
+
+    rows = [
+        (
+            TS,
+            f"acme.chat.u{i}.c{i}.a.b.t.x",
+            i,
+            f'{{"seq":{i}}}',
+            f'{{"text":"hi-{i}","meta":"m{i}","id":"id{i}",'
+            f'"timestamp":{1700000000 + i}}}',
+        )
+        for i in range(5)
+    ] + [
+        # JSONExtractString '' rule: numeric/object/array/bool values
+        (TS, "a.b.u.c", 90, "{}", '{"text":7,"meta":{"k":1},"id":[1],"timestamp":"177"}'),
+        # malformed payload
+        (TS, "a.b.u.c", 91, "{}", "not valid json"),
+        # missing keys entirely
+        (TS, "a.b.u.c", 92, "{}", "{}"),
+        # non-numeric timestamp -> 0 -> epoch
+        (TS, "a.b.u.c", 93, "{}", '{"timestamp":"zzz"}'),
+    ]
+    raw = message_to_raw(spark.createDataFrame(rows, MESSAGE_SCHEMA))
+    a = analytics_projection(raw).orderBy("data").collect()
+    b = analytics_projection_variant(raw).orderBy("data").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_variant_roundtrip(spark):
+    from go_nats_to_clickhouse_spark.operators.variant import variant_roundtrip
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"b": 2, "a": [1, 2, {"x": null}]}'),
+            (2, "not json"),
+            (3, None),
+            (4, '{"nested": {"deep": {"v": 1.5}}}'),
+        ],
+        "id long, payload string",
+    )
+    out = {r.id: r for r in variant_roundtrip(df, "payload").collect()}
+    import json
+
+    # valid JSON survives the trip semantically (canonicalized text)
+    assert json.loads(out[1].payload_json) == json.loads(df.collect()[0].payload)
+    assert json.loads(out[4].payload_json) == {"nested": {"deep": {"v": 1.5}}}
+    # malformed / NULL -> NULL variant -> NULL serialization, no errors
+    assert out[2].payload_json is None
+    assert out[3].payload_json is None
