@@ -33,6 +33,7 @@ _PRIORITY = [
     # --- round 5: new queries (never driver-sampled) ---
     "pipeline_manifest_incremental",  # materialized-pipeline read path
     "streaming_late_data_drop",       # watermark-eviction proof
+    "vector_ann_ivf_read_topk",       # materialized IVF index + DPP scan
     # --- round 5: engine and/or oracle changed -> must re-sample ---
     "scalar_readable_timedelta",      # truncation contract documented
     "join_interval_overlap",          # oracle degenerate-interval filter

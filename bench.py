@@ -63,9 +63,13 @@ def main() -> None:
     # the reference's MV architecture precomputes at INSERT (init.sql:
     # 100-121) — so the manifest read-path query measures the read path,
     # not a once-per-fixture build. A no-op when the cache is warm.
-    from go_nats_to_clickhouse_spark.plans.materialize import pipeline_tables
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        ann_tables,
+        pipeline_tables,
+    )
 
     pipeline_tables(spark, sf_dir)
+    ann_tables(spark, sf_dir)
 
     # Per-query timing with contention guards (VERDICT r4 #6): a single
     # contended run inflated the r4 vector family 3-4x over solo cost and

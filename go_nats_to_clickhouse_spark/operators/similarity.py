@@ -332,8 +332,25 @@ def ivf_topk(
     (nprobe = n_lists degenerates to exact brute force).
     """
     assigned, centers = ivf_build_assignments(corpus_df, n_lists, seed)
+    return ivf_read_topk(queries_df, assigned, centers, nprobe=nprobe, k=k)
 
-    # nearest nprobe centroids per query — same vectorized kernel, emitting
+
+def ivf_read_topk(
+    queries_df: DataFrame,
+    assigned: DataFrame,
+    centers: list[list[float]],
+    nprobe: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """ANN top-k against a PRE-BUILT IVF index: ``assigned`` is the
+    cell-labeled corpus (from :func:`ivf_build_assignments`, possibly read
+    back from a table materialized at ingest — plans/materialize.ann_tables
+    stores it PARTITIONED BY cell) and ``centers`` the trained centroid
+    list. When ``assigned`` is a cell-partitioned parquet scan, the
+    broadcast probe join triggers dynamic partition pruning: only the
+    probed nprobe/n_lists fraction of corpus FILES is read — the layout
+    that makes IVF an I/O win at 100 TB, not just a compute win."""
+    # nearest nprobe centroids per query — vectorized kernel, emitting
     # one row per (query, probed cell)
     from pyspark.sql.types import IntegerType
 

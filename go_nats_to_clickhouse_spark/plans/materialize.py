@@ -194,3 +194,83 @@ def drop_cache(sf_dir: str | None = None) -> None:
     for entry in os.listdir(root):
         if entry.startswith(f"{sf_name}-") or entry.startswith(f".build-{sf_name}-"):
             shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# ANN index at rest: IVF centroids + cell-partitioned corpus.
+# ---------------------------------------------------------------------------
+
+ANN_TABLES = ("ann_centroids", "ann_corpus")
+
+#: bump to invalidate cached ANN materializations
+ANN_VERSION = 1
+
+
+def _ann_fingerprint(sf_dir: str) -> str:
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = f"annv{ANN_VERSION}:{st.st_size}:{st.st_mtime_ns}"
+    return hashlib.md5(key.encode()).hexdigest()[:12]
+
+
+def ann_tables(spark: SparkSession, sf_dir: str, n_lists: int = 16) -> dict[str, str]:
+    """Materialized IVF index for the embeddings fixture — the ANN analog
+    of :func:`pipeline_tables` (same ingest-time-precompute architecture):
+
+    * ``ann_centroids`` — (cell, center array<double>): the trained
+      centroid table, dimension-table-sized (n_lists x dim), always
+      broadcastable.
+    * ``ann_corpus``    — (neighbor_id, cv array<double>) PARTITIONED BY
+      ``cell``: the corpus physically clustered by its inverted list. At
+      100 TB this is the layout that makes nprobe search an I/O win, not
+      just a compute win — a probe of nprobe/n_lists cells reads only
+      that fraction of the corpus FILES (dynamic partition pruning from
+      the broadcast probe list; pinned in the read-path query's plan).
+
+    Training is operators/similarity.ivf_build_assignments — numpy
+    Lloyd's on a bounded prefix sample, deterministic for fixed seed +
+    input order, so rebuilding from the same fixture reproduces the index
+    bit-for-bit (and matches the inline vector_ann_ivf_topk training)."""
+    root = _mat_root()
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"ann-{sf_name}-{_ann_fingerprint(sf_dir)}"
+    base = os.path.join(root, tag)
+    paths = {t: os.path.join(base, t) for t in ANN_TABLES}
+    if os.path.isdir(base):
+        return paths
+    if os.path.isdir(root):
+        for entry in os.listdir(root):
+            if entry.startswith(f"ann-{sf_name}-") and entry != tag:
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+
+    from go_nats_to_clickhouse_spark.operators.similarity import (
+        ivf_build_assignments,
+    )
+    from go_nats_to_clickhouse_spark.schemas import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    assigned, centers = ivf_build_assignments(corpus, n_lists=n_lists)
+
+    tmp = os.path.join(root, f".build-{tag}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], "cell int, center array<double>"
+    )
+    _write(cent_df, os.path.join(tmp, "ann_centroids"))
+    (
+        assigned.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(tmp, "ann_corpus"))
+    )
+    os.makedirs(root, exist_ok=True)
+    try:
+        os.rename(tmp, base)
+    except OSError:
+        if not os.path.isdir(base):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+    return paths

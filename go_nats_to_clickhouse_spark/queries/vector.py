@@ -277,3 +277,62 @@ def vector_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # multimodal_* queries (real decode, closed-form oracles) live in
 # queries/multimodal.py.
+
+
+@query(
+    "vector_ann_ivf_read_topk",
+    """
+SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 8
+""",
+)
+def vector_ann_ivf_read_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN served from the MATERIALIZED index (the production read
+    path, mirroring pipeline_manifest_incremental's architecture): the
+    centroid table and the cell-PARTITIONED corpus were persisted at
+    ingest (plans/materialize.ann_tables); the query broadcasts the probe
+    list into the partitioned scan, so dynamic partition pruning reads
+    only the probed cells' files — at 100 TB an nprobe/n_lists I/O
+    reduction before a single vector is scored. Training is the same
+    deterministic Lloyd's sample as the inline vector_ann_ivf_topk, and
+    the same hash-checkable recall contract (recall@5 >= 0.4 per query
+    vs brute force) makes the row fully driver-verifiable."""
+    from go_nats_to_clickhouse_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_read_topk,
+    )
+    from go_nats_to_clickhouse_spark.plans.materialize import ann_tables
+
+    t = ann_tables(spark, sf_dir)
+    # centroid table is n_lists x dim — dimension-sized by construction,
+    # the same bounded driver-side footprint as the inline trainer
+    centers = [
+        list(r.center)
+        for r in spark.read.parquet(t["ann_centroids"]).orderBy("cell").collect()
+    ]
+    assigned = spark.read.parquet(t["ann_corpus"])
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    ivf = ivf_read_topk(q, assigned, centers, nprobe=12, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    # brute-force verifier scores the SOURCE table independently
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv")
+    )
+    brute = brute_force_topk(q, c, k=5).select("query_id", "neighbor_id")
+    hits = (
+        ivf.join(brute, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        q.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / 5 >= 0.4).alias("recall_ok"),
+        )
+    )

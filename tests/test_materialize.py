@@ -131,3 +131,71 @@ class TestManifestReadPath:
         assert set(by_shard) <= set(range(8))
         # both batch and corpus docs represented at this fixture
         assert {r.from_batch for r in rows} == {True, False}
+
+
+class TestAnnIndex:
+    def test_build_once_and_cover_corpus(self, spark, sf_dir, mat_root):
+        import os as _os
+
+        paths = materialize.ann_tables(spark, sf_dir)
+        cent = spark.read.parquet(paths["ann_centroids"])
+        assert cent.count() == 16
+        corpus = spark.read.parquet(paths["ann_corpus"])
+        from go_nats_to_clickhouse_spark.schemas import load_table
+
+        n = load_table(spark, sf_dir, "embeddings").count()
+        assert corpus.count() == n  # every vector in exactly one cell
+        assert "cell" in corpus.columns
+        # cache hit: nothing rewritten
+        mtime = _os.stat(paths["ann_corpus"]).st_mtime_ns
+        again = materialize.ann_tables(spark, sf_dir)
+        assert _os.stat(again["ann_corpus"]).st_mtime_ns == mtime
+
+    def test_read_path_plan_prunes_partitions_dynamically(
+        self, spark, sf_dir, mat_root
+    ):
+        """The whole point of the cell-partitioned layout: the probe join
+        must reach the scan as a dynamic partition pruning filter, so an
+        nprobe search reads only the probed cells' files."""
+        from go_nats_to_clickhouse_spark.queries import QUERIES
+
+        df = QUERIES["vector_ann_ivf_read_topk"](spark, sf_dir)
+        plan = _formatted_plan(df)
+        assert "dynamicpruning" in plan.lower(), plan
+
+    def test_read_path_matches_inline_ivf(self, spark, sf_dir, mat_root):
+        """Same deterministic training (seed + prefix-sample order) ==
+        same index: the materialized read path must return exactly the
+        inline ivf_topk neighbors."""
+        from go_nats_to_clickhouse_spark.operators.similarity import (
+            ivf_read_topk,
+            ivf_topk,
+        )
+        from go_nats_to_clickhouse_spark.queries.vector import as_double
+        from go_nats_to_clickhouse_spark.schemas import load_table
+
+        t = materialize.ann_tables(spark, sf_dir)
+        centers = [
+            list(r.center)
+            for r in spark.read.parquet(t["ann_centroids"])
+            .orderBy("cell")
+            .collect()
+        ]
+        assigned = spark.read.parquet(t["ann_corpus"])
+        e = load_table(spark, sf_dir, "embeddings")
+        q = e.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+        )
+        c = e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            as_double("embedding").alias("cv"),
+        )
+        got = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in ivf_read_topk(q, assigned, centers, nprobe=12, k=5).collect()
+        }
+        want = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in ivf_topk(q, c, n_lists=16, nprobe=12, k=5).collect()
+        }
+        assert got == want
