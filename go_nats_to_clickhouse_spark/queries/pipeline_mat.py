@@ -61,7 +61,9 @@ _EST_MATCH_SQL = (
 _NEW_SRC_SQL = "('" + "', '".join(NEW_SOURCES) + "')"
 
 
-def _incremental_manifest_oracle() -> str:
+def _kept_cte() -> str:
+    """Shared oracle prefix: every CTE up to `kept` (doc_id, from_batch) —
+    used by both the manifest and the dataset-card finalizers."""
     return f"""
 WITH RECURSIVE {_SH_CTE.strip().rstrip()},
 based AS (
@@ -198,7 +200,12 @@ kept AS (
   UNION ALL
   SELECT doc_id, TRUE AS from_batch FROM new_surv
   WHERE doc_id IN (SELECT doc_id FROM gpass)
-),
+)
+"""
+
+
+def _incremental_manifest_oracle() -> str:
+    return _kept_cte() + """,
 m AS (
   SELECT doc_id, from_batch,
          md5('manifest-2:' || CAST(doc_id AS VARCHAR)) AS h,
@@ -213,6 +220,20 @@ FROM m ORDER BY shard, pos
 """
 
 
+def _dataset_card_oracle() -> str:
+    return _kept_cte() + """
+SELECT d.source, d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE k.from_batch) AS BIGINT) AS n_from_batch,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+       CAST(round(100.0 * count(*) /
+            (SELECT count(*) FROM kept), 4) AS DOUBLE) AS pct_of_corpus
+FROM kept k JOIN documents d ON d.doc_id = k.doc_id
+GROUP BY d.source, d.lang
+ORDER BY d.source, d.lang
+"""
+
+
 def _est_matches(sig_a, sig_b):
     """Count of equal signature components — the integer form of the
     minhash Jaccard estimate (>= 8 of 16 <=> est >= 0.5)."""
@@ -223,24 +244,11 @@ def _est_matches(sig_a, sig_b):
     )
 
 
-@query("pipeline_manifest_incremental", _incremental_manifest_oracle())
-def pipeline_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Day-2 training manifest from the MATERIALIZED pipeline tables: the
-    persisted corpus survivors + quality bits are read back (parquet
-    scans), only the small day-2 batch is deduplicated — against the
-    corpus via the persisted band/signature index, then within itself —
-    and the combined keep-set is placed at deterministic salted-md5
-    positions in 8 shards.
-
-    Scale shape (the whole point): NO shingle explode and NO corpus text
-    scan anywhere in this plan — the corpus contributes three narrow
-    parquet scans (survivors, quality, index). The batch-vs-corpus
-    candidate join broadcasts the batch's band table (batch-sized); the
-    index side arrives bucket-sorted so row-group stats skip
-    non-colliding buckets. Within-batch CC runs on a batch-sized graph.
-    At 100 TB: daily manifest cost = O(batch + index scan), not
-    O(corpus) — the reference's ingest-time-precompute contract
-    (init.sql:100-121) applied to the dedup pipeline."""
+def _kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared read-path keep-set (doc_id, from_batch): materialized
+    corpus survivors + incremental-deduped day-2 batch, both gated by the
+    ingest-time Gopher bit. See pipeline_manifest_incremental for the
+    scale shape; pipeline_dataset_card reuses this stage verbatim."""
     from go_nats_to_clickhouse_spark.operators.graph import connected_components
 
     t = pipeline_tables(spark, sf_dir)
@@ -307,7 +315,7 @@ def pipeline_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
 
     # quality gate read back from the ingest-time bit
     gpass = qual.filter(F.col("passes_gopher")).select("doc_id")
-    kept = (
+    return (
         surv.join(gpass, "doc_id", "left_semi")
         .select("doc_id", F.lit(False).alias("from_batch"))
         .unionByName(
@@ -316,6 +324,27 @@ def pipeline_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         )
     )
+
+
+@query("pipeline_manifest_incremental", _incremental_manifest_oracle())
+def pipeline_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 training manifest from the MATERIALIZED pipeline tables: the
+    persisted corpus survivors + quality bits are read back (parquet
+    scans), only the small day-2 batch is deduplicated — against the
+    corpus via the persisted band/signature index, then within itself —
+    and the combined keep-set is placed at deterministic salted-md5
+    positions in 8 shards.
+
+    Scale shape (the whole point): NO shingle explode and NO corpus text
+    scan anywhere in this plan — the corpus contributes three narrow
+    parquet scans (survivors, quality, index). The batch-vs-corpus
+    candidate join broadcasts the batch's band table (batch-sized); the
+    index side arrives bucket-sorted so row-group stats skip
+    non-colliding buckets. Within-batch CC runs on a batch-sized graph.
+    At 100 TB: daily manifest cost = O(batch + index scan), not
+    O(corpus) — the reference's ingest-time-precompute contract
+    (init.sql:100-121) applied to the dedup pipeline."""
+    kept = _kept_docs(spark, sf_dir)
     h = F.md5(F.concat(F.lit("manifest-2:"), F.col("doc_id").cast("string")))
     sh = kept.select(
         "doc_id",
@@ -332,3 +361,49 @@ def pipeline_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("pos"),
     ).orderBy("shard", "pos")
+
+
+@query("pipeline_dataset_card", _dataset_card_oracle())
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: per-(source, lang) composition of the deliverable
+    corpus — doc counts, how many arrived in the day-2 batch, character
+    volume, and each cell's percentage of the kept corpus. The question
+    every training run answers before it starts ("what is actually in my
+    mix?"), served from the same materialized read path as the manifest:
+    the keep-set computation is :func:`_kept_docs` verbatim (no shingle
+    explode, no corpus text scan), and the only documents.parquet access
+    is a narrow metadata projection (doc_id, source, lang, n_chars) —
+    column pruning keeps the text column unread.
+
+    Scale shape: keep-set ⋈ metadata is a doc_id equi-join; the group-by
+    is vocabulary-sized (sources x langs). The corpus-total for the
+    percentage is a scalar agg reused via a 1-row broadcast cross join —
+    the standard share-of-total shape."""
+    from go_nats_to_clickhouse_spark.schemas import load_table
+
+    kept = _kept_docs(spark, sf_dir)
+    meta = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    joined = kept.join(meta, "doc_id")
+    total = kept.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        joined.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("from_batch")).alias("n_from_batch"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_from_batch").cast("long").alias("n_from_batch"),
+            F.col("total_chars").cast("long").alias("total_chars"),
+            F.round(
+                F.lit(100.0) * F.col("n_docs") / F.col("_total"), 4
+            ).alias("pct_of_corpus"),
+        )
+        .orderBy("source", "lang")
+    )
