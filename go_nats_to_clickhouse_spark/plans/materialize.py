@@ -53,7 +53,7 @@ from pyspark.sql import functions as F
 
 #: bump to invalidate every cached materialization (any change to the
 #: signature/banding/quality/survivor definitions must bump this)
-MAT_VERSION = 2
+MAT_VERSION = 3
 
 #: the ingest split: these sources model the day-2 batch (same convention
 #: as queries/clickhouse_r3.dedup_incremental_new_batch)
@@ -121,44 +121,26 @@ def pipeline_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
 
 def _build(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     from go_nats_to_clickhouse_spark.operators.dedup import (
-        band_buckets,
         lsh_verified_jaccard_pairs,
-        minhash_signatures,
-        word_shingles,
     )
     from go_nats_to_clickhouse_spark.operators.graph import connected_components
-    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import gopher_flags
     from go_nats_to_clickhouse_spark.schemas import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     is_new = F.col("source").isin(*NEW_SOURCES)
     membership = docs.select("doc_id", is_new.alias("is_new"))
 
-    # signature + band index: ONE shingle pass feeds both (the signature
-    # groupBy is the only corpus-wide shuffle; bands derive map-side)
-    sig = minhash_signatures(word_shingles(docs), num_hashes=16).localCheckpoint(
-        eager=False
-    )
-    sigs = sig.join(membership, "doc_id")
-    _write(sigs.sortWithinPartitions("doc_id"), os.path.join(out_dir, "doc_sigs"))
-
-    # signature denormalized onto each band row (see module docstring)
-    bands = (
-        band_buckets(sig, bands=4, rows=4)
-        .join(sig, "doc_id")
-        .join(membership, "doc_id")
-    )
-    # sorted by bucket: parquet row-group stats then give data-skipping on
-    # the bucket equi-join's build side at scale
-    _write(
-        bands.sortWithinPartitions("band", "bucket"),
-        os.path.join(out_dir, "doc_bands"),
-    )
-
-    qual = gopher_flags(docs).select("doc_id", "passes_gopher").join(
-        membership, "doc_id"
-    )
-    _write(qual.sortWithinPartitions("doc_id"), os.path.join(out_dir, "doc_quality"))
+    # shared per-document index rows (see index_rows) + per-doc membership
+    rows = index_rows(docs)
+    sort_keys = {"doc_sigs": ("doc_id",), "doc_bands": ("band", "bucket"),
+                 "doc_quality": ("doc_id",)}
+    for name, df in rows.items():
+        # doc_bands sorted by bucket: parquet row-group stats then give
+        # data-skipping on the bucket equi-join's build side at scale
+        _write(
+            df.join(membership, "doc_id").sortWithinPartitions(*sort_keys[name]),
+            os.path.join(out_dir, name),
+        )
 
     # corpus survivors: the dedup_survivors pipeline on the corpus split.
     # max_bucket=None keeps the pair set definitionally identical to the
@@ -274,3 +256,89 @@ def ann_tables(spark: SparkSession, sf_dir: str, n_lists: int = 16) -> dict[str,
             raise
         shutil.rmtree(tmp, ignore_errors=True)
     return paths
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance — the ingest-time contract, live.
+# ---------------------------------------------------------------------------
+
+
+def index_rows(docs: DataFrame) -> dict[str, DataFrame]:
+    """Per-document index rows (no membership flag): minhash signatures,
+    sig-denormalized band rows, and the Gopher quality bit. THE shared
+    code path — :func:`pipeline_tables` (whole-fixture build) and
+    :func:`index_batch` (streaming per-batch maintenance) both attach
+    their membership flag to exactly these frames, so streamed and
+    batch-built indexes are definitionally identical."""
+    from go_nats_to_clickhouse_spark.operators.dedup import (
+        band_buckets,
+        minhash_signatures,
+        word_shingles,
+    )
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import gopher_flags
+
+    sig = minhash_signatures(word_shingles(docs), num_hashes=16).localCheckpoint(
+        eager=False
+    )
+    return {
+        "doc_sigs": sig.select("doc_id", "sig"),
+        "doc_bands": band_buckets(sig, bands=4, rows=4)
+        .join(sig, "doc_id")
+        .select("doc_id", "band", "bucket", "sig"),
+        "doc_quality": gopher_flags(docs).select("doc_id", "passes_gopher"),
+    }
+
+
+def index_batch(docs: DataFrame, is_new: bool = True) -> dict[str, DataFrame]:
+    """The ingest-time index artifacts for ONE batch of documents — the
+    shared :func:`index_rows` frames with a constant membership flag."""
+    flag = F.lit(bool(is_new)).alias("is_new")
+    return {name: df.select("*", flag) for name, df in index_rows(docs).items()}
+
+
+def append_batch_index(docs: DataFrame, out_root: str, is_new: bool = True) -> None:
+    """Append one batch's index rows to the persisted tables under
+    ``out_root`` — the foreachBatch body of the streaming maintainer.
+    Append-only parquet: each micro-batch adds files, never rewrites
+    (compaction is :func:`plans.layout.compact_table`'s job, exactly as
+    for the event tables)."""
+    for name, df in index_batch(docs, is_new=is_new).items():
+        df.write.mode("append").parquet(os.path.join(out_root, name))
+
+
+def start_doc_index_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_root: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Maintain the signature/band/quality index AS DOCUMENTS ARRIVE: a
+    file-source stream over a documents directory whose every micro-batch
+    appends its index rows via :func:`append_batch_index` — the reference's
+    insert-triggered-MV contract (init.sql:100-121) applied to the
+    LLM-pipeline tables, so downstream manifest/dedup queries always read
+    a current index without ever re-scanning corpus text.
+
+    Exactly-once per batch: foreachBatch + the stream checkpoint replay
+    the same epoch only after a crash BEFORE the commit; a replayed epoch
+    re-appends rows for the same doc_ids, which downstream consumers
+    dedup by doc_id (at-least-once, same contract as the event pipeline's
+    idempotent sinks). Returns the StreamingQuery."""
+    schema = spark.read.parquet(source_dir).schema
+
+    def _per_batch(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_batch_index(batch_df, out_root, is_new=True)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_per_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -199,3 +199,49 @@ class TestAnnIndex:
             for r in ivf_topk(q, c, n_lists=16, nprobe=12, k=5).collect()
         }
         assert got == want
+
+
+class TestStreamingIndexMaintenance:
+    def test_streamed_index_equals_batch_index(self, spark, sf_dir, tmp_path):
+        """The ingest-time contract, live: a file-source stream over
+        arriving document batches maintains the signature/band/quality
+        tables via foreachBatch appends, and the result is row-identical
+        to indexing the same documents in one batch (shared index_rows
+        code path)."""
+        import os as _os
+
+        from go_nats_to_clickhouse_spark.schemas import load_table
+
+        docs = load_table(spark, sf_dir, "documents").limit(60)
+        src = str(tmp_path / "arrivals")
+        # two arrival files -> two micro-batches
+        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+        out = str(tmp_path / "index")
+        q = materialize.start_doc_index_stream(
+            spark, src, out, str(tmp_path / "ckpt")
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        want = materialize.index_batch(docs, is_new=True)
+        for name in ("doc_sigs", "doc_bands", "doc_quality"):
+            got_df = spark.read.parquet(_os.path.join(out, name))
+            w = want[name]
+            assert sorted(got_df.columns) == sorted(w.columns), name
+            key_cols = [c for c in ("doc_id", "band") if c in w.columns]
+            got_rows = sorted(
+                (tuple(r.asDict()[c] for c in sorted(w.columns)))
+                for r in got_df.collect()
+            )
+            want_rows = sorted(
+                (tuple(r.asDict()[c] for c in sorted(w.columns)))
+                for r in w.collect()
+            )
+            assert got_rows == want_rows, f"{name} diverged ({key_cols})"
