@@ -245,3 +245,36 @@ class TestStreamingIndexMaintenance:
                 for r in w.collect()
             )
             assert got_rows == want_rows, f"{name} diverged ({key_cols})"
+
+    def test_index_compaction_after_streaming_appends(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Streaming maintenance is append-only (one file set per
+        micro-batch); plans/layout.compact_table with no partition columns
+        is the matching merge pass — lossless, fewer files."""
+        import os as _os
+
+        from go_nats_to_clickhouse_spark.plans.layout import compact_table
+        from go_nats_to_clickhouse_spark.schemas import load_table
+
+        docs = load_table(spark, sf_dir, "documents").limit(40)
+        out = str(tmp_path / "idx")
+        for chunk in range(3):  # three micro-batch appends
+            materialize.append_batch_index(
+                docs.filter(F.col("doc_id") % 3 == chunk), out
+            )
+        sig_dir = _os.path.join(out, "doc_sigs")
+
+        def n_files():
+            return sum(
+                1
+                for _r, _d, fs in _os.walk(sig_dir)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+
+        before_rows = spark.read.parquet(sig_dir).count()
+        files_before = n_files()
+        compact_table(spark, sig_dir, sort_keys=("doc_id",), partition_cols=())
+        assert spark.read.parquet(sig_dir).count() == before_rows
+        assert n_files() < files_before
