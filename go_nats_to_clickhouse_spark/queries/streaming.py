@@ -437,3 +437,63 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window_start").alias("day"), "event_type", "n")
         .orderBy("day", "event_type")
     )
+
+
+@query(
+    "streaming_stateful_running_counts",
+    """
+SELECT CAST(event_id % 100 AS BIGINT) AS key,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(event_id) AS BIGINT) AS max_event_id,
+       CAST(count(DISTINCT event_id % 7 = 0) AS BIGINT) AS n_emissions
+FROM events
+GROUP BY 1 ORDER BY 1
+""",
+)
+def streaming_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful operator (applyInPandasWithState), oracle-
+    checked end-to-end: per-key running totals over the same controlled
+    mtime-ordered replay streaming_late_data_drop uses (on-time flow,
+    heartbeat, stragglers, flush — reusing the cached fixture), keyed by
+    event_id % 100. Each micro-batch in which a key appears emits the
+    key's CUMULATIVE (count, max event_id, batches-seen) row, so the
+    memory sink holds one row per (key, appearance) and the final
+    per-key maxima are a pure function of the batch split:
+
+    * n_events / max_event_id — state correctness across batches,
+    * n_emissions — the operator emitted exactly once per batch the key
+      appeared in (the %7 split puts every key in the on-time batch and
+      keys with a %7==0 event also in the straggler batch — which is
+      what count(DISTINCT event_id % 7 = 0) computes in the oracle).
+
+    This upgrades the applyInPandasWithState row from unit-tested to
+    driver-hash-checked (no watermark here: state lives until the finite
+    replay ends, NoTimeout)."""
+    data_dir = _late_replay_fixture(spark, sf_dir)
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="gntcs-stateful-run-")
+    schema = spark.read.parquet(data_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    from go_nats_to_clickhouse_spark.streaming.windows import (
+        running_totals_stateful,
+    )
+
+    keyed = stream.filter(F.col("event_id") >= 0).withColumn(
+        "key_mod", F.pmod(F.col("event_id"), F.lit(100)).cast("long")
+    )
+    counters = running_totals_stateful(keyed, key_col="key_mod")
+    tbl = _run_to_table(counters, "append", root)
+    return (
+        tbl.groupBy("key")
+        .agg(
+            F.max("n_total").alias("n_events"),
+            F.max("max_eid").alias("max_event_id"),
+            F.max("n_batches").alias("n_emissions"),
+        )
+        .orderBy("key")
+    )

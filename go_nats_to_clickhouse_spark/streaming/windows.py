@@ -174,3 +174,70 @@ def stateful_user_counters(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def running_totals_stateful(
+    df: DataFrame,
+    key_col: str = "user_id",
+    eid_col: str = "event_id",
+) -> DataFrame:
+    """Deterministic ``applyInPandasWithState`` operator: per-key running
+    totals, one emitted row per micro-batch in which the key appears —
+    (key, n_total, max_eid, n_batches) with the CUMULATIVE values after
+    that batch.
+
+    Unlike :func:`stateful_user_counters` (processing-time timeout —
+    correct production shape, but wall-clock-dependent emission), every
+    output here is a pure function of the batch split, so a finite
+    controlled replay is hash-checkable against a batch oracle
+    (queries/streaming.streaming_stateful_running_counts). State is
+    per-key in the state store, partition-distributed; at scale this is
+    the running-aggregate shape (per-entity counters, feature freshness
+    trackers) the built-in windowed aggs can't express."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("n_total", LongType()),
+            StructField("max_eid", LongType()),
+            StructField("n_batches", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("mx", LongType()),
+            StructField("nb", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, mx, nb = state.get if state.exists else (0, 0, 0)
+        added = 0
+        m = 0
+        for pdf in pdfs:
+            added += len(pdf)
+            if len(pdf):
+                m = max(m, int(pdf[eid_col].max()))
+        if not added:  # no rows for this key in this batch -> no emission
+            yield pd.DataFrame({"key": [], "n_total": [], "max_eid": [], "n_batches": []})
+            return
+        n += added
+        mx = max(mx, m)
+        nb += 1
+        state.update((n, mx, nb))
+        yield pd.DataFrame(
+            {"key": [int(key[0])], "n_total": [n], "max_eid": [mx], "n_batches": [nb]}
+        )
+
+    return df.groupBy(F.col(key_col)).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
