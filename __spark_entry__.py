@@ -36,6 +36,7 @@ _PRIORITY = [
     "vector_ann_ivf_read_topk",       # materialized IVF index + DPP scan
     "pipeline_dataset_card",          # mix report off the read path
     "streaming_stateful_running_counts",  # applyInPandasWithState proof
+    "join_skew_salted",               # salted join/agg vs unsalted oracle
     # --- round 5: engine and/or oracle changed -> must re-sample ---
     "scalar_readable_timedelta",      # truncation contract documented
     "join_interval_overlap",          # oracle degenerate-interval filter

@@ -407,3 +407,62 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+@query(
+    "join_skew_salted",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum((event_id % 1000) * length(event_type)) AS BIGINT)
+         AS weighted_sum
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew mitigation, oracle-checked: ``event_type`` is a pathologically
+    hot key (5 distinct values over the whole fact table — every value is
+    a celebrity key), so both halves of operators/skew.py run against it:
+
+    * ``salted_join`` joins the fact side to a per-type weight dimension
+      on (key, salt) — the dimension is replicated n_salts ways so a hot
+      key's rows land on n_salts reducers instead of one;
+    * ``salted_count`` computes the per-key counts as a two-phase
+      (key, salt) -> key aggregation, the groupBy shape AQE's skew
+      splitting does NOT cover.
+
+    The oracle is the plain unsalted GROUP BY: salting must be invisible
+    in the result, only in the task-size distribution. (AQE skew-join
+    handles runtime-detected join skew; explicit salting is for skew you
+    know in advance — SURVEY §2.7 skew row.)"""
+    from go_nats_to_clickhouse_spark.operators.skew import (
+        salted_count,
+        salted_join,
+    )
+    from go_nats_to_clickhouse_spark.schemas import load_table
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "event_id")
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .withColumn("weight", F.length("event_type"))
+    )
+    weighted = (
+        salted_join(e, dim, key="event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.pmod(F.col("event_id"), F.lit(1000)) * F.col("weight"))
+            .cast("long")
+            .alias("weighted_sum")
+        )
+    )
+    counts = salted_count(e, "event_type").select(
+        "event_type", F.col("n").cast("long").alias("n_events")
+    )
+    return (
+        counts.join(weighted, "event_type")
+        .select("event_type", "n_events", "weighted_sum")
+        .orderBy("event_type")
+    )
