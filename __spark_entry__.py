@@ -37,6 +37,13 @@ _PRIORITY = [
     "pipeline_dataset_card",          # mix report off the read path
     "streaming_stateful_running_counts",  # applyInPandasWithState proof
     "join_skew_salted",               # salted join/agg vs unsalted oracle
+    # only driver rows are r1 reds/weak (no_oracle / unhashable / hash
+    # mismatch) — fixed since but never re-sampled; caught by the
+    # mechanized staleness gate (tools/staleness.py), must re-front
+    "agg_approx_distinct",
+    "agg_group_array_types",
+    "q12_priority_by_linestatus",
+    "scalar_array_functions",
     # --- round 5: engine and/or oracle changed -> must re-sample ---
     "scalar_readable_timedelta",      # truncation contract documented
     "join_interval_overlap",          # oracle degenerate-interval filter

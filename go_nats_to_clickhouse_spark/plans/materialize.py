@@ -84,39 +84,43 @@ def _tag(sf_dir: str) -> str:
     return f"{sf_name}-{_fingerprint(sf_dir)}"
 
 
+def _published(tag_prefix: str, tag: str, tables: tuple[str, ...], build_fn):
+    """Shared cache/publish protocol for every materialization family:
+    sweep stale tags of the same (prefix, fixture), build under a hidden
+    '.'-prefixed AND '='-free dir (the visibility rules plans/layout.py
+    documents), then one atomic rename — a concurrent builder losing the
+    rename race keeps the winner's identical tables."""
+    root = _mat_root()
+    base = os.path.join(root, tag)
+    paths = {t: os.path.join(base, t) for t in tables}
+    if os.path.isdir(base):
+        return paths
+    if os.path.isdir(root):
+        for entry in os.listdir(root):
+            if entry.startswith(tag_prefix) and entry != tag:
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+    tmp = os.path.join(root, f".build-{tag}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    build_fn(tmp)
+    os.makedirs(root, exist_ok=True)
+    try:
+        os.rename(tmp, base)
+    except OSError:
+        if not os.path.isdir(base):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+    return paths
+
+
 def pipeline_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     """Return {table_name: path} for the materialized pipeline tables of
     ``sf_dir``'s documents fixture, building them first if absent or stale
     (the build is a no-op on every later call — ingest-time cost, not
     query-time cost)."""
-    root = _mat_root()
     sf_name = os.path.basename(os.path.normpath(sf_dir))
-    base = os.path.join(root, _tag(sf_dir))
-    paths = {t: os.path.join(base, t) for t in TABLES}
-    if os.path.isdir(base):
-        return paths
-
-    # sweep stale tags of the same fixture (old fingerprints)
-    if os.path.isdir(root):
-        for entry in os.listdir(root):
-            if entry.startswith(f"{sf_name}-") and entry != os.path.basename(base):
-                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
-
-    # hidden build dir -> atomic publish ('.'-prefixed AND '='-free, the
-    # same visibility rules plans/layout.py documents)
-    tmp = os.path.join(root, f".build-{_tag(sf_dir)}")
-    shutil.rmtree(tmp, ignore_errors=True)
-    _build(spark, sf_dir, tmp)
-    os.makedirs(root, exist_ok=True)
-    try:
-        os.rename(tmp, base)
-    except OSError:
-        # a concurrent builder published first — its tables are identical
-        # by construction (same fingerprint); keep theirs
-        if not os.path.isdir(base):
-            raise
-        shutil.rmtree(tmp, ignore_errors=True)
-    return paths
+    return _published(
+        f"{sf_name}-", _tag(sf_dir), TABLES, lambda tmp: _build(spark, sf_dir, tmp)
+    )
 
 
 def _build(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
@@ -165,7 +169,8 @@ def _write(df: DataFrame, path: str) -> None:
 
 
 def drop_cache(sf_dir: str | None = None) -> None:
-    """Test hook: drop the materialized tables for one fixture (or all)."""
+    """Test hook: drop every materialized table family (pipeline AND ann)
+    for one fixture, or everything."""
     root = _mat_root()
     if not os.path.isdir(root):
         return
@@ -173,8 +178,14 @@ def drop_cache(sf_dir: str | None = None) -> None:
         shutil.rmtree(root, ignore_errors=True)
         return
     sf_name = os.path.basename(os.path.normpath(sf_dir))
+    prefixes = (
+        f"{sf_name}-",
+        f"ann-{sf_name}-",
+        f".build-{sf_name}-",
+        f".build-ann-{sf_name}-",
+    )
     for entry in os.listdir(root):
-        if entry.startswith(f"{sf_name}-") or entry.startswith(f".build-{sf_name}-"):
+        if entry.startswith(prefixes):
             shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
 
 
@@ -212,50 +223,34 @@ def ann_tables(spark: SparkSession, sf_dir: str, n_lists: int = 16) -> dict[str,
     Lloyd's on a bounded prefix sample, deterministic for fixed seed +
     input order, so rebuilding from the same fixture reproduces the index
     bit-for-bit (and matches the inline vector_ann_ivf_topk training)."""
-    root = _mat_root()
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     tag = f"ann-{sf_name}-{_ann_fingerprint(sf_dir)}"
-    base = os.path.join(root, tag)
-    paths = {t: os.path.join(base, t) for t in ANN_TABLES}
-    if os.path.isdir(base):
-        return paths
-    if os.path.isdir(root):
-        for entry in os.listdir(root):
-            if entry.startswith(f"ann-{sf_name}-") and entry != tag:
-                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
 
-    from go_nats_to_clickhouse_spark.operators.similarity import (
-        ivf_build_assignments,
-    )
-    from go_nats_to_clickhouse_spark.schemas import load_table
+    def build(tmp: str) -> None:
+        from go_nats_to_clickhouse_spark.operators.similarity import (
+            ivf_build_assignments,
+        )
+        from go_nats_to_clickhouse_spark.schemas import load_table
 
-    e = load_table(spark, sf_dir, "embeddings")
-    corpus = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
-    )
-    assigned, centers = ivf_build_assignments(corpus, n_lists=n_lists)
+        e = load_table(spark, sf_dir, "embeddings")
+        corpus = e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+        )
+        assigned, centers = ivf_build_assignments(corpus, n_lists=n_lists)
+        cent_df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centers)],
+            "cell int, center array<double>",
+        )
+        _write(cent_df, os.path.join(tmp, "ann_centroids"))
+        (
+            assigned.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(tmp, "ann_corpus"))
+        )
 
-    tmp = os.path.join(root, f".build-{tag}")
-    shutil.rmtree(tmp, ignore_errors=True)
-    cent_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centers)], "cell int, center array<double>"
-    )
-    _write(cent_df, os.path.join(tmp, "ann_centroids"))
-    (
-        assigned.repartition("cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(os.path.join(tmp, "ann_corpus"))
-    )
-    os.makedirs(root, exist_ok=True)
-    try:
-        os.rename(tmp, base)
-    except OSError:
-        if not os.path.isdir(base):
-            raise
-        shutil.rmtree(tmp, ignore_errors=True)
-    return paths
+    return _published(f"ann-{sf_name}-", tag, ANN_TABLES, build)
 
 
 # ---------------------------------------------------------------------------

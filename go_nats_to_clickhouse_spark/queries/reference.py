@@ -167,11 +167,13 @@ def mv_analytics_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_variant.py::test_projection_variant_matches_string_path."""
     from go_nats_to_clickhouse_spark.operators.variant import (
         analytics_projection_variant,
+        variant_supported,
     )
 
-    return analytics_projection_variant(
-        message_to_raw(events_as_messages(spark, sf_dir))
-    )
+    raw = message_to_raw(events_as_messages(spark, sf_dir))
+    if variant_supported(spark):
+        return analytics_projection_variant(raw)
+    return analytics_projection(raw)  # pre-VariantType Spark fallback
 
 
 @query(

@@ -223,9 +223,8 @@ def running_totals_stateful(
             added += len(pdf)
             if len(pdf):
                 m = max(m, int(pdf[eid_col].max()))
-        if not added:  # no rows for this key in this batch -> no emission
-            yield pd.DataFrame({"key": [], "n_total": [], "max_eid": [], "n_batches": []})
-            return
+        # NoTimeout => update() is only invoked for keys WITH rows in the
+        # current micro-batch, so added >= 1 here by construction
         n += added
         mx = max(mx, m)
         nb += 1

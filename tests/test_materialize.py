@@ -278,3 +278,13 @@ class TestStreamingIndexMaintenance:
         compact_table(spark, sig_dir, sort_keys=("doc_id",), partition_cols=())
         assert spark.read.parquet(sig_dir).count() == before_rows
         assert n_files() < files_before
+
+
+def test_drop_cache_covers_both_table_families(spark, sf_dir, mat_root):
+    import os as _os
+
+    materialize.pipeline_tables(spark, sf_dir)
+    materialize.ann_tables(spark, sf_dir)
+    assert len(_os.listdir(mat_root)) == 2
+    materialize.drop_cache(sf_dir)
+    assert _os.listdir(mat_root) == []

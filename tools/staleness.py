@@ -120,10 +120,15 @@ def stale_outside_window() -> list[str]:
 def update_baseline() -> dict[str, dict]:
     """Fold the newest driver rounds into the baseline at current source.
 
-    A query's baseline (round, hash) advances only when it has a green
-    driver row from a round >= its recorded one; new queries enter with
-    round 0 (never sampled) so they stay 'changed' until a driver round
-    covers them — but being in the window satisfies the test meanwhile.
+    Run this FIRST THING at round start, when ``CORRECTNESS_r{N}.json``
+    lands and the source still equals what the driver sampled. A query's
+    stored hash advances ONLY when a strictly newer green driver round
+    exists (``rno > prev.round``) — advancing on ``rno == prev.round``
+    would launder a post-sample edit past the gate (the hash would be
+    recorded against a round that never saw it). Never-sampled queries
+    enter with ``{round: 0, hash: None}`` so they stay flagged as changed
+    until a driver round covers them — being in the window satisfies the
+    test meanwhile.
     """
     baseline = load_baseline()
     hashes = current_hashes()
@@ -131,8 +136,11 @@ def update_baseline() -> dict[str, dict]:
     for name, h in hashes.items():
         rno = rounds.get(name, 0)
         prev = baseline.get(name)
-        if prev is None or rno >= prev.get("round", 0):
+        if prev is None:
+            baseline[name] = {"round": rno, "hash": h if rno > 0 else None}
+        elif rno > prev.get("round", 0):
             baseline[name] = {"round": rno, "hash": h}
+        # rno == prev.round: keep the recorded hash — no laundering
     # drop unregistered leftovers
     baseline = {k: v for k, v in baseline.items() if k in hashes}
     with open(BASELINE_PATH, "w", encoding="utf-8") as fh:
