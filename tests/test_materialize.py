@@ -288,3 +288,19 @@ def test_drop_cache_covers_both_table_families(spark, sf_dir, mat_root):
     assert len(_os.listdir(mat_root)) == 2
     materialize.drop_cache(sf_dir)
     assert _os.listdir(mat_root) == []
+
+
+def test_crashed_build_litter_is_ignored_and_rebuilt(spark, sf_dir, mat_root):
+    """A crash mid-build leaves a hidden .build-* dir; the next call must
+    rebuild from scratch (sweeping the litter), and the litter must never
+    be visible to readers as a table."""
+    import os as _os
+
+    _os.makedirs(mat_root, exist_ok=True)
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    litter = _os.path.join(mat_root, f".build-{sf_name}-deadbeef0000")
+    _os.makedirs(_os.path.join(litter, "doc_sigs"))
+    with open(_os.path.join(litter, "doc_sigs", "garbage"), "w") as fh:
+        fh.write("not parquet")
+    paths = materialize.pipeline_tables(spark, sf_dir)
+    assert spark.read.parquet(paths["doc_sigs"]).count() > 0
