@@ -173,3 +173,72 @@ def test_timedelta_trunc_matches_duckdb_on_signed_durations(spark, secs):
         d, h, m, s2 = got[i]
         assert d * 86400 + h * 3600 + m * 60 + s2 == s
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="abcdefg hij", min_size=0, max_size=80),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_minhash_banding_matches_duckdb_bit_for_bit(spark, docs):
+    """The load-bearing cross-engine contract of the whole dedup family:
+    for ARBITRARY documents (not just fixtures), the Spark operators'
+    minhash signatures and banded-LSH bucket strings must equal DuckDB's
+    replication exactly — portable_hash28 md5 prefixes, the shared
+    universal-hash constants, and the md5('-'-joined band slice) bucket
+    format. A drift here would silently decouple every dedup oracle."""
+    import duckdb
+
+    from go_nats_to_clickhouse_spark.operators.dedup import (
+        band_buckets,
+        minhash_signatures,
+        word_shingles,
+    )
+    from go_nats_to_clickhouse_spark.queries.text import _mh_mins_sql
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    sig = minhash_signatures(word_shingles(df), num_hashes=16)
+    got_sig = {r.doc_id: list(r.sig) for r in sig.collect()}
+    got_bands = {
+        (r.doc_id, r.band): r.bucket
+        for r in band_buckets(sig, bands=4, rows=4).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT unnest($ids) AS doc_id, unnest($txt) AS text",
+        {"ids": list(range(len(docs))), "txt": docs},
+    )
+    rows = con.execute(
+        f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                  i -> concat_ws(' ', string_split(text, ' ')[i],
+                                 string_split(text, ' ')[i + 1],
+                                 string_split(text, ' ')[i + 2]))) AS shingle
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+  )
+),
+based AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS base FROM sh
+),
+mh AS (SELECT doc_id, {_mh_mins_sql(16)} FROM based GROUP BY doc_id),
+sig AS (SELECT doc_id, [{", ".join(f"m{s}" for s in range(16))}] AS sig FROM mh)
+SELECT s.doc_id, s.sig, b.band,
+       md5(array_to_string(list_transform(range(1, 5),
+           r -> CAST(s.sig[b.band * 4 + r] AS VARCHAR)), '-')) AS bucket
+FROM sig s, UNNEST(range(4)) AS b(band)
+"""
+    ).fetchall()
+    con.close()
+    want_sig = {r[0]: list(r[1]) for r in rows}
+    want_bands = {(r[0], r[2]): r[3] for r in rows}
+    assert got_sig == want_sig
+    assert got_bands == want_bands
