@@ -242,3 +242,77 @@ FROM sig s, UNNEST(range(4)) AS b(band)
     want_bands = {(r[0], r[2]): r[3] for r in rows}
     assert got_sig == want_sig
     assert got_bands == want_bands
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="the of and be xyz AB12 #… .", min_size=0, max_size=120),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**SETTINGS)
+def test_gopher_flags_match_duckdb_on_arbitrary_text(spark, texts):
+    """The quality gate (gopher_flags) feeds three queries AND the
+    ingest-time doc_quality table — pin every rule column against the
+    oracle CTE on arbitrary text, including empty strings, all-separator
+    strings, and the '#'/'…' symbol-ratio characters."""
+    import duckdb
+
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import gopher_flags
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    cols = (
+        "rule_word_count", "rule_mean_word_len", "rule_alpha_frac",
+        "rule_symbol_ratio", "rule_stopwords", "passes_gopher",
+    )
+    got = {
+        r.doc_id: tuple(r.asDict()[c] for c in cols)
+        for r in gopher_flags(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT unnest($ids) AS doc_id, unnest($txt) AS text",
+        {"ids": list(range(len(texts))), "txt": texts},
+    )
+    rows = con.execute(
+        """
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS words
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         CASE WHEN len(words) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(words, x -> length(x)))
+                        AS DOUBLE) / len(words) END AS mean_wlen,
+         CASE WHEN len(words) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(words,
+                        x -> regexp_matches(x, '^[A-Za-z]+$')))
+                        AS DOUBLE) / len(words) END AS alpha_frac,
+         CAST(length(text) - length(replace(replace(text, '#', ''),
+                                            '…', '')) AS DOUBLE)
+           / greatest(length(text), 1) AS symbol_ratio,
+         len(list_filter(words, x -> list_contains(
+             ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+             lower(x)))) AS n_stop
+  FROM w
+)
+SELECT doc_id,
+       n_words BETWEEN 50 AND 100000,
+       mean_wlen BETWEEN 3.0 AND 10.0,
+       alpha_frac >= 0.8,
+       symbol_ratio < 0.1,
+       n_stop >= 2,
+       (n_words BETWEEN 50 AND 100000) AND (mean_wlen BETWEEN 3.0 AND 10.0)
+         AND alpha_frac >= 0.8 AND symbol_ratio < 0.1 AND n_stop >= 2
+FROM m
+"""
+    ).fetchall()
+    con.close()
+    want = {r[0]: tuple(bool(v) for v in r[1:]) for r in rows}
+    assert got == want
