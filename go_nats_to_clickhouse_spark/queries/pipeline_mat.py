@@ -245,16 +245,49 @@ def _est_matches(sig_a, sig_b):
 
 
 def _kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The shared read-path keep-set (doc_id, from_batch): materialized
-    corpus survivors + incremental-deduped day-2 batch, both gated by the
-    ingest-time Gopher bit. See pipeline_manifest_incremental for the
-    scale shape; pipeline_dataset_card reuses this stage verbatim."""
+    """The shared read-path keep-set (doc_id, from_batch) over the
+    batch-built materialized tables. See pipeline_manifest_incremental for
+    the scale shape; pipeline_dataset_card reuses this stage verbatim."""
+    t = pipeline_tables(spark, sf_dir)
+    return kept_docs_from(
+        spark.read.parquet(t["doc_bands"]),
+        spark.read.parquet(t["doc_quality"]),
+        spark.read.parquet(t["corpus_survivors"]),
+    )
+
+
+def kept_docs_from(
+    bands: DataFrame, qual: DataFrame, surv: DataFrame
+) -> DataFrame:
+    """Keep-set (doc_id, from_batch) from the three index frames:
+    materialized corpus survivors + incremental-deduped day-2 batch, both
+    gated by the ingest-time Gopher bit. Table-frame-parameterized so the
+    batch-built, streamed-index, and promoted-corpus (day-3) read paths
+    all run the SAME consumer.
+
+    At-least-once tolerance (the streamed maintainer's contract,
+    plans/materialize.append_batch_index: a crash-replayed epoch
+    re-appends identical rows for the same doc_ids): this consumer must
+    be duplicate-INVARIANT, not duplicate-assuming. Policy:
+
+    * ``qual`` and ``surv`` are deduped by doc_id at the read — their
+      rows feed the keep-set union directly, where a duplicate would
+      duplicate manifest rows. Replayed rows are bit-identical (the index
+      functions are deterministic), so keeping any one is exact. Narrow
+      tables (doc_id + bits), so the dedup shuffle is bytes-per-doc.
+    * ``doc_bands`` is deliberately NOT deduped: every consumption path
+      absorbs duplicates by construction — ``xdup`` feeds a left_anti
+      (set semantics) and ``wpairs`` feeds connected_components, which
+      dedups its undirected edge set. Deduping here would shuffle the
+      wide sig-carrying rows in the exactly-once common case to save
+      nothing; a replayed epoch costs only its share of candidate rows.
+
+    Pinned by tests/test_materialize.py::TestReplayedEpochIdempotence —
+    double-appending one batch must leave the manifest hash unchanged."""
     from go_nats_to_clickhouse_spark.operators.graph import connected_components
 
-    t = pipeline_tables(spark, sf_dir)
-    bands = spark.read.parquet(t["doc_bands"])
-    qual = spark.read.parquet(t["doc_quality"])
-    surv = spark.read.parquet(t["corpus_survivors"])
+    qual = qual.dropDuplicates(["doc_id"])
+    surv = surv.dropDuplicates(["doc_id"])
 
     # Day-2 batch vs corpus-survivor collisions through the persisted
     # index. The index carries each row's signature (denormalized at
@@ -326,6 +359,28 @@ def _kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def manifest_rows(kept: DataFrame, salt: str = "manifest-2:") -> DataFrame:
+    """Shared manifest finalizer: place a keep-set at deterministic
+    salted-md5 positions in 8 shards. Used by the batch-built, streamed,
+    and day-3 manifest variants (different salt per generation)."""
+    h = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+    sh = kept.select(
+        "doc_id",
+        "from_batch",
+        h.alias("h"),
+        (F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % 8).alias("shard"),
+    )
+    return sh.select(
+        "doc_id",
+        "from_batch",
+        F.col("shard").cast("long").alias("shard"),
+        F.row_number()
+        .over(Window.partitionBy("shard").orderBy("h", "doc_id"))
+        .cast("long")
+        .alias("pos"),
+    ).orderBy("shard", "pos")
+
+
 @query("pipeline_manifest_incremental", _incremental_manifest_oracle())
 def pipeline_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-2 training manifest from the MATERIALIZED pipeline tables: the
@@ -344,23 +399,7 @@ def pipeline_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     At 100 TB: daily manifest cost = O(batch + index scan), not
     O(corpus) — the reference's ingest-time-precompute contract
     (init.sql:100-121) applied to the dedup pipeline."""
-    kept = _kept_docs(spark, sf_dir)
-    h = F.md5(F.concat(F.lit("manifest-2:"), F.col("doc_id").cast("string")))
-    sh = kept.select(
-        "doc_id",
-        "from_batch",
-        h.alias("h"),
-        (F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % 8).alias("shard"),
-    )
-    return sh.select(
-        "doc_id",
-        "from_batch",
-        F.col("shard").cast("long").alias("shard"),
-        F.row_number()
-        .over(Window.partitionBy("shard").orderBy("h", "doc_id"))
-        .cast("long")
-        .alias("pos"),
-    ).orderBy("shard", "pos")
+    return manifest_rows(_kept_docs(spark, sf_dir))
 
 
 @query("pipeline_dataset_card", _dataset_card_oracle())
