@@ -30,72 +30,60 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the flagship pinned at index <= 49; already-double-green re-confirmation
 #: rows yield their slots first. The rest keep registration order behind.
 _PRIORITY = [
-    # --- round 5: new queries (never driver-sampled) ---
-    "pipeline_manifest_incremental",  # materialized-pipeline read path
-    "streaming_late_data_drop",       # watermark-eviction proof
-    "vector_ann_ivf_read_topk",       # materialized IVF index + DPP scan
-    "pipeline_dataset_card",          # mix report off the read path
-    "streaming_stateful_running_counts",  # applyInPandasWithState proof
-    "join_skew_salted",               # salted join/agg vs unsalted oracle
-    # only driver rows are r1 reds/weak (no_oracle / unhashable / hash
-    # mismatch) — fixed since but never re-sampled; caught by the
-    # mechanized staleness gate (tools/staleness.py), must re-front
-    "agg_approx_distinct",
-    "agg_group_array_types",
-    "q12_priority_by_linestatus",
-    "scalar_array_functions",
-    # --- round 5: engine and/or oracle changed -> must re-sample ---
-    "scalar_readable_timedelta",      # truncation contract documented
-    "join_interval_overlap",          # oracle degenerate-interval filter
-    "dedup_survivors",                # max_bucket=None parity + CC seed
-    "dedup_connected_components",     # CC neighbor-min init + empty exit
-    "dedup_minhash_lsh_pairs",        # shares CC-adjacent pair pipeline
-    "pipeline_training_manifest",     # composes gopher + survivors
-    "text_gopher_rules",              # refactored through gopher_flags
-    "join_asof_nearest",              # nearest mode gained direct tests
-    # --- flagship + streaming family (the reference's core semantics) ---
-    "mv_analytics_projection",
-    "streaming_tumbling_daily",
-    "streaming_sliding_12h",
-    "streaming_session_windows",
-    "streaming_dedup_counts",
-    "streaming_stream_stream_join",
-    "streaming_static_enrich",
-    # --- r4-green rows rotating through re-confirmation ---
-    "join_dict_hierarchy",
-    "behavioral_retention_matrix",
-    "scalar_hash_functions",
-    "agg_partial_state_merge",
-    "scalar_timezone_functions",
-    "timeseries_period_power",
-    "behavioral_markov_transitions",
-    "timeseries_anomaly_mad",
-    "text_boilerplate_ngrams",
-    "vector_hard_negatives",
-    "window_funnel_strict_order",
-    "scalar_zorder_key",
-    "text_tfidf_keywords",
-    "scalar_point_in_polygon",
-    "agg_sparkbar",
-    "agg_student_ttest",
-    "agg_contingency_coefs",
-    "text_global_shuffle",
-    "text_bigram_lm_score",
-    "vector_quantize_int8",
-    "agg_mann_whitney",
-    "agg_ks_test",
-    "agg_theils_u",
-    "agg_categorical_iv",
-    "scalar_string_distance",
-    "agg_lttb_downsample",
-    "dedup_semantic_buckets",
-    "agg_topk_weighted",
-    "scalar_bit_functions",
-    "agg_retention_flags",
-    "scalar_null_semantics",
-    "agg_bounding_ratio",
-    "vector_ann_cosine_topk",
-    "agg_linear_regression",
+    # --- round 6: new queries + this round's engine/oracle changes ---
+    "pipeline_manifest_day3",  # promoted-corpus read path (new r6)
+    "pipeline_manifest_streamed",  # streamed-index manifest, replay baked in (new r6)
+    "vector_ann_ivf_appended_topk",  # incremental ANN append path (new r6)
+    "pipeline_manifest_incremental",  # consumer refactored duplicate-invariant (r6)
+    "pipeline_dataset_card",  # oracle CTEs recomposed (r6)
+    "scalar_readable_timedelta",  # integral-div decomposition (r6)
+    "vector_ann_ivf_read_topk",  # index rebuilt under ANN_VERSION 2 (r6)
+    "vector_ann_ivf_topk",  # r2-green rotating + shared assign kernel changed
+    "mv_analytics_projection",  # flagship, pinned inside the window
+    # --- oldest-green rotation (VERDICT r5 #3): the full round-1
+    # cohort (34) plus the 7 oldest round-2 greens re-front through
+    # every spare re-confirmation slot ---
+    "agg_argmax_latest_event",
+    "agg_conditional",
+    "agg_cube_orders",
+    "agg_distinct_orders",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_rollup_lineitem",
+    "agg_sequence_match",
+    "agg_sum_map_props",
+    "agg_topk_heavy_hitters",
+    "agg_uniq_up_to",
+    "join_anti_customers_without_orders",
+    "join_semi_active_suppliers",
+    "market_share_by_year",
+    "pivot_status_by_priority",
+    "q10_returned_items",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "scalar_conditional_functions",
+    "scalar_date_functions",
+    "scalar_json_functions",
+    "scalar_map_functions",
+    "scalar_math_functions",
+    "scalar_regexp_functions",
+    "scalar_string_functions",
+    "set_except_never_urgent",
+    "set_intersect_big_spenders",
+    "set_ops_bag_semantics",
+    "sort_limit_expensive_parts",
+    "window_ranking_functions",
+    "window_running_spend",
+    "window_topk_orders",
+    "agg_bit_ops",
+    "agg_delta_sum",
+    "agg_entropy",
+    "agg_histogram",
+    "agg_min_max_map",
+    "agg_moving_avg",
+    "agg_statistical_moments",
 ]
 
 

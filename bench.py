@@ -64,12 +64,20 @@ def main() -> None:
     # 100-121) — so the manifest read-path query measures the read path,
     # not a once-per-fixture build. A no-op when the cache is warm.
     from go_nats_to_clickhouse_spark.plans.materialize import (
+        ann_appended_tables,
         ann_tables,
+        gen3_tables,
         pipeline_tables,
+        streamed_index_tables,
     )
 
     pipeline_tables(spark, sf_dir)
     ann_tables(spark, sf_dir)
+    # round 6: the streamed-index, promoted-corpus and appended-ANN
+    # families are the same ingest-time precompute contract
+    streamed_index_tables(spark, sf_dir)
+    gen3_tables(spark, sf_dir)
+    ann_appended_tables(spark, sf_dir)
 
     # Per-query timing with contention guards (VERDICT r4 #6): a single
     # contended run inflated the r4 vector family 3-4x over solo cost and

@@ -298,22 +298,45 @@ def ivf_build_assignments(
             if len(members):  # empty cell keeps its previous centroid
                 centers_arr[j] = members.mean(axis=0)
     centers = [[float(x) for x in c] for c in centers_arr]
+    return assign_cells(corpus_df, centers, id_col=id_col, vec_col=vec_col), centers
 
-    from pyspark.sql.types import IntegerType
 
-    schema = corpus_df.select(id_col, vec_col).schema.add("cell", IntegerType())
+def assign_cells(
+    df: DataFrame,
+    centers: list[list[float]],
+    id_col: str = "neighbor_id",
+    vec_col: str = "cv",
+    with_dist: bool = False,
+) -> DataFrame:
+    """Map-side cell assignment against a FROZEN centroid list: one numpy
+    GEMM per Arrow batch, no shuffle — shared by the initial index build
+    (:func:`ivf_build_assignments`) and the incremental append path
+    (plans/materialize.append_ann_batch), so a streamed-in vector lands
+    in exactly the cell a full rebuild with the same centroids would give
+    it. ``with_dist=True`` adds ``sq_dist`` (squared distance to the
+    assigned centroid) for drift monitoring."""
+    from pyspark.sql.types import DoubleType, IntegerType
+
+    schema = df.select(id_col, vec_col).schema.add("cell", IntegerType())
+    if with_dist:
+        schema = schema.add("sq_dist", DoubleType())
 
     def _assign(batches):
         import numpy as np
 
         for pdf in batches:
+            if not len(pdf):
+                continue
             X = np.stack(pdf[vec_col].to_numpy())
+            d = _sq_dists(X, centers)
+            cells = d.argmin(axis=1)
             out = pdf[[id_col, vec_col]].copy()
-            out["cell"] = _sq_dists(X, centers).argmin(axis=1).astype("int32")
+            out["cell"] = cells.astype("int32")
+            if with_dist:
+                out["sq_dist"] = d[np.arange(len(d)), cells]
             yield out
 
-    assigned = corpus_df.select(id_col, vec_col).mapInPandas(_assign, schema)
-    return assigned, centers
+    return df.select(id_col, vec_col).mapInPandas(_assign, schema)
 
 
 def ivf_topk(

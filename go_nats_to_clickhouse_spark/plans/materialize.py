@@ -136,14 +136,23 @@ def pipeline_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
 
 
 def _build(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    from go_nats_to_clickhouse_spark.schemas import load_table
+
+    _build_from(load_table(spark, sf_dir, "documents"), out_dir, NEW_SOURCES)
+
+
+def _build_from(
+    docs: DataFrame, out_dir: str, new_sources: tuple[str, ...]
+) -> None:
+    """Day-1 ingest over an arbitrary documents frame / batch split —
+    shared by the default fixture build and the gen-3 (held-out day-3)
+    build, so both corpora are produced by identical code."""
     from go_nats_to_clickhouse_spark.operators.dedup import (
         lsh_verified_jaccard_pairs,
     )
     from go_nats_to_clickhouse_spark.operators.graph import connected_components
-    from go_nats_to_clickhouse_spark.schemas import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
-    is_new = F.col("source").isin(*NEW_SOURCES)
+    is_new = F.col("source").isin(*new_sources)
     membership = docs.select("doc_id", is_new.alias("is_new"))
 
     # shared per-document index rows (see index_rows) + per-doc membership
@@ -181,8 +190,10 @@ def _write(df: DataFrame, path: str) -> None:
 
 
 def drop_cache(sf_dir: str | None = None) -> None:
-    """Test hook: drop every materialized table family (pipeline AND ann)
-    for one fixture, or everything."""
+    """Test hook: drop every materialized table family (pipeline, ann,
+    streamed, gen3) for one fixture, or everything. Every family's tag
+    embeds '{sf_name}-' (published and '.build-' litter alike), so a
+    substring match covers all of them."""
     root = _mat_root()
     if not os.path.isdir(root):
         return
@@ -190,14 +201,8 @@ def drop_cache(sf_dir: str | None = None) -> None:
         shutil.rmtree(root, ignore_errors=True)
         return
     sf_name = os.path.basename(os.path.normpath(sf_dir))
-    prefixes = (
-        f"{sf_name}-",
-        f"ann-{sf_name}-",
-        f".build-{sf_name}-",
-        f".build-ann-{sf_name}-",
-    )
     for entry in os.listdir(root):
-        if entry.startswith(prefixes):
+        if f"{sf_name}-" in entry:
             shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
 
 
@@ -205,10 +210,10 @@ def drop_cache(sf_dir: str | None = None) -> None:
 # ANN index at rest: IVF centroids + cell-partitioned corpus.
 # ---------------------------------------------------------------------------
 
-ANN_TABLES = ("ann_centroids", "ann_corpus")
+ANN_TABLES = ("ann_centroids", "ann_corpus", "ann_stats")
 
 #: bump to invalidate cached ANN materializations
-ANN_VERSION = 1
+ANN_VERSION = 2
 
 
 def _ann_fingerprint(sf_dir: str, n_lists: int) -> str:
@@ -233,6 +238,11 @@ def ann_tables(spark: SparkSession, sf_dir: str, n_lists: int = 16) -> dict[str,
       that fraction of the corpus FILES (dynamic partition pruning from
       the broadcast probe list; pinned in the read-path query's plan).
 
+    * ``ann_stats``     — one row (distortion, n_vectors): the
+      training-time mean squared distance to the assigned centroid — the
+      baseline the incremental append path's drift guard compares
+      against (:func:`append_ann_batch`).
+
     Training is operators/similarity.ivf_build_assignments — numpy
     Lloyd's on a bounded prefix sample, deterministic for fixed seed +
     input order, so rebuilding from the same fixture reproduces the index
@@ -241,30 +251,136 @@ def ann_tables(spark: SparkSession, sf_dir: str, n_lists: int = 16) -> dict[str,
     tag = f"ann-{sf_name}-{_ann_fingerprint(sf_dir, n_lists)}"
 
     def build(tmp: str) -> None:
-        from go_nats_to_clickhouse_spark.operators.similarity import (
-            ivf_build_assignments,
-        )
-        from go_nats_to_clickhouse_spark.schemas import load_table
-
-        e = load_table(spark, sf_dir, "embeddings")
-        corpus = e.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
-        )
-        assigned, centers = ivf_build_assignments(corpus, n_lists=n_lists)
-        cent_df = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(centers)],
-            "cell int, center array<double>",
-        )
-        _write(cent_df, os.path.join(tmp, "ann_centroids"))
-        (
-            assigned.repartition("cell")
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(os.path.join(tmp, "ann_corpus"))
-        )
+        _build_ann(spark, _embedding_corpus(spark, sf_dir), tmp, n_lists)
 
     return _published(f"ann-{sf_name}-", tag, ANN_TABLES, build)
+
+
+def _embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_nats_to_clickhouse_spark.schemas import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+
+
+def _build_ann(
+    spark: SparkSession, corpus: DataFrame, tmp: str, n_lists: int
+) -> None:
+    """Train + assign + persist the three ANN tables for ``corpus`` into
+    ``tmp`` — shared by the whole-fixture build (:func:`ann_tables`) and
+    the base stage of the appended-index variant
+    (:func:`ann_appended_tables`)."""
+    from go_nats_to_clickhouse_spark.operators.similarity import (
+        assign_cells,
+        ivf_build_assignments,
+    )
+
+    _, centers = ivf_build_assignments(corpus, n_lists=n_lists)
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "cell int, center array<double>",
+    )
+    _write(cent_df, os.path.join(tmp, "ann_centroids"))
+    # one assignment pass serves both the corpus table and the drift
+    # baseline (lazy checkpoint: materialized once, read twice)
+    aw = assign_cells(corpus, centers, with_dist=True).localCheckpoint(
+        eager=False
+    )
+    (
+        aw.drop("sq_dist")
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(tmp, "ann_corpus"))
+    )
+    stats = aw.agg(
+        F.avg("sq_dist").alias("distortion"),
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+    )
+    _write(stats, os.path.join(tmp, "ann_stats"))
+
+
+def append_ann_batch(
+    spark: SparkSession, new_vectors: DataFrame, tables: dict[str, str]
+) -> float:
+    """Incremental ANN index maintenance (VERDICT r5 #5) — the vector
+    analog of :func:`append_batch_index`: assign a batch of new
+    embeddings (neighbor_id, cv) to the FROZEN centroid table and append
+    them to the cell-partitioned corpus. Cells are stable by
+    construction, so the read path (ivf_read_topk + dynamic partition
+    pruning) serves the grown corpus unchanged; the shared
+    operators/similarity.assign_cells kernel guarantees an appended
+    vector lands in exactly the cell a full rebuild with the same
+    centroids would give it. Map-only: broadcast n_lists x dim centroid
+    literals into one Arrow GEMM per batch, then a partitioned append
+    (repartition("cell") keeps it to one file per touched cell per
+    batch; merging small files stays plans/layout.compact_table's job).
+
+    Returns the DRIFT RATIO — the batch's mean squared distance to its
+    assigned centroids over the training-time distortion (ann_stats). A
+    ratio near 1 means the frozen cells still describe the incoming
+    data; callers re-train (rebuild ann_tables) when it exceeds their
+    threshold (~2x) BEFORE recall degrades silently — staleness made
+    observable, the drift guard the batch-only index lacked."""
+    from go_nats_to_clickhouse_spark.operators.similarity import assign_cells
+
+    centers = [
+        list(r.center)
+        for r in spark.read.parquet(tables["ann_centroids"])
+        .orderBy("cell")
+        .collect()
+    ]
+    aw = assign_cells(new_vectors, centers, with_dist=True).localCheckpoint(
+        eager=False
+    )
+    (
+        aw.drop("sq_dist")
+        .repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(tables["ann_corpus"])
+    )
+    batch_dist = aw.agg(F.avg("sq_dist")).first()[0]
+    base = spark.read.parquet(tables["ann_stats"]).first()
+    if batch_dist is None:  # empty batch: nothing appended, no drift
+        return 1.0
+    if not base.distortion:
+        return float("inf")
+    return float(batch_dist) / float(base.distortion)
+
+
+def ann_appended_tables(
+    spark: SparkSession, sf_dir: str, n_lists: int = 16
+) -> dict[str, str]:
+    """The ANN index as BASE BUILD + INCREMENTAL APPEND, cached per
+    fixture: train and build on the ``vec_id % 4 != 3`` three-quarters of
+    the embeddings, then fold the held-out quarter in with
+    :func:`append_ann_batch` against the frozen centroids — the
+    maintenance lifecycle a production index lives (bulk build at day 1,
+    streamed appends after), driver-checked through the same recall
+    contract as the batch-built index (queries/vector.py). The build
+    fails loudly if the same-distribution append trips the drift guard —
+    that would mean assignment and training disagree."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"ann2-{sf_name}-{_ann_fingerprint(sf_dir, n_lists)}"
+
+    def build(tmp: str) -> None:
+        corpus = _embedding_corpus(spark, sf_dir)
+        held_out = F.pmod(F.col("neighbor_id"), F.lit(4)) == 3
+        _build_ann(spark, corpus.filter(~held_out), tmp, n_lists)
+        paths = {t: os.path.join(tmp, t) for t in ANN_TABLES}
+        ratio = append_ann_batch(spark, corpus.filter(held_out), paths)
+        if not (0.2 < ratio < 5.0):
+            raise RuntimeError(
+                f"ann_appended_tables: same-distribution append drifted "
+                f"{ratio:.2f}x vs training distortion — assignment and "
+                f"training disagree"
+            )
+
+    return _published(f"ann2-{sf_name}-", tag, ANN_TABLES, build)
 
 
 # ---------------------------------------------------------------------------
@@ -351,3 +467,148 @@ def start_doc_index_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+STREAM_TABLES = ("doc_sigs", "doc_bands", "doc_quality")
+
+
+def streamed_index_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """The day-2 index built BY THE STREAMING MAINTAINER instead of the
+    batch builder, cached per fixture like :func:`pipeline_tables`: the
+    batch docs are laid out as three arrival files, an actual
+    :func:`start_doc_index_stream` micro-batch run (maxFilesPerTrigger=1,
+    so three foreachBatch epochs) appends their index rows, and then ONE
+    epoch is deliberately re-appended — the documented crash-replay
+    duplicate, baked INTO the published table. A consumer that goes green
+    against the batch oracle on these tables therefore proves BOTH
+    streamed==batch row equivalence and at-least-once duplicate
+    tolerance end-to-end (VERDICT r5 #6 + #1), not just in a unit test.
+
+    The arrival files and stream checkpoint are build artifacts kept
+    under '_'-prefixed dirs inside the published tag (inert to readers;
+    only STREAM_TABLES paths are handed out)."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"stream-{sf_name}-{_fingerprint(sf_dir)}"
+
+    def build(tmp: str) -> None:
+        from go_nats_to_clickhouse_spark.schemas import load_table
+
+        batch = load_table(spark, sf_dir, "documents").filter(
+            F.col("source").isin(*NEW_SOURCES)
+        )
+        arrivals = os.path.join(tmp, "_arrivals")
+        # one job, three files -> three micro-batches downstream (any
+        # doc->file placement yields the same index union)
+        batch.repartition(3).write.parquet(arrivals)
+        q = start_doc_index_stream(
+            spark, arrivals, tmp, os.path.join(tmp, "_ckpt")
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # the simulated crash-replayed epoch: re-append the first arrival
+        # file's rows (identical bytes, at-least-once contract)
+        first = sorted(
+            f for f in os.listdir(arrivals) if f.endswith(".parquet")
+        )[0]
+        append_batch_index(
+            spark.read.parquet(os.path.join(arrivals, first)), tmp, is_new=True
+        )
+
+    return _published(f"stream-{sf_name}-", tag, STREAM_TABLES, build)
+
+
+# ---------------------------------------------------------------------------
+# Batch promotion — day-3 readiness (the cross-day MV contract).
+# ---------------------------------------------------------------------------
+
+
+def promote_batch(spark: SparkSession, root: str) -> None:
+    """Fold the current batch (``is_new`` rows) into the corpus under
+    ``root``, in place: day-3 readiness (VERDICT r5 #2) — the reference's
+    continuous-MV semantics (init.sql:100-121) carried ACROSS days
+    instead of within one.
+
+    * The batch's dedup survivors — vs the current corpus survivors and
+      within the batch, computed by the exact read-path semantics
+      (queries/pipeline_mat.batch_survivors_from, signature-index only,
+      no text rescans) — are appended to ``corpus_survivors``.
+    * Every index row's ``is_new`` flips to False. Flip-all is correct
+      even for batch docs DROPPED as duplicates: the read path only
+      consults corpus index rows through a semi-join with the survivor
+      table, so non-survivor rows are inert on the corpus side.
+    * The rewrite is compaction-shaped (read -> staged hidden sibling ->
+      swap) and folds the at-least-once dedup in: replayed-epoch
+      duplicates are dropped here by doc_id / (doc_id, band), so a
+      promoted corpus is also a compacted, exactly-once one.
+
+    After promotion the NEXT day's batch appends via
+    :func:`append_batch_index` and the same consumer runs unchanged."""
+    from go_nats_to_clickhouse_spark.queries.pipeline_mat import (
+        batch_survivors_from,
+    )
+
+    paths = {t: os.path.join(root, t) for t in TABLES}
+    bands = spark.read.parquet(paths["doc_bands"])
+    qual = spark.read.parquet(paths["doc_quality"])
+    surv = spark.read.parquet(paths["corpus_survivors"]).dropDuplicates(
+        ["doc_id"]
+    )
+    new_ids = (
+        qual.filter(F.col("is_new")).select("doc_id").dropDuplicates(["doc_id"])
+    )
+    new_surv = batch_survivors_from(bands, new_ids, surv)
+
+    promoted = {
+        "corpus_survivors": surv.select("doc_id").unionByName(
+            new_surv.select("doc_id")
+        ),
+        "doc_sigs": spark.read.parquet(paths["doc_sigs"])
+        .dropDuplicates(["doc_id"])
+        .withColumn("is_new", F.lit(False)),
+        "doc_bands": bands.dropDuplicates(["doc_id", "band"]).withColumn(
+            "is_new", F.lit(False)
+        ),
+        "doc_quality": qual.dropDuplicates(["doc_id"]).withColumn(
+            "is_new", F.lit(False)
+        ),
+    }
+    # stage every rewrite before swapping any: each staged write reads
+    # the original tables, so no table is replaced while still an input
+    staged = {}
+    for name, df in promoted.items():
+        tmp = os.path.join(root, f".promote-{name}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        _write(df.sortWithinPartitions("doc_id"), tmp)
+        staged[name] = tmp
+    for name, tmp in staged.items():
+        shutil.rmtree(paths[name], ignore_errors=True)
+        os.rename(tmp, paths[name])
+
+
+DAY3_SOURCES = ("src2", "src3")
+
+
+def gen3_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Three-generation pipeline tables, cached per fixture: a day-1
+    corpus EXCLUDING the held-out day-3 sources is built by the standard
+    ingest (:func:`_build_from`), the day-2 batch (src0/src1) is promoted
+    into it (:func:`promote_batch`), and the day-3 batch (src2/src3)
+    arrives on top via :func:`append_batch_index` — so ``is_new`` rows
+    are the day-3 batch and the corpus side is the PROMOTED two-
+    generation corpus. The unchanged read-path consumer then runs day 3
+    exactly as it ran day 2."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"gen3-{sf_name}-{_fingerprint(sf_dir)}"
+
+    def build(tmp: str) -> None:
+        from go_nats_to_clickhouse_spark.schemas import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        day3 = F.col("source").isin(*DAY3_SOURCES)
+        _build_from(docs.filter(~day3), tmp, NEW_SOURCES)
+        promote_batch(spark, tmp)
+        append_batch_index(docs.filter(day3), tmp, is_new=True)
+
+    return _published(f"gen3-{sf_name}-", tag, TABLES, build)

@@ -45,6 +45,7 @@ from pyspark.sql.window import Window
 from go_nats_to_clickhouse_spark.queries.registry import query
 from go_nats_to_clickhouse_spark.queries.text import _mh_mins_sql, _SH_CTE
 from go_nats_to_clickhouse_spark.plans.materialize import (
+    DAY3_SOURCES,
     NEW_SOURCES,
     pipeline_tables,
 )
@@ -59,14 +60,11 @@ _EST_MATCH_SQL = (
 )
 
 _NEW_SRC_SQL = "('" + "', '".join(NEW_SOURCES) + "')"
+_DAY3_SRC_SQL = "('" + "', '".join(DAY3_SOURCES) + "')"
 
-
-def _kept_cte() -> str:
-    """Shared oracle prefix: every CTE up to `kept` (doc_id, from_batch) —
-    used by both the manifest and the dataset-card finalizers."""
-    return f"""
-WITH RECURSIVE {_SH_CTE.strip().rstrip()},
-based AS (
+#: signature/banding CTEs over ALL documents (per-doc definitions are
+#: generation-independent) — shared by every oracle in this module
+_SIG_CTES = f"""based AS MATERIALIZED (
   SELECT doc_id, shingle,
          ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS base
   FROM sh
@@ -77,17 +75,17 @@ mh AS (
   FROM based
   GROUP BY doc_id
 ),
-sig AS (SELECT doc_id, [{_SIG_LIST}] AS sig FROM mh),
-bands AS (
+sig AS MATERIALIZED (SELECT doc_id, [{_SIG_LIST}] AS sig FROM mh),
+bands AS MATERIALIZED (
   SELECT doc_id, band,
          md5(array_to_string(list_transform(range(1, 5),
              r -> CAST(sig[band * 4 + r] AS VARCHAR)), '-')) AS bucket
   FROM sig, UNNEST(range(4)) AS t(band)
-),
-new_ids AS (SELECT doc_id FROM documents WHERE source IN {_NEW_SRC_SQL}),
-corp_ids AS (SELECT doc_id FROM documents WHERE source NOT IN {_NEW_SRC_SQL}),
--- day-1 ingest: exact-verified survivors within the corpus split
-ccand AS (
+)"""
+
+#: day-1 ingest: exact-verified survivors within `corp_ids` (each oracle
+#: defines corp_ids for its own generation layout)
+_EXACT_SURV_CTES = """ccand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a
   JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
@@ -95,7 +93,7 @@ ccand AS (
   WHERE a.doc_id IN (SELECT doc_id FROM corp_ids)
     AND b.doc_id IN (SELECT doc_id FROM corp_ids)
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 ccommon AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
   FROM ccand c
@@ -122,66 +120,19 @@ creach(node, r) AS (
   SELECT e.u, creach.r FROM cedges e JOIN creach ON creach.node = e.v
 ),
 ccomp AS (SELECT node AS doc_id, MIN(r) AS component FROM creach GROUP BY node),
-corp_surv AS (
+corp_surv AS MATERIALIZED (
   SELECT d.doc_id FROM corp_ids d
   LEFT JOIN ccomp c ON c.doc_id = d.doc_id
   WHERE c.doc_id IS NULL OR c.component = d.doc_id
-),
--- day-2: batch vs corpus-survivor signature collisions
-xdup AS (
-  SELECT DISTINCT x.new_id FROM (
-    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
-    FROM bands n
-    JOIN bands c ON c.band = n.band AND c.bucket = n.bucket
-    WHERE n.doc_id IN (SELECT doc_id FROM new_ids)
-      AND c.doc_id IN (SELECT doc_id FROM corp_surv)
-  ) x
-  JOIN sig sa ON sa.doc_id = x.new_id
-  JOIN sig sb ON sb.doc_id = x.corpus_id
-  WHERE {_EST_MATCH_SQL}
-),
-b1 AS (
-  SELECT doc_id FROM new_ids
-  WHERE doc_id NOT IN (SELECT new_id FROM xdup)
-),
--- day-2: within-batch resolution among the corpus-clean docs
-wpairs AS (
-  SELECT w.doc_a, w.doc_b FROM (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a
-    JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-                AND a.doc_id < b.doc_id
-    WHERE a.doc_id IN (SELECT doc_id FROM b1)
-      AND b.doc_id IN (SELECT doc_id FROM b1)
-  ) w
-  JOIN sig sa ON sa.doc_id = w.doc_a
-  JOIN sig sb ON sb.doc_id = w.doc_b
-  WHERE {_EST_MATCH_SQL}
-),
-wedges AS (
-  SELECT doc_a AS u, doc_b AS v FROM wpairs
-  UNION
-  SELECT doc_b AS u, doc_a AS v FROM wpairs
-),
-wnodes AS (SELECT DISTINCT u AS node FROM wedges),
-wreach(node, r) AS (
-  SELECT node, node FROM wnodes
-  UNION
-  SELECT e.u, wreach.r FROM wedges e JOIN wreach ON wreach.node = e.v
-),
-wcomp AS (SELECT node AS doc_id, MIN(r) AS component FROM wreach GROUP BY node),
-new_surv AS (
-  SELECT d.doc_id FROM b1 d
-  LEFT JOIN wcomp c ON c.doc_id = d.doc_id
-  WHERE c.doc_id IS NULL OR c.component = d.doc_id
-),
--- quality gate (same rules as text_gopher_rules)
-gw AS (
+)"""
+
+#: Gopher quality gate (same rules as text_gopher_rules)
+_GPASS_CTES = """gw AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words,
          text
   FROM documents
 ),
-gpass AS (
+gpass AS MATERIALIZED (
   SELECT doc_id FROM gw
   WHERE len(words) BETWEEN 50 AND 100000
     AND CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
@@ -193,23 +144,129 @@ gpass AS (
     AND len(list_filter(words, x -> list_contains(
         ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
         lower(x)))) >= 2
+)"""
+
+
+def _est_dedup_ctes(p: str, batch_cte: str, corpus_cte: str) -> str:
+    """CTE chain ``{p}xdup .. {p}surv``: the signature-only incremental
+    dedup of one batch generation against a corpus CTE — collisions with
+    the corpus drop the batch copy, then the corpus-clean remainder
+    near-dup-resolves within itself keeping the component min. Exactly
+    the semantics of batch_survivors_from, per generation."""
+    return f"""{p}xdup AS MATERIALIZED (
+  SELECT DISTINCT x.new_id FROM (
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+    FROM bands n
+    JOIN bands c ON c.band = n.band AND c.bucket = n.bucket
+    WHERE n.doc_id IN (SELECT doc_id FROM {batch_cte})
+      AND c.doc_id IN (SELECT doc_id FROM {corpus_cte})
+  ) x
+  JOIN sig sa ON sa.doc_id = x.new_id
+  JOIN sig sb ON sb.doc_id = x.corpus_id
+  WHERE {_EST_MATCH_SQL}
 ),
+{p}b1 AS MATERIALIZED (
+  SELECT doc_id FROM {batch_cte}
+  WHERE doc_id NOT IN (SELECT new_id FROM {p}xdup)
+),
+{p}wpairs AS MATERIALIZED (
+  SELECT w.doc_a, w.doc_b FROM (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id
+    WHERE a.doc_id IN (SELECT doc_id FROM {p}b1)
+      AND b.doc_id IN (SELECT doc_id FROM {p}b1)
+  ) w
+  JOIN sig sa ON sa.doc_id = w.doc_a
+  JOIN sig sb ON sb.doc_id = w.doc_b
+  WHERE {_EST_MATCH_SQL}
+),
+{p}wedges AS (
+  SELECT doc_a AS u, doc_b AS v FROM {p}wpairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM {p}wpairs
+),
+{p}wnodes AS (SELECT DISTINCT u AS node FROM {p}wedges),
+{p}wreach(node, r) AS (
+  SELECT node, node FROM {p}wnodes
+  UNION
+  SELECT e.u, {p}wreach.r
+  FROM {p}wedges e JOIN {p}wreach ON {p}wreach.node = e.v
+),
+{p}wcomp AS (
+  SELECT node AS doc_id, MIN(r) AS component FROM {p}wreach GROUP BY node
+),
+{p}surv AS MATERIALIZED (
+  SELECT d.doc_id FROM {p}b1 d
+  LEFT JOIN {p}wcomp c ON c.doc_id = d.doc_id
+  WHERE c.doc_id IS NULL OR c.component = d.doc_id
+)"""
+
+
+def _kept_cte() -> str:
+    """Shared oracle prefix: every CTE up to `kept` (doc_id, from_batch)
+    for the two-generation (day-1 corpus + day-2 batch) layout — used by
+    the incremental/streamed manifests and the dataset card."""
+    return f"""
+WITH RECURSIVE {_SH_CTE.strip().rstrip()},
+{_SIG_CTES},
+new_ids AS (SELECT doc_id FROM documents WHERE source IN {_NEW_SRC_SQL}),
+corp_ids AS (SELECT doc_id FROM documents WHERE source NOT IN {_NEW_SRC_SQL}),
+{_EXACT_SURV_CTES},
+{_est_dedup_ctes('', 'new_ids', 'corp_surv')},
+{_GPASS_CTES},
 kept AS (
   SELECT doc_id, FALSE AS from_batch FROM corp_surv
   WHERE doc_id IN (SELECT doc_id FROM gpass)
   UNION ALL
-  SELECT doc_id, TRUE AS from_batch FROM new_surv
+  SELECT doc_id, TRUE AS from_batch FROM surv
   WHERE doc_id IN (SELECT doc_id FROM gpass)
 )
 """
 
 
-def _incremental_manifest_oracle() -> str:
-    return _kept_cte() + """,
+def _day3_kept_cte() -> str:
+    """Three-generation oracle prefix, entirely from the source
+    ``documents`` view: exact-verified day-1 survivors on the corpus
+    EXCLUDING the held-out day-3 sources, day-2 promoted via the
+    signature-only dedup, then day-3 resolved against the promoted
+    two-generation corpus — the ground truth for promote_batch +
+    gen3_tables + the unchanged read-path consumer."""
+    return f"""
+WITH RECURSIVE {_SH_CTE.strip().rstrip()},
+{_SIG_CTES},
+new_ids AS (SELECT doc_id FROM documents WHERE source IN {_NEW_SRC_SQL}),
+d3_ids AS (SELECT doc_id FROM documents WHERE source IN {_DAY3_SRC_SQL}),
+corp_ids AS (SELECT doc_id FROM documents
+             WHERE source NOT IN {_NEW_SRC_SQL}
+               AND source NOT IN {_DAY3_SRC_SQL}),
+{_EXACT_SURV_CTES},
+{_est_dedup_ctes('', 'new_ids', 'corp_surv')},
+promoted AS MATERIALIZED (
+  SELECT doc_id FROM corp_surv
+  UNION ALL
+  SELECT doc_id FROM surv
+),
+{_est_dedup_ctes('g3', 'd3_ids', 'promoted')},
+{_GPASS_CTES},
+kept AS (
+  SELECT doc_id, FALSE AS from_batch FROM promoted
+  WHERE doc_id IN (SELECT doc_id FROM gpass)
+  UNION ALL
+  SELECT doc_id, TRUE AS from_batch FROM g3surv
+  WHERE doc_id IN (SELECT doc_id FROM gpass)
+)
+"""
+
+
+def _manifest_tail_sql(salt: str) -> str:
+    """Shared oracle finalizer: kept -> (doc_id, from_batch, shard, pos)."""
+    return f""",
 m AS (
   SELECT doc_id, from_batch,
-         md5('manifest-2:' || CAST(doc_id AS VARCHAR)) AS h,
-         ('0x' || substr(md5('manifest-2:' || CAST(doc_id AS VARCHAR)),
+         md5('{salt}' || CAST(doc_id AS VARCHAR)) AS h,
+         ('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)),
                          1, 7))::BIGINT % 8 AS shard
   FROM kept
 )
@@ -218,6 +275,10 @@ SELECT doc_id, from_batch, CAST(shard AS BIGINT) AS shard,
             AS BIGINT) AS pos
 FROM m ORDER BY shard, pos
 """
+
+
+def _incremental_manifest_oracle() -> str:
+    return _kept_cte() + _manifest_tail_sql("manifest-2:")
 
 
 def _dataset_card_oracle() -> str:
@@ -284,12 +345,37 @@ def kept_docs_from(
 
     Pinned by tests/test_materialize.py::TestReplayedEpochIdempotence —
     double-appending one batch must leave the manifest hash unchanged."""
-    from go_nats_to_clickhouse_spark.operators.graph import connected_components
-
     qual = qual.dropDuplicates(["doc_id"])
     surv = surv.dropDuplicates(["doc_id"])
+    new_ids = qual.filter(F.col("is_new")).select("doc_id")
+    new_surv = batch_survivors_from(bands, new_ids, surv)
 
-    # Day-2 batch vs corpus-survivor collisions through the persisted
+    # quality gate read back from the ingest-time bit
+    gpass = qual.filter(F.col("passes_gopher")).select("doc_id")
+    return (
+        surv.join(gpass, "doc_id", "left_semi")
+        .select("doc_id", F.lit(False).alias("from_batch"))
+        .unionByName(
+            new_surv.join(gpass, "doc_id", "left_semi").select(
+                "doc_id", F.lit(True).alias("from_batch")
+            )
+        )
+    )
+
+
+def batch_survivors_from(
+    bands: DataFrame, new_ids: DataFrame, surv: DataFrame
+) -> DataFrame:
+    """The batch's dedup survivors (doc_id), signature-index only:
+    batch-vs-corpus collisions drop the batch copy, then the corpus-clean
+    remainder near-dup-resolves among itself keeping the component min.
+    ``new_ids`` and ``surv`` must arrive deduped (callers:
+    :func:`kept_docs_from` and plans/materialize.promote_batch — the
+    promotion op runs THIS function, so the corpus a day-3 manifest reads
+    was promoted by exactly the semantics the oracle recomputes)."""
+    from go_nats_to_clickhouse_spark.operators.graph import connected_components
+
+    # Batch vs corpus-survivor collisions through the persisted
     # index. The index carries each row's signature (denormalized at
     # ingest, see plans/materialize.py), so the ONE bucket equi-join both
     # generates candidates and verifies them — no signature-table joins.
@@ -310,7 +396,6 @@ def kept_docs_from(
         .filter(_est_matches(F.col("sig_a"), F.col("sig_b")) >= 8)
         .select("new_id")
     )
-    new_ids = qual.filter(F.col("is_new")).select("doc_id")
     # lazy checkpoint: connected_components' eager edge count materializes
     # this subtree once; without it the final job recomputes the whole
     # batch-vs-corpus stage a second time (same AQE ReusedExchange miss as
@@ -340,22 +425,10 @@ def kept_docs_from(
     wcomp = connected_components(wpairs, shortcut=True).select(
         F.col("node").alias("c_doc"), "component"
     )
-    new_surv = (
+    return (
         b1.join(wcomp, b1["doc_id"] == F.col("c_doc"), "left")
         .filter(F.col("c_doc").isNull() | (F.col("component") == F.col("doc_id")))
         .select("doc_id")
-    )
-
-    # quality gate read back from the ingest-time bit
-    gpass = qual.filter(F.col("passes_gopher")).select("doc_id")
-    return (
-        surv.join(gpass, "doc_id", "left_semi")
-        .select("doc_id", F.lit(False).alias("from_batch"))
-        .unionByName(
-            new_surv.join(gpass, "doc_id", "left_semi").select(
-                "doc_id", F.lit(True).alias("from_batch")
-            )
-        )
     )
 
 
@@ -445,6 +518,74 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pct_of_corpus"),
         )
         .orderBy("source", "lang")
+    )
+
+
+@query("pipeline_manifest_streamed", _incremental_manifest_oracle())
+def pipeline_manifest_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day-2 manifest with the batch's index rows produced BY THE
+    STREAMING MAINTAINER (plans/materialize.streamed_index_tables): the
+    batch docs arrive as files, start_doc_index_stream's foreachBatch
+    epochs append their signature/band/quality rows, and one epoch is
+    re-appended to bake the documented crash-replay duplicate into the
+    published table. The corpus side (day-1 bulk ingest) still comes from
+    the batch-built tables — exactly the production split: bulk-indexed
+    corpus + streamed daily arrivals.
+
+    Same oracle as pipeline_manifest_incremental, so a green row proves
+    streamed == batch row equivalence AND at-least-once duplicate
+    tolerance end-to-end through the ACTUAL micro-batch machinery — the
+    driver-checked promotion of tests/test_materialize.py's
+    streamed-equals-batch unit test (VERDICT r5 #6, #1). Consumer code is
+    kept_docs_from, unchanged."""
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        streamed_index_tables,
+    )
+
+    t = pipeline_tables(spark, sf_dir)
+    s = streamed_index_tables(spark, sf_dir)
+    corp = ~F.col("is_new")
+    bands = (
+        spark.read.parquet(t["doc_bands"])
+        .filter(corp)
+        .unionByName(spark.read.parquet(s["doc_bands"]))
+    )
+    qual = (
+        spark.read.parquet(t["doc_quality"])
+        .filter(corp)
+        .unionByName(spark.read.parquet(s["doc_quality"]))
+    )
+    surv = spark.read.parquet(t["corpus_survivors"])
+    return manifest_rows(kept_docs_from(bands, qual, surv))
+
+
+@query("pipeline_manifest_day3", _day3_kept_cte() + _manifest_tail_sql("manifest-3:"))
+def pipeline_manifest_day3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-3 training manifest against a PROMOTED corpus — the cross-day
+    continuity the reference's always-on MVs imply (init.sql:100-121):
+    plans/materialize.gen3_tables builds a day-1 corpus excluding the
+    held-out day-3 sources, folds the day-2 batch in with promote_batch
+    (append the batch's signature-dedup survivors, flip is_new, compact),
+    then appends the day-3 batch via append_batch_index. This query is
+    the UNCHANGED read-path consumer over those tables — day 3 runs
+    exactly as day 2 did, which is the whole point of promotion.
+
+    The oracle recomputes the two-generation dedup chain from the source
+    documents view (exact day-1 survivors -> signature-promoted day-2 ->
+    signature-resolved day-3), so a green row proves the promoted tables
+    carry the semantics the promotion op claims. Scale shape: promotion
+    is an O(corpus-index) compaction at ingest time; the day-3 query
+    itself stays O(batch + index scan), no text rescans."""
+    from go_nats_to_clickhouse_spark.plans.materialize import gen3_tables
+
+    t = gen3_tables(spark, sf_dir)
+    return manifest_rows(
+        kept_docs_from(
+            spark.read.parquet(t["doc_bands"]),
+            spark.read.parquet(t["doc_quality"]),
+            spark.read.parquet(t["corpus_survivors"]),
+        ),
+        salt="manifest-3:",
     )
 
 

@@ -256,6 +256,134 @@ class TestAnnIndex:
         assert got == want
 
 
+class TestAnnIncremental:
+    def test_appended_index_equals_frozen_centroid_reassignment(
+        self, spark, sf_dir, mat_root
+    ):
+        """Base build on 3/4 of the corpus + append of the held-out 1/4
+        must place every vector exactly where a full assignment pass
+        under the SAME frozen centroids would — appends lose nothing and
+        misplace nothing (shared assign_cells kernel)."""
+        from go_nats_to_clickhouse_spark.operators.similarity import assign_cells
+        from go_nats_to_clickhouse_spark.plans.materialize import (
+            _embedding_corpus,
+        )
+        from go_nats_to_clickhouse_spark.schemas import load_table
+
+        t = materialize.ann_appended_tables(spark, sf_dir)
+        corpus = spark.read.parquet(t["ann_corpus"])
+        n = load_table(spark, sf_dir, "embeddings").count()
+        assert corpus.count() == n
+        centers = [
+            list(r.center)
+            for r in spark.read.parquet(t["ann_centroids"]).orderBy("cell").collect()
+        ]
+        want = {
+            (r.neighbor_id, r.cell)
+            for r in assign_cells(
+                _embedding_corpus(spark, sf_dir), centers
+            ).collect()
+        }
+        got = {
+            (r.neighbor_id, r.cell)
+            for r in corpus.select("neighbor_id", "cell").collect()
+        }
+        assert got == want
+
+    def test_drift_guard_trips_on_distribution_shift(
+        self, spark, sf_dir, mat_root, tmp_path
+    ):
+        """Same-distribution appends sit near ratio 1 (enforced inside
+        the ann_appended_tables build); a shifted batch must trip the
+        guard loudly so a stale index is observable, not silent."""
+        import shutil as _sh
+
+        t = materialize.ann_tables(spark, sf_dir)
+        root = str(tmp_path / "ann_copy")
+        paths = {}
+        for name, p in t.items():
+            paths[name] = os.path.join(root, name)
+            _sh.copytree(p, paths[name])
+        shifted = spark.read.parquet(paths["ann_corpus"]).select(
+            "neighbor_id",
+            F.transform("cv", lambda x: x + F.lit(1000.0)).alias("cv"),
+        )
+        ratio = materialize.append_ann_batch(spark, shifted, paths)
+        assert ratio > 5.0
+
+
+class TestPromotion:
+    def test_gen3_tables_promote_batch_into_corpus(self, spark, sf_dir, mat_root):
+        """After promotion: is_new rows are EXACTLY the day-3 batch, the
+        promoted survivor set is day-2-inclusive but day-3-free, and the
+        band table is compacted to its canonical 4 rows per corpus doc."""
+        from go_nats_to_clickhouse_spark.schemas import load_table
+
+        t = materialize.gen3_tables(spark, sf_dir)
+        docs = load_table(spark, sf_dir, "documents")
+        day3_ids = {
+            r.doc_id
+            for r in docs.filter(
+                F.col("source").isin(*materialize.DAY3_SOURCES)
+            ).collect()
+        }
+        day2_ids = {
+            r.doc_id
+            for r in docs.filter(
+                F.col("source").isin(*materialize.NEW_SOURCES)
+            ).collect()
+        }
+        qual = spark.read.parquet(t["doc_quality"])
+        new_ids = {r.doc_id for r in qual.filter(F.col("is_new")).collect()}
+        assert new_ids == day3_ids
+        surv_ids = {
+            r.doc_id
+            for r in spark.read.parquet(t["corpus_survivors"]).collect()
+        }
+        assert surv_ids & day2_ids  # day-2 survivors were folded in
+        assert not (surv_ids & day3_ids)  # day 3 not yet promoted
+        # promotion compacted the band index: 4 rows per corpus doc
+        bands = spark.read.parquet(t["doc_bands"]).filter(~F.col("is_new"))
+        per_doc = (
+            bands.groupBy("doc_id").count().select("count").distinct().collect()
+        )
+        assert [r["count"] for r in per_doc] == [4]
+
+    def test_promote_batch_compacts_replayed_duplicates(
+        self, spark, sf_dir, mat_root, tmp_path
+    ):
+        """Promotion IS a compaction: replayed-epoch duplicates in the
+        pre-promotion tables are dropped by the staged rewrite."""
+        import shutil as _sh
+
+        from go_nats_to_clickhouse_spark.schemas import load_table
+
+        t = materialize.pipeline_tables(spark, sf_dir)
+        root = str(tmp_path / "promo")
+        for name, p in t.items():
+            _sh.copytree(p, os.path.join(root, name))
+        batch = load_table(spark, sf_dir, "documents").filter(
+            F.col("source").isin(*materialize.NEW_SOURCES)
+        )
+        materialize.append_batch_index(batch, root, is_new=True)  # replay
+        materialize.promote_batch(spark, root)
+        for name, keys in (
+            ("doc_sigs", ["doc_id"]),
+            ("doc_bands", ["doc_id", "band"]),
+            ("doc_quality", ["doc_id"]),
+            ("corpus_survivors", ["doc_id"]),
+        ):
+            df = spark.read.parquet(os.path.join(root, name))
+            assert df.count() == df.select(*keys).distinct().count(), name
+        # nothing is_new survives promotion
+        assert (
+            spark.read.parquet(os.path.join(root, "doc_quality"))
+            .filter(F.col("is_new"))
+            .count()
+            == 0
+        )
+
+
 class TestStreamingIndexMaintenance:
     def test_streamed_index_equals_batch_index(self, spark, sf_dir, tmp_path):
         """The ingest-time contract, live: a file-source stream over
