@@ -39,6 +39,7 @@ _PRIORITY = [
     "scalar_readable_timedelta",  # integral-div decomposition (r6)
     "vector_ann_ivf_read_topk",  # index rebuilt under ANN_VERSION 2 (r6)
     "vector_ann_ivf_topk",  # r2-green rotating + shared assign kernel changed
+    "text_tfidf_keywords",  # r6 perf adjudication reverted the r5 repartition
     "mv_analytics_projection",  # flagship, pinned inside the window
     # --- oldest-green rotation (VERDICT r5 #3): the full round-1
     # cohort (34) plus the 7 oldest round-2 greens re-front through
@@ -83,7 +84,6 @@ _PRIORITY = [
     "agg_histogram",
     "agg_min_max_map",
     "agg_moving_avg",
-    "agg_statistical_moments",
 ]
 
 

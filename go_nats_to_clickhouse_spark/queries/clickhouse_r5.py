@@ -1484,12 +1484,15 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     of an exact integer and ln of an exact integer ratio — identical
     doubles in both engines, so the DESC ranking agrees too."""
     d = load_table(spark, sf_dir, "documents")
-    # pre-explode repartition: same 1-2-input-split fix as word_shingles
-    words = (
-        d.repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
-        .filter(F.col("w") != "")
-    )
+    # NO pre-explode repartition here, unlike word_shingles: this explode
+    # is a cheap split feeding an immediately-reducing partial aggregate,
+    # so shuffling the full text column to widen the 1-2 fixture input
+    # splits costs more than the parallelism buys (r5 tried it: 1.43s ->
+    # 1.89s solo at sf0.1; adjudicated in PERF_NOTES.md r6). Shingling is
+    # compute-bound per input row, which is why word_shingles keeps it.
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
     tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n = tf.select(F.countDistinct("doc_id").alias("n"))
