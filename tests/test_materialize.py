@@ -95,13 +95,24 @@ class TestPipelineTables:
 
 
 class TestManifestReadPath:
-    def test_plan_reads_only_materialized_tables(self, spark, sf_dir, mat_root):
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "pipeline_manifest_incremental",
+            "pipeline_manifest_streamed",
+            "pipeline_manifest_day3",
+        ],
+    )
+    def test_plan_reads_only_materialized_tables(
+        self, spark, sf_dir, mat_root, name
+    ):
+        """Every manifest variant — batch-built, streamed-index, and
+        promoted-corpus day-3 — must keep the read-path shape: zero
+        shingle explodes and zero corpus text scans at query time."""
         from go_nats_to_clickhouse_spark.queries import QUERIES
 
-        df = QUERIES["pipeline_manifest_incremental"](spark, sf_dir)
+        df = QUERIES[name](spark, sf_dir)
         plan = _formatted_plan(df)
-        # the whole point of the read path: zero shingle explodes and zero
-        # corpus text scans at query time
         assert "Generate" not in plan, plan
         assert "documents.parquet" not in plan, plan
         for table in ("doc_quality", "corpus_survivors"):
