@@ -575,12 +575,21 @@ def promote_batch(spark: SparkSession, root: str) -> None:
         ),
     }
     # stage every rewrite before swapping any: each staged write reads
-    # the original tables, so no table is replaced while still an input
+    # the original tables, so no table is replaced while still an input.
+    # Sort keys match the initial build's (_build_from): doc_bands keeps
+    # its (band, bucket) order so parquet row-group stats keep giving
+    # data-skipping on the bucket equi-join after promotion.
+    sort_keys = {
+        "doc_sigs": ("doc_id",),
+        "doc_bands": ("band", "bucket"),
+        "doc_quality": ("doc_id",),
+        "corpus_survivors": ("doc_id",),
+    }
     staged = {}
     for name, df in promoted.items():
         tmp = os.path.join(root, f".promote-{name}")
         shutil.rmtree(tmp, ignore_errors=True)
-        _write(df.sortWithinPartitions("doc_id"), tmp)
+        _write(df.sortWithinPartitions(*sort_keys[name]), tmp)
         staged[name] = tmp
     for name, tmp in staged.items():
         shutil.rmtree(paths[name], ignore_errors=True)
@@ -603,6 +612,7 @@ def gen3_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     tag = f"gen3-{sf_name}-{_fingerprint(sf_dir)}"
 
     def build(tmp: str) -> None:
+        from go_nats_to_clickhouse_spark.plans.layout import compact_table
         from go_nats_to_clickhouse_spark.schemas import load_table
 
         docs = load_table(spark, sf_dir, "documents")
@@ -610,5 +620,18 @@ def gen3_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         _build_from(docs.filter(~day3), tmp, NEW_SOURCES)
         promote_batch(spark, tmp)
         append_batch_index(docs.filter(day3), tmp, is_new=True)
+        # post-append compaction (the MergeTree merge pass): promotion +
+        # append leave 2-3 file sets per table; merge back to one sorted
+        # file set so the day-3 read path pays base-table scan cost
+        # (~0.4 s at sf0.1 otherwise, mostly footer/row-group overhead)
+        for name, keys in (
+            ("doc_sigs", ("doc_id",)),
+            ("doc_bands", ("band", "bucket")),
+            ("doc_quality", ("doc_id",)),
+            ("corpus_survivors", ("doc_id",)),
+        ):
+            compact_table(
+                spark, os.path.join(tmp, name), sort_keys=keys, partition_cols=()
+            )
 
     return _published(f"gen3-{sf_name}-", tag, TABLES, build)

@@ -360,6 +360,36 @@ class TestPromotion:
         )
         assert [r["count"] for r in per_doc] == [4]
 
+    def test_promote_batch_is_idempotent(self, spark, sf_dir, mat_root, tmp_path):
+        """A second promotion with no pending batch must be a no-op: no
+        is_new rows means batch_survivors_from resolves an empty batch,
+        the survivor append adds nothing, and the compaction rewrite
+        reproduces the same rows — safe to re-run after a crash between
+        promotion and the next append."""
+        import shutil as _sh
+
+        t = materialize.pipeline_tables(spark, sf_dir)
+        root = str(tmp_path / "idem")
+        for name, p in t.items():
+            _sh.copytree(p, os.path.join(root, name))
+        materialize.promote_batch(spark, root)
+        before = {
+            name: sorted(
+                tuple(r)
+                for r in spark.read.parquet(os.path.join(root, name)).collect()
+            )
+            for name in materialize.TABLES
+        }
+        materialize.promote_batch(spark, root)
+        after = {
+            name: sorted(
+                tuple(r)
+                for r in spark.read.parquet(os.path.join(root, name)).collect()
+            )
+            for name in materialize.TABLES
+        }
+        assert after == before
+
     def test_promote_batch_compacts_replayed_duplicates(
         self, spark, sf_dir, mat_root, tmp_path
     ):
