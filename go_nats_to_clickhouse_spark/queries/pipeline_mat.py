@@ -590,6 +590,61 @@ def pipeline_manifest_day3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_lsh_pairs_read",
+    f"""
+WITH {_SH_CTE},
+{_SIG_CTES},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  ROUND(list_sum(list_transform(range(1, 17),
+        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0, 6)
+    AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+""",
+)
+def dedup_lsh_pairs_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs SERVED FROM THE MATERIALIZED BAND INDEX —
+    the read-path twin of dedup_minhash_lsh_pairs (which stays as the
+    from-scratch variant): ONE self-equi-join of the persisted
+    sig-denormalized band table on (band, bucket) both generates the
+    candidates and scores the minhash-estimated Jaccard, with no shingle
+    explode and no text scan anywhere in the plan. A pair colliding in k
+    bands costs k identical rows into the final distinct instead of a
+    pre-join DISTINCT shuffle; replayed-epoch duplicate index rows are
+    absorbed by the same distinct (at-least-once read contract). At
+    100 TB this is the pair feed every dedup consumer actually runs —
+    bucket-sorted row groups skip non-colliding buckets on both sides.
+    Same oracle as the from-scratch variant: the index must carry
+    exactly the banding/signature semantics it was built with."""
+    t = pipeline_tables(spark, sf_dir)
+    b = spark.read.parquet(t["doc_bands"])
+    l = b.select(
+        F.col("doc_id").alias("doc_a"), "band", "bucket",
+        F.col("sig").alias("sig_a"),
+    )
+    r = b.select(
+        F.col("doc_id").alias("doc_b"), "band", "bucket",
+        F.col("sig").alias("sig_b"),
+    )
+    est = F.round(
+        _est_matches(F.col("sig_a"), F.col("sig_b")) / F.lit(16.0), 6
+    )
+    return (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .distinct()
+    )
+
+
+@query(
     "join_skew_salted",
     """
 SELECT event_type,
