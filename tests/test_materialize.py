@@ -122,6 +122,18 @@ class TestManifestReadPath:
         # assert the index subtree is reachable via the checkpoint scan
         assert "Scan ExistingRDD" in plan or "doc_bands" in plan, plan
 
+    def test_lsh_pairs_read_plan_is_index_only(self, spark, sf_dir, mat_root):
+        """The pair feed reads ONLY the band index: no shingle explode
+        (Generate), no documents scan, exactly one table (doc_bands) on
+        both sides of the bucket self-join."""
+        from go_nats_to_clickhouse_spark.queries import QUERIES
+
+        df = QUERIES["dedup_lsh_pairs_read"](spark, sf_dir)
+        plan = _formatted_plan(df)
+        assert "Generate" not in plan, plan
+        assert "documents.parquet" not in plan, plan
+        assert "doc_bands" in plan, plan
+
     def test_matches_inline_manifest_on_corpus_rows(self, spark, sf_dir, mat_root):
         """Sanity link between the two manifest variants: every corpus doc
         kept by the incremental manifest is also kept by the from-scratch
