@@ -281,8 +281,7 @@ def _incremental_manifest_oracle() -> str:
     return _kept_cte() + _manifest_tail_sql("manifest-2:")
 
 
-def _dataset_card_oracle() -> str:
-    return _kept_cte() + """
+_CARD_TAIL_SQL = """
 SELECT d.source, d.lang,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(*) FILTER (WHERE k.from_batch) AS BIGINT) AS n_from_batch,
@@ -293,6 +292,10 @@ FROM kept k JOIN documents d ON d.doc_id = k.doc_id
 GROUP BY d.source, d.lang
 ORDER BY d.source, d.lang
 """
+
+
+def _dataset_card_oracle() -> str:
+    return _kept_cte() + _CARD_TAIL_SQL
 
 
 def _est_matches(sig_a, sig_b):
@@ -491,9 +494,16 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     is vocabulary-sized (sources x langs). The corpus-total for the
     percentage is a scalar agg reused via a 1-row broadcast cross join —
     the standard share-of-total shape."""
+    return _dataset_card(spark, sf_dir, _kept_docs(spark, sf_dir))
+
+
+def _dataset_card(
+    spark: SparkSession, sf_dir: str, kept: DataFrame
+) -> DataFrame:
+    """Shared card finalizer over any generation's keep-set (see
+    pipeline_dataset_card for the scale shape)."""
     from go_nats_to_clickhouse_spark.schemas import load_table
 
-    kept = _kept_docs(spark, sf_dir)
     meta = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "lang", "n_chars"
     )
@@ -587,6 +597,26 @@ def pipeline_manifest_day3(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         salt="manifest-3:",
     )
+
+
+@query("pipeline_dataset_card_day3", _day3_kept_cte() + _CARD_TAIL_SQL)
+def pipeline_dataset_card_day3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card for the day-3 corpus — proof that promotion
+    composes: every read-path consumer, not just the manifest, runs
+    unchanged over the promoted tables (same _dataset_card finalizer,
+    same gen3 keep-set the day-3 manifest uses). ``n_from_batch`` now
+    counts day-3 arrivals; day-2 docs folded in by promote_batch report
+    as corpus. Oracle = the three-generation kept CTE + the same card
+    tail as the day-2 card."""
+    from go_nats_to_clickhouse_spark.plans.materialize import gen3_tables
+
+    t = gen3_tables(spark, sf_dir)
+    kept = kept_docs_from(
+        spark.read.parquet(t["doc_bands"]),
+        spark.read.parquet(t["doc_quality"]),
+        spark.read.parquet(t["corpus_survivors"]),
+    )
+    return _dataset_card(spark, sf_dir, kept)
 
 
 @query(
