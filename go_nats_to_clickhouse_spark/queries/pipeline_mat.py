@@ -675,6 +675,61 @@ def dedup_lsh_pairs_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_index_stats",
+    f"""
+WITH {_SH_CTE},
+{_SIG_CTES},
+bsz AS (
+  SELECT band, bucket, COUNT(*) AS n FROM bands GROUP BY band, bucket
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(n) AS BIGINT) AS max_bucket,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE n >= 8) AS BIGINT) AS n_hot_buckets
+FROM bsz GROUP BY band ORDER BY band
+""",
+)
+def dedup_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index health, served from the materialized band table: per
+    band, the bucket count, the largest bucket, the doc count, and how
+    many buckets are at/over the hot threshold (8 — the size where a
+    bucket's pair contribution goes quadratic enough to watch). This is
+    the observability an operator needs BEFORE a flood guard fires at
+    100 TB: skewed buckets mean degenerate shingles (boilerplate) or a
+    banding misconfiguration, and the fix (re-shingle, raise bands, or
+    guard) is a policy choice that should be made off numbers, not
+    incident reports. Read path: one narrow index scan + a two-level
+    map-side-combinable aggregate; dropDuplicates on (doc_id, band)
+    keeps the stats exact under replayed-epoch appends (at-least-once
+    read contract)."""
+    t = pipeline_tables(spark, sf_dir)
+    b = (
+        spark.read.parquet(t["doc_bands"])
+        .dropDuplicates(["doc_id", "band"])
+        .select("band", "bucket")
+    )
+    sizes = b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max("n").cast("long").alias("max_bucket"),
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count_if(F.col("n") >= 8).cast("long").alias("n_hot_buckets"),
+        )
+        .select(
+            F.col("band").cast("long").alias("band"),
+            "n_buckets",
+            "max_bucket",
+            "n_docs",
+            "n_hot_buckets",
+        )
+        .orderBy("band")
+    )
+
+
+@query(
     "join_skew_salted",
     """
 SELECT event_type,
