@@ -482,6 +482,62 @@ class TestStreamingIndexMaintenance:
             )
             assert got_rows == want_rows, f"{name} diverged ({key_cols})"
 
+    def test_stream_restart_resumes_from_checkpoint_without_duplicates(
+        self, spark, sf_dir, tmp_path
+    ):
+        """The normal-path exactly-once contract, deterministically: drain
+        the first arrival file, stop cleanly, land two more files, restart
+        with the SAME checkpoint and drain again — the final index must be
+        row-identical to one batch pass over all docs. The checkpoint (not
+        luck) must skip the already-committed file; a re-appended epoch
+        here would fail the equality. (The crash window — abort AFTER the
+        append, BEFORE the commit — is the documented at-least-once case,
+        covered by TestReplayedEpochIdempotence on the consumer side.)"""
+        import os as _os
+
+        from go_nats_to_clickhouse_spark.schemas import load_table
+
+        docs = load_table(spark, sf_dir, "documents").limit(60)
+        src = str(tmp_path / "arrivals")
+        out = str(tmp_path / "index")
+        ckpt = str(tmp_path / "ckpt")
+        docs.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+        q = materialize.start_doc_index_stream(
+            spark, src, out, ckpt, max_files_per_trigger=1
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        for chunk in (1, 2):
+            docs.filter(F.col("doc_id") % 3 == chunk).coalesce(1).write.parquet(
+                src, mode="append"
+            )
+        q2 = materialize.start_doc_index_stream(
+            spark, src, out, ckpt, max_files_per_trigger=1
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+
+        want = materialize.index_batch(docs, is_new=True)
+        for name in materialize.STREAM_TABLES:
+            got_df = spark.read.parquet(_os.path.join(out, name))
+            got = sorted(
+                tuple(r.asDict()[c] for c in sorted(got_df.columns))
+                for r in got_df.collect()
+            )
+            w = want[name]
+            wanted = sorted(
+                tuple(r.asDict()[c] for c in sorted(w.columns))
+                for r in w.collect()
+            )
+            assert got == wanted, f"{name} diverged after restart"
+
     def test_index_compaction_after_streaming_appends(
         self, spark, sf_dir, tmp_path
     ):
