@@ -352,6 +352,59 @@ def append_ann_batch(
     return float(batch_dist) / float(base.distortion)
 
 
+def start_ann_index_stream(
+    spark: SparkSession,
+    source_dir: str,
+    tables: dict[str, str],
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    drift_limit: float = 2.0,
+):
+    """Maintain the IVF index AS EMBEDDINGS ARRIVE — the vector twin of
+    :func:`start_doc_index_stream`: a file-source stream over an
+    embeddings directory (vec_id, embedding) whose every micro-batch is
+    assigned against the FROZEN centroids and appended to the
+    cell-partitioned corpus via :func:`append_ann_batch`. Same
+    exactly-once-per-epoch / at-least-once-after-crash contract as the
+    doc index (foreachBatch + checkpoint); duplicate neighbor_ids from a
+    replayed epoch are scored identically by every consumer (top-k over
+    duplicate identical candidates is unchanged) so the read path is
+    naturally duplicate-tolerant.
+
+    Each batch's drift ratio is checked against ``drift_limit``: a
+    tripped guard logs loudly through the streaming query's exception
+    (fail-stop — a silently staling index is the one outcome this
+    machinery exists to prevent); operators rebuild ann_tables and
+    resume. Returns the StreamingQuery."""
+    schema = spark.read.parquet(source_dir).schema
+
+    def _per_batch(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        vecs = batch_df.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+        )
+        ratio = append_ann_batch(batch_df.sparkSession, vecs, tables)
+        if ratio > drift_limit:
+            raise RuntimeError(
+                f"ANN index drift guard tripped: batch distortion "
+                f"{ratio:.2f}x training baseline (> {drift_limit}) — "
+                f"rebuild ann_tables before appending further"
+            )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_per_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def ann_appended_tables(
     spark: SparkSession, sf_dir: str, n_lists: int = 16
 ) -> dict[str, str]:

@@ -335,6 +335,98 @@ class TestAnnIncremental:
         assert ratio > 5.0
 
 
+class TestAnnStreaming:
+    def test_streamed_ann_appends_equal_frozen_reassignment(
+        self, spark, sf_dir, mat_root, tmp_path
+    ):
+        """The vector twin of the doc-index maintainer: stream the
+        held-out quarter of the embeddings in micro-batches against a
+        base index; the grown corpus must equal a full assignment pass
+        under the same frozen centroids."""
+        import os as _os
+        import shutil as _sh
+
+        from go_nats_to_clickhouse_spark.operators.similarity import assign_cells
+        from go_nats_to_clickhouse_spark.plans.materialize import (
+            _embedding_corpus,
+        )
+        from go_nats_to_clickhouse_spark.schemas import load_table
+
+        t0 = materialize.ann_tables(spark, sf_dir)
+        root = str(tmp_path / "ann_stream")
+        paths = {}
+        for name, p in t0.items():
+            paths[name] = _os.path.join(root, name)
+            _sh.copytree(p, paths[name])
+
+        e = load_table(spark, sf_dir, "embeddings")
+        held = e.filter(F.pmod(F.col("vec_id"), F.lit(4)) == 3)
+        src = str(tmp_path / "arrivals")
+        held.repartition(2).write.parquet(src)
+        q = materialize.start_ann_index_stream(
+            spark, src, paths, str(tmp_path / "ckpt")
+        )
+        try:
+            q.processAllAvailable()
+            assert q.exception() is None
+        finally:
+            q.stop()
+
+        centers = [
+            list(r.center)
+            for r in spark.read.parquet(paths["ann_centroids"])
+            .orderBy("cell")
+            .collect()
+        ]
+        # the streamed-in vectors were appended ON TOP of the full cached
+        # corpus: every held-out vector now appears twice, placed in the
+        # same cell both times (duplicate-tolerant read contract)
+        corpus = spark.read.parquet(paths["ann_corpus"])
+        want = {
+            (r.neighbor_id, r.cell)
+            for r in assign_cells(_embedding_corpus(spark, sf_dir), centers).collect()
+        }
+        got = {
+            (r.neighbor_id, r.cell)
+            for r in corpus.select("neighbor_id", "cell").collect()
+        }
+        assert got == want
+        n_held = held.count()
+        assert corpus.count() == e.count() + n_held
+
+    def test_streamed_drift_guard_fail_stops(self, spark, sf_dir, mat_root, tmp_path):
+        """A shifted arrival batch must surface as a stream exception —
+        fail-stop beats a silently staling index."""
+        import os as _os
+        import shutil as _sh
+
+        from go_nats_to_clickhouse_spark.schemas import load_table
+
+        t0 = materialize.ann_tables(spark, sf_dir)
+        root = str(tmp_path / "ann_drift")
+        paths = {}
+        for name, p in t0.items():
+            paths[name] = _os.path.join(root, name)
+            _sh.copytree(p, paths[name])
+        e = load_table(spark, sf_dir, "embeddings").limit(50)
+        shifted = e.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x + F.lit(1000.0)).alias("embedding"),
+        )
+        src = str(tmp_path / "arrivals")
+        shifted.coalesce(1).write.parquet(src)
+        q = materialize.start_ann_index_stream(
+            spark, src, paths, str(tmp_path / "ckpt")
+        )
+        try:
+            with pytest.raises(Exception, match="drift guard"):
+                q.processAllAvailable()
+                if q.exception() is not None:
+                    raise q.exception()
+        finally:
+            q.stop()
+
+
 class TestPromotion:
     def test_gen3_tables_promote_batch_into_corpus(self, spark, sf_dir, mat_root):
         """After promotion: is_new rows are EXACTLY the day-3 batch, the
