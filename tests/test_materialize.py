@@ -529,6 +529,64 @@ class TestPromotion:
         )
 
 
+class TestPromotionEdgeCases:
+    @staticmethod
+    def _docs(spark, rows):
+        return spark.createDataFrame(
+            [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(rows)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    def test_empty_batch_and_all_duplicate_batch(self, spark, tmp_path):
+        """Boundary paths of the cross-day flow on synthetic docs: after
+        promotion with NO day-3 append the consumer returns only corpus
+        rows (empty-batch short-circuit), and a day-3 batch that is
+        nothing but exact copies of corpus survivors is dropped
+        entirely."""
+        from go_nats_to_clickhouse_spark.plans import materialize as m
+        from go_nats_to_clickhouse_spark.queries.pipeline_mat import (
+            kept_docs_from,
+        )
+
+        def text_for(tag: str) -> str:
+            # 58 all-alphabetic words, 2 stopwords, mean length ~4.9:
+            # passes every Gopher rule; vocabularies are DISJOINT across
+            # tags so distinct docs share zero shingles
+            return "the be " + " ".join(
+                f"{tag}{x}{y}z" for x in "abcdefg" for y in "abcdefgh"
+            )
+
+        uniq = [(f"c{i}", text_for("qrstuvw"[i])) for i in range(6)]
+        day2 = [("src0", text_for("fresh"))]
+        docs12 = self._docs(spark, uniq + day2)
+        root = str(tmp_path / "edge")
+        m._build_from(docs12, root, m.NEW_SOURCES)
+        m.promote_batch(spark, root)
+
+        def read_kept():
+            return kept_docs_from(
+                spark.read.parquet(os.path.join(root, "doc_bands")),
+                spark.read.parquet(os.path.join(root, "doc_quality")),
+                spark.read.parquet(os.path.join(root, "corpus_survivors")),
+            ).collect()
+
+        # 1) no day-3 batch appended: nothing is_new -> corpus-only card
+        kept0 = read_kept()
+        assert kept0 and all(not r.from_batch for r in kept0)
+        promoted_ids = {r.doc_id for r in kept0}
+        assert 6 in promoted_ids  # the day-2 doc was promoted in
+
+        # 2) day-3 batch = exact copies of promoted docs -> all dropped
+        copies = self._docs(
+            spark,
+            [("src2", uniq[0][1]), ("src2", uniq[1][1]), ("src3", day2[0][1])],
+        ).withColumn("doc_id", F.col("doc_id") + 100)
+        m.append_batch_index(copies, root, is_new=True)
+        kept1 = read_kept()
+        assert {r.doc_id for r in kept1} == promoted_ids
+        assert all(not r.from_batch for r in kept1)
+
+
 class TestStreamingIndexMaintenance:
     def test_streamed_index_equals_batch_index(self, spark, sf_dir, tmp_path):
         """The ingest-time contract, live: a file-source stream over
