@@ -38,6 +38,7 @@ _PRIORITY = [
     "pipeline_dataset_card_day3",  # promotion composes across consumers (new r6)
     "dedup_index_stats",  # LSH bucket-health off the band index (new r6)
     "vector_ann_pq_topk",  # product-quantization ADC + exact re-rank (new r6)
+    "vector_ann_ivfpq_read_topk",  # materialized IVF-PQ, both pruning axes (new r6)
     "pipeline_manifest_incremental",  # consumer refactored duplicate-invariant (r6)
     "pipeline_dataset_card",  # oracle CTEs recomposed (r6)
     "scalar_readable_timedelta",  # integral-div decomposition (r6)
@@ -83,7 +84,6 @@ _PRIORITY = [
     "window_running_spend",
     "window_topk_orders",
     "agg_bit_ops",
-    "agg_delta_sum",
 ]
 
 

@@ -373,24 +373,7 @@ def ivf_read_topk(
     broadcast probe join triggers dynamic partition pruning: only the
     probed nprobe/n_lists fraction of corpus FILES is read — the layout
     that makes IVF an I/O win at 100 TB, not just a compute win."""
-    # nearest nprobe centroids per query — vectorized kernel, emitting
-    # one row per (query, probed cell)
-    from pyspark.sql.types import IntegerType
-
-    probe_schema = queries_df.select("query_id", "qv").schema.add("cell", IntegerType())
-
-    def _probe(batches):
-        import numpy as np
-
-        for pdf in batches:
-            X = np.stack(pdf["qv"].to_numpy())
-            near = np.argsort(_sq_dists(X, centers), axis=1, kind="stable")[:, :nprobe]
-            rep = pdf[["query_id", "qv"]].iloc[
-                np.repeat(np.arange(len(pdf)), near.shape[1])
-            ]
-            yield rep.assign(cell=near.reshape(-1).astype("int32"))
-
-    q_cells = queries_df.select("query_id", "qv").mapInPandas(_probe, probe_schema)
+    q_cells = probe_cells(queries_df, centers, nprobe)
     # no dedup needed: each corpus row lives in exactly one cell and each
     # query probes distinct cells, so a (query, neighbor) pair occurs once
     scored = (
@@ -399,6 +382,37 @@ def ivf_read_topk(
         .select("query_id", "neighbor_id", _qc_cosine().alias("cos"))
     )
     return _rank_topk(scored, k)
+
+
+def probe_cells(
+    queries_df: DataFrame, centers: list[list[float]], nprobe: int
+) -> DataFrame:
+    """(query_id, qv, cell) — the nprobe nearest centroids per query, one
+    row per (query, probed cell). Vectorized kernel; broadcast into a
+    cell-partitioned scan this is the dynamic-partition-pruning filter
+    every materialized ANN read path starts with."""
+    from pyspark.sql.types import IntegerType
+
+    probe_schema = queries_df.select("query_id", "qv").schema.add(
+        "cell", IntegerType()
+    )
+
+    def _probe(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["qv"].to_numpy())
+            near = np.argsort(_sq_dists(X, centers), axis=1, kind="stable")[
+                :, :nprobe
+            ]
+            rep = pdf[["query_id", "qv"]].iloc[
+                np.repeat(np.arange(len(pdf)), near.shape[1])
+            ]
+            yield rep.assign(cell=near.reshape(-1).astype("int32"))
+
+    return queries_df.select("query_id", "qv").mapInPandas(_probe, probe_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -601,6 +615,166 @@ def pq_rerank_topk(
     ).select("query_id", "neighbor_id")
     exact = corpus_df.join(F.broadcast(cand), "neighbor_id").join(
         F.broadcast(queries_df.select("query_id", "qv")), "query_id"
+    )
+    scored = exact.select("query_id", "neighbor_id", _qc_cosine().alias("cos"))
+    return _rank_topk(scored, k)
+
+
+def ivfpq_index_rows(
+    df: DataFrame,
+    centers: list[list[float]],
+    codebooks,
+    id_col: str = "neighbor_id",
+    vec_col: str = "cv",
+) -> DataFrame:
+    """One Arrow pass producing the full at-rest index row per vector:
+    (id, cv, cell, code, sq_dist) — IVF cell against the frozen
+    centroids, m-byte PQ code against the frozen codebooks, and the
+    squared centroid distance for the drift baseline. Shared by the
+    initial build and the append path so a streamed-in vector gets
+    byte-identical index columns to a full rebuild."""
+    import numpy as _np  # noqa: F401
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    base = df.select(id_col, vec_col).schema
+    schema = StructType(
+        list(base.fields)
+        + [
+            StructField("cell", IntegerType(), False),
+            StructField("code", ArrayType(IntegerType()), False),
+            StructField("sq_dist", DoubleType(), False),
+        ]
+    )
+    m = len(codebooks)
+
+    def _index(batches):
+        import numpy as np
+        import pandas as pd
+
+        books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = _sq_dists(X, centers)
+            cells = d.argmin(axis=1)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            d_sub = X.shape[1] // m
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j, C in enumerate(books):
+                codes[:, j] = _sq_dists(
+                    Xn[:, j * d_sub : (j + 1) * d_sub], C
+                ).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col].to_numpy(),
+                    "cell": cells.astype("int32"),
+                    "code": list(codes),
+                    "sq_dist": d[np.arange(len(d)), cells],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_index, schema)
+
+
+def ivfpq_read_topk(
+    queries_df: DataFrame,
+    corpus: DataFrame,
+    centers: list[list[float]],
+    codebooks,
+    nprobe: int = 12,
+    shortlist: int = 100,
+    k: int = 5,
+) -> DataFrame:
+    """The production ANN read path, fully composed: IVF prunes WHICH
+    cells are read (broadcast probe list -> dynamic partition pruning on
+    the cell-partitioned scan), PQ compresses WHAT the first pass reads
+    (only the m-byte ``code`` column — column pruning keeps the float
+    vectors unread), and the exact re-rank reaches back for full vectors
+    of just the n_q x shortlist winners, again DPP-pruned via the
+    shortlist's cell column. Two scans of the same table, each reading
+    the minimum bytes its stage needs — at 100 TB stage 1 touches
+    nprobe/n_lists of the files at ~1/64th the bytes per row."""
+    import numpy as np
+
+    q = queries_df.select("query_id", "qv").collect()
+    q_ids = [r.query_id for r in q]
+    Q = np.asarray([r.qv for r in q], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    m = len(codebooks)
+    d_sub = Qn.shape[1] // m
+    luts = np.stack(
+        [
+            _sq_dists(Qn[:, j * d_sub : (j + 1) * d_sub], np.asarray(codebooks[j]))
+            for j in range(m)
+        ],
+        axis=1,
+    )
+    q_pos = {qid: i for i, qid in enumerate(q_ids)}
+
+    q_cells = probe_cells(queries_df, centers, nprobe).select("query_id", "cell")
+
+    from pyspark.sql.types import DoubleType, IntegerType, LongType, StructField, StructType
+
+    adc_schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField("neighbor_id", LongType(), False),
+            StructField("cell", IntegerType(), False),
+            StructField("adc", DoubleType(), False),
+        ]
+    )
+
+    def _adc(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["code"].to_numpy())
+            qi = np.asarray([q_pos[x] for x in pdf["query_id"]])
+            d2 = np.zeros(len(C))
+            for j in range(m):
+                d2 += luts[qi, j, C[:, j]]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cell": pdf["cell"].to_numpy(),
+                    "adc": d2,
+                }
+            )
+
+    # stage 1: codes-only scan of the probed cells
+    cand = (
+        corpus.select("cell", "neighbor_id", "code")
+        .join(F.broadcast(q_cells), "cell")
+        .mapInPandas(_adc, adc_schema)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), "neighbor_id")
+    short = (
+        cand.select("query_id", "neighbor_id", "cell", F.row_number().over(w).alias("r"))
+        .filter(F.col("r") <= shortlist)
+        .select("query_id", "neighbor_id", "cell")
+    )
+    # stage 2: exact re-rank — reach back for the shortlist's full
+    # vectors, DPP-pruned again through the shortlist's cell column
+    exact = (
+        corpus.select("cell", "neighbor_id", "cv")
+        .join(F.broadcast(short), ["cell", "neighbor_id"])
+        .join(F.broadcast(queries_df.select("query_id", "qv")), "query_id")
     )
     scored = exact.select("query_id", "neighbor_id", _qc_cosine().alias("cos"))
     return _rank_topk(scored, k)

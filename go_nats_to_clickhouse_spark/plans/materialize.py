@@ -210,10 +210,15 @@ def drop_cache(sf_dir: str | None = None) -> None:
 # ANN index at rest: IVF centroids + cell-partitioned corpus.
 # ---------------------------------------------------------------------------
 
-ANN_TABLES = ("ann_centroids", "ann_corpus", "ann_stats")
+ANN_TABLES = ("ann_centroids", "ann_corpus", "ann_stats", "ann_codebooks")
 
 #: bump to invalidate cached ANN materializations
-ANN_VERSION = 2
+ANN_VERSION = 3
+
+#: PQ geometry for the at-rest code column: dim/M_PQ-dim subspaces,
+#: K_SUB_PQ centroids each (codes are M_PQ small ints per vector)
+M_PQ = 8
+K_SUB_PQ = 32
 
 
 def _ann_fingerprint(sf_dir: str, n_lists: int) -> str:
@@ -269,13 +274,18 @@ def _embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _build_ann(
     spark: SparkSession, corpus: DataFrame, tmp: str, n_lists: int
 ) -> None:
-    """Train + assign + persist the three ANN tables for ``corpus`` into
+    """Train + index + persist the ANN tables for ``corpus`` into
     ``tmp`` — shared by the whole-fixture build (:func:`ann_tables`) and
     the base stage of the appended-index variant
-    (:func:`ann_appended_tables`)."""
+    (:func:`ann_appended_tables`). The corpus rows carry BOTH the IVF
+    cell (as the partition column) and the m-byte PQ code, written in
+    one shared Arrow pass (ivfpq_index_rows), so the read paths choose
+    their bytes: cosine re-rank reads ``cv``, the compressed first pass
+    reads only ``code`` (column pruning)."""
     from go_nats_to_clickhouse_spark.operators.similarity import (
-        assign_cells,
         ivf_build_assignments,
+        ivfpq_index_rows,
+        pq_train_codebooks,
     )
 
     _, centers = ivf_build_assignments(corpus, n_lists=n_lists)
@@ -284,9 +294,19 @@ def _build_ann(
         "cell int, center array<double>",
     )
     _write(cent_df, os.path.join(tmp, "ann_centroids"))
-    # one assignment pass serves both the corpus table and the drift
-    # baseline (lazy checkpoint: materialized once, read twice)
-    aw = assign_cells(corpus, centers, with_dist=True).localCheckpoint(
+    codebooks = pq_train_codebooks(corpus, m=M_PQ, k_sub=K_SUB_PQ)
+    cb_df = spark.createDataFrame(
+        [
+            (j, c, codebooks[j][c])
+            for j in range(len(codebooks))
+            for c in range(len(codebooks[j]))
+        ],
+        "sub int, code int, center array<double>",
+    )
+    _write(cb_df, os.path.join(tmp, "ann_codebooks"))
+    # one indexing pass serves the corpus table and the drift baseline
+    # (lazy checkpoint: materialized once, read twice)
+    aw = ivfpq_index_rows(corpus, centers, codebooks).localCheckpoint(
         eager=False
     )
     (
@@ -301,6 +321,21 @@ def _build_ann(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
     )
     _write(stats, os.path.join(tmp, "ann_stats"))
+
+
+def read_codebooks(spark: SparkSession, tables: dict[str, str]):
+    """Reconstruct the m x k_sub x d_sub codebook list from the
+    persisted table (m*k_sub rows — kilobytes, bounded collect)."""
+    rows = (
+        spark.read.parquet(tables["ann_codebooks"])
+        .orderBy("sub", "code")
+        .collect()
+    )
+    m = max(r.sub for r in rows) + 1
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in rows:
+        books[r.sub].append(list(r.center))
+    return books
 
 
 def append_ann_batch(
@@ -325,7 +360,7 @@ def append_ann_batch(
     data; callers re-train (rebuild ann_tables) when it exceeds their
     threshold (~2x) BEFORE recall degrades silently — staleness made
     observable, the drift guard the batch-only index lacked."""
-    from go_nats_to_clickhouse_spark.operators.similarity import assign_cells
+    from go_nats_to_clickhouse_spark.operators.similarity import ivfpq_index_rows
 
     centers = [
         list(r.center)
@@ -333,7 +368,8 @@ def append_ann_batch(
         .orderBy("cell")
         .collect()
     ]
-    aw = assign_cells(new_vectors, centers, with_dist=True).localCheckpoint(
+    codebooks = read_codebooks(spark, tables)
+    aw = ivfpq_index_rows(new_vectors, centers, codebooks).localCheckpoint(
         eager=False
     )
     (

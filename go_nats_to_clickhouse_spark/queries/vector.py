@@ -280,6 +280,67 @@ def vector_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vector_ann_ivfpq_read_topk",
+    """
+SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 8
+""",
+)
+def vector_ann_ivfpq_read_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully composed production ANN read path over the MATERIALIZED
+    index: IVF prunes WHICH files are read (broadcast probe list ->
+    dynamic partition pruning on the cell-partitioned corpus), PQ
+    compresses WHAT the first pass reads (the scan projects only the
+    m-byte ``code`` column — the float vectors stay unread, plan-pinned),
+    and the exact cosine re-rank reaches back for just the n_q x 100
+    shortlist rows, DPP-pruned again through the shortlist's cell column.
+    At 100 TB, stage 1 reads nprobe/n_lists of the files at ~1/64th the
+    bytes per row — both pruning axes at once, which is what an IVF-PQ
+    index IS. Same hash-checkable recall@5 >= 0.4 contract vs brute
+    force as every other ANN row."""
+    from go_nats_to_clickhouse_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_read_topk,
+    )
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        ann_tables,
+        read_codebooks,
+    )
+
+    t = ann_tables(spark, sf_dir)
+    centers = [
+        list(r.center)
+        for r in spark.read.parquet(t["ann_centroids"]).orderBy("cell").collect()
+    ]
+    codebooks = read_codebooks(spark, t)
+    corpus = spark.read.parquet(t["ann_corpus"])
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    ivfpq = ivfpq_read_topk(
+        q, corpus, centers, codebooks, nprobe=12, shortlist=100, k=5
+    ).select("query_id", "neighbor_id")
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv")
+    )
+    brute = brute_force_topk(q, c, k=5).select("query_id", "neighbor_id")
+    hits = (
+        ivfpq.join(brute, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        q.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / 5 >= 0.4).alias("recall_ok"),
+        )
+    )
+
+
+@query(
     "vector_ann_pq_topk",
     """
 SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS recall_ok

@@ -241,6 +241,21 @@ class TestAnnIndex:
         plan = _formatted_plan(df)
         assert "dynamicpruning" in plan.lower(), plan
 
+    def test_ivfpq_read_plan_prunes_both_axes(self, spark, sf_dir, mat_root):
+        """IVF-PQ's two pruning axes must both reach the physical plan:
+        the probe list as a dynamic partition pruning filter, and the
+        stage-1 scan projecting ONLY the code column (float vectors
+        unread until the shortlist reach-back)."""
+        import re
+
+        from go_nats_to_clickhouse_spark.queries import QUERIES
+
+        df = QUERIES["vector_ann_ivfpq_read_topk"](spark, sf_dir)
+        plan = _formatted_plan(df)
+        assert "dynamicpruning" in plan.lower(), plan
+        schemas = re.findall(r"ReadSchema: (\S+)", plan)
+        assert any("code" in s and "cv" not in s for s in schemas), plan
+
     def test_read_path_matches_inline_ivf(self, spark, sf_dir, mat_root):
         """Same deterministic training (seed + prefix-sample order) ==
         same index: the materialized read path must return exactly the
