@@ -747,6 +747,43 @@ def test_drop_cache_covers_both_table_families(spark, sf_dir, mat_root):
     assert _os.listdir(mat_root) == []
 
 
+def test_concurrent_builders_race_safely(spark, sf_dir, mat_root):
+    """The ADVICE-r5 scenario, exercised: two builders race the same cold
+    tag. With per-build unique staging dirs, os.rename is the only commit
+    point — the loser must neither corrupt the winner's published tables
+    nor leave visible litter, and both callers get identical, readable
+    paths."""
+    import threading
+
+    results, errors = [], []
+
+    def build():
+        try:
+            results.append(materialize.pipeline_tables(spark, sf_dir))
+        except Exception as exc:  # pragma: no cover - failure detail
+            errors.append(exc)
+
+    threads = [threading.Thread(target=build) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert results[0] == results[1]
+    for name, p in results[0].items():
+        df = spark.read.parquet(p)
+        assert df.count() > 0, name
+    # only the published tag (and hidden '.'-litter at worst) remains
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    visible = [e for e in os.listdir(mat_root) if not e.startswith(".")]
+    assert visible == [os.path.basename(os.path.dirname(results[0]["doc_sigs"]))]
+    # replayed-build litter, if any, is hidden and therefore inert
+    assert all(
+        e.startswith(".") or e.startswith(f"{sf_name}-")
+        for e in os.listdir(mat_root)
+    )
+
+
 def test_crashed_build_litter_is_ignored_and_rebuilt(spark, sf_dir, mat_root):
     """A crash mid-build leaves a hidden .build-* dir; the next call must
     rebuild from scratch (sweeping the litter), and the litter must never
