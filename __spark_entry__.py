@@ -42,7 +42,7 @@ _PRIORITY = [
     "pipeline_manifest_incremental",  # consumer refactored duplicate-invariant (r6)
     "pipeline_dataset_card",  # oracle CTEs recomposed (r6)
     "scalar_readable_timedelta",  # integral-div decomposition (r6)
-    "vector_ann_ivf_read_topk",  # index rebuilt under ANN_VERSION 2 (r6)
+    "vector_ann_ivf_read_topk",  # index rebuilt under ANN_VERSION 3 (r6)
     "vector_ann_ivf_topk",  # r2-green rotating + shared assign kernel changed
     "text_tfidf_keywords",  # r6 perf adjudication reverted the r5 repartition
     "mv_analytics_projection",  # flagship, pinned inside the window

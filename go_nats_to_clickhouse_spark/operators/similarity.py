@@ -309,12 +309,14 @@ def assign_cells(
     with_dist: bool = False,
 ) -> DataFrame:
     """Map-side cell assignment against a FROZEN centroid list: one numpy
-    GEMM per Arrow batch, no shuffle — shared by the initial index build
-    (:func:`ivf_build_assignments`) and the incremental append path
-    (plans/materialize.append_ann_batch), so a streamed-in vector lands
-    in exactly the cell a full rebuild with the same centroids would give
-    it. ``with_dist=True`` adds ``sq_dist`` (squared distance to the
-    assigned centroid) for drift monitoring."""
+    GEMM per Arrow batch, no shuffle — the assignment kernel behind
+    :func:`ivf_build_assignments`. The incremental append path
+    (plans/materialize.append_ann_batch) assigns through
+    :func:`ivfpq_index_rows`, whose cell column is test-verified equal to
+    this kernel's (tests/test_materialize.py::TestAnnIncremental), so a
+    streamed-in vector lands in exactly the cell a full rebuild with the
+    same centroids would give it. ``with_dist=True`` adds ``sq_dist``
+    (squared distance to the assigned centroid) for drift monitoring."""
     from pyspark.sql.types import DoubleType, IntegerType
 
     schema = df.select(id_col, vec_col).schema.add("cell", IntegerType())

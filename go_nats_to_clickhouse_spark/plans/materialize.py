@@ -189,11 +189,17 @@ def _write(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+#: every materialization family's tag prefix (published tags are
+#: '{family}{sf_name}-{fingerprint...}'; build litter is '.build-' + tag).
+#: New families MUST register here so drop_cache covers them.
+FAMILY_PREFIXES = ("", "ann-", "ann2-", "stream-", "gen3-", "ing-", "erase-")
+
+
 def drop_cache(sf_dir: str | None = None) -> None:
-    """Test hook: drop every materialized table family (pipeline, ann,
-    streamed, gen3) for one fixture, or everything. Every family's tag
-    embeds '{sf_name}-' (published and '.build-' litter alike), so a
-    substring match covers all of them."""
+    """Test hook: drop every materialized table family for one fixture,
+    or everything. Tags are matched against the known family shapes
+    ('{family}{sf_name}-...'), not by substring — 'sf0.1' must never
+    sweep a hypothetical 'tpch-sf0.1' fixture's entries (ADVICE r6)."""
     root = _mat_root()
     if not os.path.isdir(root):
         return
@@ -201,8 +207,10 @@ def drop_cache(sf_dir: str | None = None) -> None:
         shutil.rmtree(root, ignore_errors=True)
         return
     sf_name = os.path.basename(os.path.normpath(sf_dir))
+    published = tuple(f"{fam}{sf_name}-" for fam in FAMILY_PREFIXES)
+    prefixes = published + tuple(f".build-{p}" for p in published)
     for entry in os.listdir(root):
-        if f"{sf_name}-" in entry:
+        if entry.startswith(prefixes):
             shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
 
 
@@ -229,6 +237,15 @@ def _ann_fingerprint(sf_dir: str, n_lists: int) -> str:
     return hashlib.md5(key.encode()).hexdigest()[:12]
 
 
+def _ann_tag_prefix(family: str, sf_dir: str, n_lists: int) -> str:
+    """'{family}{sf}-n{n_lists}-' — n_lists sits in the TAG TEXT, not just
+    the fingerprint, so _published's stale-generation sweep only retires
+    entries of the same n_lists; alternating n_lists callers keep both
+    indexes cached instead of thrashing rebuilds (ADVICE r6)."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    return f"{family}{sf_name}-n{n_lists}-"
+
+
 def ann_tables(spark: SparkSession, sf_dir: str, n_lists: int = 16) -> dict[str, str]:
     """Materialized IVF index for the embeddings fixture — the ANN analog
     of :func:`pipeline_tables` (same ingest-time-precompute architecture):
@@ -252,13 +269,13 @@ def ann_tables(spark: SparkSession, sf_dir: str, n_lists: int = 16) -> dict[str,
     Lloyd's on a bounded prefix sample, deterministic for fixed seed +
     input order, so rebuilding from the same fixture reproduces the index
     bit-for-bit (and matches the inline vector_ann_ivf_topk training)."""
-    sf_name = os.path.basename(os.path.normpath(sf_dir))
-    tag = f"ann-{sf_name}-{_ann_fingerprint(sf_dir, n_lists)}"
+    prefix = _ann_tag_prefix("ann-", sf_dir, n_lists)
+    tag = prefix + _ann_fingerprint(sf_dir, n_lists)
 
     def build(tmp: str) -> None:
         _build_ann(spark, _embedding_corpus(spark, sf_dir), tmp, n_lists)
 
-    return _published(f"ann-{sf_name}-", tag, ANN_TABLES, build)
+    return _published(prefix, tag, ANN_TABLES, build)
 
 
 def _embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,7 +356,10 @@ def read_codebooks(spark: SparkSession, tables: dict[str, str]):
 
 
 def append_ann_batch(
-    spark: SparkSession, new_vectors: DataFrame, tables: dict[str, str]
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    tables: dict[str, str],
+    drift_limit: float | None = None,
 ) -> float:
     """Incremental ANN index maintenance (VERDICT r5 #5) — the vector
     analog of :func:`append_batch_index`: assign a batch of new
@@ -359,7 +379,15 @@ def append_ann_batch(
     ratio near 1 means the frozen cells still describe the incoming
     data; callers re-train (rebuild ann_tables) when it exceeds their
     threshold (~2x) BEFORE recall degrades silently — staleness made
-    observable, the drift guard the batch-only index lacked."""
+    observable, the drift guard the batch-only index lacked.
+
+    The drift check runs BEFORE the append (ADVICE r6): with
+    ``drift_limit`` set, a tripped guard raises without having written
+    the out-of-distribution batch, so the published corpus stays clean
+    and a checkpoint-replayed restart retries against an unchanged
+    table instead of appending another copy per attempt. The order
+    costs nothing — the distortion agg materializes the lazily
+    checkpointed index rows, which the append then reuses."""
     from go_nats_to_clickhouse_spark.operators.similarity import ivfpq_index_rows
 
     centers = [
@@ -372,6 +400,22 @@ def append_ann_batch(
     aw = ivfpq_index_rows(new_vectors, centers, codebooks).localCheckpoint(
         eager=False
     )
+    batch_dist = aw.agg(F.avg("sq_dist")).first()[0]
+    if batch_dist is None:  # empty batch: nothing to append, no drift
+        return 1.0
+    base = spark.read.parquet(tables["ann_stats"]).first()
+    ratio = (
+        float(batch_dist) / float(base.distortion)
+        if base.distortion
+        else float("inf")
+    )
+    if drift_limit is not None and ratio > drift_limit:
+        raise RuntimeError(
+            f"ANN index drift guard tripped: batch distortion "
+            f"{ratio:.2f}x training baseline (> {drift_limit}) — "
+            f"rebuild ann_tables before appending further (batch NOT "
+            f"appended)"
+        )
     (
         aw.drop("sq_dist")
         .repartition("cell")
@@ -379,13 +423,7 @@ def append_ann_batch(
         .partitionBy("cell")
         .parquet(tables["ann_corpus"])
     )
-    batch_dist = aw.agg(F.avg("sq_dist")).first()[0]
-    base = spark.read.parquet(tables["ann_stats"]).first()
-    if batch_dist is None:  # empty batch: nothing appended, no drift
-        return 1.0
-    if not base.distortion:
-        return float("inf")
-    return float(batch_dist) / float(base.distortion)
+    return ratio
 
 
 def start_ann_index_stream(
@@ -407,11 +445,14 @@ def start_ann_index_stream(
     duplicate identical candidates is unchanged) so the read path is
     naturally duplicate-tolerant.
 
-    Each batch's drift ratio is checked against ``drift_limit``: a
-    tripped guard logs loudly through the streaming query's exception
-    (fail-stop — a silently staling index is the one outcome this
-    machinery exists to prevent); operators rebuild ann_tables and
-    resume. Returns the StreamingQuery."""
+    Each batch's drift ratio is checked against ``drift_limit`` BEFORE
+    the append (inside :func:`append_ann_batch`): a tripped guard
+    surfaces loudly through the streaming query's exception WITHOUT the
+    out-of-distribution batch having been written, so the failing epoch
+    can replay forever without growing the corpus (fail-stop — a
+    silently staling index is the one outcome this machinery exists to
+    prevent); operators rebuild ann_tables and resume. Returns the
+    StreamingQuery."""
     schema = spark.read.parquet(source_dir).schema
 
     def _per_batch(batch_df: DataFrame, _epoch: int) -> None:
@@ -421,13 +462,9 @@ def start_ann_index_stream(
             F.col("vec_id").alias("neighbor_id"),
             F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
         )
-        ratio = append_ann_batch(batch_df.sparkSession, vecs, tables)
-        if ratio > drift_limit:
-            raise RuntimeError(
-                f"ANN index drift guard tripped: batch distortion "
-                f"{ratio:.2f}x training baseline (> {drift_limit}) — "
-                f"rebuild ann_tables before appending further"
-            )
+        append_ann_batch(
+            batch_df.sparkSession, vecs, tables, drift_limit=drift_limit
+        )
 
     stream = (
         spark.readStream.schema(schema)
@@ -453,8 +490,8 @@ def ann_appended_tables(
     contract as the batch-built index (queries/vector.py). The build
     fails loudly if the same-distribution append trips the drift guard —
     that would mean assignment and training disagree."""
-    sf_name = os.path.basename(os.path.normpath(sf_dir))
-    tag = f"ann2-{sf_name}-{_ann_fingerprint(sf_dir, n_lists)}"
+    prefix = _ann_tag_prefix("ann2-", sf_dir, n_lists)
+    tag = prefix + _ann_fingerprint(sf_dir, n_lists)
 
     def build(tmp: str) -> None:
         corpus = _embedding_corpus(spark, sf_dir)
@@ -469,7 +506,7 @@ def ann_appended_tables(
                 f"training disagree"
             )
 
-    return _published(f"ann2-{sf_name}-", tag, ANN_TABLES, build)
+    return _published(prefix, tag, ANN_TABLES, build)
 
 
 # ---------------------------------------------------------------------------
@@ -680,9 +717,18 @@ def promote_batch(spark: SparkSession, root: str) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
         _write(df.sortWithinPartitions(*sort_keys[name]), tmp)
         staged[name] = tmp
+    # crash-safe swap, matching plans/layout.compact_table (ADVICE r6):
+    # rename the live table ASIDE, rename the staged dir in, then drop
+    # the aside copy — at no instant is a table directory absent, and a
+    # crash leaves either the old or the new generation readable (the
+    # leftover '__old'/'.promote-' siblings are inert to readers and
+    # swept on the next promotion attempt).
     for name, tmp in staged.items():
-        shutil.rmtree(paths[name], ignore_errors=True)
+        old = paths[name] + "__old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(paths[name], old)
         os.rename(tmp, paths[name])
+        shutil.rmtree(old, ignore_errors=True)
 
 
 DAY3_SOURCES = ("src2", "src3")

@@ -197,6 +197,85 @@ def start_pipeline(
     )
 
 
+#: document payload fields as they ride inside a message's ``data`` JSON
+#: (the document-bearing message contract: a corpus doc published to the
+#: broker is one envelope whose data JSON carries these fields).
+DOC_PAYLOAD_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def docs_from_messages(batch: DataFrame) -> DataFrame:
+    """Extract document rows from a micro-batch of MESSAGE_SCHEMA rows:
+    parse each message's ``data`` JSON against the document payload
+    contract and keep the rows that carry one (doc_id present). Pure
+    column expressions (from_json is permissive — a non-document payload
+    yields nulls, never a crash), so the extraction is a narrow map-side
+    stage on the already-admitted batch."""
+    return (
+        batch.filter(F.col("data").isNotNull())
+        .select(F.from_json("data", DOC_PAYLOAD_SCHEMA).alias("d"))
+        .select("d.*")
+        .filter(F.col("doc_id").isNotNull())
+    )
+
+
+def start_ingest_service(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    source_df: DataFrame,
+    index_root: str,
+    query_name: str = "gntcs-service",
+    idempotent: bool = True,
+    trigger_seconds: float | None = None,
+) -> StreamingQuery:
+    """The COMPOSED service lifecycle — the reference's actual
+    architecture in one checkpointed run: messages arrive (NATS source or
+    envelope file replay), every micro-batch feeds BOTH the
+    raw/union/analytics MV cascade (:func:`apply_cascade` — the
+    insert-triggered views of init.sql:49-121 firing on main.go:154's
+    INSERT) AND the LLM-pipeline index maintainers
+    (plans/materialize.append_batch_index — the same insert-triggered
+    contract applied to the signature/band/quality tables). One source,
+    one checkpoint, one commit point: a crash replays the whole epoch
+    into both sinks, so the two halves can never drift apart by more
+    than one batch, and the downstream manifest consumer (duplicate-
+    invariant, queries/pipeline_mat.kept_docs_from) absorbs the replay.
+
+    ``idempotent=True`` (the default here — this is the upgraded
+    exactly-once service config) dedups the cascade on (subject,
+    sequence); the index side needs no such key because every consumer
+    is duplicate-invariant by construction. Scale shape: both sinks are
+    append-only partition-parallel writes over the same admitted batch,
+    persisted once and reused."""
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        append_batch_index,
+    )
+
+    tables = PipelineTables(cfg.warehouse_dir)
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df = batch_df.persist()  # two sink families read this batch
+        try:
+            apply_cascade(
+                batch_df, tables, idempotent=idempotent, collect_counts=False
+            )
+            docs = docs_from_messages(batch_df)
+            if not docs.isEmpty():
+                append_batch_index(docs, index_root, is_new=True)
+        finally:
+            batch_df.unpersist()
+
+    seconds = cfg.batch_timeout_seconds if trigger_seconds is None else trigger_seconds
+    return (
+        source_df.writeStream.queryName(query_name)
+        .foreachBatch(_process)
+        .option("checkpointLocation", os.path.join(cfg.checkpoint_dir, query_name))
+        .trigger(processingTime=f"{seconds} seconds")
+        .start()
+    )
+
+
 def run_backfill(
     spark: SparkSession,
     cfg: EngineConfig,

@@ -349,6 +349,50 @@ class TestAnnIncremental:
         ratio = materialize.append_ann_batch(spark, shifted, paths)
         assert ratio > 5.0
 
+    def test_tripped_guard_appends_nothing(self, spark, sf_dir, mat_root, tmp_path):
+        """With drift_limit set, the guard is checked BEFORE the append
+        (ADVICE r6): a tripped guard must leave the published corpus
+        byte-identical, so checkpoint-replayed retries of the failing
+        epoch never grow the table."""
+        import shutil as _sh
+
+        t = materialize.ann_tables(spark, sf_dir)
+        root = str(tmp_path / "ann_guard")
+        paths = {}
+        for name, p in t.items():
+            paths[name] = os.path.join(root, name)
+            _sh.copytree(p, paths[name])
+        n_before = spark.read.parquet(paths["ann_corpus"]).count()
+        shifted = spark.read.parquet(paths["ann_corpus"]).select(
+            "neighbor_id",
+            F.transform("cv", lambda x: x + F.lit(1000.0)).alias("cv"),
+        )
+        for _ in range(2):  # the replayed-restart scenario: fails twice
+            with pytest.raises(RuntimeError, match="drift guard"):
+                materialize.append_ann_batch(
+                    spark, shifted, paths, drift_limit=2.0
+                )
+        assert spark.read.parquet(paths["ann_corpus"]).count() == n_before
+
+    def test_in_limit_append_still_appends(self, spark, sf_dir, mat_root, tmp_path):
+        """A same-distribution batch passes the pre-append guard and is
+        appended exactly once."""
+        import shutil as _sh
+
+        t = materialize.ann_tables(spark, sf_dir)
+        root = str(tmp_path / "ann_ok")
+        paths = {}
+        for name, p in t.items():
+            paths[name] = os.path.join(root, name)
+            _sh.copytree(p, paths[name])
+        n_before = spark.read.parquet(paths["ann_corpus"]).count()
+        batch = spark.read.parquet(paths["ann_corpus"]).select(
+            "neighbor_id", "cv"
+        ).limit(25)
+        ratio = materialize.append_ann_batch(spark, batch, paths, drift_limit=2.0)
+        assert ratio < 2.0
+        assert spark.read.parquet(paths["ann_corpus"]).count() == n_before + 25
+
 
 class TestAnnStreaming:
     def test_streamed_ann_appends_equal_frozen_reassignment(
@@ -430,6 +474,7 @@ class TestAnnStreaming:
         )
         src = str(tmp_path / "arrivals")
         shifted.coalesce(1).write.parquet(src)
+        n_before = spark.read.parquet(paths["ann_corpus"]).count()
         q = materialize.start_ann_index_stream(
             spark, src, paths, str(tmp_path / "ckpt")
         )
@@ -440,6 +485,8 @@ class TestAnnStreaming:
                     raise q.exception()
         finally:
             q.stop()
+        # guard-before-append: the failed epoch wrote nothing (ADVICE r6)
+        assert spark.read.parquet(paths["ann_corpus"]).count() == n_before
 
 
 class TestPromotion:
@@ -743,8 +790,14 @@ def test_drop_cache_covers_both_table_families(spark, sf_dir, mat_root):
     materialize.pipeline_tables(spark, sf_dir)
     materialize.ann_tables(spark, sf_dir)
     assert len(_os.listdir(mat_root)) == 2
+    # a fixture whose name merely CONTAINS '{sf_name}-' must survive the
+    # sweep (ADVICE r6: family-shape match, not substring)
+    sf_name = _os.path.basename(_os.path.normpath(sf_dir))
+    bystander = _os.path.join(mat_root, f"tpch-{sf_name}-deadbeef")
+    _os.makedirs(bystander)
     materialize.drop_cache(sf_dir)
-    assert _os.listdir(mat_root) == []
+    assert _os.listdir(mat_root) == [f"tpch-{sf_name}-deadbeef"]
+    _os.rmdir(bystander)
 
 
 def test_concurrent_builders_race_safely(spark, sf_dir, mat_root):
