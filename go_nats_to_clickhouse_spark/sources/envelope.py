@@ -67,18 +67,82 @@ def parse_envelope(
     )
 
 
-def message_file_stream(spark: SparkSession, path: str) -> DataFrame:
+def message_file_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Dev/file stand-in source: a directory of JSON-lines envelope files
     streamed with the built-in file source, emitting MESSAGE_SCHEMA rows —
-    interchangeable with the NATS source for every downstream operator."""
-    raw = (
-        spark.readStream.format("text")
-        .schema(T.StructType([T.StructField("value", T.StringType())]))
-        .load(path)
+    interchangeable with the NATS source for every downstream operator.
+    ``max_files_per_trigger`` bounds each micro-batch (admission control,
+    the file-source analog of the NATS source's maxRecordsPerTrigger)."""
+    reader = spark.readStream.format("text").schema(
+        T.StructType([T.StructField("value", T.StringType())])
     )
-    return parse_envelope(raw)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return parse_envelope(reader.load(path))
 
 
 def message_file_batch(spark: SparkSession, path: str) -> DataFrame:
     """Batch twin of :func:`message_file_stream` (backfills)."""
     return parse_envelope(spark.read.format("text").load(path))
+
+
+#: fixed publish time for fixture-derived document messages (epoch secs,
+#: 2024-03-01T12:00:00Z — inside the ym=202403 partition the pipeline
+#: tests use); a live publisher stamps real time here.
+DOC_PUBLISH_EPOCH = 1_709_294_400
+
+
+def document_envelopes(docs: DataFrame) -> DataFrame:
+    """The PUBLISHER side of the document-bearing message contract: one
+    wire envelope JSON line per document (column ``value``), the exact
+    shape :func:`parse_envelope` decodes and
+    streaming/pipeline.docs_from_messages re-extracts.
+
+    * ``data``     — the document payload JSON (doc_id/text/lang/source/
+      n_chars) plus the reference's ``id`` message field (README.md:18-30)
+      so the analytics MV's JSONExtractString('id') works unchanged;
+    * ``metadata`` — publish timestamp + per-doc sequence (doc_id — unique
+      by construction, the idempotency key the exactly-once sink dedups
+      on);
+    * ``subject``  — ``corpus.<source>.ingest.doc-<id>.batch``: segment 2
+      routes the per-stream raw tables (one table per corpus source),
+      segment 4 becomes the chat_id analog.
+
+    Pure column expressions (to_json escapes embedded newlines/quotes, so
+    one document is always exactly one line) — a distributed map-only
+    stage at any corpus size."""
+    data = F.to_json(
+        F.struct(
+            F.col("doc_id"),
+            F.col("text"),
+            F.col("lang"),
+            F.col("source"),
+            F.col("n_chars"),
+            F.col("doc_id").cast("string").alias("id"),
+        )
+    )
+    meta = F.to_json(
+        F.struct(
+            F.lit(DOC_PUBLISH_EPOCH).alias("timestamp"),
+            F.col("doc_id").alias("sequence"),
+        )
+    )
+    subject = F.concat_ws(
+        ".",
+        F.lit("corpus"),
+        F.col("source"),
+        F.lit("ingest"),
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")),
+        F.lit("batch"),
+    )
+    return docs.select(
+        F.to_json(
+            F.struct(
+                meta.alias("metadata"),
+                subject.alias("subject"),
+                data.alias("data"),
+            )
+        ).alias("value")
+    )

@@ -110,6 +110,7 @@ def apply_cascade(
     # raise write_partitions for high-volume deployments.
     batch = batch.repartition(write_partitions)
     valid, dead = _split_valid(batch)
+    snapshotted = False
     if idempotent:
         valid = valid.dropDuplicates(["subject", "sequence"])
         dest = tables.path(ALL_STREAMS_TABLE)
@@ -126,10 +127,25 @@ def apply_cascade(
                 .filter(F.col(layout.PARTITION_COL).isin(months))
                 .select("subject", "sequence")
             )
-            valid = valid.join(existing, ["subject", "sequence"], "left_anti")
+            # The anti-join's plan SCANS the union table this cascade is
+            # about to append to, and Spark drops any cached plan that
+            # reads a path the moment that path is written
+            # (CacheManager.uncacheByPath on insert). A plain persist()
+            # here is therefore silently invalidated by the union append,
+            # and the analytics write would re-run the anti-join against
+            # the NEW file listing — filtering this batch's own
+            # freshly-landed rows away (observed: analytics lost every
+            # batch after the first). localCheckpoint cuts the lineage to
+            # a block-manager snapshot with no path dependency, so all
+            # three sinks write exactly the same row set.
+            valid = valid.join(
+                existing, ["subject", "sequence"], "left_anti"
+            ).localCheckpoint(eager=True)
+            snapshotted = True
     # One pass over the batch feeds three tables; cache so the (small,
     # admission-controlled) batch isn't recomputed per sink.
-    valid = valid.persist()
+    if not snapshotted:
+        valid = valid.persist()
     try:
         counts: dict[str, int] = {}
         raw = message_to_raw(valid).withColumn("stream", stream_name_from_subject_col())
@@ -163,7 +179,8 @@ def apply_cascade(
             counts["dead_letter"] = dead.count() if collect_counts else -1
         return counts
     finally:
-        valid.unpersist()
+        if not snapshotted:
+            valid.unpersist()
 
 
 def start_pipeline(

@@ -154,6 +154,26 @@ class TestIdempotentSink:
         apply_cascade(df, tables, idempotent=True)
         assert spark.read.parquet(tables.path(ANALYTICS_TABLE)).count() == 1
 
+    def test_sequential_novel_batches_all_reach_analytics(self, spark, tmp_path):
+        """Regression (r7): the idempotent anti-join's plan scans the
+        union table the cascade appends to, and Spark auto-uncaches
+        plans by written path — so a persist()-only cascade silently
+        recomputed the anti-join for the analytics write and dropped
+        every batch after the first (analytics saw its own union rows as
+        'existing'). The localCheckpoint snapshot must keep all three
+        sinks row-identical across many novel batches."""
+        tables = PipelineTables(str(tmp_path / "wh_seq"))
+        for ep in range(3):
+            rows = [
+                (TS, f"globex.supprt.u{i}.c{i}.t", ep * 100 + i, "{}", '{"text":"x"}')
+                for i in range(10)
+            ]
+            df = spark.createDataFrame(rows, MESSAGE_SCHEMA)
+            apply_cascade(df, tables, idempotent=True, collect_counts=False)
+        alls = spark.read.parquet(tables.path(ALL_STREAMS_TABLE)).count()
+        ana = spark.read.parquet(tables.path(ANALYTICS_TABLE)).count()
+        assert alls == ana == 30
+
     def test_default_keeps_reference_at_least_once(self, spark, tmp_path):
         rows = [(TS, "globex.supprt.u1.c1.t", 1, "{}", "{}")]
         df = spark.createDataFrame(rows, MESSAGE_SCHEMA)
@@ -161,6 +181,147 @@ class TestIdempotentSink:
         apply_cascade(df, tables)
         apply_cascade(df, tables)  # replay duplicates — reference contract
         assert spark.read.parquet(tables.path(ANALYTICS_TABLE)).count() == 2
+
+
+class TestComposedIngestService:
+    """The reference's full service shape (VERDICT r6 #1): one
+    checkpointed run whose every micro-batch feeds the MV cascade AND
+    the LLM-pipeline index maintainers."""
+
+    @staticmethod
+    def _docs(spark, ids):
+        # Gopher-passing texts (50 words, alpha, 2 stopwords) with a
+        # DISJOINT vocabulary per doc — shared vocab would legitimately
+        # near-dup-collapse the corpus (lesson from the r6 promotion
+        # edge-case tests) and empty the keep-set under test.
+        def text(i):
+            tag = chr(97 + i // 26) + chr(97 + i % 26)
+            words = [
+                f"w{tag}x{chr(97 + j // 26)}{chr(97 + j % 26)}" for j in range(48)
+            ]
+            return " ".join(words + ["the", "and"])
+
+        rows = [(i, text(i), "en", f"src{i % 2}", 300) for i in ids]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+
+    def _run_service(self, spark, tmp_path, name="svc"):
+        from go_nats_to_clickhouse_spark.sources.envelope import (
+            message_file_stream,
+        )
+        from go_nats_to_clickhouse_spark.streaming.pipeline import (
+            start_ingest_service,
+        )
+
+        cfg = EngineConfig(
+            warehouse_dir=str(tmp_path / "wh_svc"),
+            checkpoint_dir=str(tmp_path / "ckpt_svc"),
+        )
+        src = message_file_stream(
+            spark, str(tmp_path / "arrivals"), max_files_per_trigger=1
+        )
+        q = start_ingest_service(
+            spark, cfg, src, index_root=str(tmp_path / "idx"),
+            query_name=name, trigger_seconds=0,
+        )
+        stop_gracefully(q)
+        return cfg
+
+    def test_both_sink_families_fed_and_restart_no_duplicates(
+        self, spark, tmp_path
+    ):
+        """Land one arrival file, run the composed service, stop; land
+        two more, restart from the SAME checkpoint: the cascade must
+        hold exactly-once counts and the index side must cover exactly
+        the published docs — the restart-no-duplicate e2e extended to
+        the composed sink (VERDICT r6 #1)."""
+        from go_nats_to_clickhouse_spark.sources.envelope import (
+            document_envelopes,
+        )
+
+        arrivals = tmp_path / "arrivals"
+        document_envelopes(self._docs(spark, range(10))).coalesce(1).write.mode(
+            "append"
+        ).text(str(arrivals))
+        cfg = self._run_service(spark, tmp_path)
+        ana1 = spark.read.parquet(
+            os.path.join(cfg.warehouse_dir, ANALYTICS_TABLE)
+        ).count()
+        assert ana1 == 10
+
+        document_envelopes(self._docs(spark, range(10, 20))).coalesce(1).write.mode(
+            "append"
+        ).text(str(arrivals))
+        document_envelopes(self._docs(spark, range(20, 30))).coalesce(1).write.mode(
+            "append"
+        ).text(str(arrivals))
+        self._run_service(spark, tmp_path)  # same checkpoint: resumes
+
+        ana = spark.read.parquet(os.path.join(cfg.warehouse_dir, ANALYTICS_TABLE))
+        assert ana.count() == 30
+        assert ana.select("message_id").distinct().count() == 30
+        # index side: every published doc indexed exactly once per table
+        sigs = spark.read.parquet(str(tmp_path / "idx" / "doc_sigs"))
+        qual = spark.read.parquet(str(tmp_path / "idx" / "doc_quality"))
+        assert sigs.count() == sigs.select("doc_id").distinct().count() == 30
+        assert qual.count() == 30
+        # cascade and index halves describe the SAME doc set
+        got_ana = {int(r.message_id) for r in ana.select("message_id").collect()}
+        got_idx = {r.doc_id for r in sigs.select("doc_id").collect()}
+        assert got_ana == got_idx == set(range(30))
+
+    def test_replayed_epoch_absorbed_by_both_halves(self, spark, tmp_path):
+        """Re-applying one epoch through the composed per-batch body
+        (the crash-replay scenario) must leave the idempotent cascade
+        unchanged and only add index rows every consumer dedups —
+        kept_docs_from's manifest over the index stays identical."""
+        from go_nats_to_clickhouse_spark.plans.materialize import (
+            append_batch_index,
+        )
+        from go_nats_to_clickhouse_spark.queries.pipeline_mat import (
+            kept_docs_from, manifest_rows,
+        )
+        from go_nats_to_clickhouse_spark.sources.envelope import (
+            document_envelopes, message_file_batch,
+        )
+        from go_nats_to_clickhouse_spark.streaming.pipeline import (
+            PipelineTables, docs_from_messages,
+        )
+
+        arrivals = tmp_path / "arrivals"
+        document_envelopes(self._docs(spark, range(12))).coalesce(1).write.text(
+            str(arrivals)
+        )
+        cfg = self._run_service(spark, tmp_path)
+        idx = str(tmp_path / "idx")
+
+        def manifest():
+            empty_surv = spark.createDataFrame([], "doc_id long")
+            kept = kept_docs_from(
+                spark.read.parquet(os.path.join(idx, "doc_bands")),
+                spark.read.parquet(os.path.join(idx, "doc_quality")),
+                empty_surv,
+            )
+            return sorted(
+                (r.doc_id, r.from_batch, r.shard, r.pos)
+                for r in manifest_rows(kept).collect()
+            )
+
+        before = manifest()
+        assert len(before) == 12  # gopher-passing docs: non-trivial keep-set
+        replayed = message_file_batch(
+            spark,
+            str(next(arrivals.glob("part-*.txt"))),
+        )
+        apply_cascade(
+            replayed, PipelineTables(cfg.warehouse_dir),
+            idempotent=True, collect_counts=False,
+        )
+        append_batch_index(docs_from_messages(replayed), idx, is_new=True)
+        ana = spark.read.parquet(os.path.join(cfg.warehouse_dir, ANALYTICS_TABLE))
+        assert ana.count() == 12  # cascade absorbed the replay
+        assert manifest() == before  # consumer absorbed the index dupes
 
 
 class TestBackfill:
