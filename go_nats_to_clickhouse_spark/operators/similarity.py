@@ -148,6 +148,29 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     ).filter(F.col("rank") <= k)
 
 
+def _local_topk(qid, keys, limit):
+    """Batch-local partial top-k (VERDICT r6 #2): indices of the rows
+    ranking <= ``limit`` within their query under the EXACT total order
+    ``keys`` (lexsort keys, least-significant first, with qid appended
+    as the primary key by this function; include the neighbor_id
+    tiebreak as the least-significant key so pruning is a prefix of the
+    same total order the global window applies — any row outside a
+    batch's per-query top-``limit`` can never enter the global
+    top-``limit``). Turns the window's shuffle volume from
+    O(candidates) to O(n_q x limit x n_batches): the fix for the
+    one-reducer-per-query sort of the full candidate set."""
+    import numpy as np
+
+    if len(qid) == 0:
+        return np.empty(0, dtype=np.intp)
+    order = np.lexsort(tuple(keys) + (qid,))
+    qs = qid[order]
+    idx = np.arange(len(qs))
+    first = np.r_[True, qs[1:] != qs[:-1]]
+    group_start = np.maximum.accumulate(np.where(first, idx, 0))
+    return order[idx - group_start < limit]
+
+
 def brute_force_topk(
     queries_df: DataFrame,
     corpus_df: DataFrame,
@@ -567,29 +590,34 @@ def pq_topk(
         import numpy as np
         import pandas as pd
 
+        ids = np.asarray(q_ids, dtype=np.int64)
         for pdf in batches:
             if not len(pdf):
                 continue
             C = np.stack(pdf["code"].to_numpy())  # n x m
-            n, n_q = len(C), len(q_ids)
+            n, n_q = len(C), len(ids)
             # approx squared L2 per (query, vector): sum of LUT lookups
             d2 = np.zeros((n_q, n))
             for j in range(m):
                 d2 += luts[:, j, :][:, C[:, j]]
             # normalized vectors: cos ≈ 1 - d2/2 (monotone either way)
             cos = 1.0 - d2 / 2.0
-            nid = pdf["neighbor_id"].to_numpy()
+            qid = np.repeat(ids, n)
+            nid = np.tile(pdf["neighbor_id"].to_numpy(), n_q)
+            cs = cos.reshape(-1)
+            # self-filter INSIDE the kernel so a self-match can never
+            # occupy a pruned slot, then batch-local partial top-k
+            # under the exact (cos desc, neighbor_id) global order —
+            # the kernel emits <= n_q x k rows per batch instead of
+            # n_q x batch (VERDICT r6 #2)
+            keep = nid != qid
+            qid, nid, cs = qid[keep], nid[keep], cs[keep]
+            sel = _local_topk(qid, (nid, -cs), k)
             yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(q_ids, n),
-                    "neighbor_id": np.tile(nid, n_q),
-                    "cos": cos.reshape(-1),
-                }
+                {"query_id": qid[sel], "neighbor_id": nid[sel], "cos": cs[sel]}
             )
 
-    scored = codes.mapInPandas(_score, out_schema).filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
+    scored = codes.mapInPandas(_score, out_schema)
     return _rank_topk(scored, k)
 
 
@@ -687,24 +715,21 @@ def ivfpq_index_rows(
     return df.select(id_col, vec_col).mapInPandas(_index, schema)
 
 
-def ivfpq_read_topk(
+def ivfpq_adc_candidates(
     queries_df: DataFrame,
     corpus: DataFrame,
     centers: list[list[float]],
     codebooks,
     nprobe: int = 12,
     shortlist: int = 100,
-    k: int = 5,
 ) -> DataFrame:
-    """The production ANN read path, fully composed: IVF prunes WHICH
-    cells are read (broadcast probe list -> dynamic partition pruning on
-    the cell-partitioned scan), PQ compresses WHAT the first pass reads
-    (only the m-byte ``code`` column — column pruning keeps the float
-    vectors unread), and the exact re-rank reaches back for full vectors
-    of just the n_q x shortlist winners, again DPP-pruned via the
-    shortlist's cell column. Two scans of the same table, each reading
-    the minimum bytes its stage needs — at 100 TB stage 1 touches
-    nprobe/n_lists of the files at ~1/64th the bytes per row."""
+    """Stage 1 of the composed IVF-PQ read path: ADC-score the probed
+    cells' codes and emit the locally-pruned candidate feed (query_id,
+    neighbor_id, cell, adc) — <= shortlist rows per query per Arrow
+    batch (:func:`_local_topk`, exact (adc asc, neighbor_id) order), so
+    the global shortlist window downstream shuffles O(n_q x shortlist x
+    n_batches) rows, never the full probed candidate set. Public for the
+    shortlist-volume plan pin (tests/test_similarity_blocking.py)."""
     import numpy as np
 
     q = queries_df.select("query_id", "qv").collect()
@@ -747,21 +772,58 @@ def ivfpq_read_topk(
             d2 = np.zeros(len(C))
             for j in range(m):
                 d2 += luts[qi, j, C[:, j]]
+            qid = pdf["query_id"].to_numpy()
+            nid = pdf["neighbor_id"].to_numpy()
+            cell = pdf["cell"].to_numpy()
+            # self-filter inside the kernel, then batch-local partial
+            # top-shortlist under the exact (adc asc, neighbor_id)
+            # global order: the shortlist window's shuffle drops from
+            # O(candidates) — at scale n_q x nprobe/n_lists of the
+            # corpus, all sorted by ONE reducer task per query — to
+            # O(n_q x shortlist x n_batches) (VERDICT r6 #2)
+            keep = nid != qid
+            qid, nid, cell, d2 = qid[keep], nid[keep], cell[keep], d2[keep]
+            sel = _local_topk(qid, (nid, d2), shortlist)
             yield pd.DataFrame(
                 {
-                    "query_id": pdf["query_id"].to_numpy(),
-                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
-                    "cell": pdf["cell"].to_numpy(),
-                    "adc": d2,
+                    "query_id": qid[sel],
+                    "neighbor_id": nid[sel],
+                    "cell": cell[sel],
+                    "adc": d2[sel],
                 }
             )
 
     # stage 1: codes-only scan of the probed cells
-    cand = (
+    return (
         corpus.select("cell", "neighbor_id", "code")
         .join(F.broadcast(q_cells), "cell")
         .mapInPandas(_adc, adc_schema)
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+
+
+def ivfpq_read_topk(
+    queries_df: DataFrame,
+    corpus: DataFrame,
+    centers: list[list[float]],
+    codebooks,
+    nprobe: int = 12,
+    shortlist: int = 100,
+    k: int = 5,
+) -> DataFrame:
+    """The production ANN read path, fully composed: IVF prunes WHICH
+    cells are read (broadcast probe list -> dynamic partition pruning on
+    the cell-partitioned scan), PQ compresses WHAT the first pass reads
+    (only the m-byte ``code`` column — column pruning keeps the float
+    vectors unread), and the exact re-rank reaches back for full vectors
+    of just the n_q x shortlist winners, again DPP-pruned via the
+    shortlist's cell column. Two scans of the same table, each reading
+    the minimum bytes its stage needs — at 100 TB stage 1 touches
+    nprobe/n_lists of the files at ~1/64th the bytes per row, and its
+    kernel prunes locally (:func:`ivfpq_adc_candidates`) so the global
+    shortlist window never single-reducer-sorts a query's full
+    candidate set."""
+    cand = ivfpq_adc_candidates(
+        queries_df, corpus, centers, codebooks, nprobe=nprobe, shortlist=shortlist
     )
     from pyspark.sql.window import Window
 
