@@ -53,9 +53,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: bump to invalidate every cached materialization (any change to the
-#: signature/banding/quality/survivor definitions — or to the composed
-#: ingest service the ing- family bakes its tables with — must bump this)
-MAT_VERSION = 4
+#: signature/banding/quality/survivor/pair definitions — or to the
+#: composed ingest service the ing- family bakes its tables with — must
+#: bump this)
+MAT_VERSION = 5
 
 #: the ingest split: these sources model the day-2 batch (same convention
 #: as queries/clickhouse_r3.dedup_incremental_new_batch)
@@ -65,7 +66,13 @@ _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
-TABLES = ("doc_sigs", "doc_bands", "doc_quality", "corpus_survivors")
+TABLES = (
+    "doc_sigs",
+    "doc_bands",
+    "doc_quality",
+    "corpus_survivors",
+    "corpus_pairs",
+)
 
 
 def _mat_root() -> str:
@@ -175,6 +182,18 @@ def _build_from(
     pairs = lsh_verified_jaccard_pairs(
         corpus, threshold=0.5, bands=4, max_bucket=None
     ).select("doc_a", "doc_b")
+    # persist the VERIFIED pair graph itself (corpus_pairs): it is the
+    # ingest artifact the GDPR erase path consults — removing a doc can
+    # split its near-dup component and must resurrect the suppressed
+    # members a from-scratch build without that doc would have kept,
+    # which is recomputable from the pair graph alone (O(pairs), no text
+    # rescan; see erase_docs). Written first, read back for CC so the
+    # expensive verification join runs once.
+    _write(
+        pairs.sortWithinPartitions("doc_a", "doc_b"),
+        os.path.join(out_dir, "corpus_pairs"),
+    )
+    pairs = docs.sparkSession.read.parquet(os.path.join(out_dir, "corpus_pairs"))
     comp = connected_components(pairs, shortcut=True).select(
         F.col("node").alias("c_doc"), "component"
     )
@@ -193,7 +212,17 @@ def _write(df: DataFrame, path: str) -> None:
 #: every materialization family's tag prefix (published tags are
 #: '{family}{sf_name}-{fingerprint...}'; build litter is '.build-' + tag).
 #: New families MUST register here so drop_cache covers them.
-FAMILY_PREFIXES = ("", "ann-", "ann2-", "stream-", "gen3-", "ing-", "erase-")
+FAMILY_PREFIXES = (
+    "",
+    "ann-",
+    "ann2-",
+    "stream-",
+    "gen3-",
+    "gen4-",
+    "ing-",
+    "erase-",
+    "erasev-",
+)
 
 
 def drop_cache(sf_dir: str | None = None) -> None:
@@ -805,13 +834,242 @@ def promote_batch(spark: SparkSession, root: str) -> None:
     # the aside copy — at no instant is a table directory absent, and a
     # crash leaves either the old or the new generation readable (the
     # leftover '__old'/'.promote-' siblings are inert to readers and
-    # swept on the next promotion attempt).
+    # swept on the next promotion attempt). corpus_pairs passes through
+    # promotion untouched: it carries the exact-verified day-1 pair
+    # graph (see erase_docs for the erase-after-promotion limitation).
+    _swap_staged(root, staged)
+
+
+# ---------------------------------------------------------------------------
+# GDPR erasure — the right-to-be-forgotten path through the index families
+# (VERDICT r6 #4). Reference anchor: ALTER TABLE ... DELETE mutations on
+# MergeTree — the part-rewrite machinery plans/layout.erase_keys already
+# mirrors for the event tables, applied here to the pipeline/ANN indexes.
+# ---------------------------------------------------------------------------
+
+
+def _swap_staged(root: str, staged: dict[str, str]) -> None:
+    """Crash-safe multi-table swap shared by promotion and erasure:
+    rename each live table aside, rename the staged rewrite in, drop the
+    aside copy — no instant where a table directory is absent."""
     for name, tmp in staged.items():
-        old = paths[name] + "__old"
+        live = os.path.join(root, name)
+        old = live + "__old"
         shutil.rmtree(old, ignore_errors=True)
-        os.rename(paths[name], old)
-        os.rename(tmp, paths[name])
+        os.rename(live, old)
+        os.rename(tmp, live)
         shutil.rmtree(old, ignore_errors=True)
+
+
+def erase_docs(spark: SparkSession, root: str, erase_ids: DataFrame) -> None:
+    """Erase documents from the pipeline index family under ``root`` so
+    that every read-path consumer afterwards behaves EXACTLY as if the
+    erased docs had never been ingested (the from-scratch contract the
+    driver row pipeline_manifest_erased pins against its oracle):
+
+    * ``doc_sigs`` / ``doc_bands`` / ``doc_quality`` — filter-out
+      rewrite by doc_id (the erased docs' derived artifacts — signatures
+      are content-derived data — must go too, not just the text).
+    * ``corpus_pairs`` — drop every pair touching an erased doc. The
+      exact-Jaccard pair set among the REMAINING docs is unchanged by
+      construction (pair membership never depended on other docs), so
+      the filtered graph IS the from-scratch graph.
+    * ``corpus_survivors`` — recomputed from (corpus ids \\ erased) +
+      the filtered pair graph: erasing a component's surviving min can
+      SPLIT the component and must resurrect the suppressed members a
+      build that never saw the erased doc would have kept; conversely an
+      erased non-survivor just disappears. Cost is O(pairs) — the graph
+      is collision-sized, never corpus-sized — plus the narrow id scans.
+
+    The batch (is_new) generation needs no survivor repair: its dedup is
+    computed at read time from the band index, so erased batch docs
+    vanish from the candidate join and the remaining batch resolves
+    exactly as a never-saw build. Limitation (documented): after
+    promote_batch folds an est-deduped generation into the corpus,
+    ``corpus_pairs`` still carries only the exact-verified day-1 pairs —
+    erase-after-promotion would need the promotion to also fold its
+    est-pair edges in.
+
+    Rewrite shape: staged hidden siblings + the same rename-aside swap
+    promotion uses. These tables are unpartitioned (narrow, sorted), so
+    the rewrite is O(index) like a ClickHouse DELETE mutation rewriting
+    parts — the cell-partition-pruned analog for vectors is
+    :func:`erase_vectors`."""
+    from go_nats_to_clickhouse_spark.operators.graph import connected_components
+
+    erase_ids = erase_ids.select("doc_id").dropDuplicates(["doc_id"])
+    paths = {t: os.path.join(root, t) for t in TABLES}
+    qual = spark.read.parquet(paths["doc_quality"])
+    pairs = spark.read.parquet(paths["corpus_pairs"])
+
+    kept_pairs = (
+        pairs.join(
+            F.broadcast(erase_ids),
+            pairs["doc_a"] == F.col("doc_id"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(erase_ids),
+            F.col("doc_b") == F.col("doc_id"),
+            "left_anti",
+        )
+        .localCheckpoint(eager=False)
+    )
+    # survivors from scratch over the filtered graph: component min per
+    # paired doc, every unpaired corpus doc survives outright
+    corp_ids = (
+        qual.filter(~F.col("is_new"))
+        .select("doc_id")
+        .dropDuplicates(["doc_id"])
+        .join(F.broadcast(erase_ids), "doc_id", "left_anti")
+    )
+    comp = connected_components(kept_pairs, shortcut=True).select(
+        F.col("node").alias("c_doc"), "component"
+    )
+    surv = (
+        corp_ids.join(comp, corp_ids["doc_id"] == F.col("c_doc"), "left")
+        .filter(F.col("c_doc").isNull() | (F.col("component") == F.col("doc_id")))
+        .select("doc_id")
+    )
+
+    rewrites = {
+        "doc_sigs": spark.read.parquet(paths["doc_sigs"]).join(
+            F.broadcast(erase_ids), "doc_id", "left_anti"
+        ),
+        "doc_bands": spark.read.parquet(paths["doc_bands"]).join(
+            F.broadcast(erase_ids), "doc_id", "left_anti"
+        ),
+        "doc_quality": qual.join(F.broadcast(erase_ids), "doc_id", "left_anti"),
+        "corpus_pairs": kept_pairs,
+        "corpus_survivors": surv,
+    }
+    sort_keys = {
+        "doc_sigs": ("doc_id",),
+        "doc_bands": ("band", "bucket"),
+        "doc_quality": ("doc_id",),
+        "corpus_pairs": ("doc_a", "doc_b"),
+        "corpus_survivors": ("doc_id",),
+    }
+    staged = {}
+    for name, df in rewrites.items():
+        tmp = os.path.join(root, f".erase-{name}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        _write(df.sortWithinPartitions(*sort_keys[name]), tmp)
+        staged[name] = tmp
+    _swap_staged(root, staged)
+
+
+def erase_vectors(
+    spark: SparkSession, tables: dict[str, str], erase_ids: DataFrame
+) -> None:
+    """Erase vectors from the cell-partitioned ANN corpus, rewriting
+    ONLY the cells that contain an erased id — the partition-pruned
+    mutation the cell layout exists for: at 100 TB an erase request for
+    k vectors touches at most k cell directories, never the corpus. The
+    centroid/codebook tables are training artifacts over the historical
+    distribution (like ann_stats' training distortion) and are NOT
+    derived per-vector data, so they stand; the drift guard keeps their
+    staleness observable as always.
+
+    Mechanics: the affected cell list is a bounded collect (<= number of
+    erased ids); those partitions are rewritten via dynamic partition
+    overwrite (untouched cell dirs keep their files byte-identical —
+    mtime-pinned in tests), and a cell whose every vector is erased is
+    dropped outright (dynamic overwrite cannot write zero rows)."""
+    erase_ids = erase_ids.select(
+        F.col(erase_ids.columns[0]).alias("neighbor_id")
+    ).dropDuplicates(["neighbor_id"])
+    corpus = spark.read.parquet(tables["ann_corpus"])
+    touched = [
+        r.cell
+        for r in corpus.join(F.broadcast(erase_ids), "neighbor_id")
+        .select("cell")
+        .distinct()
+        .collect()
+    ]
+    if not touched:
+        return
+    remaining = corpus.filter(F.col("cell").isin(touched)).join(
+        F.broadcast(erase_ids), "neighbor_id", "left_anti"
+    )
+    still = {
+        r.cell for r in remaining.select("cell").distinct().collect()
+    }
+    (
+        remaining.repartition("cell")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(tables["ann_corpus"])
+    )
+    for cell in set(touched) - still:  # fully-erased cells: drop the dir
+        shutil.rmtree(
+            os.path.join(tables["ann_corpus"], f"cell={cell}"),
+            ignore_errors=True,
+        )
+
+
+#: the deterministic erase set the driver-checked erasure rows use:
+#: every 13th doc/vector — chosen so the set contains, at every fixture
+#: SF, at least one SURVIVING near-dup-pair minimum (erasing it must
+#:   resurrect the suppressed partner) and, at sf0.1, a 3-node component
+#: whose min is erased (the remaining members must re-resolve among
+#: themselves) — the two structurally interesting erasure cases.
+ERASE_MOD = 13
+
+
+def erased_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """The pipeline tables AFTER a GDPR erasure, cached per fixture: the
+    published tables are copied (erasure happens to an index that
+    already served traffic — that is the point) and
+    :func:`erase_docs` removes every ``doc_id % ERASE_MOD == 0``
+    document. The driver row pipeline_manifest_erased then runs the
+    UNCHANGED manifest consumer over these tables against an oracle
+    that recomputes from documents-that-were-never-ingested — the
+    from-scratch equivalence a right-to-be-forgotten implementation
+    owes (VERDICT r6 #4)."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"erase-{sf_name}-{_fingerprint(sf_dir)}"
+
+    def build(tmp: str) -> None:
+        from go_nats_to_clickhouse_spark.schemas import load_table
+
+        src = pipeline_tables(spark, sf_dir)
+        for name, p in src.items():
+            shutil.copytree(p, os.path.join(tmp, name))
+        erase_ids = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter(F.pmod(F.col("doc_id"), F.lit(ERASE_MOD)) == 0)
+        )
+        erase_docs(spark, tmp, erase_ids)
+
+    return _published(f"erase-{sf_name}-", tag, TABLES, build)
+
+
+def erased_ann_tables(
+    spark: SparkSession, sf_dir: str, n_lists: int = 16
+) -> dict[str, str]:
+    """The ANN index AFTER a GDPR erasure, cached per fixture: the
+    published cell-partitioned index is copied and
+    :func:`erase_vectors` removes every ``vec_id % ERASE_MOD == 0``
+    vector — only the touched cell partitions rewrite. The driver row
+    vector_ann_erased_topk serves the unchanged read path over it."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"erasev-{sf_name}-n{n_lists}-{_ann_fingerprint(sf_dir, n_lists)}"
+
+    def build(tmp: str) -> None:
+        src = ann_tables(spark, sf_dir, n_lists=n_lists)
+        for name, p in src.items():
+            shutil.copytree(p, os.path.join(tmp, name))
+        erase_ids = spark.read.parquet(tmp + "/ann_corpus").filter(
+            F.pmod(F.col("neighbor_id"), F.lit(ERASE_MOD)) == 0
+        ).select("neighbor_id")
+        erase_vectors(
+            spark, {t: os.path.join(tmp, t) for t in ANN_TABLES}, erase_ids
+        )
+
+    return _published(f"erasev-{sf_name}-n{n_lists}-", tag, ANN_TABLES, build)
 
 
 DAY3_SOURCES = ("src2", "src3")
@@ -853,3 +1111,53 @@ def gen3_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
             )
 
     return _published(f"gen3-{sf_name}-", tag, TABLES, build)
+
+
+DAY4_SOURCES = ("src4", "src5")
+
+#: per-table sort keys every compaction/promotion pass preserves
+SORT_KEYS = {
+    "doc_sigs": ("doc_id",),
+    "doc_bands": ("band", "bucket"),
+    "doc_quality": ("doc_id",),
+    "corpus_survivors": ("doc_id",),
+    "corpus_pairs": ("doc_a", "doc_b"),
+}
+
+
+def gen4_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """FOUR-generation pipeline tables (VERDICT r6 #6 — promotion
+    generalized to N): day-1 corpus excluding the held-out day-3 AND
+    day-4 sources, then the promotion LOOP runs twice — fold day-2
+    (promote), land day-3, fold day-3 (promote) — and the day-4 batch
+    (src4/src5) arrives on top. Each promotion is the SAME
+    :func:`promote_batch` call; nothing is special-cased per
+    generation, which is the induction step that makes the
+    continuous-MV claim durable: if the unchanged consumer is green
+    over N promotions, it is green over N+1. The day-4 oracle
+    recomputes the full three-est-generation chain from source
+    documents."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"gen4-{sf_name}-{_fingerprint(sf_dir)}"
+
+    def build(tmp: str) -> None:
+        from go_nats_to_clickhouse_spark.plans.layout import compact_table
+        from go_nats_to_clickhouse_spark.schemas import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        held = F.col("source").isin(*DAY3_SOURCES, *DAY4_SOURCES)
+        _build_from(docs.filter(~held), tmp, NEW_SOURCES)
+        for day_sources in (DAY3_SOURCES, DAY4_SOURCES):
+            promote_batch(spark, tmp)  # fold the current is_new batch in
+            append_batch_index(
+                docs.filter(F.col("source").isin(*day_sources)), tmp, is_new=True
+            )
+        for name in ("doc_sigs", "doc_bands", "doc_quality", "corpus_survivors"):
+            compact_table(
+                spark,
+                os.path.join(tmp, name),
+                sort_keys=SORT_KEYS[name],
+                partition_cols=(),
+            )
+
+    return _published(f"gen4-{sf_name}-", tag, TABLES, build)

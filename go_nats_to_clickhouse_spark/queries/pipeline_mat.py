@@ -46,6 +46,8 @@ from go_nats_to_clickhouse_spark.queries.registry import query
 from go_nats_to_clickhouse_spark.queries.text import _mh_mins_sql, _SH_CTE
 from go_nats_to_clickhouse_spark.plans.materialize import (
     DAY3_SOURCES,
+    DAY4_SOURCES,
+    ERASE_MOD,
     NEW_SOURCES,
     pipeline_tables,
 )
@@ -61,6 +63,7 @@ _EST_MATCH_SQL = (
 
 _NEW_SRC_SQL = "('" + "', '".join(NEW_SOURCES) + "')"
 _DAY3_SRC_SQL = "('" + "', '".join(DAY3_SOURCES) + "')"
+_DAY4_SRC_SQL = "('" + "', '".join(DAY4_SOURCES) + "')"
 
 #: signature/banding CTEs over ALL documents (per-doc definitions are
 #: generation-independent) — shared by every oracle in this module
@@ -255,6 +258,48 @@ kept AS (
   WHERE doc_id IN (SELECT doc_id FROM gpass)
   UNION ALL
   SELECT doc_id, TRUE AS from_batch FROM g3surv
+  WHERE doc_id IN (SELECT doc_id FROM gpass)
+)
+"""
+
+
+def _day4_kept_cte() -> str:
+    """Four-generation oracle prefix, entirely from the source
+    ``documents`` view — the N=3 induction instance: exact day-1
+    survivors on the corpus excluding BOTH held-out days, day-2 promoted
+    (est chain), day-3 promoted on top of that, day-4 resolved against
+    the three-generation promoted corpus. One more `AS MATERIALIZED`
+    generation on the day-3 chain (the DuckDB CTE re-inlining lesson)."""
+    return f"""
+WITH RECURSIVE {_SH_CTE.strip().rstrip()},
+{_SIG_CTES},
+new_ids AS (SELECT doc_id FROM documents WHERE source IN {_NEW_SRC_SQL}),
+d3_ids AS (SELECT doc_id FROM documents WHERE source IN {_DAY3_SRC_SQL}),
+d4_ids AS (SELECT doc_id FROM documents WHERE source IN {_DAY4_SRC_SQL}),
+corp_ids AS (SELECT doc_id FROM documents
+             WHERE source NOT IN {_NEW_SRC_SQL}
+               AND source NOT IN {_DAY3_SRC_SQL}
+               AND source NOT IN {_DAY4_SRC_SQL}),
+{_EXACT_SURV_CTES},
+{_est_dedup_ctes('', 'new_ids', 'corp_surv')},
+promoted AS MATERIALIZED (
+  SELECT doc_id FROM corp_surv
+  UNION ALL
+  SELECT doc_id FROM surv
+),
+{_est_dedup_ctes('g3', 'd3_ids', 'promoted')},
+promoted2 AS MATERIALIZED (
+  SELECT doc_id FROM promoted
+  UNION ALL
+  SELECT doc_id FROM g3surv
+),
+{_est_dedup_ctes('g4', 'd4_ids', 'promoted2')},
+{_GPASS_CTES},
+kept AS (
+  SELECT doc_id, FALSE AS from_batch FROM promoted2
+  WHERE doc_id IN (SELECT doc_id FROM gpass)
+  UNION ALL
+  SELECT doc_id, TRUE AS from_batch FROM g4surv
   WHERE doc_id IN (SELECT doc_id FROM gpass)
 )
 """
@@ -647,6 +692,51 @@ def pipeline_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kept_cte_erased() -> str:
+    """The two-generation kept CTE over documents that were NEVER
+    INGESTED per the erase set: every ``FROM documents`` reference in
+    the shared prefix is wrapped with the erase filter, so the oracle
+    recomputes the whole chain (shingles, signatures, bands, survivors,
+    quality) from a world in which the erased docs do not exist — the
+    strongest definition of erasure, which erase_docs must reproduce by
+    index surgery alone (including resurrecting near-dups an erased
+    survivor had suppressed)."""
+    return _kept_cte().replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents WHERE doc_id % {ERASE_MOD} <> 0)",
+    )
+
+
+@query("pipeline_manifest_erased", _kept_cte_erased() + _manifest_tail_sql("manifest-e:"))
+def pipeline_manifest_erased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training manifest AFTER a GDPR erasure (VERDICT r6 #4): the
+    published pipeline tables were copied and every
+    ``doc_id % ERASE_MOD == 0`` document erased through
+    plans/materialize.erase_docs — filter-out rewrites of the
+    signature/band/quality tables, pair-graph surgery on corpus_pairs,
+    and an O(pairs) survivor recomputation that RESURRECTS docs an
+    erased survivor had suppressed (at sf0.1 the erase set includes a
+    3-node component's min, so the remaining members re-resolve among
+    themselves). This query is the UNCHANGED manifest consumer over the
+    erased tables; the oracle recomputes from scratch over
+    documents-that-were-never-ingested. Green = index surgery ==
+    never-saw, the equivalence a right-to-be-forgotten pipeline owes.
+    Reference anchor: ALTER TABLE ... DELETE mutations (init.sql's
+    MergeTree tables; plans/layout.erase_keys mirrors the part-rewrite
+    for events)."""
+    from go_nats_to_clickhouse_spark.plans.materialize import erased_tables
+
+    t = erased_tables(spark, sf_dir)
+    return manifest_rows(
+        kept_docs_from(
+            spark.read.parquet(t["doc_bands"]),
+            spark.read.parquet(t["doc_quality"]),
+            spark.read.parquet(t["corpus_survivors"]),
+        ),
+        salt="manifest-e:",
+    )
+
+
 @query("pipeline_manifest_day3", _day3_kept_cte() + _manifest_tail_sql("manifest-3:"))
 def pipeline_manifest_day3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-3 training manifest against a PROMOTED corpus — the cross-day
@@ -674,6 +764,32 @@ def pipeline_manifest_day3(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.read.parquet(t["corpus_survivors"]),
         ),
         salt="manifest-3:",
+    )
+
+
+@query("pipeline_manifest_day4", _day4_kept_cte() + _manifest_tail_sql("manifest-4:"))
+def pipeline_manifest_day4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-4 training manifest after TWO sequential promotions
+    (VERDICT r6 #6): plans/materialize.gen4_tables runs the promotion
+    LOOP — build day-1, fold day-2 (promote_batch), land day-3, fold
+    day-3 (the SAME promote_batch call), land day-4 — and this is once
+    more the UNCHANGED read-path consumer over the resulting tables.
+    The oracle recomputes the full three-est-generation chain from the
+    source documents view, so a green row is the N=3 instance of the
+    induction step: promotion N times == the N-generation dedup chain,
+    with no per-generation special cases anywhere in the engine. Scale
+    shape unchanged: each promotion is an O(corpus-index) ingest-time
+    compaction; the day-N query stays O(batch + index scan)."""
+    from go_nats_to_clickhouse_spark.plans.materialize import gen4_tables
+
+    t = gen4_tables(spark, sf_dir)
+    return manifest_rows(
+        kept_docs_from(
+            spark.read.parquet(t["doc_bands"]),
+            spark.read.parquet(t["doc_quality"]),
+            spark.read.parquet(t["corpus_survivors"]),
+        ),
+        salt="manifest-4:",
     )
 
 

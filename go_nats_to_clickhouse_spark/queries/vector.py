@@ -510,6 +510,73 @@ def vector_ann_ivfpq_appended_topk(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "vector_ann_erased_topk",
+    """
+SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS recall_ok, TRUE AS clean
+FROM embeddings WHERE vec_id < 8
+""",
+)
+def vector_ann_erased_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search AFTER a GDPR erasure (VERDICT r6 #4, vector side):
+    every ``vec_id % ERASE_MOD == 0`` vector was removed from a copy of
+    the published cell-partitioned index by
+    plans/materialize.erase_vectors — a partition-pruned rewrite of
+    only the touched cells (untouched cell dirs stay byte-identical,
+    mtime-pinned in tests). The unchanged read path then must (a) never
+    return an erased vector (``clean``) and (b) still meet the
+    recall@5 >= 0.4 contract against brute force over the REMAINING
+    corpus — erasure neither leaks deleted vectors nor degrades search
+    over what is left."""
+    from go_nats_to_clickhouse_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_read_topk,
+    )
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        ERASE_MOD,
+        erased_ann_tables,
+    )
+
+    t = erased_ann_tables(spark, sf_dir)
+    centers = [
+        list(r.center)
+        for r in spark.read.parquet(t["ann_centroids"]).orderBy("cell").collect()
+    ]
+    corpus = spark.read.parquet(t["ann_corpus"])
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    ivf = ivf_read_topk(q, corpus, centers, nprobe=12, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    c = e.filter(F.pmod(F.col("vec_id"), F.lit(ERASE_MOD)) != 0).select(
+        F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv")
+    )
+    brute = brute_force_topk(q, c, k=5).select("query_id", "neighbor_id")
+    stats = (
+        ivf.join(brute, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    dirty = (
+        ivf.filter(F.pmod(F.col("neighbor_id"), F.lit(ERASE_MOD)) == 0)
+        .select("query_id")
+        .distinct()
+        .withColumn("dirty", F.lit(True))
+    )
+    return (
+        q.select("query_id")
+        .join(stats, "query_id", "left")
+        .join(dirty, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / 5 >= 0.4).alias("recall_ok"),
+            (~F.coalesce(F.col("dirty"), F.lit(False))).alias("clean"),
+        )
+    )
+
+
+@query(
     "vector_ann_ivf_read_topk",
     """
 SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS recall_ok

@@ -101,6 +101,9 @@ class TestManifestReadPath:
             "pipeline_manifest_incremental",
             "pipeline_manifest_streamed",
             "pipeline_manifest_day3",
+            "pipeline_manifest_day4",
+            "pipeline_manifest_erased",
+            "pipeline_manifest_ingested",
         ],
     )
     def test_plan_reads_only_materialized_tables(
@@ -851,3 +854,157 @@ def test_crashed_build_litter_is_ignored_and_rebuilt(spark, sf_dir, mat_root):
         fh.write("not parquet")
     paths = materialize.pipeline_tables(spark, sf_dir)
     assert spark.read.parquet(paths["doc_sigs"]).count() > 0
+
+
+class TestErasure:
+    """GDPR erase through the index families (VERDICT r6 #4)."""
+
+    @staticmethod
+    def _corpus(spark, tmp_path):
+        """Synthetic corpus with a 3-doc near-dup chain 1-2-3 (1 is the
+        surviving min) plus singleton 7; no batch docs. Disjoint filler
+        vocab per doc keeps unrelated docs from pairing."""
+        base = ["alpha beta gamma delta epsilon zeta eta theta iota kappa"] * 4
+        def text(i, extra):
+            return " ".join(base) + f" {extra}"
+        rows = [
+            (1, text(1, "uno uno2"), "en", "corp", 100),
+            (2, text(2, "uno uno2"), "en", "corp", 100),   # dup of 1
+            (3, text(3, "uno uno3"), "en", "corp", 100),   # near-dup of 1/2
+            (7, "w7a w7b w7c w7d w7e w7f w7g w7h w7i w7j", "en", "corp", 50),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        root = str(tmp_path / "erase_idx")
+        materialize._build_from(docs, root, ("src0", "src1"))
+        return root
+
+    def test_erase_resurrects_suppressed_neardups(self, spark, tmp_path):
+        """Erasing a component's surviving min must resurrect the
+        members a from-scratch build without it would keep — including
+        the split/relabel case."""
+        root = self._corpus(spark, tmp_path)
+        surv0 = {r.doc_id for r in spark.read.parquet(root + "/corpus_survivors").collect()}
+        assert surv0 == {1, 7}  # 1 suppresses 2 and 3
+        erase = spark.createDataFrame([(1,)], "doc_id long")
+        materialize.erase_docs(spark, root, erase)
+        surv1 = {r.doc_id for r in spark.read.parquet(root + "/corpus_survivors").collect()}
+        # from-scratch without doc 1: {2,3} still pair (shared text), min 2 wins
+        assert surv1 == {2, 7}
+        for t in ("doc_sigs", "doc_bands", "doc_quality", "corpus_pairs"):
+            df = spark.read.parquet(root + "/" + t)
+            cols = [c for c in ("doc_id", "doc_a", "doc_b") if c in df.columns]
+            for c in cols:
+                assert df.filter(F.col(c) == 1).count() == 0, (t, c)
+
+    def test_erase_nonsurvivor_and_singleton(self, spark, tmp_path):
+        root = self._corpus(spark, tmp_path)
+        erase = spark.createDataFrame([(2,), (7,)], "doc_id long")
+        materialize.erase_docs(spark, root, erase)
+        surv = {r.doc_id for r in spark.read.parquet(root + "/corpus_survivors").collect()}
+        assert surv == {1}  # 1 still suppresses 3; 7 gone
+
+    def test_erase_vectors_prunes_partitions(self, spark, sf_dir, mat_root, tmp_path):
+        """Only cells containing erased ids rewrite (mtime pin on every
+        untouched cell dir's files); erased ids vanish; fully-erased
+        cells are dropped."""
+        import shutil as _sh
+
+        t = materialize.ann_tables(spark, sf_dir)
+        root = str(tmp_path / "ann_erase")
+        paths = {}
+        for name, p in t.items():
+            paths[name] = os.path.join(root, name)
+            _sh.copytree(p, paths[name])
+        corpus = spark.read.parquet(paths["ann_corpus"])
+        # erase exactly the vectors of ONE cell plus one vector of another
+        cells = sorted(r.cell for r in corpus.select("cell").distinct().collect())
+        full_cell, partial_cell = cells[0], cells[1]
+        victims = [r.neighbor_id for r in corpus.filter(F.col("cell") == full_cell).collect()]
+        one = corpus.filter(F.col("cell") == partial_cell).limit(1).collect()[0].neighbor_id
+        erase = spark.createDataFrame([(v,) for v in victims + [one]], "neighbor_id long")
+
+        def mtimes():
+            out = {}
+            for d in os.listdir(paths["ann_corpus"]):
+                if d.startswith("cell="):
+                    cdir = os.path.join(paths["ann_corpus"], d)
+                    out[d] = {
+                        f: os.stat(os.path.join(cdir, f)).st_mtime_ns
+                        for f in os.listdir(cdir)
+                    }
+            return out
+
+        before = mtimes()
+        n_before = corpus.count()
+        materialize.erase_vectors(spark, paths, erase)
+        after = mtimes()
+        assert f"cell={full_cell}" not in after  # fully-erased cell dropped
+        for d, files in after.items():
+            if d != f"cell={partial_cell}":
+                assert files == before[d], f"untouched partition {d} rewritten"
+        left = spark.read.parquet(paths["ann_corpus"])
+        assert left.count() == n_before - len(victims) - 1
+        assert left.join(erase, "neighbor_id", "left_semi").count() == 0
+
+
+class TestPromotionLoop:
+    def test_two_promotions_suppress_across_generations(self, spark, tmp_path):
+        """The N-generation induction pin (VERDICT r6 #6), non-trivially:
+        run the promotion loop twice on synthetic docs where each new
+        day's batch contains a near-dup of a doc promoted in an EARLIER
+        generation. Suppression must reach across generations — the
+        promoted corpus index rows (is_new flipped, survivors appended)
+        are all the next day's dedup consults."""
+        from go_nats_to_clickhouse_spark.queries.pipeline_mat import (
+            batch_survivors_from,
+        )
+
+        def docs(rows):
+            return spark.createDataFrame(
+                [(i, t, "en", s, len(t)) for i, t, s in rows],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            )
+
+        tA = "apple banana cherry durian elder fig grape honey"
+        tB = "kiwi lemon mango nectar orange papaya quince rasp"
+        tC = "tamar ugli vanilla walnut xigua yam zucchini acorn"
+        root = str(tmp_path / "loop_idx")
+        # day 1: corpus {10=A}; day-2 batch {20=B}
+        materialize._build_from(
+            docs([(10, tA, "corp"), (20, tB, "src0")]), root, ("src0", "src1")
+        )
+
+        def batch_survivors():
+            bands = spark.read.parquet(root + "/doc_bands")
+            qual = spark.read.parquet(root + "/doc_quality").dropDuplicates(["doc_id"])
+            surv = spark.read.parquet(root + "/corpus_survivors").dropDuplicates(
+                ["doc_id"]
+            )
+            new_ids = qual.filter(F.col("is_new")).select("doc_id")
+            return {
+                r.doc_id
+                for r in batch_survivors_from(bands, new_ids, surv).collect()
+            }
+
+        # day 3: 30 duplicates the day-2-PROMOTED doc 20; 31 is novel (C)
+        materialize.promote_batch(spark, root)
+        materialize.append_batch_index(docs([(30, tB, "d3"), (31, tC, "d3")]), root)
+        assert batch_survivors() == {31}
+        # day 4: 40 duplicates day-1's 10, 41 duplicates day-3-promoted 31,
+        # 42 is novel — only 42 survives after the SECOND promotion
+        materialize.promote_batch(spark, root)
+        materialize.append_batch_index(
+            docs([(40, tA, "d4"), (41, tC, "d4"),
+                  (42, "uno dos tres cuatro cinco seis siete ocho", "d4")]),
+            root,
+        )
+        assert batch_survivors() == {42}
+        # promoted corpus now carries every generation's survivors
+        materialize.promote_batch(spark, root)
+        surv = {
+            r.doc_id
+            for r in spark.read.parquet(root + "/corpus_survivors").collect()
+        }
+        assert surv == {10, 20, 31, 42}
