@@ -66,7 +66,11 @@ def main() -> None:
     from go_nats_to_clickhouse_spark.plans.materialize import (
         ann_appended_tables,
         ann_tables,
+        erased_ann_tables,
+        erased_tables,
         gen3_tables,
+        gen4_tables,
+        ingested_index_tables,
         pipeline_tables,
         streamed_index_tables,
     )
@@ -78,6 +82,12 @@ def main() -> None:
     streamed_index_tables(spark, sf_dir)
     gen3_tables(spark, sf_dir)
     ann_appended_tables(spark, sf_dir)
+    # round 7: composed-ingest, two-promotion, and post-erasure families
+    # (erasure is maintenance-time cost like promotion, not query cost)
+    ingested_index_tables(spark, sf_dir)
+    gen4_tables(spark, sf_dir)
+    erased_tables(spark, sf_dir)
+    erased_ann_tables(spark, sf_dir)
 
     # Per-query timing with contention guards (VERDICT r4 #6): a single
     # contended run inflated the r4 vector family 3-4x over solo cost and
