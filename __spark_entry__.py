@@ -30,60 +30,60 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the flagship pinned at index <= 49; already-double-green re-confirmation
 #: rows yield their slots first. The rest keep registration order behind.
 _PRIORITY = [
-    # --- round 6: new queries + this round's engine/oracle changes ---
-    "pipeline_manifest_day3",  # promoted-corpus read path (new r6)
-    "pipeline_manifest_streamed",  # streamed-index manifest, replay baked in (new r6)
-    "vector_ann_ivf_appended_topk",  # incremental ANN append path (new r6)
-    "dedup_lsh_pairs_read",  # pair feed off the band index (new r6)
-    "pipeline_dataset_card_day3",  # promotion composes across consumers (new r6)
-    "dedup_index_stats",  # LSH bucket-health off the band index (new r6)
-    "vector_ann_pq_topk",  # product-quantization ADC + exact re-rank (new r6)
-    "vector_ann_ivfpq_read_topk",  # materialized IVF-PQ, both pruning axes (new r6)
-    "pipeline_manifest_incremental",  # consumer refactored duplicate-invariant (r6)
-    "pipeline_dataset_card",  # oracle CTEs recomposed (r6)
-    "scalar_readable_timedelta",  # integral-div decomposition (r6)
-    "vector_ann_ivf_read_topk",  # index rebuilt under ANN_VERSION 3 (r6)
-    "vector_ann_ivf_topk",  # r2-green rotating + shared assign kernel changed
-    "text_tfidf_keywords",  # r6 perf adjudication reverted the r5 repartition
+    # --- round 7: new queries + this round's engine/oracle changes ---
+    "pipeline_manifest_ingested",  # composed NATS-envelope ingest + index maintainers (new r7)
+    "pipeline_ingest_audit",  # cascade half of the composed run, per-row (new r7)
+    "pipeline_manifest_erased",  # GDPR erase == never-saw, index surgery (new r7)
+    "vector_ann_erased_topk",  # partition-pruned vector erasure (new r7)
+    "pipeline_manifest_day4",  # two sequential promotions, N-generation loop (new r7)
+    "vector_ann_ivfpq_appended_topk",  # compressed read over the appended index (new r7)
+    "vector_ann_pq_topk",  # kernel-local partial top-k landed (r7)
+    "vector_ann_ivfpq_read_topk",  # kernel-local partial top-k landed (r7)
+    "vector_ann_ivf_appended_topk",  # append path now drift-guards BEFORE write (r7)
+    "pipeline_manifest_incremental",  # tables rebuilt with corpus_pairs / MAT_VERSION 5 (r7)
+    "pipeline_manifest_streamed",  # same rebuild (r7)
+    "pipeline_manifest_day3",  # promotion now swaps rename-aside + pairs pass-through (r7)
+    "pipeline_dataset_card",  # same rebuilt tables (r7)
+    "pipeline_dataset_card_day3",  # same rebuilt tables (r7)
+    "dedup_lsh_pairs_read",  # same rebuilt tables (r7)
     "mv_analytics_projection",  # flagship, pinned inside the window
-    # --- oldest-green rotation (VERDICT r5 #3): the full round-1
-    # cohort (34) plus the 7 oldest round-2 greens re-front through
-    # every spare re-confirmation slot ---
-    "agg_argmax_latest_event",
-    "agg_conditional",
-    "agg_cube_orders",
-    "agg_distinct_orders",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "agg_rollup_lineitem",
-    "agg_sequence_match",
-    "agg_sum_map_props",
-    "agg_topk_heavy_hitters",
-    "agg_uniq_up_to",
-    "join_anti_customers_without_orders",
-    "join_semi_active_suppliers",
-    "market_share_by_year",
-    "pivot_status_by_priority",
-    "q10_returned_items",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "scalar_conditional_functions",
-    "scalar_date_functions",
-    "scalar_json_functions",
-    "scalar_map_functions",
-    "scalar_math_functions",
-    "scalar_regexp_functions",
-    "scalar_string_functions",
-    "set_except_never_urgent",
-    "set_intersect_big_spenders",
-    "set_ops_bag_semantics",
-    "sort_limit_expensive_parts",
-    "window_ranking_functions",
-    "window_running_spend",
-    "window_topk_orders",
-    "agg_bit_ops",
+    # --- oldest-green rotation (VERDICT r6 #3): the full round-2
+    # cohort (34, now the oldest greens) fills every spare
+    # re-confirmation slot ---
+    "agg_delta_sum",
+    "agg_entropy",
+    "agg_histogram",
+    "agg_min_max_map",
+    "agg_moving_avg",
+    "agg_statistical_moments",
+    "dedup_decontaminate",
+    "multimodal_audio_features",
+    "multimodal_frame_stats",
+    "multimodal_image_features",
+    "multimodal_resize_stats",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q20_potential_part_promotion",
+    "q21_waiting_suppliers",
+    "q4_late_shipments",
+    "q7_volume_shipping",
+    "q9_product_type_profit",
+    "sample_consistent_hash",
+    "sample_per_group",
+    "scalar_url_functions",
+    "text_chunk_udtf",
+    "text_chunk_windows",
+    "text_pii_scrub",
+    "text_sequence_packing",
+    "text_simhash",
+    "text_vocab_top_terms",
+    "training_data_prep",
+    "vector_ann_cosine_topk",
+    "vector_ann_lsh_topk",
+    "vector_neardup_pairs",
+    "vector_norms",
 ]
 
 
