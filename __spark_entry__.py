@@ -37,6 +37,7 @@ _PRIORITY = [
     "vector_ann_erased_topk",  # partition-pruned vector erasure (new r7)
     "pipeline_manifest_day4",  # two sequential promotions, N-generation loop (new r7)
     "vector_ann_ivfpq_appended_topk",  # compressed read over the appended index (new r7)
+    "vector_ann_ingested_topk",  # ANN maintained by the composed service (new r7)
     "vector_ann_pq_topk",  # kernel-local partial top-k landed (r7)
     "vector_ann_ivfpq_read_topk",  # kernel-local partial top-k landed (r7)
     "vector_ann_ivf_appended_topk",  # append path now drift-guards BEFORE write (r7)
@@ -83,7 +84,8 @@ _PRIORITY = [
     "vector_ann_cosine_topk",
     "vector_ann_lsh_topk",
     "vector_neardup_pairs",
-    "vector_norms",
+    # vector_norms: the one round-2 row that did not fit the 50-slot
+    # window this round — front it first next rotation
 ]
 
 

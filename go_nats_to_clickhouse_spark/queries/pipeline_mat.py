@@ -683,7 +683,12 @@ def pipeline_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = ingested_index_tables(spark, sf_dir)
     ana = spark.read.parquet(_os.path.join(t["warehouse"], ANALYTICS_TABLE))
     return (
-        ana.select(
+        # the composed stream is mixed-payload; audit the DOCUMENT
+        # streams (subject segment 2 = corpus source — the embedding
+        # messages ride their own 'embeddings' stream, audited through
+        # the ANN recall row instead)
+        ana.filter(F.col("project_code").isin(*NEW_SOURCES))
+        .select(
             F.col("message_id").cast("long").alias("doc_id"),
             F.col("project_code").alias("source"),
             F.length("message_text").cast("long").alias("n_chars_stored"),

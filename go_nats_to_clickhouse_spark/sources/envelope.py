@@ -146,3 +146,47 @@ def document_envelopes(docs: DataFrame) -> DataFrame:
             )
         ).alias("value")
     )
+
+
+def embedding_envelopes(vecs: DataFrame) -> DataFrame:
+    """Publisher side for EMBEDDING-bearing messages — the vector twin
+    of :func:`document_envelopes`: one envelope per (vec_id, embedding)
+    row, decoded downstream by streaming/pipeline.vecs_from_messages.
+    Sequence = vec_id offset into its own subject space (subjects
+    differ from document messages, so the (subject, sequence)
+    idempotency key never collides across payload kinds)."""
+    # publish doubles: Jackson writes round-trippable doubles, so the
+    # decoded cv is bit-identical to cast(embedding as double) and the
+    # streamed index scores exactly like a batch-built one
+    data = F.to_json(
+        F.struct(
+            F.col("vec_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+            F.col("vec_id").cast("string").alias("id"),
+        )
+    )
+    meta = F.to_json(
+        F.struct(
+            F.lit(DOC_PUBLISH_EPOCH).alias("timestamp"),
+            F.col("vec_id").alias("sequence"),
+        )
+    )
+    subject = F.concat_ws(
+        ".",
+        F.lit("corpus"),
+        F.lit("embeddings"),
+        F.lit("ingest"),
+        F.concat(F.lit("vec-"), F.col("vec_id").cast("string")),
+        F.lit("batch"),
+    )
+    return vecs.select(
+        F.to_json(
+            F.struct(
+                meta.alias("metadata"),
+                subject.alias("subject"),
+                data.alias("data"),
+            )
+        ).alias("value")
+    )

@@ -237,11 +237,34 @@ def docs_from_messages(batch: DataFrame) -> DataFrame:
     )
 
 
+#: embedding payload fields inside a message's ``data`` JSON
+VEC_PAYLOAD_SCHEMA = "vec_id long, embedding array<double>"
+
+
+def vecs_from_messages(batch: DataFrame) -> DataFrame:
+    """Extract (neighbor_id, cv) embedding rows from a micro-batch of
+    MESSAGE_SCHEMA rows — the vector twin of :func:`docs_from_messages`
+    (document payloads parse to null vec_id/embedding and drop out, and
+    vice versa, so mixed-payload streams route themselves)."""
+    return (
+        batch.filter(F.col("data").isNotNull())
+        .select(F.from_json("data", VEC_PAYLOAD_SCHEMA).alias("v"))
+        .select("v.*")
+        .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+        )
+    )
+
+
 def start_ingest_service(
     spark: SparkSession,
     cfg: EngineConfig,
     source_df: DataFrame,
     index_root: str,
+    ann_tables: dict[str, str] | None = None,
+    drift_limit: float = 2.0,
     query_name: str = "gntcs-service",
     idempotent: bool = True,
     trigger_seconds: float | None = None,
@@ -262,17 +285,25 @@ def start_ingest_service(
     ``idempotent=True`` (the default here — this is the upgraded
     exactly-once service config) dedups the cascade on (subject,
     sequence); the index side needs no such key because every consumer
-    is duplicate-invariant by construction. Scale shape: both sinks are
-    append-only partition-parallel writes over the same admitted batch,
-    persisted once and reused."""
+    is duplicate-invariant by construction.
+
+    With ``ann_tables`` given, embedding-bearing messages
+    (:func:`vecs_from_messages`) additionally feed the ANN maintainer
+    (plans/materialize.append_ann_batch) against the frozen
+    centroids/codebooks — the THIRD sink family of the same epoch, with
+    the pre-append drift guard (``drift_limit``) fail-stopping the
+    stream before an out-of-distribution batch lands. Scale shape: all
+    sink families are append-only partition-parallel writes over the
+    same admitted batch, persisted once and reused."""
     from go_nats_to_clickhouse_spark.plans.materialize import (
+        append_ann_batch,
         append_batch_index,
     )
 
     tables = PipelineTables(cfg.warehouse_dir)
 
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df = batch_df.persist()  # two sink families read this batch
+        batch_df = batch_df.persist()  # the sink families share this batch
         try:
             apply_cascade(
                 batch_df, tables, idempotent=idempotent, collect_counts=False
@@ -280,6 +311,15 @@ def start_ingest_service(
             docs = docs_from_messages(batch_df)
             if not docs.isEmpty():
                 append_batch_index(docs, index_root, is_new=True)
+            if ann_tables is not None:
+                vecs = vecs_from_messages(batch_df)
+                if not vecs.isEmpty():
+                    append_ann_batch(
+                        batch_df.sparkSession,
+                        vecs,
+                        ann_tables,
+                        drift_limit=drift_limit,
+                    )
         finally:
             batch_df.unpersist()
 

@@ -206,7 +206,7 @@ class TestComposedIngestService:
             rows, "doc_id long, text string, lang string, source string, n_chars long"
         )
 
-    def _run_service(self, spark, tmp_path, name="svc"):
+    def _run_service(self, spark, tmp_path, name="svc", ann_tables=None):
         from go_nats_to_clickhouse_spark.sources.envelope import (
             message_file_stream,
         )
@@ -223,7 +223,7 @@ class TestComposedIngestService:
         )
         q = start_ingest_service(
             spark, cfg, src, index_root=str(tmp_path / "idx"),
-            query_name=name, trigger_seconds=0,
+            ann_tables=ann_tables, query_name=name, trigger_seconds=0,
         )
         stop_gracefully(q)
         return cfg
@@ -270,6 +270,51 @@ class TestComposedIngestService:
         got_ana = {int(r.message_id) for r in ana.select("message_id").collect()}
         got_idx = {r.doc_id for r in sigs.select("doc_id").collect()}
         assert got_ana == got_idx == set(range(30))
+
+    def test_ann_sink_fed_and_restart_no_duplicates(self, spark, sf_dir, tmp_path):
+        """The THIRD sink family: embedding-bearing messages in the same
+        checkpointed run feed append_ann_batch; across a restart each
+        streamed vector is appended exactly once (checkpoint resume),
+        alongside the doc/cascade sinks."""
+        import shutil as _sh
+
+        from pyspark.sql import functions as F
+
+        from go_nats_to_clickhouse_spark.plans import materialize
+        from go_nats_to_clickhouse_spark.sources.envelope import (
+            document_envelopes, embedding_envelopes,
+        )
+
+        t0 = materialize.ann_tables(spark, sf_dir)
+        ann = {}
+        for name, p in t0.items():
+            ann[name] = str(tmp_path / "ann" / name)
+            _sh.copytree(p, ann[name])
+        n0 = spark.read.parquet(ann["ann_corpus"]).count()
+
+        from go_nats_to_clickhouse_spark.schemas import load_table
+
+        e = load_table(spark, sf_dir, "embeddings")
+        arrivals = tmp_path / "arrivals"
+        document_envelopes(self._docs(spark, range(6))).coalesce(1).write.mode(
+            "append"
+        ).text(str(arrivals))
+        embedding_envelopes(
+            e.filter(F.col("vec_id") < 20).select("vec_id", "embedding")
+        ).coalesce(1).write.mode("append").text(str(arrivals))
+        self._run_service(spark, tmp_path, ann_tables=ann)
+        assert spark.read.parquet(ann["ann_corpus"]).count() == n0 + 20
+
+        embedding_envelopes(
+            e.filter(F.col("vec_id").between(20, 29)).select("vec_id", "embedding")
+        ).coalesce(1).write.mode("append").text(str(arrivals))
+        self._run_service(spark, tmp_path, ann_tables=ann)  # same checkpoint
+        corpus = spark.read.parquet(ann["ann_corpus"])
+        # earlier epochs NOT re-appended; new epoch appended once
+        assert corpus.count() == n0 + 30
+        # doc sink fed from the same run
+        sigs = spark.read.parquet(str(tmp_path / "idx" / "doc_sigs"))
+        assert {r.doc_id for r in sigs.select("doc_id").collect()} == set(range(6))
 
     def test_replayed_epoch_absorbed_by_both_halves(self, spark, tmp_path):
         """Re-applying one epoch through the composed per-batch body
