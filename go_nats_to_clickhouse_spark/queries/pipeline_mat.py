@@ -742,6 +742,26 @@ def pipeline_manifest_erased(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("pipeline_dataset_card_erased", _kept_cte_erased() + _CARD_TAIL_SQL)
+def pipeline_dataset_card_erased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card after the GDPR erasure — erasure composes
+    across read-path consumers exactly as promotion does (the day-3
+    pattern): same _dataset_card finalizer, erased-tables keep-set. The
+    card's documents join needs no filter of its own: the keep-set
+    already contains no erased ids, so the metadata join touches only
+    surviving docs — which is itself part of the contract (no erased
+    doc's metadata reaches any deliverable)."""
+    from go_nats_to_clickhouse_spark.plans.materialize import erased_tables
+
+    t = erased_tables(spark, sf_dir)
+    kept = kept_docs_from(
+        spark.read.parquet(t["doc_bands"]),
+        spark.read.parquet(t["doc_quality"]),
+        spark.read.parquet(t["corpus_survivors"]),
+    )
+    return _dataset_card(spark, sf_dir, kept)
+
+
 @query("pipeline_manifest_day3", _day3_kept_cte() + _manifest_tail_sql("manifest-3:"))
 def pipeline_manifest_day3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-3 training manifest against a PROMOTED corpus — the cross-day
