@@ -244,16 +244,21 @@ class TestAnnIndex:
         plan = _formatted_plan(df)
         assert "dynamicpruning" in plan.lower(), plan
 
-    def test_ivfpq_read_plan_prunes_both_axes(self, spark, sf_dir, mat_root):
-        """IVF-PQ's two pruning axes must both reach the physical plan:
-        the probe list as a dynamic partition pruning filter, and the
+    @pytest.mark.parametrize(
+        "name",
+        ["vector_ann_ivfpq_read_topk", "vector_ann_ivfpq_appended_topk"],
+    )
+    def test_ivfpq_read_plan_prunes_both_axes(self, spark, sf_dir, mat_root, name):
+        """IVF-PQ's two pruning axes must both reach the physical plan —
+        over the batch-built AND the incrementally appended index: the
+        probe list as a dynamic partition pruning filter, and the
         stage-1 scan projecting ONLY the code column (float vectors
         unread until the shortlist reach-back)."""
         import re
 
         from go_nats_to_clickhouse_spark.queries import QUERIES
 
-        df = QUERIES["vector_ann_ivfpq_read_topk"](spark, sf_dir)
+        df = QUERIES[name](spark, sf_dir)
         plan = _formatted_plan(df)
         assert "dynamicpruning" in plan.lower(), plan
         schemas = re.findall(r"ReadSchema: (\S+)", plan)
