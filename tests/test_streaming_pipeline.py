@@ -392,3 +392,60 @@ class TestBackfill:
         run_backfill(spark, cfg, src, query_name="an")
         ana = spark.read.parquet(os.path.join(cfg.warehouse_dir, ANALYTICS_TABLE))
         assert ana.count() == 30  # all three 10-row batches drained
+
+
+class TestComposedServiceOverNatsSource:
+    def test_nats_replay_source_feeds_composed_service(self, spark, tmp_path):
+        """Source interchangeability, proven at the composed level: the
+        SAME start_ingest_service runs over the NATS JetStream replay
+        source (S1) — document payloads arriving as JetStream messages
+        are parsed, routed through the cascade, AND indexed in one
+        checkpointed run."""
+        import json as _json
+
+        from go_nats_to_clickhouse_spark.streaming.pipeline import (
+            start_ingest_service, stop_gracefully,
+        )
+
+        docs = TestComposedIngestService._docs(spark, range(8)).collect()
+        msgs = [
+            JsMessage(
+                subject=f"corpus.{r.source}.ingest.doc-{r.doc_id}.batch",
+                data=_json.dumps(
+                    {
+                        "doc_id": r.doc_id,
+                        "text": r.text,
+                        "lang": r.lang,
+                        "source": r.source,
+                        "n_chars": r.n_chars,
+                        "id": str(r.doc_id),
+                    }
+                ),
+                sequence=r.doc_id + 1,
+                timestamp_us=BASE_US + r.doc_id,
+            )
+            for r in docs
+        ]
+        replay = tmp_path / "replay_svc.jsonl"
+        write_replay_file(str(replay), msgs)
+        spark.dataSource.register(NatsDataSource)
+        cfg = EngineConfig(
+            warehouse_dir=str(tmp_path / "wh_nats_svc"),
+            checkpoint_dir=str(tmp_path / "ckpt_nats_svc"),
+        )
+        src = (
+            spark.readStream.format("nats-jetstream")
+            .option("replayFile", str(replay))
+            .option("subjects", "corpus.>")
+            .option("maxRecordsPerTrigger", 3)
+            .load()
+        )
+        q = start_ingest_service(
+            spark, cfg, src, index_root=str(tmp_path / "idx_nats"),
+            query_name="nats-svc", trigger_seconds=0,
+        )
+        stop_gracefully(q)
+        ana = spark.read.parquet(os.path.join(cfg.warehouse_dir, ANALYTICS_TABLE))
+        assert ana.count() == 8
+        sigs = spark.read.parquet(str(tmp_path / "idx_nats" / "doc_sigs"))
+        assert {r.doc_id for r in sigs.select("doc_id").collect()} == set(range(8))
