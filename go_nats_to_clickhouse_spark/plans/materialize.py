@@ -921,21 +921,29 @@ def erase_docs(spark: SparkSession, root: str, erase_ids: DataFrame) -> None:
       exact-Jaccard pair set among the REMAINING docs is unchanged by
       construction (pair membership never depended on other docs), so
       the filtered graph IS the from-scratch graph.
-    * ``corpus_survivors`` — recomputed from (corpus ids \\ erased) +
-      the filtered pair graph: erasing a component's surviving min can
-      SPLIT the component and must resurrect the suppressed members a
-      build that never saw the erased doc would have kept; conversely an
-      erased non-survivor just disappears. Cost is O(pairs) — the graph
-      is collision-sized, never corpus-sized — plus the narrow id scans.
+    * ``corpus_survivors`` — repaired INCREMENTALLY:
+      ``(survivors \\ erased) ∪ resurrected``, where the resurrected set
+      is computed from the filtered pair graph alone — erasing a
+      component's surviving min (or a bridge) can SPLIT the component,
+      and each remaining piece's new min, plus any doc whose every pair
+      partner was erased, must come back exactly as a build that never
+      saw the erased docs would keep them. Removing nodes can only
+      split components, never merge them, so an un-erased survivor
+      always remains its piece's min — the incremental form is provably
+      equal to a from-scratch recomputation over (corpus ids \\ erased,
+      filtered pairs) on the day-1 layout, and unlike the from-scratch
+      form it is also SAFE on a promoted root: survivor decisions that
+      came from est-generations (promote_batch) are preserved rather
+      than clobbered by a pair-graph-only recompute. Cost is O(pairs) —
+      the graph is collision-sized, never corpus-sized.
 
     The batch (is_new) generation needs no survivor repair: its dedup is
     computed at read time from the band index, so erased batch docs
     vanish from the candidate join and the remaining batch resolves
-    exactly as a never-saw build. Limitation (documented): after
-    promote_batch folds an est-deduped generation into the corpus,
-    ``corpus_pairs`` still carries only the exact-verified day-1 pairs —
-    erase-after-promotion would need the promotion to also fold its
-    est-pair edges in.
+    exactly as a never-saw build. Limitation (documented): erasing an
+    est-generation survivor from a promoted corpus does not resurrect
+    its est-near-dups — ``corpus_pairs`` carries only exact-verified
+    day-1 edges; folding est-pair edges in at promotion would lift this.
 
     Rewrite shape: staged hidden siblings + the same rename-aside swap
     promotion uses. These tables are unpartitioned (narrow, sorted), so
@@ -948,6 +956,9 @@ def erase_docs(spark: SparkSession, root: str, erase_ids: DataFrame) -> None:
     paths = {t: os.path.join(root, t) for t in TABLES}
     qual = spark.read.parquet(paths["doc_quality"])
     pairs = spark.read.parquet(paths["corpus_pairs"])
+    surv0 = spark.read.parquet(paths["corpus_survivors"]).dropDuplicates(
+        ["doc_id"]
+    )
 
     kept_pairs = (
         pairs.join(
@@ -962,21 +973,28 @@ def erase_docs(spark: SparkSession, root: str, erase_ids: DataFrame) -> None:
         )
         .localCheckpoint(eager=False)
     )
-    # survivors from scratch over the filtered graph: component min per
-    # paired doc, every unpaired corpus doc survives outright
-    corp_ids = (
-        qual.filter(~F.col("is_new"))
-        .select("doc_id")
+    # resurrection set: every previously pair-involved, un-erased doc
+    # that NOW survives the filtered graph (its remaining piece's min,
+    # or no remaining pairs at all) but was suppressed before
+    old_nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .dropDuplicates(["doc_id"])
         .join(F.broadcast(erase_ids), "doc_id", "left_anti")
     )
     comp = connected_components(kept_pairs, shortcut=True).select(
         F.col("node").alias("c_doc"), "component"
     )
-    surv = (
-        corp_ids.join(comp, corp_ids["doc_id"] == F.col("c_doc"), "left")
+    now_surviving = (
+        old_nodes.join(comp, old_nodes["doc_id"] == F.col("c_doc"), "left")
         .filter(F.col("c_doc").isNull() | (F.col("component") == F.col("doc_id")))
         .select("doc_id")
+    )
+    resurrected = now_surviving.join(surv0, "doc_id", "left_anti")
+    surv = (
+        surv0.join(F.broadcast(erase_ids), "doc_id", "left_anti")
+        .select("doc_id")
+        .unionByName(resurrected.select("doc_id"))
     )
 
     rewrites = {

@@ -1013,3 +1013,39 @@ class TestPromotionLoop:
             for r in spark.read.parquet(root + "/corpus_survivors").collect()
         }
         assert surv == {10, 20, 31, 42}
+
+    def test_erase_on_promoted_root_preserves_est_decisions(self, spark, tmp_path):
+        """The incremental survivor repair must be safe on a PROMOTED
+        corpus: est-generation dedup decisions (promote_batch) are not
+        in the exact pair graph, and a pair-graph-only from-scratch
+        recompute would resurrect every promoted non-survivor. Erasing
+        an unrelated doc must leave them suppressed; erasing an
+        est-survivor does not resurrect its est-dups (documented
+        limitation)."""
+        tA = "apple banana cherry durian elder fig grape honey"
+        tB = "kiwi lemon mango nectar orange papaya quince rasp"
+        docs = spark.createDataFrame(
+            [
+                (10, tA, "en", "corp", 100),
+                (20, tB, "en", "src0", 100),
+                (21, tB, "en", "src0", 100),  # est-dup of 20, dropped at promotion
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        root = str(tmp_path / "promo_erase")
+        materialize._build_from(docs, root, ("src0", "src1"))
+        materialize.promote_batch(spark, root)
+        surv0 = {
+            r.doc_id
+            for r in spark.read.parquet(root + "/corpus_survivors").collect()
+        }
+        assert surv0 == {10, 20}
+
+        materialize.erase_docs(
+            spark, root, spark.createDataFrame([(10,)], "doc_id long")
+        )
+        surv1 = {
+            r.doc_id
+            for r in spark.read.parquet(root + "/corpus_survivors").collect()
+        }
+        assert surv1 == {20}  # 21 stays suppressed — no mass resurrection
