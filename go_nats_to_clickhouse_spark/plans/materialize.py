@@ -56,7 +56,7 @@ from pyspark.sql import functions as F
 #: signature/banding/quality/survivor/pair definitions — or to the
 #: composed ingest service the ing- family bakes its tables with — must
 #: bump this)
-MAT_VERSION = 5
+MAT_VERSION = 6
 
 #: the ingest split: these sources model the day-2 batch (same convention
 #: as queries/clickhouse_r3.dedup_incremental_new_batch)
@@ -187,13 +187,24 @@ def _build_from(
     # split its near-dup component and must resurrect the suppressed
     # members a from-scratch build without that doc would have kept,
     # which is recomputable from the pair graph alone (O(pairs), no text
-    # rescan; see erase_docs). Written first, read back for CC so the
-    # expensive verification join runs once.
+    # rescan; see erase_docs). Each edge carries its GENERATION and
+    # whether it is a within-generation edge (both endpoints in the same
+    # fold) or a cross edge (doc_a strictly older than doc_b's fold) —
+    # promote_batch appends the est-verified edges of every folded batch
+    # under the next generation number, so erase_docs can replay the
+    # generational survivor rule on any promoted corpus. Day-1 corpus
+    # edges are generation 1, within. Written first, read back for CC so
+    # the expensive verification join runs once.
     _write(
-        pairs.sortWithinPartitions("doc_a", "doc_b"),
+        pairs.select(
+            "doc_a", "doc_b", F.lit(1).alias("gen"), F.lit(True).alias("within")
+        ).sortWithinPartitions("doc_a", "doc_b"),
         os.path.join(out_dir, "corpus_pairs"),
     )
-    pairs = docs.sparkSession.read.parquet(os.path.join(out_dir, "corpus_pairs"))
+    pairs = (
+        docs.sparkSession.read.parquet(os.path.join(out_dir, "corpus_pairs"))
+        .select("doc_a", "doc_b")
+    )
     comp = connected_components(pairs, shortcut=True).select(
         F.col("node").alias("c_doc"), "component"
     )
@@ -221,6 +232,7 @@ FAMILY_PREFIXES = (
     "gen4-",
     "ing-",
     "erase-",
+    "erase3-",
     "erasev-",
 )
 
@@ -828,6 +840,16 @@ def promote_batch(spark: SparkSession, root: str) -> None:
       duplicates are dropped here by doc_id / (doc_id, band), so a
       promoted corpus is also a compacted, exactly-once one.
 
+    Besides the survivor fold, promotion EXTENDS ``corpus_pairs`` with
+    the folded batch's est-verified edge sets under the next generation
+    number: cross edges vs ALL corpus docs (not just survivors — after a
+    later erasure a suppressed corpus doc can be resurrected and must
+    then re-suppress its batch near-dups) and within-batch edges among
+    ALL batch docs (a batch doc re-entering the within-batch resolution
+    after an erasure needs its edges). That is what makes
+    :func:`erase_docs`' generational replay exact on promoted corpora —
+    the erase-after-promotion story (lifting the r7 limitation).
+
     After promotion the NEXT day's batch appends via
     :func:`append_batch_index` and the same consumer runs unchanged."""
     from go_nats_to_clickhouse_spark.queries.pipeline_mat import (
@@ -845,7 +867,19 @@ def promote_batch(spark: SparkSession, root: str) -> None:
     )
     new_surv = batch_survivors_from(bands, new_ids, surv)
 
+    # the folded batch's pair edges, appended under the next generation.
+    # max(gen)+1 is collision-safe: a fold that produced ZERO edges leaves
+    # the counter unmoved, but its docs then have no edges at all — they
+    # are unconditionally kept and never participate in erase replay, so
+    # sharing a number with a later fold is unobservable.
+    pairs0 = spark.read.parquet(paths["corpus_pairs"])
+    next_gen = (pairs0.agg(F.max("gen")).collect()[0][0] or 1) + 1
+    new_pairs = pairs0.select("doc_a", "doc_b", "gen", "within").unionByName(
+        _batch_pair_edges(bands, next_gen)
+    )
+
     promoted = {
+        "corpus_pairs": new_pairs,
         "corpus_survivors": surv.select("doc_id").unionByName(
             new_surv.select("doc_id")
         ),
@@ -864,27 +898,75 @@ def promote_batch(spark: SparkSession, root: str) -> None:
     # Sort keys match the initial build's (_build_from): doc_bands keeps
     # its (band, bucket) order so parquet row-group stats keep giving
     # data-skipping on the bucket equi-join after promotion.
-    sort_keys = {
-        "doc_sigs": ("doc_id",),
-        "doc_bands": ("band", "bucket"),
-        "doc_quality": ("doc_id",),
-        "corpus_survivors": ("doc_id",),
-    }
     staged = {}
     for name, df in promoted.items():
         tmp = os.path.join(root, f".promote-{name}")
         shutil.rmtree(tmp, ignore_errors=True)
-        _write(df.sortWithinPartitions(*sort_keys[name]), tmp)
+        _write(df.sortWithinPartitions(*SORT_KEYS[name]), tmp)
         staged[name] = tmp
     # crash-safe swap, matching plans/layout.compact_table (ADVICE r6):
     # rename the live table ASIDE, rename the staged dir in, then drop
     # the aside copy — at no instant is a table directory absent, and a
     # crash leaves either the old or the new generation readable (the
     # leftover '__old'/'.promote-' siblings are inert to readers and
-    # swept on the next promotion attempt). corpus_pairs passes through
-    # promotion untouched: it carries the exact-verified day-1 pair
-    # graph (see erase_docs for the erase-after-promotion limitation).
+    # swept on the next promotion attempt).
     _swap_staged(root, staged)
+
+
+def _batch_pair_edges(bands: DataFrame, gen: int) -> DataFrame:
+    """The est-verified pair edges of the current ``is_new`` batch —
+    (doc_a, doc_b, gen, within) — computed from the band index alone,
+    with exactly the candidate+verification rule the read path uses
+    (bucket collision + >= 8/16 matching signature components,
+    queries/pipeline_mat.batch_survivors_from):
+
+    * cross edges (within=False): batch doc vs EVERY corpus doc — no
+      survivor filter, because these edges must stay sufficient for
+      erase replay after arbitrary later erasures (see promote_batch).
+      ``doc_a`` is the strictly-older corpus side.
+    * within edges (within=True): among ALL batch docs (doc_a < doc_b),
+      not just the corpus-clean remainder, for the same reason.
+
+    Both joins broadcast the batch side (batch-sized by definition); the
+    corpus index only streams. Verification is pairwise (a signature is
+    per-doc), so these edges are erase-INVARIANT: the edge set among any
+    surviving subset of docs equals what a from-scratch build over that
+    subset would compute — the property the replay relies on."""
+    from go_nats_to_clickhouse_spark.queries.pipeline_mat import _est_matches
+
+    nb = bands.filter(F.col("is_new")).select(
+        F.col("doc_id").alias("new_id"), "band", "bucket",
+        F.col("sig").alias("sig_a"),
+    )
+    cb = bands.filter(~F.col("is_new")).select(
+        F.col("doc_id").alias("old_id"), "band", "bucket",
+        F.col("sig").alias("sig_b"),
+    )
+    cross = (
+        cb.join(F.broadcast(nb), ["band", "bucket"])
+        .filter(_est_matches(F.col("sig_a"), F.col("sig_b")) >= 8)
+        .select(
+            F.col("old_id").alias("doc_a"), F.col("new_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", F.lit(int(gen)).alias("gen"),
+                F.lit(False).alias("within"))
+    )
+    l = nb.select(F.col("new_id").alias("doc_a"), "band", "bucket", "sig_a")
+    r = nb.select(
+        F.col("new_id").alias("doc_b"), "band", "bucket",
+        F.col("sig_a").alias("sig_b"),
+    )
+    within = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(_est_matches(F.col("sig_a"), F.col("sig_b")) >= 8)
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", F.lit(int(gen)).alias("gen"),
+                F.lit(True).alias("within"))
+    )
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------
@@ -921,37 +1003,34 @@ def erase_docs(spark: SparkSession, root: str, erase_ids: DataFrame) -> None:
       exact-Jaccard pair set among the REMAINING docs is unchanged by
       construction (pair membership never depended on other docs), so
       the filtered graph IS the from-scratch graph.
-    * ``corpus_survivors`` — repaired INCREMENTALLY:
-      ``(survivors \\ erased) ∪ resurrected``, where the resurrected set
-      is computed from the filtered pair graph alone — erasing a
-      component's surviving min (or a bridge) can SPLIT the component,
-      and each remaining piece's new min, plus any doc whose every pair
-      partner was erased, must come back exactly as a build that never
-      saw the erased docs would keep them. Removing nodes can only
-      split components, never merge them, so an un-erased survivor
-      always remains its piece's min — the incremental form is provably
-      equal to a from-scratch recomputation over (corpus ids \\ erased,
-      filtered pairs) on the day-1 layout, and unlike the from-scratch
-      form it is also SAFE on a promoted root: survivor decisions that
-      came from est-generations (promote_batch) are preserved rather
-      than clobbered by a pair-graph-only recompute. Cost is O(pairs) —
-      the graph is collision-sized, never corpus-sized.
+    * ``corpus_survivors`` — repaired by a GENERATIONAL REPLAY of the
+      survivor rule over the filtered pair graph: erasure can both
+      RESURRECT (erasing a component's surviving min, or a suppressor,
+      brings back what a never-saw build would keep — across est
+      generations too, since promote_batch persists each fold's edges)
+      and DE-SURVIVE (a batch doc kept only because its corpus near-dup
+      was itself suppressed must drop again once that near-dup is
+      resurrected by the erasure). The replay walks the generations in
+      fold order: per generation, drop every node with a cross edge to
+      a kept older node, then connected-components the within edges
+      among the remainder and keep each component's min — exactly the
+      day-1 / batch_survivors_from semantics per fold, so the result
+      provably equals a from-scratch ingest+promotion chain over
+      (documents \\ erased). Docs outside the pair graph keep their
+      prior status (minus erased) — their decisions never depended on
+      any other doc. Cost is O(pairs x generations) — the graph is
+      collision-sized, never corpus-sized.
 
     The batch (is_new) generation needs no survivor repair: its dedup is
     computed at read time from the band index, so erased batch docs
     vanish from the candidate join and the remaining batch resolves
-    exactly as a never-saw build. Limitation (documented): erasing an
-    est-generation survivor from a promoted corpus does not resurrect
-    its est-near-dups — ``corpus_pairs`` carries only exact-verified
-    day-1 edges; folding est-pair edges in at promotion would lift this.
+    exactly as a never-saw build.
 
     Rewrite shape: staged hidden siblings + the same rename-aside swap
     promotion uses. These tables are unpartitioned (narrow, sorted), so
     the rewrite is O(index) like a ClickHouse DELETE mutation rewriting
     parts — the cell-partition-pruned analog for vectors is
     :func:`erase_vectors`."""
-    from go_nats_to_clickhouse_spark.operators.graph import connected_components
-
     erase_ids = erase_ids.select("doc_id").dropDuplicates(["doc_id"])
     paths = {t: os.path.join(root, t) for t in TABLES}
     qual = spark.read.parquet(paths["doc_quality"])
@@ -973,28 +1052,12 @@ def erase_docs(spark: SparkSession, root: str, erase_ids: DataFrame) -> None:
         )
         .localCheckpoint(eager=False)
     )
-    # resurrection set: every previously pair-involved, un-erased doc
-    # that NOW survives the filtered graph (its remaining piece's min,
-    # or no remaining pairs at all) but was suppressed before
-    old_nodes = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
-        .dropDuplicates(["doc_id"])
-        .join(F.broadcast(erase_ids), "doc_id", "left_anti")
-    )
-    comp = connected_components(kept_pairs, shortcut=True).select(
-        F.col("node").alias("c_doc"), "component"
-    )
-    now_surviving = (
-        old_nodes.join(comp, old_nodes["doc_id"] == F.col("c_doc"), "left")
-        .filter(F.col("c_doc").isNull() | (F.col("component") == F.col("doc_id")))
-        .select("doc_id")
-    )
-    resurrected = now_surviving.join(surv0, "doc_id", "left_anti")
+    kept_nodes, graph_nodes = _replay_survivors(pairs, kept_pairs, erase_ids)
     surv = (
         surv0.join(F.broadcast(erase_ids), "doc_id", "left_anti")
+        .join(graph_nodes, "doc_id", "left_anti")
         .select("doc_id")
-        .unionByName(resurrected.select("doc_id"))
+        .unionByName(kept_nodes.select("doc_id"))
     )
 
     rewrites = {
@@ -1008,20 +1071,137 @@ def erase_docs(spark: SparkSession, root: str, erase_ids: DataFrame) -> None:
         "corpus_pairs": kept_pairs,
         "corpus_survivors": surv,
     }
-    sort_keys = {
-        "doc_sigs": ("doc_id",),
-        "doc_bands": ("band", "bucket"),
-        "doc_quality": ("doc_id",),
-        "corpus_pairs": ("doc_a", "doc_b"),
-        "corpus_survivors": ("doc_id",),
-    }
     staged = {}
     for name, df in rewrites.items():
         tmp = os.path.join(root, f".erase-{name}")
         shutil.rmtree(tmp, ignore_errors=True)
-        _write(df.sortWithinPartitions(*sort_keys[name]), tmp)
+        _write(df.sortWithinPartitions(*SORT_KEYS[name]), tmp)
         staged[name] = tmp
     _swap_staged(root, staged)
+
+
+def _replay_survivors(
+    pairs: DataFrame, kept_pairs: DataFrame, erase_ids: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Replay the generational survivor rule over the post-erase pair
+    graph. Returns ``(kept_nodes, replayed_nodes)``: the affected graph
+    nodes that survive the replay, and every un-erased node of the
+    ORIGINAL graph's affected components (whose prior survivor status
+    the replay supersedes — a node whose every edge was erased is in
+    the second set and, being isolated, also the first: resurrected).
+
+    Node generations come from the edges themselves: a doc's within
+    edges and its newer-side cross edges all carry its own fold
+    generation (cross edges' older side needs no number — cross edges
+    never affect the older endpoint, and an older doc that appears ONLY
+    as an older side has no within edges, hence was and stays trivially
+    kept). Generations replay in ascending fold order:
+
+    1. a gen-g node with a surviving cross edge from a KEPT older node
+       is dropped (the read path's batch-vs-corpus-survivor rule —
+       older node kept <=> not decided-dropped in an earlier iteration,
+       defaulting to kept for never-droppable unnumbered olds);
+    2. the remainder connected-components over gen-g within edges
+       restricted to the remainder (the read path computes within-batch
+       pairs on the corpus-clean subset only), keeping component mins
+       and isolated nodes.
+
+    Replay is restricted to the AFFECTED components first: decisions
+    only propagate along edges, so a component of the full (undirected,
+    all-generation) graph containing no erased node cannot change — its
+    nodes keep their prior survivor status untouched. An erase of k docs
+    therefore replays O(touched components x their generations), not the
+    whole historical graph: at 100 TB, a right-to-be-forgotten request
+    for one user's documents replays a handful of collision clusters.
+
+    The loop is driver-side over the distinct generation numbers present
+    in the affected components (a bounded, tiny collect); each iteration
+    is a handful of narrow joins plus one CC on a collision-sized
+    subgraph."""
+    from go_nats_to_clickhouse_spark.operators.graph import connected_components
+
+    # components of the FULL original graph; affected = contain an erased
+    # node. Erased docs' edges are still present here (that is the point
+    # — they are what connects the nodes needing repair).
+    full_comp = connected_components(
+        pairs.select("doc_a", "doc_b"), shortcut=True
+    ).localCheckpoint(eager=False)
+    touched = (
+        full_comp.join(
+            F.broadcast(erase_ids),
+            full_comp["node"] == F.col("doc_id"),
+            "left_semi",
+        )
+        .select("component")
+        .dropDuplicates(["component"])
+    )
+    affected = (
+        full_comp.join(F.broadcast(touched), "component", "left_semi")
+        .select(F.col("node").alias("doc_id"))
+        .localCheckpoint(eager=False)
+    )
+
+    node_gens = (
+        pairs.filter(F.col("within"))
+        .select(F.col("doc_a").alias("doc_id"), "gen")
+        .unionByName(
+            pairs.filter(F.col("within")).select(
+                F.col("doc_b").alias("doc_id"), "gen"
+            )
+        )
+        .unionByName(
+            pairs.filter(~F.col("within")).select(
+                F.col("doc_b").alias("doc_id"), "gen"
+            )
+        )
+        .dropDuplicates(["doc_id"])
+        .join(affected, "doc_id", "left_semi")
+        .join(F.broadcast(erase_ids), "doc_id", "left_anti")
+        .localCheckpoint(eager=False)
+    )
+    kept_pairs = kept_pairs.join(
+        affected, kept_pairs["doc_a"] == affected["doc_id"], "left_semi"
+    )
+    gens = sorted(
+        r.gen for r in node_gens.select("gen").distinct().collect()
+    )
+    spark = pairs.sparkSession
+    kept = spark.createDataFrame([], "doc_id long")
+    dropped = spark.createDataFrame([], "doc_id long")
+    for g in gens:
+        nodes_g = node_gens.filter(F.col("gen") == g).select("doc_id")
+        xg = kept_pairs.filter((~F.col("within")) & (F.col("gen") == g))
+        # older side kept <=> not in `dropped`; erased olds already left
+        # the filtered graph, never-graph olds default to kept
+        dropped_cross = (
+            xg.join(dropped, xg["doc_a"] == dropped["doc_id"], "left_anti")
+            .select(xg["doc_b"].alias("doc_id"))
+            .dropDuplicates(["doc_id"])
+        )
+        rem = nodes_g.join(dropped_cross, "doc_id", "left_anti")
+        wg = kept_pairs.filter(F.col("within") & (F.col("gen") == g))
+        wg_rem = wg.join(
+            rem, wg["doc_a"] == rem["doc_id"], "left_semi"
+        ).join(rem, wg["doc_b"] == rem["doc_id"], "left_semi")
+        comp = connected_components(
+            wg_rem.select("doc_a", "doc_b"), shortcut=True
+        ).select(
+            F.col("node").alias("c_doc"), "component"
+        )
+        kept_g = (
+            rem.join(comp, rem["doc_id"] == F.col("c_doc"), "left")
+            .filter(
+                F.col("c_doc").isNull()
+                | (F.col("component") == F.col("doc_id"))
+            )
+            .select("doc_id")
+            .localCheckpoint(eager=False)
+        )
+        kept = kept.unionByName(kept_g)
+        dropped = dropped.unionByName(
+            nodes_g.join(kept_g, "doc_id", "left_anti").select("doc_id")
+        ).localCheckpoint(eager=False)
+    return kept, node_gens.select("doc_id")
 
 
 def erase_vectors(
@@ -1082,6 +1262,17 @@ def erase_vectors(
 #: themselves) — the two structurally interesting erasure cases.
 ERASE_MOD = 13
 
+#: the erase set for the PROMOTED-corpus erasure row (erased_gen3_tables
+#: / pipeline_manifest_erased_day3): every 15th doc — probed so the
+#: replay has real work at every fixture SF: gen-1 resurrections at all
+#: three, and EST-GENERATION (gen-2, promoted-fold) resurrections at
+#: sf0.01 (the driver's correctness SF) and sf0.1 — the exact case the
+#: r7 erase row documented as a limitation. (mod 13 happens to hit no
+#: repair structure at all at sf0.01 on the promoted graph; de-survival
+#: needs a cross edge with a suppressed older side, which no fixture
+#: modulus reaches — that case is pinned by unit test instead.)
+ERASE3_MOD = 15
+
 
 def erased_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     """The pipeline tables AFTER a GDPR erasure, cached per fixture: the
@@ -1092,9 +1283,11 @@ def erased_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     UNCHANGED manifest consumer over these tables against an oracle
     that recomputes from documents-that-were-never-ingested — the
     from-scratch equivalence a right-to-be-forgotten implementation
-    owes (VERDICT r6 #4)."""
+    owes (VERDICT r6 #4). The erase modulus rides in the tag text (like
+    the ann families' n_lists) so a rule change can never serve a stale
+    cache."""
     sf_name = os.path.basename(os.path.normpath(sf_dir))
-    tag = f"erase-{sf_name}-{_fingerprint(sf_dir)}"
+    tag = f"erase-{sf_name}-m{ERASE_MOD}-{_fingerprint(sf_dir)}"
 
     def build(tmp: str) -> None:
         from go_nats_to_clickhouse_spark.schemas import load_table
@@ -1112,6 +1305,41 @@ def erased_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     return _published(f"erase-{sf_name}-", tag, TABLES, build)
 
 
+def erased_gen3_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """The PROMOTED (three-generation) pipeline tables after a GDPR
+    erasure, cached per fixture: the gen3 family (day-1 corpus, day-2
+    promoted in, day-3 batch appended) is copied and every
+    ``doc_id % ERASE3_MOD == 0`` document erased through
+    :func:`erase_docs` — the erase-after-promotion case the r7
+    generational pair graph exists for. The erase set spans all three
+    generations (corpus docs, promoted day-2 docs, and day-3 batch
+    docs all hit the modulus), so the replay must repair survivor
+    decisions ACROSS fold boundaries — including est-generation
+    resurrections (see ERASE3_MOD's probe notes per fixture SF). The
+    driver row pipeline_manifest_erased_day3 runs the
+    unchanged day-3 consumer over these tables against the day-3 oracle
+    recomputed over documents-that-were-never-ingested. The erase
+    modulus rides in the tag text so a rule change can never serve a
+    stale cache."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"erase3-{sf_name}-m{ERASE3_MOD}-{_fingerprint(sf_dir)}"
+
+    def build(tmp: str) -> None:
+        from go_nats_to_clickhouse_spark.schemas import load_table
+
+        src = gen3_tables(spark, sf_dir)
+        for name, p in src.items():
+            shutil.copytree(p, os.path.join(tmp, name))
+        erase_ids = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter(F.pmod(F.col("doc_id"), F.lit(ERASE3_MOD)) == 0)
+        )
+        erase_docs(spark, tmp, erase_ids)
+
+    return _published(f"erase3-{sf_name}-", tag, TABLES, build)
+
+
 def erased_ann_tables(
     spark: SparkSession, sf_dir: str, n_lists: int = 16
 ) -> dict[str, str]:
@@ -1121,7 +1349,10 @@ def erased_ann_tables(
     vector — only the touched cell partitions rewrite. The driver row
     vector_ann_erased_topk serves the unchanged read path over it."""
     sf_name = os.path.basename(os.path.normpath(sf_dir))
-    tag = f"erasev-{sf_name}-n{n_lists}-{_ann_fingerprint(sf_dir, n_lists)}"
+    tag = (
+        f"erasev-{sf_name}-n{n_lists}-m{ERASE_MOD}-"
+        f"{_ann_fingerprint(sf_dir, n_lists)}"
+    )
 
     def build(tmp: str) -> None:
         src = ann_tables(spark, sf_dir, n_lists=n_lists)

@@ -47,6 +47,7 @@ from go_nats_to_clickhouse_spark.queries.text import _mh_mins_sql, _SH_CTE
 from go_nats_to_clickhouse_spark.plans.materialize import (
     DAY3_SOURCES,
     DAY4_SOURCES,
+    ERASE3_MOD,
     ERASE_MOD,
     NEW_SOURCES,
     pipeline_tables,
@@ -789,6 +790,61 @@ def pipeline_manifest_day3(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.read.parquet(t["corpus_survivors"]),
         ),
         salt="manifest-3:",
+    )
+
+
+def _day3_kept_cte_erased() -> str:
+    """The three-generation kept CTE over documents that were NEVER
+    INGESTED per the erase set — the erase-after-promotion ground truth:
+    the whole day-1 -> promote-day-2 -> day-3 chain recomputed from a
+    world without the erased docs. Same textual-wrap construction as
+    _kept_cte_erased, applied to the day-3 prefix. ERASE3_MOD (not
+    ERASE_MOD) so the erase set provably exercises the generational
+    replay at every fixture SF — including est-generation resurrections
+    at the driver's sf0.01 (see the constant's probe notes)."""
+    return _day3_kept_cte().replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents WHERE doc_id % {ERASE3_MOD} <> 0)",
+    )
+
+
+@query(
+    "pipeline_manifest_erased_day3",
+    _day3_kept_cte_erased() + _manifest_tail_sql("manifest-e3:"),
+)
+def pipeline_manifest_erased_day3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day-3 manifest after a GDPR erasure on the PROMOTED corpus —
+    erase-after-promotion, the case r7's first erasure row documented as
+    a limitation and the generation-labeled pair graph lifts:
+    promote_batch persists every fold's est-verified edges (cross vs ALL
+    corpus docs + within-batch) into corpus_pairs, so
+    plans/materialize.erase_docs can REPLAY the generational survivor
+    rule after removing the erased nodes — resurrecting est-near-dups an
+    erased promoted survivor had suppressed, re-suppressing docs whose
+    resurrected neighbor now outranks them (de-survival), and splitting
+    components across fold boundaries.
+
+    Consumer: the UNCHANGED day-3 read path over
+    plans/materialize.erased_gen3_tables (gen3 family copied, every
+    doc_id % ERASE3_MOD == 0 erased). Oracle: the day-3 chain recomputed
+    over documents-that-were-never-ingested. Green = index surgery on a
+    promoted corpus == a never-saw three-generation build — the
+    right-to-be-forgotten contract held across the promotion lifecycle,
+    not just day 1. Reference anchor: ALTER TABLE ... DELETE mutations
+    running on a MergeTree that continuous MVs (init.sql:100-121) have
+    been folding batches into."""
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        erased_gen3_tables,
+    )
+
+    t = erased_gen3_tables(spark, sf_dir)
+    return manifest_rows(
+        kept_docs_from(
+            spark.read.parquet(t["doc_bands"]),
+            spark.read.parquet(t["doc_quality"]),
+            spark.read.parquet(t["corpus_survivors"]),
+        ),
+        salt="manifest-e3:",
     )
 
 

@@ -1015,13 +1015,12 @@ class TestPromotionLoop:
         assert surv == {10, 20, 31, 42}
 
     def test_erase_on_promoted_root_preserves_est_decisions(self, spark, tmp_path):
-        """The incremental survivor repair must be safe on a PROMOTED
-        corpus: est-generation dedup decisions (promote_batch) are not
-        in the exact pair graph, and a pair-graph-only from-scratch
-        recompute would resurrect every promoted non-survivor. Erasing
-        an unrelated doc must leave them suppressed; erasing an
-        est-survivor does not resurrect its est-dups (documented
-        limitation)."""
+        """The generational replay must be safe on a PROMOTED corpus:
+        erasing an UNRELATED doc leaves est-generation dedup decisions
+        untouched (no mass resurrection), while erasing the est-survivor
+        itself RESURRECTS its suppressed est-dup — exactly what a build
+        that never saw the erased doc would keep (the r7 limitation,
+        lifted by promote_batch's generation-labeled edge persistence)."""
         tA = "apple banana cherry durian elder fig grape honey"
         tB = "kiwi lemon mango nectar orange papaya quince rasp"
         docs = spark.createDataFrame(
@@ -1049,3 +1048,121 @@ class TestPromotionLoop:
             for r in spark.read.parquet(root + "/corpus_survivors").collect()
         }
         assert surv1 == {20}  # 21 stays suppressed — no mass resurrection
+
+        # erasing the est-survivor resurrects its suppressed est-dup
+        materialize.erase_docs(
+            spark, root, spark.createDataFrame([(20,)], "doc_id long")
+        )
+        surv2 = {
+            r.doc_id
+            for r in spark.read.parquet(root + "/corpus_survivors").collect()
+        }
+        assert surv2 == {21}
+
+    def test_erase_after_promotion_resuppresses_via_resurrection(
+        self, spark, tmp_path
+    ):
+        """The DE-SURVIVAL case: batch doc 30 was kept at promotion only
+        because its corpus near-dup 2 was itself suppressed (by corpus
+        survivor 1). Erasing 1 resurrects 2 — and the replay must then
+        re-suppress 30 through its persisted cross edge to 2, exactly as
+        a from-scratch build without doc 1 would: {2} survives gen 1,
+        30 dups it at gen 2. This is only possible because
+        promote_batch persists cross edges vs ALL corpus docs, not just
+        the then-survivors."""
+        # 1 and 2 are exact near-dups (corpus); 30 shares text with 2
+        # (and 1) so its cross edges hit both
+        t12 = "apple banana cherry durian elder fig grape honey iris jade"
+        docs = spark.createDataFrame(
+            [
+                (1, t12, "en", "corp", 100),
+                (2, t12, "en", "corp", 100),
+                (30, t12, "en", "src0", 100),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        root = str(tmp_path / "desurvive")
+        materialize._build_from(docs, root, ("src0", "src1"))
+        materialize.promote_batch(spark, root)
+        surv0 = {
+            r.doc_id
+            for r in spark.read.parquet(root + "/corpus_survivors").collect()
+        }
+        # 1 suppresses 2 (gen 1); 30 dups survivor 1 (gen 2)
+        assert surv0 == {1}
+
+        materialize.erase_docs(
+            spark, root, spark.createDataFrame([(1,)], "doc_id long")
+        )
+        surv1 = {
+            r.doc_id
+            for r in spark.read.parquet(root + "/corpus_survivors").collect()
+        }
+        # from-scratch without 1: 2 survives gen 1, 30 still dups it
+        assert surv1 == {2}
+
+    def test_erase_promoted_equals_from_scratch_chain(self, spark, tmp_path):
+        """Property pin: on a two-fold promoted corpus, erase_docs ==
+        a from-scratch build-and-promote over (documents \\ erased), for
+        several structurally different erase sets — survivor mins,
+        promoted est-survivors, bridges, and mixtures across
+        generations. The survivor sets must match EXACTLY (both
+        resurrections and de-survivals)."""
+        tX = "apple banana cherry durian elder fig grape honey iris jade"
+        tY = "kiwi lemon mango nectar orange papaya quince rasp seed tulip"
+        tZ = "umber violet walnut xenon yellow zebra acorn birch cedar dune"
+        rows = [
+            (1, tX, "corp"), (2, tX, "corp"),          # exact-pair component
+            (3, tY, "corp"),                            # singleton corpus
+            (20, tX, "src0"),                           # batch dup of 1/2
+            (21, tY, "src0"), (22, tY, "src1"),        # batch pair, dup of 3
+            (23, tZ, "src0"),                           # novel batch doc
+        ]
+        day3 = [(40, tZ, "d3"), (41, tX, "d3")]         # next fold
+
+        def mk(selected):
+            return spark.createDataFrame(
+                [(i, t, "en", s, len(t)) for i, t, s in selected],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            )
+
+        def build_promoted(doc_rows, d3_rows, root):
+            materialize._build_from(mk(doc_rows), root, ("src0", "src1"))
+            materialize.promote_batch(spark, root)
+            if d3_rows:
+                materialize.append_batch_index(mk(d3_rows), root, is_new=True)
+                materialize.promote_batch(spark, root)
+
+        def read_surv(root):
+            return {
+                r.doc_id
+                for r in spark.read.parquet(
+                    root + "/corpus_survivors"
+                ).collect()
+            }
+
+        for i, erase in enumerate([{1}, {2}, {3}, {1, 3}, {20, 21}, {1, 2, 40}]):
+            eroot = str(tmp_path / f"e{i}")
+            build_promoted(rows, day3, eroot)
+            materialize.erase_docs(
+                spark,
+                eroot,
+                spark.createDataFrame([(x,) for x in erase], "doc_id long"),
+            )
+            sroot = str(tmp_path / f"s{i}")
+            build_promoted(
+                [r for r in rows if r[0] not in erase],
+                [r for r in day3 if r[0] not in erase],
+                sroot,
+            )
+            assert read_surv(eroot) == read_surv(sroot), f"erase set {erase}"
+
+        # idempotence: erasing the same set again is a no-op
+        materialize.erase_docs(
+            spark,
+            str(tmp_path / "e0"),
+            spark.createDataFrame([(1,)], "doc_id long"),
+        )
+        assert read_surv(str(tmp_path / "e0")) == read_surv(
+            str(tmp_path / "s0")
+        )
