@@ -35,6 +35,8 @@ _PRIORITY = [
     "pipeline_ingest_audit",  # cascade half of the composed run, per-row (new r7)
     "pipeline_manifest_erased",  # GDPR erase == never-saw, index surgery (new r7)
     "pipeline_manifest_erased_day3",  # erase-after-promotion: generational replay (new r7)
+    "pipeline_dataset_card_erased_day3",  # erasure x promotion x card composition (new r7)
+    "vector_ann_erased_appended_topk",  # erase over the appended+compressed index (new r7)
     "text_bm25_topk",  # Okapi BM25 retrieval over corpus stats (new r7)
     "text_dsir_weights",  # DSIR importance weights, hashed features (new r7)
     "pipeline_dataset_card_erased",  # erasure composes across consumers (new r7)
@@ -82,11 +84,10 @@ _PRIORITY = [
     "text_chunk_windows",
     "text_pii_scrub",
     "text_sequence_packing",
-    "text_simhash",
-    "text_vocab_top_terms",
-    # training_data_prep, vector_ann_cosine_topk, vector_ann_lsh_topk,
-    # vector_neardup_pairs, vector_norms: the five round-2 rows that did
-    # not fit the 50-slot window this round — front them next rotation
+    # text_simhash, text_vocab_top_terms, training_data_prep,
+    # vector_ann_cosine_topk, vector_ann_lsh_topk, vector_neardup_pairs,
+    # vector_norms: the seven round-2 rows that did not fit the 50-slot
+    # window this round — front them next rotation
 ]
 
 

@@ -234,6 +234,7 @@ FAMILY_PREFIXES = (
     "erase-",
     "erase3-",
     "erasev-",
+    "erasev2-",
 )
 
 
@@ -1366,6 +1367,39 @@ def erased_ann_tables(
         )
 
     return _published(f"erasev-{sf_name}-n{n_lists}-", tag, ANN_TABLES, build)
+
+
+def erased_ann2_tables(
+    spark: SparkSession, sf_dir: str, n_lists: int = 16
+) -> dict[str, str]:
+    """The INCREMENTALLY APPENDED ANN index after a GDPR erasure — the
+    last cell of the index-lifecycle matrix (build x append x compress
+    x erase): the ann2 family (base build on 3/4 of the corpus, held-out
+    quarter appended against frozen centroids, PQ codes throughout) is
+    copied and every ``vec_id % ERASE_MOD == 0`` vector removed by
+    :func:`erase_vectors` — which prunes to touched cells exactly as on
+    the base index, because appends land INSIDE the same cell layout
+    (that was the point of partitioned appends). The driver row
+    vector_ann_erased_appended_topk serves the compressed ivfpq read
+    path over it."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = (
+        f"erasev2-{sf_name}-n{n_lists}-m{ERASE_MOD}-"
+        f"{_ann_fingerprint(sf_dir, n_lists)}"
+    )
+
+    def build(tmp: str) -> None:
+        src = ann_appended_tables(spark, sf_dir, n_lists=n_lists)
+        for name, p in src.items():
+            shutil.copytree(p, os.path.join(tmp, name))
+        erase_ids = spark.read.parquet(tmp + "/ann_corpus").filter(
+            F.pmod(F.col("neighbor_id"), F.lit(ERASE_MOD)) == 0
+        ).select("neighbor_id")
+        erase_vectors(
+            spark, {t: os.path.join(tmp, t) for t in ANN_TABLES}, erase_ids
+        )
+
+    return _published(f"erasev2-{sf_name}-n{n_lists}-", tag, ANN_TABLES, build)
 
 
 DAY3_SOURCES = ("src2", "src3")

@@ -894,6 +894,31 @@ def pipeline_dataset_card_day3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dataset_card(spark, sf_dir, kept)
 
 
+@query("pipeline_dataset_card_erased_day3", _day3_kept_cte_erased() + _CARD_TAIL_SQL)
+def pipeline_dataset_card_erased_day3(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The dataset card after erase-after-promotion — the full
+    lifecycle-composition cell: erasure (generational replay) x
+    promotion (two folds) x the card consumer, all unchanged code over
+    plans/materialize.erased_gen3_tables. The card's per-(source, lang)
+    mix must equal a three-generation build that never saw the erased
+    docs — including the corpus-share percentages, which shift when
+    est-generation docs are resurrected or de-survived by the replay
+    (a manifest-only check would miss a wrong n_chars join)."""
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        erased_gen3_tables,
+    )
+
+    t = erased_gen3_tables(spark, sf_dir)
+    kept = kept_docs_from(
+        spark.read.parquet(t["doc_bands"]),
+        spark.read.parquet(t["doc_quality"]),
+        spark.read.parquet(t["corpus_survivors"]),
+    )
+    return _dataset_card(spark, sf_dir, kept)
+
+
 @query(
     "dedup_lsh_pairs_read",
     f"""

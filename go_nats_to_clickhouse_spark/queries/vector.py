@@ -636,6 +636,78 @@ def vector_ann_erased_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vector_ann_erased_appended_topk",
+    """
+SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS recall_ok, TRUE AS clean
+FROM embeddings WHERE vec_id < 8
+""",
+)
+def vector_ann_erased_appended_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The COMPRESSED read over the APPENDED-then-ERASED index — the
+    final cell of the lifecycle matrix (build x append x compress x
+    erase in one row): plans/materialize.erased_ann2_tables copies the
+    incrementally maintained ann2 family and erase_vectors removes the
+    mod-ERASE_MOD vectors with the same touched-cells-only rewrite as
+    on the base index (appends land inside the cell layout, so the
+    mutation path needs no append-awareness — that composability is
+    what this row pins). The unchanged ivfpq_read_topk (codes-only
+    DPP stage 1 + exact re-rank reach-back) must never surface an
+    erased id (``clean``) and keep recall@5 >= 0.4 vs brute force over
+    the REMAINING corpus."""
+    from go_nats_to_clickhouse_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_read_topk,
+    )
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        ERASE_MOD,
+        erased_ann2_tables,
+        read_codebooks,
+    )
+
+    t = erased_ann2_tables(spark, sf_dir)
+    centers = [
+        list(r.center)
+        for r in spark.read.parquet(t["ann_centroids"]).orderBy("cell").collect()
+    ]
+    codebooks = read_codebooks(spark, t)
+    corpus = spark.read.parquet(t["ann_corpus"])
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    ivfpq = ivfpq_read_topk(
+        q, corpus, centers, codebooks, nprobe=12, shortlist=100, k=5
+    ).select("query_id", "neighbor_id")
+    c = e.filter(F.pmod(F.col("vec_id"), F.lit(ERASE_MOD)) != 0).select(
+        F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv")
+    )
+    brute = brute_force_topk(q, c, k=5).select("query_id", "neighbor_id")
+    stats = (
+        ivfpq.join(brute, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    dirty = (
+        ivfpq.filter(F.pmod(F.col("neighbor_id"), F.lit(ERASE_MOD)) == 0)
+        .select("query_id")
+        .distinct()
+        .withColumn("dirty", F.lit(True))
+    )
+    return (
+        q.select("query_id")
+        .join(stats, "query_id", "left")
+        .join(dirty, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / 5 >= 0.4).alias("recall_ok"),
+            (~F.coalesce(F.col("dirty"), F.lit(False))).alias("clean"),
+        )
+    )
+
+
+@query(
     "vector_ann_ivf_read_topk",
     """
 SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS recall_ok
