@@ -66,7 +66,9 @@ def main() -> None:
     from go_nats_to_clickhouse_spark.plans.materialize import (
         ann_appended_tables,
         ann_tables,
+        erased_ann2_tables,
         erased_ann_tables,
+        erased_gen3_tables,
         erased_tables,
         gen3_tables,
         gen4_tables,
@@ -88,6 +90,8 @@ def main() -> None:
     gen4_tables(spark, sf_dir)
     erased_tables(spark, sf_dir)
     erased_ann_tables(spark, sf_dir)
+    erased_gen3_tables(spark, sf_dir)
+    erased_ann2_tables(spark, sf_dir)
 
     # Per-query timing with contention guards (VERDICT r4 #6): a single
     # contended run inflated the r4 vector family 3-4x over solo cost and
