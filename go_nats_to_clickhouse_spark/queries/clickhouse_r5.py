@@ -980,12 +980,22 @@ scored AS (
          CAST(round(ln(CAST(p.cb AS DOUBLE) / CAST(p.cp AS DOUBLE))
                     * 1000000) AS BIGINT) AS q
   FROM bg b JOIN pfx p ON b.bigram = p.bigram
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(q) AS BIGINT) AS s
+  FROM scored GROUP BY doc_id
 )
 SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       round(CAST(SUM(q) AS DOUBLE) / (1000000.0 * COUNT(*)), 6) + 0.0
+       n AS n_bigrams,
+       -- integer half-away rounding of s/n: float round() diverges
+       -- between engines on half boundaries (the text_dsir_weights
+       -- sf0.1 lesson) — q is always negative here (log-probs)
+       CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+            * (abs(s) // n
+               + CASE WHEN 2 * (abs(s) - (abs(s) // n) * n) >= n
+                      THEN 1 ELSE 0 END) AS DOUBLE) / 1000000.0
          AS avg_logp
-FROM scored GROUP BY doc_id ORDER BY doc_id
+FROM agg ORDER BY doc_id
 """,
 )
 def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1035,17 +1045,23 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = bgc.join(F.broadcast(pfx), "bigram").select(
         "doc_id", "c_doc", (q * F.col("c_doc")).alias("qc")
     )
+    # integer half-away rounding of the per-doc average (shared helper;
+    # float round() diverges between engines on half boundaries — the
+    # text_dsir_weights sf0.1 lesson)
+    from go_nats_to_clickhouse_spark.queries.retrieval import (
+        _int_round_ratio,
+    )
+
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("c_doc").cast("long").alias("n"),
+        F.sum("qc").cast("long").alias("s"),
+    )
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.sum("c_doc").cast("long").alias("n_bigrams"),
+        agg.select(
+            "doc_id",
+            F.col("n").alias("n_bigrams"),
             (
-                F.round(
-                    F.sum("qc").cast("double")
-                    / (F.lit(1000000.0) * F.sum("c_doc")),
-                    6,
-                )
-                + F.lit(0.0)
+                _int_round_ratio("s", "n").cast("double") / F.lit(1000000.0)
             ).alias("avg_logp"),
         )
         .orderBy("doc_id")

@@ -10,6 +10,10 @@ the search/selection half of a training-data pipeline (round 7):
   target distribution and the raw corpus over hashed token features —
   the standard cheap data-selection signal for matching a pretraining
   mix to a target domain.
+* ``pipeline_epoch_mix`` — temperature-scaled source mixing (the
+  Gopher / LLaMA-style data-mix recipe, public papers): per-source
+  sampling weights proportional to token-count^T, integer token quotas,
+  and a deterministic greedy selection of documents per source.
 
 Both follow this repo's cross-engine float discipline
 (text_bigram_lm_score): every transcendental (ln) is taken on a ratio
@@ -271,14 +275,29 @@ ratio AS (
 ),
 dc AS (
   SELECT doc_id, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2
+),
+agg AS (
+  SELECT d.doc_id,
+         CAST(SUM(d.c) AS BIGINT) AS n,
+         CAST(SUM(r.q * d.c) AS BIGINT) AS s
+  FROM dc d JOIN ratio r ON r.bucket = d.bucket
+  GROUP BY d.doc_id
+),
+avgd AS (
+  -- integer half-away-from-zero rounding of s/n (see the query
+  -- docstring: float round() is engine-divergent on half boundaries)
+  SELECT doc_id, n, s,
+         (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+         * (abs(s) // n
+            + CASE WHEN 2 * (abs(s) - (abs(s) // n) * n) >= n
+                   THEN 1 ELSE 0 END) AS am
+  FROM agg
 )
-SELECT d.doc_id,
-       CAST(SUM(d.c) AS BIGINT) AS n_tokens,
-       CAST(SUM(r.q * d.c) AS BIGINT) AS dsir_sum_micro,
-       round(CAST(SUM(r.q * d.c) AS DOUBLE) / (1000000.0 * SUM(d.c)), 6)
-         + 0.0 AS dsir_logratio
-FROM dc d JOIN ratio r ON r.bucket = d.bucket
-GROUP BY d.doc_id ORDER BY d.doc_id
+SELECT doc_id,
+       n AS n_tokens,
+       s AS dsir_sum_micro,
+       CAST(am AS DOUBLE) / 1000000.0 AS dsir_logratio
+FROM avgd ORDER BY doc_id
 """
 
 
@@ -299,7 +318,13 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc reduce aggregates (doc, bucket) counts so the log table is
     consulted once per distinct bucket per doc, not per token.
     Portability: ln of exact-count products, micro-rounded to int64 per
-    bucket ONCE, then integer-weighted sums only."""
+    bucket ONCE, then integer-weighted sums only. The per-doc AVERAGE is
+    rounded in INTEGER arithmetic (half away from zero on the exact
+    rational s/n), never with float round(): Spark's round() HALF_UPs
+    the double's shortest decimal string while DuckDB rounds the binary
+    value, and they disagree when s/(1e6 n) sits on a half boundary —
+    measured at sf0.1 (doc 4652: -362618/92e6 -> -0.003942 vs
+    -0.003941). The integer form is boundary-exact in both engines."""
     d = load_table(spark, sf_dir, "documents")
     width = spark.sparkContext.defaultParallelism
     toks = d.repartition(width).select(
@@ -338,20 +363,188 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         0,
     ).cast("long")
     ratio = cnt.crossJoin(F.broadcast(tot)).select("bucket", q.alias("q"))
-    return (
+    agg = (
         dc.join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.sum("c").cast("long").alias("n_tokens"),
-            F.sum(F.col("q") * F.col("c")).cast("long").alias("dsir_sum_micro"),
-            (
-                F.round(
-                    F.sum(F.col("q") * F.col("c")).cast("double")
-                    / (F.lit(1000000.0) * F.sum("c")),
-                    6,
-                )
-                + F.lit(0.0)
-            ).alias("dsir_logratio"),
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.col("q") * F.col("c")).cast("long").alias("s"),
+        )
+    )
+    return (
+        agg.select("doc_id", "n", "s", _int_round_ratio("s", "n").alias("am"))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            F.col("s").alias("dsir_sum_micro"),
+            (F.col("am").cast("double") / F.lit(1000000.0)).alias(
+                "dsir_logratio"
+            ),
         )
         .orderBy("doc_id")
+    )
+
+
+def _int_round_ratio(s: str, n: str):
+    """Half-away-from-zero rounding of the exact rational ``s``/``n``
+    (n > 0) in pure int64 arithmetic — the engine-portable replacement
+    for ``round(s / n)`` on a double (see text_dsir_weights). ``div`` is
+    integer truncation, which equals floor for the non-negative
+    |s|."""
+    a = F.abs(F.col(s))
+    q = F.expr(f"abs({s}) div {n}")
+    r = a - q * F.col(n)
+    rounded = q + F.when(r * 2 >= F.col(n), F.lit(1)).otherwise(F.lit(0))
+    return (
+        F.when(F.col(s) < 0, F.lit(-1)).otherwise(F.lit(1)) * rounded
+    ).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing — the epoch data-mix plan
+# ---------------------------------------------------------------------------
+
+#: epoch token budget as a fraction of the corpus (integer division)
+_MIX_BUDGET_DIV = 10
+_MIX_SALT = "mix-0:"
+
+
+def _epoch_mix_oracle() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+              AS BIGINT) AS n_tok
+  FROM documents
+),
+src AS (
+  SELECT source, SUM(n_tok) AS n_src FROM d GROUP BY source
+),
+w AS (
+  SELECT source, n_src,
+         CAST(floor(sqrt(CAST(n_src AS DOUBLE)) * 1000000) AS BIGINT)
+           AS weight_micro
+  FROM src
+),
+tot AS (
+  SELECT SUM(weight_micro) AS sw,
+         (SELECT SUM(n_tok) FROM d) // {_MIX_BUDGET_DIV} AS budget
+  FROM w
+),
+quota AS (
+  SELECT source, n_src, weight_micro,
+         CAST(floor(CAST(t.budget AS DOUBLE) * CAST(weight_micro AS DOUBLE)
+                    / CAST(t.sw AS DOUBLE)) AS BIGINT) AS quota
+  FROM w CROSS JOIN tot t
+),
+ordered AS (
+  SELECT d.doc_id, d.source, d.n_tok,
+         SUM(d.n_tok) OVER (
+           PARTITION BY d.source
+           ORDER BY md5('{_MIX_SALT}' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM d
+),
+sel AS (
+  SELECT o.source, o.n_tok
+  FROM ordered o JOIN quota q ON q.source = o.source
+  WHERE o.cum - o.n_tok < q.quota
+)
+SELECT q.source,
+       CAST(q.n_src AS BIGINT) AS n_source_tokens,
+       q.weight_micro,
+       q.quota,
+       CAST(COUNT(s.n_tok) AS BIGINT) AS n_docs_selected,
+       CAST(COALESCE(SUM(s.n_tok), 0) AS BIGINT) AS tokens_selected
+FROM quota q LEFT JOIN sel s ON s.source = q.source
+GROUP BY q.source, q.n_src, q.weight_micro, q.quota
+ORDER BY q.source
+"""
+
+
+@query("pipeline_epoch_mix", _epoch_mix_oracle())
+def pipeline_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing — the epoch data-mix plan of a
+    Gopher/LLaMA-style pretraining run (public recipes): per-source
+    sampling weight proportional to token_count^0.5, an integer token
+    quota per source out of a corpus/10 epoch budget, and a
+    deterministic greedy selection (docs in salted-md5 order until the
+    quota boundary, boundary doc included). Returned per source:
+    totals, weight, quota, and what the selection actually took — the
+    table a training launcher consumes.
+
+    Determinism/portability: T = 0.5 so the weight is ONE sqrt — IEEE
+    754 requires sqrt to be correctly rounded, so both engines produce
+    identical bits (no exp/ln chain); weights are floor-micro'd to
+    int64 before the (order-free) integer sum; quotas floor exact-int
+    doubles (exact below 2^53 — at larger scales the ±1-token quota
+    wobble is operationally irrelevant but would need DECIMAL(38)
+    arithmetic to stay oracle-exact); selection compares integer
+    cumulative sums on md5 order. Scale shape: token counts are
+    map-side array sizes; the weight/quota table is sources-sized
+    (broadcast); the per-source running sum is the same
+    few-huge-partitions shape as text_sequence_packing — shard within
+    source on the salted order if a single source outgrows one task."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+        ).cast("long").alias("n_tok"),
+    ).localCheckpoint(eager=False)
+    src = d.groupBy("source").agg(F.sum("n_tok").alias("n_src"))
+    w = src.select(
+        "source",
+        "n_src",
+        F.floor(F.sqrt(F.col("n_src").cast("double")) * 1000000)
+        .cast("long")
+        .alias("weight_micro"),
+    )
+    tot = w.agg(F.sum("weight_micro").alias("sw")).crossJoin(
+        d.agg(
+            (F.sum("n_tok") / _MIX_BUDGET_DIV).cast("long").alias("budget")
+        )
+    )
+    quota = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_src",
+        "weight_micro",
+        F.floor(
+            F.col("budget").cast("double")
+            * F.col("weight_micro").cast("double")
+            / F.col("sw").cast("double")
+        )
+        .cast("long")
+        .alias("quota"),
+    )
+    h = F.md5(F.concat(F.lit(_MIX_SALT), F.col("doc_id").cast("string")))
+    cum = F.sum("n_tok").over(
+        Window.partitionBy("source")
+        .orderBy(h, "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordered = d.select("doc_id", "source", "n_tok", cum.alias("cum"))
+    sel = ordered.join(F.broadcast(quota.select("source", "quota")), "source").filter(
+        F.col("cum") - F.col("n_tok") < F.col("quota")
+    )
+    picked = sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_selected"),
+        F.sum("n_tok").alias("tokens_selected"),
+    )
+    return (
+        quota.join(picked, "source", "left")
+        .select(
+            "source",
+            F.col("n_src").cast("long").alias("n_source_tokens"),
+            "weight_micro",
+            "quota",
+            F.coalesce(F.col("n_docs_selected"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_selected"),
+            F.coalesce(F.col("tokens_selected"), F.lit(0))
+            .cast("long")
+            .alias("tokens_selected"),
+        )
+        .orderBy("source")
     )
