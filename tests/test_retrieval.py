@@ -49,6 +49,18 @@ def test_bm25_rare_term_query_prefers_rare_docs(spark, sf_dir):
         assert scores == sorted(scores, reverse=True), qid
 
 
+def test_bm25_topk_stays_salted_two_stage(spark, sf_dir):
+    """Plan pin: the per-query top-k must keep its salted two-stage
+    shape — stage 1 windows over (query_id, doc_id % _SALTS), stage 2
+    over query_id alone on the finalists. A regression to a single
+    global per-query window re-creates the one-reducer-per-query sort
+    the ANN shortlist lesson (VERDICT r6 #2) exists to prevent."""
+    df = text_bm25_topk(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("windowspecdefinition") >= 2
+    assert "pmod" in plan.lower()
+
+
 def test_epoch_mix_selection_respects_quota(spark, sf_dir):
     """Per source: the greedy selection stops at the first doc crossing
     the quota boundary — tokens_selected >= quota (boundary doc
