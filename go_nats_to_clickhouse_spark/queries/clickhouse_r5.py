@@ -2265,6 +2265,83 @@ def agg_partial_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_hll_state_merge",
+    """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS direct_within_bounds,
+       TRUE AS merged4_within_bounds,
+       TRUE AS merged3_within_bounds
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def agg_hll_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPROXIMATE half of the -State/-Merge combinator contract
+    (ClickHouse uniqCombinedState/-Merge; Spark's Apache DataSketches
+    HLL): per-shard HLL sketches unioned into a final estimate — the
+    states an AggregatingMergeTree part or a map-side combine would
+    store. Pinned contract: the direct single-sketch estimate AND the
+    merged estimates of TWO different shardings (4-way and 3-way) all
+    sit within 5% of the exact distinct count (lgK=12 ~ 1.6% standard
+    error) — i.e. sketch states can be sharded ANY way and merged
+    without losing the accuracy guarantee, which is the property
+    incremental MV refresh actually needs.
+
+    Two measured non-properties, documented because asserting either
+    FAILED at sf0.1 and both are easy to assume: (a) merged != direct —
+    DataSketches serves the HIP estimator for a stream-built sketch but
+    the composite estimator after an out-of-order union (public
+    DataSketches docs); (b) merged estimates are NOT sharding-invariant
+    either — low-cardinality shard sketches stay in sparse/coupon mode
+    and the union's promotion path makes the final registers depend on
+    how items were sharded (4-way vs 3-way disagreed by ~1% on the same
+    rows). Only the ERROR BOUND survives sharding — so that is the
+    contract this row pins. Sketch values stay OUT of the hashed output
+    (DuckDB cannot reproduce DataSketches bits); the oracle pins exact
+    counts and the three bounds booleans."""
+    e = load_table(spark, sf_dir, "events")
+
+    def merged_est(n_shards: int):
+        return (
+            e.groupBy(
+                (F.col("user_id") % n_shards).alias("shard"), "event_type"
+            )
+            .agg(F.hll_sketch_agg("user_id").alias("sk"))
+            .groupBy("event_type")
+            .agg(
+                F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                    f"m_est{n_shards}"
+                )
+            )
+        )
+
+    direct = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("d_est"),
+        F.countDistinct("user_id").cast("long").alias("n_exact"),
+    )
+
+    def ok(col: str):
+        return (
+            F.abs(F.col(col) - F.col("n_exact"))
+            <= F.lit(0.05) * F.col("n_exact")
+        )
+
+    return (
+        merged_est(4)
+        .join(merged_est(3), "event_type")
+        .join(direct, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            ok("d_est").alias("direct_within_bounds"),
+            ok("m_est4").alias("merged4_within_bounds"),
+            ok("m_est3").alias("merged3_within_bounds"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gopher quality rules — the canonical pretraining document filter matrix.
 # ---------------------------------------------------------------------------
