@@ -42,6 +42,7 @@ _PRIORITY = [
     "pipeline_epoch_mix",  # temperature-scaled source mixing plan (new r7)
     "text_bigram_lm_score",  # integer half-away avg rounding (engine-portable) (r7)
     "agg_hll_state_merge",  # DataSketches HLL -State/-Merge contract (new r7)
+    "pipeline_dedup_provenance",  # per-doc dedup explainability + attribution (new r7)
     "pipeline_dataset_card_erased",  # erasure composes across consumers (new r7)
     "vector_ann_erased_topk",  # partition-pruned vector erasure (new r7)
     "pipeline_manifest_day4",  # two sequential promotions, N-generation loop (new r7)
@@ -83,12 +84,12 @@ _PRIORITY = [
     "sample_consistent_hash",
     "sample_per_group",
     "scalar_url_functions",
-    "text_chunk_udtf",
-    # text_chunk_windows, text_pii_scrub, text_sequence_packing,
-    # text_simhash, text_vocab_top_terms, training_data_prep,
-    # vector_ann_cosine_topk, vector_ann_lsh_topk, vector_neardup_pairs,
-    # vector_norms: the ten round-2 rows that did not fit the 50-slot
-    # window this round — front them next rotation
+    # text_chunk_udtf, text_chunk_windows, text_pii_scrub,
+    # text_sequence_packing, text_simhash, text_vocab_top_terms,
+    # training_data_prep, vector_ann_cosine_topk, vector_ann_lsh_topk,
+    # vector_neardup_pairs, vector_norms: the eleven round-2 rows that
+    # did not fit the 50-slot window this round — front them next
+    # rotation
 ]
 
 

@@ -793,6 +793,194 @@ def pipeline_manifest_day3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _provenance_oracle() -> str:
+    """Per-document dedup provenance over the day-2 layout: the shared
+    kept-CTE chain already computes every decision; this appends the
+    suppressor ATTRIBUTION (which doc a dropped doc lost to) and emits
+    one row per document."""
+    return (
+        _kept_cte()
+        + f""",
+xmatch AS (
+  SELECT x.new_id, MIN(x.corpus_id) AS supp FROM (
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+    FROM bands n
+    JOIN bands c ON c.band = n.band AND c.bucket = n.bucket
+    WHERE n.doc_id IN (SELECT doc_id FROM new_ids)
+      AND c.doc_id IN (SELECT doc_id FROM corp_surv)
+  ) x
+  JOIN sig sa ON sa.doc_id = x.new_id
+  JOIN sig sb ON sb.doc_id = x.corpus_id
+  WHERE {_EST_MATCH_SQL}
+  GROUP BY x.new_id
+),
+prov AS (
+  SELECT d.doc_id, 'corpus' AS generation,
+         CASE WHEN cs.doc_id IS NOT NULL THEN 'kept'
+              ELSE 'suppressed' END AS status,
+         CASE WHEN cs.doc_id IS NULL THEN cc.component END AS suppressed_by
+  FROM corp_ids d
+  LEFT JOIN corp_surv cs ON cs.doc_id = d.doc_id
+  LEFT JOIN ccomp cc ON cc.doc_id = d.doc_id
+  UNION ALL
+  SELECT n.doc_id, 'batch',
+         CASE WHEN x.new_id IS NOT NULL THEN 'corpus_dup'
+              WHEN s.doc_id IS NOT NULL THEN 'kept'
+              ELSE 'batch_dup' END,
+         CASE WHEN x.new_id IS NOT NULL THEN x.supp
+              WHEN s.doc_id IS NULL THEN wc.component END
+  FROM new_ids n
+  LEFT JOIN xmatch x ON x.new_id = n.doc_id
+  LEFT JOIN surv s ON s.doc_id = n.doc_id
+  LEFT JOIN wcomp wc ON wc.doc_id = n.doc_id
+)
+SELECT p.doc_id, p.generation, p.status,
+       CAST(p.suppressed_by AS BIGINT) AS suppressed_by,
+       (g.doc_id IS NOT NULL) AS gopher_pass,
+       (p.status = 'kept' AND g.doc_id IS NOT NULL) AS in_manifest
+FROM prov p LEFT JOIN gpass g ON g.doc_id = p.doc_id
+ORDER BY p.doc_id
+"""
+    )
+
+
+@query("pipeline_dedup_provenance", _provenance_oracle())
+def pipeline_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dedup PROVENANCE — the explainability surface a
+    training-data pipeline owes its users ("why is my document not in
+    the training set?"): one row per document with its generation,
+    dedup status (kept / suppressed within the corpus / dropped as a
+    dup of a corpus survivor / dropped within the batch), the document
+    it LOST to (component min for graph suppressions, the minimum
+    colliding corpus survivor for batch-vs-corpus drops — deterministic
+    attribution), the Gopher bit, and final manifest membership.
+
+    Scale shape: pure read-path — the corpus side is the persisted pair
+    graph (collision-sized) re-labeled by one CC pass plus three narrow
+    index scans; the batch side is the same broadcast bucket join the
+    manifest uses, with a min-aggregate for attribution instead of a
+    distinct. No text ever scanned. At 100 TB this materializes as a
+    provenance TABLE at ingest; here it is the query form so the oracle
+    can pin every attribution against the from-scratch chain."""
+    from go_nats_to_clickhouse_spark.operators.graph import connected_components
+
+    t = pipeline_tables(spark, sf_dir)
+    qual = (
+        spark.read.parquet(t["doc_quality"]).dropDuplicates(["doc_id"])
+    )
+    bands = spark.read.parquet(t["doc_bands"])
+    surv_c = (
+        spark.read.parquet(t["corpus_survivors"]).dropDuplicates(["doc_id"])
+    )
+    pairs = (
+        spark.read.parquet(t["corpus_pairs"])
+        .filter(F.col("within") & (F.col("gen") == 1))
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(pairs, shortcut=True).select(
+        F.col("node").alias("c_doc"), "component"
+    )
+
+    corpus = (
+        qual.filter(~F.col("is_new"))
+        .select("doc_id")
+        .join(surv_c.withColumn("_s", F.lit(True)), "doc_id", "left")
+        .join(comp, F.col("doc_id") == F.col("c_doc"), "left")
+        .select(
+            "doc_id",
+            F.lit("corpus").alias("generation"),
+            F.when(F.col("_s"), F.lit("kept"))
+            .otherwise(F.lit("suppressed"))
+            .alias("status"),
+            F.when(F.col("_s").isNull(), F.col("component"))
+            .cast("long")
+            .alias("suppressed_by"),
+        )
+    )
+
+    nb = bands.filter(F.col("is_new")).select(
+        F.col("doc_id").alias("new_id"), "band", "bucket",
+        F.col("sig").alias("sig_a"),
+    )
+    cb = (
+        bands.filter(~F.col("is_new"))
+        .join(surv_c, "doc_id", "left_semi")
+        .select(
+            F.col("doc_id").alias("corpus_id"), "band", "bucket",
+            F.col("sig").alias("sig_b"),
+        )
+    )
+    xmatch = (
+        cb.join(F.broadcast(nb), ["band", "bucket"])
+        .filter(_est_matches(F.col("sig_a"), F.col("sig_b")) >= 8)
+        .groupBy("new_id")
+        .agg(F.min("corpus_id").alias("supp"))
+        .localCheckpoint(eager=False)
+    )
+    new_ids = qual.filter(F.col("is_new")).select("doc_id")
+    b1 = new_ids.join(
+        xmatch, new_ids["doc_id"] == xmatch["new_id"], "left_anti"
+    ).localCheckpoint(eager=False)
+    nb1 = nb.join(b1, nb["new_id"] == b1["doc_id"], "left_semi")
+    l = nb1.select(F.col("new_id").alias("doc_a"), "band", "bucket", "sig_a")
+    r = nb1.select(
+        F.col("new_id").alias("doc_b"), "band", "bucket",
+        F.col("sig_a").alias("sig_b"),
+    )
+    wpairs = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(_est_matches(F.col("sig_a"), F.col("sig_b")) >= 8)
+        .select("doc_a", "doc_b")
+    )
+    wcomp = connected_components(wpairs, shortcut=True).select(
+        F.col("node").alias("w_doc"), F.col("component").alias("w_component")
+    )
+    batch = (
+        new_ids.join(xmatch, new_ids["doc_id"] == xmatch["new_id"], "left")
+        .join(wcomp, F.col("doc_id") == F.col("w_doc"), "left")
+        .select(
+            "doc_id",
+            F.lit("batch").alias("generation"),
+            F.when(F.col("new_id").isNotNull(), F.lit("corpus_dup"))
+            .when(
+                F.col("w_component").isNull()
+                | (F.col("w_component") == F.col("doc_id")),
+                F.lit("kept"),
+            )
+            .otherwise(F.lit("batch_dup"))
+            .alias("status"),
+            F.when(F.col("new_id").isNotNull(), F.col("supp"))
+            .when(
+                F.col("w_component").isNotNull()
+                & (F.col("w_component") != F.col("doc_id")),
+                F.col("w_component"),
+            )
+            .cast("long")
+            .alias("suppressed_by"),
+        )
+    )
+
+    gp = qual.select("doc_id", F.col("passes_gopher").alias("gopher_pass"))
+    return (
+        corpus.unionByName(batch)
+        .join(gp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "generation",
+            "status",
+            "suppressed_by",
+            F.coalesce(F.col("gopher_pass"), F.lit(False)).alias(
+                "gopher_pass"
+            ),
+            ((F.col("status") == "kept") & F.col("gopher_pass")).alias(
+                "in_manifest"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _day3_kept_cte_erased() -> str:
     """The three-generation kept CTE over documents that were NEVER
     INGESTED per the erase set — the erase-after-promotion ground truth:
