@@ -981,6 +981,269 @@ def pipeline_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _provenance_day3_oracle() -> str:
+    """Three-generation provenance: the day-3 kept chain plus suppressor
+    attribution per generation — gen-2 drops attribute to the minimum
+    SURVIVING gen-1 collider (or their fold's component min), gen-3
+    drops to the minimum surviving promoted collider."""
+    return (
+        _day3_kept_cte()
+        + f""",
+xm2 AS (
+  SELECT x.new_id, MIN(x.corpus_id) AS supp FROM (
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+    FROM bands n
+    JOIN bands c ON c.band = n.band AND c.bucket = n.bucket
+    WHERE n.doc_id IN (SELECT doc_id FROM new_ids)
+      AND c.doc_id IN (SELECT doc_id FROM corp_surv)
+  ) x
+  JOIN sig sa ON sa.doc_id = x.new_id
+  JOIN sig sb ON sb.doc_id = x.corpus_id
+  WHERE {_EST_MATCH_SQL}
+  GROUP BY x.new_id
+),
+xm3 AS (
+  SELECT x.new_id, MIN(x.corpus_id) AS supp FROM (
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+    FROM bands n
+    JOIN bands c ON c.band = n.band AND c.bucket = n.bucket
+    WHERE n.doc_id IN (SELECT doc_id FROM d3_ids)
+      AND c.doc_id IN (SELECT doc_id FROM promoted)
+  ) x
+  JOIN sig sa ON sa.doc_id = x.new_id
+  JOIN sig sb ON sb.doc_id = x.corpus_id
+  WHERE {_EST_MATCH_SQL}
+  GROUP BY x.new_id
+),
+prov AS (
+  SELECT d.doc_id, 'gen1' AS generation,
+         CASE WHEN cs.doc_id IS NOT NULL THEN 'kept'
+              ELSE 'suppressed' END AS status,
+         CASE WHEN cs.doc_id IS NULL THEN cc.component END AS suppressed_by
+  FROM corp_ids d
+  LEFT JOIN corp_surv cs ON cs.doc_id = d.doc_id
+  LEFT JOIN ccomp cc ON cc.doc_id = d.doc_id
+  UNION ALL
+  SELECT n.doc_id, 'gen2',
+         CASE WHEN x.new_id IS NOT NULL THEN 'corpus_dup'
+              WHEN s.doc_id IS NOT NULL THEN 'kept'
+              ELSE 'batch_dup' END,
+         CASE WHEN x.new_id IS NOT NULL THEN x.supp
+              WHEN s.doc_id IS NULL THEN wc.component END
+  FROM new_ids n
+  LEFT JOIN xm2 x ON x.new_id = n.doc_id
+  LEFT JOIN surv s ON s.doc_id = n.doc_id
+  LEFT JOIN wcomp wc ON wc.doc_id = n.doc_id
+  UNION ALL
+  SELECT n.doc_id, 'gen3',
+         CASE WHEN x.new_id IS NOT NULL THEN 'corpus_dup'
+              WHEN s.doc_id IS NOT NULL THEN 'kept'
+              ELSE 'batch_dup' END,
+         CASE WHEN x.new_id IS NOT NULL THEN x.supp
+              WHEN s.doc_id IS NULL THEN wc.component END
+  FROM d3_ids n
+  LEFT JOIN xm3 x ON x.new_id = n.doc_id
+  LEFT JOIN g3surv s ON s.doc_id = n.doc_id
+  LEFT JOIN g3wcomp wc ON wc.doc_id = n.doc_id
+)
+SELECT p.doc_id, p.generation, p.status,
+       CAST(p.suppressed_by AS BIGINT) AS suppressed_by,
+       (g.doc_id IS NOT NULL) AS gopher_pass,
+       (p.status = 'kept' AND g.doc_id IS NOT NULL) AS in_manifest
+FROM prov p LEFT JOIN gpass g ON g.doc_id = p.doc_id
+ORDER BY p.doc_id
+"""
+    )
+
+
+@query("pipeline_dedup_provenance_day3", _provenance_day3_oracle())
+def pipeline_dedup_provenance_day3(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup provenance ACROSS THE PROMOTED CORPUS — what the
+    generation-labeled pair graph buys beyond erasure: after day-2 was
+    folded in (promote_batch), its docs' drop decisions are frozen in
+    the survivor table, but the persisted cross/within edges still
+    carry WHY — so a promoted non-survivor attributes to the minimum
+    gen-1 survivor it collided with (cross edges filtered to kept
+    olders) or its fold's within-component min, with no text and no
+    recomputed candidates. The live day-3 batch attributes through the
+    same bucket join the day-3 manifest uses. One row per document
+    across all three generations; every attribution hash-pinned against
+    the three-generation from-scratch oracle.
+
+    Scale shape: gen-1/gen-2 attribution is pure pair-graph relabeling
+    (collision-sized); day-3 is the standard broadcast bucket join with
+    a min-aggregate; `documents` contributes only the source->generation
+    mapping (metadata projection, no text)."""
+    from go_nats_to_clickhouse_spark.operators.graph import connected_components
+    from go_nats_to_clickhouse_spark.plans.materialize import gen3_tables
+    from go_nats_to_clickhouse_spark.schemas import load_table
+
+    t = gen3_tables(spark, sf_dir)
+    qual = spark.read.parquet(t["doc_quality"]).dropDuplicates(["doc_id"])
+    bands = spark.read.parquet(t["doc_bands"])
+    surv = (
+        spark.read.parquet(t["corpus_survivors"]).dropDuplicates(["doc_id"])
+    )
+    pairs = spark.read.parquet(t["corpus_pairs"])
+    gen_of = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.when(F.col("source").isin(*NEW_SOURCES), F.lit(2))
+            .when(F.col("source").isin(*DAY3_SOURCES), F.lit(3))
+            .otherwise(F.lit(1))
+            .alias("genno"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    kept_flag = surv.withColumn("_s", F.lit(True))
+
+    # gen 1: exact-pair component relabeling
+    comp1 = connected_components(
+        pairs.filter(F.col("within") & (F.col("gen") == 1)).select(
+            "doc_a", "doc_b"
+        ),
+        shortcut=True,
+    ).select(F.col("node").alias("c_doc"), "component")
+    g1 = (
+        gen_of.filter(F.col("genno") == 1)
+        .join(kept_flag, "doc_id", "left")
+        .join(comp1, F.col("doc_id") == F.col("c_doc"), "left")
+        .select(
+            "doc_id",
+            F.lit("gen1").alias("generation"),
+            F.when(F.col("_s"), F.lit("kept"))
+            .otherwise(F.lit("suppressed"))
+            .alias("status"),
+            F.when(F.col("_s").isNull(), F.col("component"))
+            .cast("long")
+            .alias("suppressed_by"),
+        )
+    )
+
+    # gen 2: frozen fold decisions explained from the persisted edges.
+    # corpus_dup attribution = min cross neighbor that was KEPT (gen-1
+    # kept-ness is exactly membership in the promoted survivor table —
+    # promotion only ever adds docs).
+    cross2 = pairs.filter((~F.col("within")) & (F.col("gen") == 2))
+    xm2 = (
+        cross2.join(surv, cross2["doc_a"] == surv["doc_id"], "left_semi")
+        .groupBy(F.col("doc_b").alias("doc_id"))
+        .agg(F.min("doc_a").alias("supp"))
+        .localCheckpoint(eager=False)
+    )
+    g2_ids = gen_of.filter(F.col("genno") == 2).select("doc_id")
+    rem2 = g2_ids.join(xm2, "doc_id", "left_anti")
+    w2 = pairs.filter(F.col("within") & (F.col("gen") == 2))
+    w2r = w2.join(rem2, w2["doc_a"] == rem2["doc_id"], "left_semi").join(
+        rem2, w2["doc_b"] == rem2["doc_id"], "left_semi"
+    )
+    comp2 = connected_components(
+        w2r.select("doc_a", "doc_b"), shortcut=True
+    ).select(F.col("node").alias("c_doc"), "component")
+    g2 = (
+        g2_ids.join(xm2.withColumnRenamed("supp", "x_supp"), "doc_id", "left")
+        .join(kept_flag, "doc_id", "left")
+        .join(comp2, F.col("doc_id") == F.col("c_doc"), "left")
+        .select(
+            "doc_id",
+            F.lit("gen2").alias("generation"),
+            F.when(F.col("x_supp").isNotNull(), F.lit("corpus_dup"))
+            .when(F.col("_s"), F.lit("kept"))
+            .otherwise(F.lit("batch_dup"))
+            .alias("status"),
+            F.when(F.col("x_supp").isNotNull(), F.col("x_supp"))
+            .when(F.col("_s").isNull(), F.col("component"))
+            .cast("long")
+            .alias("suppressed_by"),
+        )
+    )
+
+    # gen 3: the live batch, attributed through the read-path bucket join
+    nb = bands.filter(F.col("is_new")).select(
+        F.col("doc_id").alias("new_id"), "band", "bucket",
+        F.col("sig").alias("sig_a"),
+    )
+    cb = (
+        bands.filter(~F.col("is_new"))
+        .join(surv, "doc_id", "left_semi")
+        .select(
+            F.col("doc_id").alias("corpus_id"), "band", "bucket",
+            F.col("sig").alias("sig_b"),
+        )
+    )
+    xm3 = (
+        cb.join(F.broadcast(nb), ["band", "bucket"])
+        .filter(_est_matches(F.col("sig_a"), F.col("sig_b")) >= 8)
+        .groupBy(F.col("new_id").alias("doc_id"))
+        .agg(F.min("corpus_id").alias("supp"))
+        .localCheckpoint(eager=False)
+    )
+    g3_ids = gen_of.filter(F.col("genno") == 3).select("doc_id")
+    b1 = g3_ids.join(xm3, "doc_id", "left_anti").localCheckpoint(eager=False)
+    nb1 = nb.join(b1, nb["new_id"] == b1["doc_id"], "left_semi")
+    l = nb1.select(F.col("new_id").alias("doc_a"), "band", "bucket", "sig_a")
+    r = nb1.select(
+        F.col("new_id").alias("doc_b"), "band", "bucket",
+        F.col("sig_a").alias("sig_b"),
+    )
+    wp3 = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(_est_matches(F.col("sig_a"), F.col("sig_b")) >= 8)
+        .select("doc_a", "doc_b")
+    )
+    comp3 = connected_components(wp3, shortcut=True).select(
+        F.col("node").alias("c_doc"), "component"
+    )
+    g3 = (
+        g3_ids.join(xm3.withColumnRenamed("supp", "x_supp"), "doc_id", "left")
+        .join(comp3, F.col("doc_id") == F.col("c_doc"), "left")
+        .select(
+            "doc_id",
+            F.lit("gen3").alias("generation"),
+            F.when(F.col("x_supp").isNotNull(), F.lit("corpus_dup"))
+            .when(
+                F.col("component").isNull()
+                | (F.col("component") == F.col("doc_id")),
+                F.lit("kept"),
+            )
+            .otherwise(F.lit("batch_dup"))
+            .alias("status"),
+            F.when(F.col("x_supp").isNotNull(), F.col("x_supp"))
+            .when(
+                F.col("component").isNotNull()
+                & (F.col("component") != F.col("doc_id")),
+                F.col("component"),
+            )
+            .cast("long")
+            .alias("suppressed_by"),
+        )
+    )
+
+    gp = qual.select("doc_id", F.col("passes_gopher").alias("gopher_pass"))
+    return (
+        g1.unionByName(g2)
+        .unionByName(g3)
+        .join(gp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "generation",
+            "status",
+            "suppressed_by",
+            F.coalesce(F.col("gopher_pass"), F.lit(False)).alias(
+                "gopher_pass"
+            ),
+            ((F.col("status") == "kept") & F.col("gopher_pass")).alias(
+                "in_manifest"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _day3_kept_cte_erased() -> str:
     """The three-generation kept CTE over documents that were NEVER
     INGESTED per the erase set — the erase-after-promotion ground truth:
