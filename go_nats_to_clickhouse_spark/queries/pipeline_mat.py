@@ -862,9 +862,37 @@ def pipeline_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct. No text ever scanned. At 100 TB this materializes as a
     provenance TABLE at ingest; here it is the query form so the oracle
     can pin every attribution against the from-scratch chain."""
+    return _provenance_from(spark, pipeline_tables(spark, sf_dir))
+
+
+@query(
+    "pipeline_dedup_provenance_erased",
+    _provenance_oracle().replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents WHERE doc_id % {ERASE_MOD} <> 0)",
+    ),
+)
+def pipeline_dedup_provenance_erased(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Provenance AFTER a GDPR erasure — the repaired index must still
+    explain itself: the same provenance consumer over the erased tables
+    has to re-attribute every resurrection and re-suppression exactly as
+    a never-saw build would (an erased suppressor must vanish from every
+    ``suppressed_by``, a resurrected doc must flip to kept, and a doc
+    that re-resolved to a new component min must attribute to THAT min).
+    Erasure, like promotion, composes across consumers — same textual
+    erase-wrap construction as the manifest/card erased oracles."""
+    from go_nats_to_clickhouse_spark.plans.materialize import erased_tables
+
+    return _provenance_from(spark, erased_tables(spark, sf_dir))
+
+
+def _provenance_from(spark: SparkSession, t: dict[str, str]) -> DataFrame:
+    """Shared day-2-layout provenance consumer (see
+    pipeline_dedup_provenance) over any published/erased table family."""
     from go_nats_to_clickhouse_spark.operators.graph import connected_components
 
-    t = pipeline_tables(spark, sf_dir)
     qual = (
         spark.read.parquet(t["doc_quality"]).dropDuplicates(["doc_id"])
     )
