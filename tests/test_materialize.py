@@ -336,6 +336,88 @@ class TestAnnIncremental:
         }
         assert got == want
 
+    def test_compact_ann_cells_preserves_read(
+        self, spark, sf_dir, mat_root, tmp_path
+    ):
+        """The small-files story for the appended index, proven: appends
+        leave multiple files inside cell dirs; plans/layout.compact_table
+        with partition_cols=('cell',) must merge each cell to one sorted
+        file while leaving the compressed two-stage read byte-identical
+        (same rows, same codes, same ivfpq top-k) — maintenance composes
+        with compaction exactly as for the event tables."""
+        import shutil as _sh
+
+        from go_nats_to_clickhouse_spark.operators.similarity import (
+            ivfpq_read_topk,
+        )
+        from go_nats_to_clickhouse_spark.plans.layout import compact_table
+        from go_nats_to_clickhouse_spark.plans.materialize import (
+            read_codebooks,
+        )
+        from go_nats_to_clickhouse_spark.queries.util import load_table
+        from go_nats_to_clickhouse_spark.queries.vector import as_double
+
+        t = materialize.ann_appended_tables(spark, sf_dir)
+        root = str(tmp_path / "ann_compact")
+        paths = {}
+        for name, p in t.items():
+            paths[name] = os.path.join(root, name)
+            _sh.copytree(p, paths[name])
+
+        def files_per_cell():
+            out = {}
+            for d in os.listdir(paths["ann_corpus"]):
+                if d.startswith("cell="):
+                    cdir = os.path.join(paths["ann_corpus"], d)
+                    out[d] = sum(
+                        1 for f in os.listdir(cdir) if f.endswith(".parquet")
+                    )
+            return out
+
+        def topk():
+            centers = [
+                list(r.center)
+                for r in spark.read.parquet(paths["ann_centroids"])
+                .orderBy("cell")
+                .collect()
+            ]
+            codebooks = read_codebooks(
+                spark, {k: paths[k] for k in paths}
+            )
+            e = load_table(spark, sf_dir, "embeddings")
+            q = e.filter(F.col("vec_id") < 8).select(
+                F.col("vec_id").alias("query_id"),
+                as_double("embedding").alias("qv"),
+            )
+            corpus = spark.read.parquet(paths["ann_corpus"])
+            return {
+                (r.query_id, r.neighbor_id)
+                for r in ivfpq_read_topk(
+                    q, corpus, centers, codebooks, nprobe=12,
+                    shortlist=100, k=5,
+                ).collect()
+            }
+
+        before_files = files_per_cell()
+        assert any(n > 1 for n in before_files.values()), (
+            "appends should leave multiple files in at least one cell"
+        )
+        before_rows = spark.read.parquet(paths["ann_corpus"]).count()
+        before_topk = topk()
+
+        compact_table(
+            spark,
+            paths["ann_corpus"],
+            sort_keys=("neighbor_id",),
+            partition_cols=("cell",),
+        )
+
+        after_files = files_per_cell()
+        assert set(after_files) == set(before_files)  # no cell lost
+        assert all(n == 1 for n in after_files.values()), after_files
+        assert spark.read.parquet(paths["ann_corpus"]).count() == before_rows
+        assert topk() == before_topk
+
     def test_drift_guard_trips_on_distribution_shift(
         self, spark, sf_dir, mat_root, tmp_path
     ):
