@@ -1248,3 +1248,58 @@ class TestPromotionLoop:
         assert read_surv(str(tmp_path / "e0")) == read_surv(
             str(tmp_path / "s0")
         )
+
+    def test_promote_after_erase_continues_lifecycle(self, spark, tmp_path):
+        """The erased corpus keeps living: erase mid-lifecycle, then the
+        NEXT day's batch must append and promote exactly as on a corpus
+        that never saw the erased docs — including a new-batch doc that
+        dups a RESURRECTED survivor (it must be dropped by the post-erase
+        corpus) and the generation counter continuing past the erase."""
+        tX = "apple banana cherry durian elder fig grape honey iris jade"
+        tY = "kiwi lemon mango nectar orange papaya quince rasp seed tulip"
+
+        def mk(rows):
+            return spark.createDataFrame(
+                [(i, t, "en", s, len(t)) for i, t, s in rows],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            )
+
+        def read_surv(root):
+            return {
+                r.doc_id
+                for r in spark.read.parquet(
+                    root + "/corpus_survivors"
+                ).collect()
+            }
+
+        base = [(1, tX, "corp"), (2, tX, "corp"), (20, tY, "src0")]
+        nxt = [(40, tX, "d3"), (41, "uno dos tres cuatro cinco", "d3")]
+
+        # erased path: build, promote, erase 1 (resurrects 2), land+fold next
+        eroot = str(tmp_path / "life_e")
+        materialize._build_from(mk(base), eroot, ("src0", "src1"))
+        materialize.promote_batch(spark, eroot)
+        materialize.erase_docs(
+            spark, eroot, spark.createDataFrame([(1,)], "doc_id long")
+        )
+        assert read_surv(eroot) == {2, 20}
+        materialize.append_batch_index(mk(nxt), eroot, is_new=True)
+        materialize.promote_batch(spark, eroot)
+
+        # never-saw path: same chain without doc 1
+        sroot = str(tmp_path / "life_s")
+        materialize._build_from(
+            mk([r for r in base if r[0] != 1]), sroot, ("src0", "src1")
+        )
+        materialize.promote_batch(spark, sroot)
+        materialize.append_batch_index(mk(nxt), sroot, is_new=True)
+        materialize.promote_batch(spark, sroot)
+
+        # 40 dups resurrected 2 -> dropped; 41 novel -> kept
+        assert read_surv(eroot) == read_surv(sroot) == {2, 20, 41}
+        # and a LATER erase on the continued corpus still replays exactly
+        for root in (eroot, sroot):
+            materialize.erase_docs(
+                spark, root, spark.createDataFrame([(2,)], "doc_id long")
+            )
+        assert read_surv(eroot) == read_surv(sroot) == {20, 40, 41}
