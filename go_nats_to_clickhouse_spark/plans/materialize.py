@@ -233,6 +233,7 @@ FAMILY_PREFIXES = (
     "ing-",
     "erase-",
     "erase3-",
+    "erase4-",
     "erasev-",
     "erasev2-",
 )
@@ -1339,6 +1340,36 @@ def erased_gen3_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         erase_docs(spark, tmp, erase_ids)
 
     return _published(f"erase3-{sf_name}-", tag, TABLES, build)
+
+
+def erased_gen4_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """The FOUR-generation (two-promotion) pipeline tables after a GDPR
+    erasure — the N-generation induction instance for the erase replay:
+    the gen4 family is copied and every ``doc_id % ERASE3_MOD == 0``
+    document erased. At sf0.1 the mod-15 erase set triggers repairs in
+    ALL THREE folded generations (gen-1 exact components, gen-2 and
+    gen-3 est folds); at sf0.001/0.01 it exercises gen-1 repair on the
+    three-generation graph (no fixture modulus reaches est-gen repair
+    structure at sf0.01 on this layout — probed 7..30). The driver row
+    pipeline_manifest_erased_day4 runs the unchanged day-4 consumer vs
+    the four-generation oracle over never-ingested documents."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"erase4-{sf_name}-m{ERASE3_MOD}-{_fingerprint(sf_dir)}"
+
+    def build(tmp: str) -> None:
+        from go_nats_to_clickhouse_spark.schemas import load_table
+
+        src = gen4_tables(spark, sf_dir)
+        for name, p in src.items():
+            shutil.copytree(p, os.path.join(tmp, name))
+        erase_ids = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter(F.pmod(F.col("doc_id"), F.lit(ERASE3_MOD)) == 0)
+        )
+        erase_docs(spark, tmp, erase_ids)
+
+    return _published(f"erase4-{sf_name}-", tag, TABLES, build)
 
 
 def erased_ann_tables(

@@ -1327,6 +1327,44 @@ def pipeline_manifest_erased_day3(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _day4_kept_cte_erased() -> str:
+    """The four-generation kept CTE over never-ingested documents — the
+    N-generation erase ground truth (same wrap as the day-3 form)."""
+    return _day4_kept_cte().replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents WHERE doc_id % {ERASE3_MOD} <> 0)",
+    )
+
+
+@query(
+    "pipeline_manifest_erased_day4",
+    _day4_kept_cte_erased() + _manifest_tail_sql("manifest-e4:"),
+)
+def pipeline_manifest_erased_day4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day-4 manifest after an erasure on the TWO-PROMOTION corpus —
+    the N-generation induction instance of the erase replay: if the
+    generational replay is exact over {gen-1, gen-2} (the day-3 row) and
+    over {gen-1, gen-2, gen-3} (this row, with all-three-generation
+    repairs exercised at sf0.1), it is exact for any N — the same
+    induction argument the promotion loop itself rests on. Unchanged
+    day-4 consumer over plans/materialize.erased_gen4_tables; oracle =
+    the four-generation chain recomputed over never-ingested
+    documents."""
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        erased_gen4_tables,
+    )
+
+    t = erased_gen4_tables(spark, sf_dir)
+    return manifest_rows(
+        kept_docs_from(
+            spark.read.parquet(t["doc_bands"]),
+            spark.read.parquet(t["doc_quality"]),
+            spark.read.parquet(t["corpus_survivors"]),
+        ),
+        salt="manifest-e4:",
+    )
+
+
 @query("pipeline_manifest_day4", _day4_kept_cte() + _manifest_tail_sql("manifest-4:"))
 def pipeline_manifest_day4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-4 training manifest after TWO sequential promotions
