@@ -69,6 +69,7 @@ def main() -> None:
         erased_ann2_tables,
         erased_ann_tables,
         erased_gen3_tables,
+        erased_gen4_tables,
         erased_tables,
         gen3_tables,
         gen4_tables,
@@ -91,6 +92,7 @@ def main() -> None:
     erased_tables(spark, sf_dir)
     erased_ann_tables(spark, sf_dir)
     erased_gen3_tables(spark, sf_dir)
+    erased_gen4_tables(spark, sf_dir)
     erased_ann2_tables(spark, sf_dir)
 
     # Per-query timing with contention guards (VERDICT r4 #6): a single
