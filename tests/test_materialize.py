@@ -1249,6 +1249,66 @@ class TestPromotionLoop:
             str(tmp_path / "s0")
         )
 
+    @pytest.mark.parametrize("seed", [11, 23, 37])
+    def test_erase_replay_randomized_equivalence(self, spark, tmp_path, seed):
+        """Randomized durability pin for the generational erase replay:
+        seeded corpora mixing exact dups, near-dups (shared base +
+        variant tails), and singletons across three generations; a
+        random ~quarter of the docs erased after two promotions must
+        leave EXACTLY the survivor set of a from-scratch two-promotion
+        chain over the remaining docs — whatever component/fold
+        structure the seed produced."""
+        import random
+
+        rng = random.Random(seed)
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        pool = [
+            f"{base} tail{v} tail{v}b" for v in range(3)
+        ] + [
+            "umber violet walnut xenon yellow zebra acorn birch cedar dune",
+            "uno dos tres cuatro cinco seis siete ocho nueve diez",
+        ]
+        rows = []
+        for i in range(1, 25):
+            src = rng.choice(["corp", "corp", "src0", "src1", "d3"])
+            rows.append((i, rng.choice(pool), src))
+
+        def mk(selected):
+            return spark.createDataFrame(
+                [(i, t, "en", s, len(t)) for i, t, s in selected],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            )
+
+        def build_chain(doc_rows, root):
+            d3 = [r for r in doc_rows if r[2] == "d3"]
+            rest = [r for r in doc_rows if r[2] != "d3"]
+            materialize._build_from(mk(rest), root, ("src0", "src1"))
+            materialize.promote_batch(spark, root)
+            if d3:
+                materialize.append_batch_index(mk(d3), root, is_new=True)
+                materialize.promote_batch(spark, root)
+
+        def read_surv(root):
+            return {
+                r.doc_id
+                for r in spark.read.parquet(
+                    root + "/corpus_survivors"
+                ).collect()
+            }
+
+        erase = {i for i in range(1, 25) if rng.random() < 0.25}
+        eroot = str(tmp_path / "re")
+        build_chain(rows, eroot)
+        materialize.erase_docs(
+            spark,
+            eroot,
+            spark.createDataFrame([(x,) for x in sorted(erase)] or [(0,)],
+                                  "doc_id long"),
+        )
+        sroot = str(tmp_path / "rs")
+        build_chain([r for r in rows if r[0] not in erase], sroot)
+        assert read_surv(eroot) == read_surv(sroot), (seed, sorted(erase))
+
     def test_promote_after_erase_continues_lifecycle(self, spark, tmp_path):
         """The erased corpus keeps living: erase mid-lifecycle, then the
         NEXT day's batch must append and promote exactly as on a corpus
