@@ -635,6 +635,83 @@ def vector_ann_erased_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: eval-set membership for semantic decontamination (deterministic split)
+_SEMDECON_EVAL_MOD = 9
+#: contamination threshold — calibrated to the synthetic fixtures (their
+#: random embeddings top out near cosine 0.6 cross-split; a production
+#: corpus with real near-dups sets 0.95+). The CONTRACT is the mechanism:
+#: every per-doc max similarity is hashed, not just the flag.
+_SEMDECON_TAU = 0.45
+
+
+@query(
+    "dedup_decontaminate_semantic",
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ev AS (SELECT * FROM e WHERE vec_id % {_SEMDECON_EVAL_MOD} = 0),
+tr AS (SELECT * FROM e WHERE vec_id % {_SEMDECON_EVAL_MOD} <> 0),
+s AS (
+  SELECT t.vec_id,
+         MAX(list_sum(list_transform(range(1, 65), i -> t.v[i] * x.v[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                              i -> t.v[i] * t.v[i])))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                                i -> x.v[i] * x.v[i]))))) AS ms
+  FROM tr t CROSS JOIN ev x GROUP BY t.vec_id
+)
+SELECT vec_id,
+       round(ms, 4) + 0.0 AS max_eval_sim,
+       (ms >= {_SEMDECON_TAU}) AS contaminated
+FROM s ORDER BY vec_id
+""",
+)
+def dedup_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space analog of
+    dedup_decontaminate's n-gram overlap: every training vector's
+    maximum cosine similarity against the evaluation set, flagged above
+    a threshold. Catches paraphrased/translated eval leakage that
+    lexical shingles miss — the second decontamination axis a modern
+    pipeline runs (public practice in e.g. GPT-3/Llama eval-leakage
+    appendices).
+
+    Scale shape: the eval set is benchmark-sized by definition —
+    broadcast; the train side streams through ONE map-side pass
+    (broadcast nested-loop + partial max aggregation, no shuffle wider
+    than (vec_id, max)); at production scale the same contract runs on
+    the blocked-GEMM kernel (operators/similarity.brute_force_topk) or
+    pre-filtered through the LSH/IVF index to candidate pairs only.
+    Portability: sequential left-to-right folds (DuckDB list_sum
+    order), max is exact selection, one round at the output; the
+    threshold compares identical bits on both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = e.filter(F.pmod(F.col("vec_id"), F.lit(_SEMDECON_EVAL_MOD)) == 0).select(
+        F.col("vec_id").alias("ev_id"), as_double("embedding").alias("xv")
+    )
+    tr = e.filter(F.pmod(F.col("vec_id"), F.lit(_SEMDECON_EVAL_MOD)) != 0).select(
+        "vec_id", as_double("embedding").alias("tv")
+    )
+
+    def fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    dot = fold(F.zip_with(F.col("tv"), F.col("xv"), lambda a, b: a * b))
+    tt = fold(F.transform(F.col("tv"), lambda a: a * a))
+    xx = fold(F.transform(F.col("xv"), lambda a: a * a))
+    sim = dot / (F.sqrt(tt) * F.sqrt(xx))
+    return (
+        tr.crossJoin(F.broadcast(ev))
+        .select("vec_id", sim.alias("sim"))
+        .groupBy("vec_id")
+        .agg(F.max("sim").alias("ms"))
+        .select(
+            "vec_id",
+            (F.round(F.col("ms"), 4) + F.lit(0.0)).alias("max_eval_sim"),
+            (F.col("ms") >= F.lit(_SEMDECON_TAU)).alias("contaminated"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 @query(
     "vector_ann_erased_appended_topk",
     """
