@@ -684,20 +684,26 @@ def dedup_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     order), max is exact selection, one round at the output; the
     threshold compares identical bits on both engines."""
     e = load_table(spark, sf_dir, "embeddings")
-    ev = e.filter(F.pmod(F.col("vec_id"), F.lit(_SEMDECON_EVAL_MOD)) == 0).select(
-        F.col("vec_id").alias("ev_id"), as_double("embedding").alias("xv")
-    )
-    tr = e.filter(F.pmod(F.col("vec_id"), F.lit(_SEMDECON_EVAL_MOD)) != 0).select(
-        "vec_id", as_double("embedding").alias("tv")
-    )
 
     def fold(arr):
         return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
+    def norm(col):
+        return F.sqrt(fold(F.transform(col, lambda a: a * a)))
+
+    # norms factored to one fold per ROW before the cross join (the
+    # per-pair form refolds both 64-element norms for every pair — 3x
+    # the lambda-eval work; values are bit-identical since sqrt of the
+    # same fold multiplies the same doubles)
+    ev = e.filter(F.pmod(F.col("vec_id"), F.lit(_SEMDECON_EVAL_MOD)) == 0).select(
+        F.col("vec_id").alias("ev_id"), as_double("embedding").alias("xv")
+    ).select("ev_id", "xv", norm(F.col("xv")).alias("xn"))
+    tr = e.filter(F.pmod(F.col("vec_id"), F.lit(_SEMDECON_EVAL_MOD)) != 0).select(
+        "vec_id", as_double("embedding").alias("tv")
+    ).select("vec_id", "tv", norm(F.col("tv")).alias("tn"))
+
     dot = fold(F.zip_with(F.col("tv"), F.col("xv"), lambda a, b: a * b))
-    tt = fold(F.transform(F.col("tv"), lambda a: a * a))
-    xx = fold(F.transform(F.col("xv"), lambda a: a * a))
-    sim = dot / (F.sqrt(tt) * F.sqrt(xx))
+    sim = dot / (F.col("tn") * F.col("xn"))
     return (
         tr.crossJoin(F.broadcast(ev))
         .select("vec_id", sim.alias("sim"))
