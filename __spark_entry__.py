@@ -47,6 +47,7 @@ _PRIORITY = [
     "pipeline_dedup_provenance_erased",  # the repaired graph still explains itself (new r7)
     "pipeline_manifest_erased_day4",  # N-generation erase induction instance (new r7)
     "dedup_decontaminate_semantic",  # embedding-space eval-leakage flags (new r7)
+    "text_bm25_read_topk",  # BM25 from the partition-pruned inverted index (new r7)
     "pipeline_dataset_card_erased",  # erasure composes across consumers (new r7)
     "vector_ann_erased_topk",  # partition-pruned vector erasure (new r7)
     "pipeline_manifest_day4",  # two sequential promotions, N-generation loop (new r7)
@@ -83,8 +84,8 @@ _PRIORITY = [
     "q20_potential_part_promotion",
     "q21_waiting_suppliers",
     "q4_late_shipments",
-    "q7_volume_shipping",
-    # q9_product_type_profit, sample_consistent_hash, sample_per_group, scalar_url_functions,
+    # q7_volume_shipping, q9_product_type_profit, sample_consistent_hash,
+    # sample_per_group, scalar_url_functions,
     # text_chunk_udtf, text_chunk_windows,
     # text_pii_scrub, text_sequence_packing, text_simhash,
     # text_vocab_top_terms, training_data_prep, vector_ann_cosine_topk,

@@ -66,6 +66,7 @@ def main() -> None:
     from go_nats_to_clickhouse_spark.plans.materialize import (
         ann_appended_tables,
         ann_tables,
+        bm25_tables,
         erased_ann2_tables,
         erased_ann_tables,
         erased_gen3_tables,
@@ -94,6 +95,7 @@ def main() -> None:
     erased_gen3_tables(spark, sf_dir)
     erased_gen4_tables(spark, sf_dir)
     erased_ann2_tables(spark, sf_dir)
+    bm25_tables(spark, sf_dir)
 
     # Per-query timing with contention guards (VERDICT r4 #6): a single
     # contended run inflated the r4 vector family 3-4x over solo cost and

@@ -231,6 +231,7 @@ FAMILY_PREFIXES = (
     "gen3-",
     "gen4-",
     "ing-",
+    "bm25-",
     "erase-",
     "erase3-",
     "erase4-",
@@ -816,6 +817,80 @@ def ingested_index_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         append_batch_index(docs_from_messages(replayed), tmp, is_new=True)
 
     return _published(f"ing-{sf_name}-", tag, ING_TABLES, build)
+
+
+# ---------------------------------------------------------------------------
+# BM25 inverted index — the retrieval analog of the ANN read path.
+# ---------------------------------------------------------------------------
+
+BM25_TABLES = ("bm25_postings", "bm25_stats")
+#: term-bucket fan-out for partition pruning (an md5 bucket, not a hash
+#: of Spark's choosing, so the QUERY side can compute bucket literals in
+#: plain Python and prune STATICALLY)
+BM25_BUCKETS = 16
+
+
+def bm25_term_bucket(col):
+    """Engine-portable term bucket: md5-prefix integer mod BM25_BUCKETS
+    (same construction as the DSIR feature hash)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long"),
+        F.lit(BM25_BUCKETS),
+    )
+
+
+def bm25_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """The materialized BM25 INVERTED INDEX, cached per fixture — the
+    production form of text_bm25_topk exactly as ann_tables is the
+    production form of the inline IVF: postings (term, doc_id, tf, with
+    the document length DENORMALIZED onto every posting row — the
+    classic index-storage-for-join trade, same reasoning as the
+    sig-denormalized band index) partitioned by an md5 term bucket, plus
+    a one-row (n_docs, dl_sum) stats table. A probe query touches only
+    its terms' bucket directories (static partition pruning — the
+    bucket of a literal term is computable in plain Python), reads
+    candidate-sized postings, and never scans corpus text. Reference
+    anchor: ClickHouse's full-text skip indexes precompute the
+    token->granule map at INSERT; this is that contract with real
+    postings."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"bm25-{sf_name}-{_fingerprint(sf_dir)}"
+
+    def build(tmp: str) -> None:
+        from go_nats_to_clickhouse_spark.schemas import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        toks = docs.select(
+            "doc_id",
+            F.filter(
+                F.split(F.lower("text"), " "), lambda x: x != F.lit("")
+            ).alias("ws"),
+        )
+        dl = toks.select(
+            "doc_id", F.size("ws").alias("dl")
+        ).localCheckpoint(eager=False)
+        posts = (
+            toks.select("doc_id", F.explode("ws").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .join(dl, "doc_id")
+            .withColumn("bucket", bm25_term_bucket(F.col("term")))
+        )
+        (
+            posts.repartition("bucket")
+            .sortWithinPartitions("term", "doc_id")
+            .write.partitionBy("bucket")
+            .parquet(os.path.join(tmp, "bm25_postings"))
+        )
+        _write(
+            dl.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").alias("dl_sum"),
+            ),
+            os.path.join(tmp, "bm25_stats"),
+        )
+
+    return _published(f"bm25-{sf_name}-", tag, BM25_TABLES, build)
 
 
 # ---------------------------------------------------------------------------

@@ -230,6 +230,106 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("text_bm25_read_topk", _bm25_oracle())
+def text_bm25_read_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the MATERIALIZED INVERTED INDEX — the retrieval
+    analog of vector_ann_ivf_read_topk (same architecture cell:
+    ingest-time precompute, partition-pruned read): the probe terms'
+    md5 buckets are computed in plain Python, so the postings scan is
+    STATICALLY pruned to those bucket directories (PartitionFilters,
+    plan-pinned); document length rides denormalized on each posting
+    row, so scoring needs NO corpus-side join — one candidate-sized
+    scan, a term-cardinality df aggregate, the 1-row stats broadcast,
+    and the same salted two-stage exact top-k. Same oracle as the
+    inline text_bm25_topk: green proves index build == from-scratch
+    scoring. At 100 TB the daily query cost is O(probe postings), not
+    O(corpus)."""
+    import hashlib
+
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        BM25_BUCKETS,
+        bm25_tables,
+    )
+
+    t = bm25_tables(spark, sf_dir)
+    qvocab = sorted({w for _, txt in BM25_PROBES for w in txt.split(" ")})
+    buckets = sorted(
+        {
+            int(hashlib.md5(w.encode()).hexdigest()[:7], 16) % BM25_BUCKETS
+            for w in qvocab
+        }
+    )
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, txt in BM25_PROBES for w in set(txt.split(" "))],
+        "query_id long, term string",
+    )
+
+    # no checkpoint here (unlike the inline row's dl/tf): both consuming
+    # branches re-expand to a PRUNED candidate-sized scan, which is
+    # cheaper than materializing and keeps PartitionFilters visible
+    posts = (
+        spark.read.parquet(t["bm25_postings"])
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(qvocab))
+    )
+    stats = spark.read.parquet(t["bm25_stats"])
+    df = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    norm = F.lit(1.0 - _B) + F.lit(_B) * (
+        (F.col("dl") * F.col("n_docs")).cast("double")
+        / F.col("dl_sum").cast("double")
+    )
+    contrib = F.round(
+        idf
+        * (
+            (F.col("tf").cast("double") * F.lit(_K1 + 1.0))
+            / (F.col("tf").cast("double") + F.lit(_K1) * norm)
+        )
+        * 1000000,
+        0,
+    ).cast("long")
+
+    scored = (
+        posts.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", contrib.alias("q"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("q").alias("score_micro"))
+    )
+    w1 = Window.partitionBy(
+        "query_id", F.pmod(F.col("doc_id"), F.lit(_SALTS))
+    ).orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+    finalists = (
+        scored.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _TOPK)
+        .drop("rn")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    return (
+        finalists.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= _TOPK)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "rank",
+            "doc_id",
+            "score_micro",
+            (
+                F.round(F.col("score_micro").cast("double") / 1000000.0, 6)
+                + F.lit(0.0)
+            ).alias("score"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance weights
 # ---------------------------------------------------------------------------

@@ -61,6 +61,53 @@ def test_bm25_topk_stays_salted_two_stage(spark, sf_dir):
     assert "pmod" in plan.lower()
 
 
+def test_bm25_index_read_prunes_partitions_statically(spark, sf_dir):
+    """The inverted-index read path must reach the postings scan with a
+    STATIC bucket partition filter (the probe terms' md5 buckets are
+    Python-computable literals) — a probe query reads only its terms'
+    bucket directories, never the whole postings table."""
+    import hashlib
+
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        BM25_BUCKETS,
+        bm25_tables,
+    )
+    from go_nats_to_clickhouse_spark.queries.retrieval import (
+        BM25_PROBES,
+        text_bm25_read_topk,
+    )
+
+    df = text_bm25_read_topk(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    # the filter actually names the bucket column with a non-empty set
+    import re
+
+    pf = [
+        m
+        for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if "bucket" in m
+    ]
+    assert pf, plan
+    # and pruning is real: the pruned scan reads fewer bucket dirs than exist
+    t = bm25_tables(spark, sf_dir)
+    import os as _os
+
+    n_dirs = sum(
+        1
+        for d in _os.listdir(t["bm25_postings"])
+        if d.startswith("bucket=")
+    )
+    qbuckets = {
+        int(hashlib.md5(w.encode()).hexdigest()[:7], 16) % BM25_BUCKETS
+        for _, txt in BM25_PROBES
+        for w in txt.split(" ")
+    }
+    assert len(qbuckets) < n_dirs  # the fixture vocabulary spans more buckets
+
+
 def test_epoch_mix_selection_respects_quota(spark, sf_dir):
     """Per source: the greedy selection stops at the first doc crossing
     the quota boundary — tokens_selected >= quota (boundary doc
