@@ -31,6 +31,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: rows yield their slots first. The rest keep registration order behind.
 _PRIORITY = [
     # --- round 7: new queries + this round's engine/oracle changes ---
+    "pipeline_manifest_ingested_erased",  # ingest x erase composition cell (new r7)
+    "text_bpe_merges",  # BPE first-merge pair statistics over the vocabulary (new r7)
+    "dedup_containment_pairs",  # asymmetric subset-duplicate containment (new r7)
+    "agg_ddsketch_quantiles",  # mergeable relative-error quantile sketch contract (new r7)
+    "join_paste_positional",  # PASTE JOIN via distributed global row index (new r7)
     "pipeline_manifest_ingested",  # composed NATS-envelope ingest + index maintainers (new r7)
     "pipeline_ingest_audit",  # cascade half of the composed run, per-row (new r7)
     "pipeline_manifest_erased",  # GDPR erase == never-saw, index surgery (new r7)

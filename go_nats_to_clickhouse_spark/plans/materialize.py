@@ -231,6 +231,7 @@ FAMILY_PREFIXES = (
     "gen3-",
     "gen4-",
     "ing-",
+    "eri-",
     "bm25-",
     "erase-",
     "erase3-",
@@ -817,6 +818,50 @@ def ingested_index_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         append_batch_index(docs_from_messages(replayed), tmp, is_new=True)
 
     return _published(f"ing-{sf_name}-", tag, ING_TABLES, build)
+
+
+ERI_TABLES = ("doc_sigs", "doc_bands", "doc_quality")
+
+
+def erased_ingested_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """The composed-service doc-index tables AFTER a GDPR erasure — the
+    ingest x erase composition cell: the index rows written by the LIVE
+    checkpointed run (:func:`ingested_index_tables`) get the same
+    surgery the batch-built family gets in :func:`erased_tables`, a
+    filter-out rewrite by doc_id of every content-derived artifact
+    (signatures, band rows, quality bits).
+
+    No survivor replay is needed on THIS side: the ingested family holds
+    only the batch (is_new) generation, whose dedup/survival is computed
+    at read time from the band index (erase_docs' documented batch-
+    generation rule) — erased batch docs simply vanish from the
+    candidate join. The corpus half of the consumer comes from
+    :func:`erased_tables`, where the replay already ran. The driver row
+    pipeline_manifest_ingested_erased runs the unchanged manifest
+    consumer over (erased corpus) + (these tables) against the same
+    never-ingested oracle as pipeline_manifest_erased — green proves the
+    erasure story holds when the index was maintained BY THE SERVICE,
+    not just by batch builds. Erase modulus rides in the tag text (cache
+    rule, ADVICE r6)."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"eri-{sf_name}-m{ERASE_MOD}-{_ing_fingerprint(sf_dir)}"
+
+    def build(tmp: str) -> None:
+        from go_nats_to_clickhouse_spark.schemas import load_table
+
+        g = ingested_index_tables(spark, sf_dir)
+        erase_ids = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter(F.pmod(F.col("doc_id"), F.lit(ERASE_MOD)) == 0)
+        )
+        for t in ERI_TABLES:
+            df = spark.read.parquet(g[t]).join(
+                F.broadcast(erase_ids), "doc_id", "left_anti"
+            )
+            _write(df.sortWithinPartitions(*SORT_KEYS[t]), os.path.join(tmp, t))
+
+    return _published(f"eri-{sf_name}-", tag, ERI_TABLES, build)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,302 @@
+"""Late-round-7 ClickHouse-analog additions:
+
+* ``agg_ddsketch_quantiles`` — the APPROXIMATE-QUANTILE half of the
+  -State/-Merge combinator story (ClickHouse ``quantileDD``; Masson et
+  al. 2019, "DDSketch: A Fast and Fully-Mergeable Quantile Sketch with
+  Relative-Error Guarantees", public VLDB paper): log-bucketed counts
+  are LOSSLESSLY mergeable (unlike HLL, where only the error bound
+  survives — see agg_hll_state_merge), and every quantile estimate
+  carries a deterministic relative-error guarantee.
+* ``join_paste_positional`` — ClickHouse ``PASTE JOIN`` analog over a
+  distributed global row index (operators/positional.py) instead of the
+  single-reducer ``row_number() OVER (ORDER BY ...)`` spelling.
+
+Bucketing discipline: the DDSketch bucket index is computed in PURE
+INTEGER arithmetic after one float ``log2`` whose rounding is then
+CORRECTED by integer comparisons — so Spark and DuckDB derive identical
+buckets for every int64 input, and the hashed output carries no float
+hazard (the repo's standing cross-engine rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from go_nats_to_clickhouse_spark.queries.registry import query
+from go_nats_to_clickhouse_spark.queries.util import load_table
+
+# ---------------------------------------------------------------------------
+# DDSketch-style mergeable quantiles with a relative-error contract
+# ---------------------------------------------------------------------------
+
+#: quantiles the contract row reports
+_QS = (("p50", 0.50), ("p90", 0.90), ("p99", 0.99))
+
+_Q_VALUES = ", ".join(f"('{lbl}', {q})" for lbl, q in _QS)
+
+#: sub-bucket resolution: 8 sub-buckets per octave => relative bucket
+#: width <= 1/8 (12.5%); the estimator returns the bucket's [lo, hi]
+_DD_ORACLE = f"""
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x, o_custkey AS k
+  FROM orders
+),
+b AS (SELECT x, k, CAST(floor(log2(x)) AS BIGINT) AS p0 FROM v),
+b2 AS (
+  SELECT x, k,
+         p0 - CASE WHEN x < CAST(power(2, p0) AS BIGINT) THEN 1 ELSE 0 END
+            + CASE WHEN x >= CAST(power(2, p0 + 1) AS BIGINT) THEN 1 ELSE 0 END
+           AS p
+  FROM b
+),
+bk AS (
+  SELECT x, k,
+         CASE WHEN x < 8 THEN x
+              ELSE p * 8 + (x // CAST(power(2, p - 3) AS BIGINT) - 8)
+         END AS bucket
+  FROM b2
+),
+hist AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c FROM bk GROUP BY bucket),
+sh4 AS (
+  SELECT k % 4 AS shard, bucket, COUNT(*) AS c FROM bk GROUP BY 1, 2
+),
+m4 AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS c FROM sh4 GROUP BY bucket),
+eq AS (
+  SELECT CAST(SUM(CASE WHEN h.c IS DISTINCT FROM m.c THEN 1 ELSE 0 END)
+              AS BIGINT) = 0 AS merged_equals_direct
+  FROM hist h FULL JOIN m4 m USING (bucket)
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+cum AS (SELECT bucket, SUM(c) OVER (ORDER BY bucket) AS cum FROM hist),
+qs AS (SELECT * FROM (VALUES {_Q_VALUES}) AS t(q_label, q)),
+ranks AS (SELECT q_label, CAST(ceil(q * n) AS BIGINT) AS r FROM qs, tot),
+est AS (
+  SELECT q_label, r, MIN(bucket) AS qb
+  FROM ranks JOIN cum ON cum.cum >= ranks.r GROUP BY 1, 2
+),
+vh AS (SELECT x, COUNT(*) AS c FROM bk GROUP BY x),
+vcum AS (SELECT x, SUM(c) OVER (ORDER BY x) AS cum FROM vh),
+exact AS (
+  SELECT q_label, MIN(x) AS exact_v
+  FROM ranks JOIN vcum ON vcum.cum >= ranks.r GROUP BY 1
+),
+bounds AS (
+  SELECT q_label, r,
+    CASE WHEN qb < 8 THEN qb
+         ELSE (8 + qb % 8) * CAST(power(2, qb // 8 - 3) AS BIGINT) END AS est_lo,
+    CASE WHEN qb < 8 THEN qb
+         ELSE (9 + qb % 8) * CAST(power(2, qb // 8 - 3) AS BIGINT) - 1 END AS est_hi
+  FROM est
+)
+SELECT b.q_label, b.r AS rank_r, b.est_lo, b.est_hi, e.exact_v,
+       e.exact_v BETWEEN b.est_lo AND b.est_hi AS within_bucket,
+       CAST(b.est_hi - b.est_lo AS DOUBLE) / b.est_lo <= 0.125
+         AS rel_error_bounded,
+       eq.merged_equals_direct
+FROM bounds b JOIN exact e USING (q_label) CROSS JOIN eq
+ORDER BY b.q_label
+"""
+
+
+@query("agg_ddsketch_quantiles", _DD_ORACLE)
+def agg_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch-style quantiles of order totals (cents) with the two
+    properties the sketch is FOR, both carried into the hashed output:
+
+    * **Lossless mergeability** (the -State/-Merge contract): per-shard
+      log-bucket histograms summed equal the direct histogram EXACTLY —
+      integer counts over deterministic buckets, so unlike HLL
+      (agg_hll_state_merge's measured non-property) nothing degrades
+      under sharding. That is what makes the sketch safe for map-side
+      combine, AggregatingMergeTree parts, and incremental MV refresh.
+    * **Relative-error guarantee**: each estimate is the containing
+      bucket's [lo, hi] with (hi-lo)/lo <= 1/8, and the EXACT quantile
+      provably falls inside.
+
+    Scale shape: the sketch path is one map-side-combinable groupBy over
+    ~O(8 * octaves) buckets — constant-size state at any corpus size.
+    The exact verifier exists only to prove the bound (the pattern of
+    agg_approx_distinct / agg_hll_state_merge) and is itself
+    bucket-narrowed: the quantile's BUCKET is known from the sketch, so
+    the exact rank scan sorts only the values INSIDE that bucket
+    (<= 12.5% of the value range) instead of a corpus-wide value sort —
+    the oracle does the naive global cumulative instead, which is the
+    cross-check that the narrowing is sound. Bucket ids are pure-integer
+    after a corrected log2, so both engines bucket identically (module
+    docstring)."""
+    bk = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+            F.col("o_custkey").alias("k"),
+        )
+        .selectExpr("x", "k", "CAST(floor(log2(x)) AS BIGINT) AS p0")
+        .selectExpr(
+            "x",
+            "k",
+            "p0 - IF(x < CAST(power(2, p0) AS BIGINT), 1, 0)"
+            " + IF(x >= CAST(power(2, p0 + 1) AS BIGINT), 1, 0) AS p",
+        )
+        .selectExpr(
+            "x",
+            "k",
+            "CASE WHEN x < 8 THEN x"
+            " ELSE p * 8 + (x div CAST(power(2, p - 3) AS BIGINT) - 8)"
+            " END AS bucket",
+        )
+    )
+    # two sketch consumers + the in-bucket verifier re-read this narrow
+    # frame; snapshot so the scan+bucketing runs once
+    bk = bk.localCheckpoint(eager=False)
+
+    hist = bk.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # lossless merge contract: shard -> partial histograms -> summed
+    m4 = (
+        bk.groupBy((F.col("k") % 4).alias("shard"), "bucket")
+        .agg(F.count(F.lit(1)).alias("sc"))
+        .groupBy("bucket")
+        .agg(F.sum("sc").cast("long").alias("mc"))
+    )
+    eq = (
+        hist.join(m4, "bucket", "full")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("c").eqNullSafe(F.col("mc")), F.lit(0)).otherwise(
+                        F.lit(1)
+                    )
+                )
+                == 0
+            ).alias("merged_equals_direct")
+        )
+    )
+
+    # cumulative over the BUCKET histogram: single-partition window, but
+    # over O(octaves * 8) rows — constant-size, not data-size
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("bucket", "c", F.sum("c").over(wb).alias("cum"))
+    tot = hist.agg(F.sum("c").cast("long").alias("n"))
+    ranks = (
+        spark.createDataFrame(list(_QS), "q_label string, q double")
+        .crossJoin(F.broadcast(tot))
+        .select("q_label", F.ceil(F.col("q") * F.col("n")).cast("long").alias("r"))
+    )
+    est = (
+        F.broadcast(ranks)
+        .join(cum, F.col("cum") >= F.col("r"))
+        .groupBy("q_label", "r")
+        .agg(F.min("bucket").alias("qb"))
+        .join(cum.withColumnRenamed("bucket", "qb"), "qb")
+        .select("q_label", "r", "qb", (F.col("cum") - F.col("c")).alias("below"))
+    )
+    # exact verifier, bucket-narrowed: rank (r - below) within bucket qb
+    inb = bk.join(
+        F.broadcast(est.select("q_label", "r", "qb", "below")),
+        F.col("bucket") == F.col("qb"),
+    )
+    vh = inb.groupBy("q_label", "r", "below", "x").agg(
+        F.count(F.lit(1)).alias("vc")
+    )
+    wv = Window.partitionBy("q_label").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    exact = (
+        vh.select("q_label", "r", "below", "x", F.sum("vc").over(wv).alias("vcum"))
+        .filter(F.col("below") + F.col("vcum") >= F.col("r"))
+        .groupBy("q_label")
+        .agg(F.min("x").alias("exact_v"))
+    )
+    bounds = est.selectExpr(
+        "q_label",
+        "r AS rank_r",
+        "CASE WHEN qb < 8 THEN qb"
+        " ELSE (8 + qb % 8) * CAST(power(2, qb div 8 - 3) AS BIGINT) END AS est_lo",
+        "CASE WHEN qb < 8 THEN qb"
+        " ELSE (9 + qb % 8) * CAST(power(2, qb div 8 - 3) AS BIGINT) - 1"
+        " END AS est_hi",
+    )
+    return (
+        bounds.join(exact, "q_label")
+        .crossJoin(F.broadcast(eq))
+        .select(
+            "q_label",
+            "rank_r",
+            "est_lo",
+            "est_hi",
+            "exact_v",
+            F.col("exact_v").between(F.col("est_lo"), F.col("est_hi")).alias(
+                "within_bucket"
+            ),
+            (
+                (F.col("est_hi") - F.col("est_lo")).cast("double")
+                / F.col("est_lo")
+                <= 0.125
+            ).alias("rel_error_bounded"),
+            "merged_equals_direct",
+        )
+        .orderBy("q_label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PASTE JOIN analog
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_paste_positional",
+    """
+WITH lp AS (
+  SELECT row_number() OVER (ORDER BY p_retailprice, p_partkey) - 1 AS pos,
+         p_partkey, p_retailprice
+  FROM part
+),
+rs AS (
+  SELECT row_number() OVER (ORDER BY s_acctbal, s_suppkey) - 1 AS pos,
+         s_suppkey, s_acctbal
+  FROM supplier
+)
+SELECT CAST(lp.pos AS BIGINT) AS pos,
+       lp.p_partkey, round(lp.p_retailprice, 2) AS p_retailprice,
+       rs.s_suppkey, round(rs.s_acctbal, 2) AS s_acctbal
+FROM lp JOIN rs USING (pos)
+ORDER BY pos
+""",
+)
+def join_paste_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``PASTE JOIN`` analog: the i-th cheapest part pasted
+    against the i-th poorest supplier — positional pairing of two
+    independently ordered relations, truncated to the shorter side.
+
+    The global row index comes from operators/positional.global_row_index
+    (range-exchange parallel sort + driver-side partition offsets + a
+    map-only index pass), NOT ``row_number() OVER (ORDER BY ...)`` whose
+    empty partitioning collapses the relation into one reducer — the
+    difference between a window function demo and an operator that
+    survives 100 TB. The final join key is a dense integer, so the join
+    shuffle is skew-free by construction. Order columns include the
+    unique primary key as tiebreak (total order — required for a
+    deterministic index).
+    """
+    from go_nats_to_clickhouse_spark.operators.positional import paste_join
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    return (
+        paste_join(
+            part,
+            supp,
+            left_order=["p_retailprice", "p_partkey"],
+            right_order=["s_acctbal", "s_suppkey"],
+        )
+        .select(
+            F.col("pos").cast("long").alias("pos"),
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("p_retailprice"),
+            "s_suppkey",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+        .orderBy("pos")
+    )

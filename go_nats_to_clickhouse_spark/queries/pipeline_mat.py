@@ -763,6 +763,50 @@ def pipeline_dataset_card_erased(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dataset_card(spark, sf_dir, kept)
 
 
+@query(
+    "pipeline_manifest_ingested_erased",
+    _kept_cte_erased() + _manifest_tail_sql("manifest-e:"),
+)
+def pipeline_manifest_ingested_erased(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ingest x erase composition cell: the training manifest after
+    a GDPR erasure where the BATCH half of the index was maintained by
+    the LIVE COMPOSED SERVICE (pipeline_manifest_ingested's checkpointed
+    run, crash-replayed epoch included), not by a batch build. The
+    corpus half comes from plans/materialize.erased_tables (pair-graph
+    surgery + survivor replay, as in pipeline_manifest_erased); the
+    service-written batch rows get their own filter-out rewrite in
+    plans/materialize.erased_ingested_tables — no replay needed on that
+    side, because batch survival is computed at read time from the band
+    index, so erased batch docs simply vanish from the candidate join.
+
+    Same oracle (and salt) as pipeline_manifest_erased: green proves
+    index surgery == never-ingested holds ACROSS maintenance paths —
+    the right-to-be-forgotten story does not depend on how the index
+    rows were produced. Consumer unchanged (kept_docs_from)."""
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        erased_ingested_tables,
+        erased_tables,
+    )
+
+    t = erased_tables(spark, sf_dir)
+    g = erased_ingested_tables(spark, sf_dir)
+    corp = ~F.col("is_new")
+    bands = (
+        spark.read.parquet(t["doc_bands"])
+        .filter(corp)
+        .unionByName(spark.read.parquet(g["doc_bands"]))
+    )
+    qual = (
+        spark.read.parquet(t["doc_quality"])
+        .filter(corp)
+        .unionByName(spark.read.parquet(g["doc_quality"]))
+    )
+    surv = spark.read.parquet(t["corpus_survivors"])
+    return manifest_rows(kept_docs_from(bands, qual, surv), salt="manifest-e:")
+
+
 @query("pipeline_manifest_day3", _day3_kept_cte() + _manifest_tail_sql("manifest-3:"))
 def pipeline_manifest_day3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-3 training manifest against a PROMOTED corpus — the cross-day

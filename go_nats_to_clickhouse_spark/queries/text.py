@@ -843,3 +843,178 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-training support: BPE merge statistics.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_bpe_merges",
+    """
+WITH words AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+vocab AS (
+  SELECT w, COUNT(*) AS f FROM words WHERE length(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+                i -> substring(w, CAST(i AS INT), 2))) AS pair, f
+  FROM vocab
+)
+SELECT pair, CAST(SUM(f) AS BIGINT) AS merge_count
+FROM pairs GROUP BY pair
+ORDER BY merge_count DESC, pair LIMIT 20
+""",
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training (Sennrich et al.
+    2016, public description): corpus-weighted frequencies of adjacent
+    character pairs within words — the statistic the merge rule
+    ``argmax_pair count`` is chosen from. Top-20 candidate merges, ranked
+    (count desc, pair asc — a total order, so the LIMIT is deterministic).
+
+    Scale shape is the point: stage 1 reduces the corpus to its
+    VOCABULARY (word -> frequency, map-side partial agg then one
+    vocab-sized shuffle); stage 2 explodes character pairs over the
+    vocabulary — O(vocab x word_len), independent of corpus size — and
+    the final pair aggregate is alphabet^2-bounded. A naive per-token
+    pair explode would shuffle O(corpus tokens) rows; this shape is why
+    BPE training on a 100-TB corpus is feasible at all. Deviation from
+    the paper kept deliberately simple: symbols are bare characters (no
+    end-of-word marker), single-char words contribute nothing.
+
+    Reference anchor: the reference has no tokenizer surface; this is a
+    training-data-pipeline extension (SURVEY.md §2.7 north star).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "f",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").cast("long").alias("merge_count"))
+        .orderBy(F.col("merge_count").desc(), "pair")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment: subset-duplicate detection.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_containment_pairs",
+    """
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                  i -> concat_ws(' ', string_split(text, ' ')[i],
+                                 string_split(text, ' ')[i + 1],
+                                 string_split(text, ' ')[i + 2]))) AS shingle
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+  )
+),
+df_cap AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 64
+),
+sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df_cap USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+         COUNT(*) AS n_common
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT contained_doc, container_doc,
+       round(CAST(n_common AS DOUBLE) / sa.n, 6) AS containment,
+       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = contained_doc
+JOIN sizes sb ON sb.doc_id = container_doc
+WHERE CAST(n_common AS DOUBLE) / sa.n >= 0.8
+ORDER BY contained_doc, container_doc
+""",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs: C(A in B) = |sh(A) n sh(B)|
+    / |sh(A)| >= 0.8 — the subset-duplicate signal symmetric Jaccard
+    structurally misses (a short doc fully quoted inside a long one has
+    high containment but Jaccard ~ |A|/|B|, under any LSH threshold).
+    Broder's original resemblance/containment pairing (public 1997
+    paper); Lee et al. 2021 flag exactly these partial-overlap dups in
+    pretraining corpora. Both directions are emitted independently
+    (containment is not symmetric); Jaccard rides along so the output
+    shows the asymmetry.
+
+    Scale shape: the standard shingle-inverted-index self-join with a
+    document-frequency flood guard (df <= 64): a boilerplate shingle
+    shared by k docs generates k^2 join rows, so posting lists are
+    capped BEFORE the self-join — Sum(df^2) bounded, never corpus^2.
+    Dropping hot shingles can only LOWER measured containment of docs
+    that contain them (documented estimator bias, the price of the
+    guard; the denominator |sh(A)| deliberately stays uncapped so the
+    score never inflates). Per-doc set sizes join back via broadcast
+    (doc-count-bounded narrow rows). The candidate generation could also
+    ride the persisted band index (dedup_lsh_pairs_read) — but banding
+    recalls high-JACCARD pairs only, which is precisely the blind spot
+    containment exists to cover, so this operator pays for its own
+    inverted-index pass.
+    """
+    from go_nats_to_clickhouse_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(load_table(spark, sf_dir, "documents"), n=3)
+    # flood guard: cap posting lists by document frequency BEFORE the
+    # self-join (df > 64 shingles are boilerplate, not evidence)
+    capped = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 64)
+        .select("shingle")
+    )
+    sh2 = sh.join(capped, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh2.alias("a"), sh2.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("contained_doc"),
+            F.col("b.doc_id").alias("container_doc"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    cont = F.col("n_common").cast("double") / F.col("sa.n")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        common.join(F.broadcast(sa), F.col("contained_doc") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("container_doc") == F.col("sb.doc_id"))
+        .filter(cont >= 0.8)
+        .select(
+            "contained_doc",
+            "container_doc",
+            F.round(cont, 6).alias("containment"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("contained_doc", "container_doc")
+    )

@@ -104,6 +104,7 @@ class TestManifestReadPath:
             "pipeline_manifest_day4",
             "pipeline_manifest_erased",
             "pipeline_manifest_ingested",
+            "pipeline_manifest_ingested_erased",
         ],
     )
     def test_plan_reads_only_materialized_tables(
@@ -1034,6 +1035,33 @@ class TestErasure:
         left = spark.read.parquet(paths["ann_corpus"])
         assert left.count() == n_before - len(victims) - 1
         assert left.join(erase, "neighbor_id", "left_semi").count() == 0
+
+    def test_ingested_erased_equals_batch_erased(self, spark, sf_dir, mat_root):
+        """The ingest x erase composition: the manifest over
+        (erased corpus + service-maintained-then-erased batch index)
+        must row-for-row equal the manifest over the fully batch-built
+        erased family — erasure semantics cannot depend on which
+        maintenance path wrote the index rows. Also pins that no erased
+        id leaks from the rewritten ingested tables."""
+        from go_nats_to_clickhouse_spark.queries.pipeline_mat import (
+            pipeline_manifest_erased,
+            pipeline_manifest_ingested_erased,
+        )
+
+        got = {
+            tuple(r)
+            for r in pipeline_manifest_ingested_erased(spark, sf_dir).collect()
+        }
+        want = {tuple(r) for r in pipeline_manifest_erased(spark, sf_dir).collect()}
+        assert got == want and got
+
+        g = materialize.erased_ingested_tables(spark, sf_dir)
+        for t in materialize.ERI_TABLES:
+            df = spark.read.parquet(g[t])
+            n_erased = df.filter(
+                F.pmod(F.col("doc_id"), F.lit(materialize.ERASE_MOD)) == 0
+            ).count()
+            assert n_erased == 0, t
 
 
 class TestPromotionLoop:
