@@ -72,6 +72,7 @@ def main() -> None:
         erased_gen3_tables,
         erased_gen4_tables,
         erased_tables,
+        erased_ingested_tables,
         gen3_tables,
         gen4_tables,
         ingested_index_tables,
@@ -95,6 +96,7 @@ def main() -> None:
     erased_gen3_tables(spark, sf_dir)
     erased_gen4_tables(spark, sf_dir)
     erased_ann2_tables(spark, sf_dir)
+    erased_ingested_tables(spark, sf_dir)
     bm25_tables(spark, sf_dir)
 
     # Per-query timing with contention guards (VERDICT r4 #6): a single

@@ -961,46 +961,49 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (containment is not symmetric); Jaccard rides along so the output
     shows the asymmetry.
 
-    Scale shape: the standard shingle-inverted-index self-join with a
-    document-frequency flood guard (df <= 64): a boilerplate shingle
-    shared by k docs generates k^2 join rows, so posting lists are
-    capped BEFORE the self-join — Sum(df^2) bounded, never corpus^2.
-    Dropping hot shingles can only LOWER measured containment of docs
-    that contain them (documented estimator bias, the price of the
-    guard; the denominator |sh(A)| deliberately stays uncapped so the
-    score never inflates). Per-doc set sizes join back via broadcast
-    (doc-count-bounded narrow rows). The candidate generation could also
-    ride the persisted band index (dedup_lsh_pairs_read) — but banding
-    recalls high-JACCARD pairs only, which is precisely the blind spot
-    containment exists to cover, so this operator pays for its own
-    inverted-index pass.
+    Scale shape: inverted-index POSTING-LIST pair expansion with a
+    document-frequency flood guard (df <= 64): ONE shuffle groups the
+    shingle rows into per-shingle posting lists, the guard drops
+    boilerplate lists (a shingle shared by k docs would generate k^2
+    pairs — dropped lists are not evidence), and the ordered pairs are
+    expanded MAP-SIDE from each surviving list — Sum(df^2) work bounded
+    by the cap, never corpus^2, and two shuffles total where the
+    equivalent self-join spelling pays four (df-count, cap join back,
+    join exchange x2). Dropping hot shingles can only LOWER measured
+    containment of docs that contain them (documented estimator bias,
+    the price of the guard; the denominator |sh(A)| deliberately stays
+    uncapped so the score never inflates). Per-doc set sizes join back
+    via broadcast (doc-count-bounded narrow rows). The candidate
+    generation could also ride the persisted band index
+    (dedup_lsh_pairs_read) — but banding recalls high-JACCARD pairs
+    only, which is precisely the blind spot containment exists to
+    cover, so this operator pays for its own inverted-index pass.
     """
     from go_nats_to_clickhouse_spark.operators.dedup import word_shingles
 
     sh = word_shingles(load_table(spark, sf_dir, "documents"), n=3)
-    # flood guard: cap posting lists by document frequency BEFORE the
-    # self-join (df > 64 shingles are boilerplate, not evidence)
-    capped = (
+    postings = (
         sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= 64)
-        .select("shingle")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") <= 64)  # flood guard
     )
-    sh2 = sh.join(capped, "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh2.alias("a"), sh2.alias("b")
+    # ordered pairs from each posting list, map-side (list order is
+    # nondeterministic but the emitted pair SET is not)
     common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        postings.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, a -> transform(ds,"
+                    " b -> struct(a AS contained_doc, b AS container_doc))))"
+                )
+            ).alias("pr")
         )
-        .groupBy(
-            F.col("a.doc_id").alias("contained_doc"),
-            F.col("b.doc_id").alias("container_doc"),
-        )
+        .select("pr.contained_doc", "pr.container_doc")
+        .filter(F.col("contained_doc") != F.col("container_doc"))
+        .groupBy("contained_doc", "container_doc")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     cont = F.col("n_common").cast("double") / F.col("sa.n")
     jac = F.col("n_common").cast("double") / (

@@ -847,3 +847,105 @@ def vector_ann_ivf_read_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("n_hits"), F.lit(0)) / 5 >= 0.4).alias("recall_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (prefix-truncated) retrieval audit.
+# ---------------------------------------------------------------------------
+
+
+def _cos_sql_dim(a: str, b: str, d: int) -> str:
+    """The cosine SQL twin restricted to the first ``d`` components."""
+    rng = f"range(1, {d + 1})"
+    return (
+        f"list_sum(list_transform({rng}, i -> {a}[i] * {b}[i]))"
+        f" / (sqrt(list_sum(list_transform({rng}, i -> {a}[i] * {a}[i])))"
+        f" * sqrt(list_sum(list_transform({rng}, i -> {b}[i] * {b}[i]))))"
+    )
+
+
+_MRL_DIM = 16
+
+_MRL_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+t_ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM (
+    SELECT query_id, vec_id AS neighbor_id,
+           {_cos_sql_dim('qv', 'cv', _MRL_DIM)} AS cos
+    FROM q, c WHERE vec_id <> query_id
+  )
+),
+f_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM (
+      SELECT query_id, vec_id AS neighbor_id,
+             {_cos_sql_dim('qv', 'cv', 64)} AS cos
+      FROM q, c WHERE vec_id <> query_id
+    )
+  ) WHERE rank <= 10
+)
+SELECT t.query_id, t.neighbor_id, t.rank,
+       ROUND(t.cos, 4) + 0.0 AS cosine_mrl,
+       (f.neighbor_id IS NOT NULL) AS in_full_topk
+FROM t_ranked t
+LEFT JOIN f_top f
+  ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+WHERE t.rank <= 10
+ORDER BY t.query_id, t.rank
+"""
+
+
+@query("vector_matryoshka_topk", _MRL_ORACLE)
+def vector_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval audit (Kusupati et al. 2022, MRL,
+    public arXiv description): rank the corpus by cosine over only the
+    FIRST 16/64 embedding components (``_MRL_DIM``) and flag, per
+    returned neighbor, whether it also appears in the full-dimension
+    top-10 — the measurement a pipeline runs before switching its 100-TB
+    vector index to prefix-truncated vectors (4x less scan IO and index
+    memory at dim 16). The overlap flags ride IN the hashed output, so
+    the audit itself is oracle-pinned, not just the scores.
+
+    Scale shape: two broadcast-query brute-force passes (corpus never
+    shuffles for scoring; the truncated pass reads/folds only the
+    16-component prefix) + one broadcast membership join of two
+    n_q x 10 top-k sets. On MRL-TRAINED embeddings the overlap would be
+    near-total; these fixture embeddings are not prefix-weighted, so the
+    observed overlap is the honest baseline a raw index would give.
+    """
+    from go_nats_to_clickhouse_spark.operators.similarity import brute_force_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv")
+    )
+    q_t = q.select("query_id", F.slice("qv", 1, _MRL_DIM).alias("qv"))
+    c_t = c.select("neighbor_id", F.slice("cv", 1, _MRL_DIM).alias("cv"))
+    trunc = brute_force_topk(q_t, c_t, k=10)
+    full = brute_force_topk(q, c, k=10).select(
+        "query_id", "neighbor_id", F.lit(True).alias("in_full")
+    )
+    return (
+        trunc.join(F.broadcast(full), ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            (F.round("cos", 4) + F.lit(0.0)).alias("cosine_mrl"),
+            F.coalesce(F.col("in_full"), F.lit(False)).alias("in_full_topk"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -99,3 +99,57 @@ class TestContainmentPairs:
 
         for r in dedup_containment_pairs(spark, sf_dir).collect():
             assert r.containment >= r.jaccard - 1e-9
+
+
+class TestMatryoshkaTopk:
+    def test_matches_bruteforce(self, spark, sf_dir):
+        import math
+
+        import pyarrow.parquet as pq_
+
+        from go_nats_to_clickhouse_spark.queries.vector import (
+            _MRL_DIM,
+            vector_matryoshka_topk,
+        )
+
+        vecs = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in pq_.read_table(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ).to_pylist()
+        }
+
+        def cos(a, b):
+            num = sum(x * y for x, y in zip(a, b))
+            return num / (
+                math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+            )
+
+        def topk(d):
+            out = {}
+            for qid in [v for v in vecs if v < 8]:
+                scored = sorted(
+                    (
+                        (-cos(vecs[qid][:d], vecs[nid][:d]), nid)
+                        for nid in vecs
+                        if nid != qid
+                    ),
+                )[:10]
+                out[qid] = [nid for _, nid in scored]
+            return out
+
+        t, f = topk(_MRL_DIM), topk(64)
+        got = [
+            (r.query_id, r.neighbor_id, r.rank, r.in_full_topk)
+            for r in vector_matryoshka_topk(spark, sf_dir).collect()
+        ]
+        want = [
+            (qid, nid, i + 1, nid in f[qid])
+            for qid in sorted(t)
+            for i, nid in enumerate(t[qid])
+        ]
+        assert got == want
+        # the audit must be non-degenerate on the fixtures: truncation
+        # keeps SOME of the full top-10 and loses SOME
+        flags = [g[3] for g in got]
+        assert any(flags) and not all(flags)
