@@ -33,12 +33,20 @@ _FIXTURE_CACHE: dict[tuple[str, int], str] = {}
 
 
 def _events_stream(
-    spark: SparkSession, sf_dir: str, copies: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    copies: int = 1,
+    max_files_per_trigger: int | None = None,
 ) -> tuple[DataFrame, str]:
     """File-source stream over a rewritten events fixture. The rewrite
     goes through ``load_table`` so whatever timestamp encoding the raw
     fixture carries (NANOS round 1, MICROS round 2+ — see schemas.py), the
-    stream always reads clean micros. Returns (stream_df, per_run_tmp_dir)."""
+    stream always reads clean micros. Returns (stream_df, per_run_tmp_dir).
+
+    ``max_files_per_trigger`` forces a genuinely MULTI-micro-batch run
+    (state accumulating across triggers) instead of the default
+    everything-in-batch-0 drain — for rows whose claim is about state
+    accumulation rather than windowing semantics."""
     key = (sf_dir, copies)
     data_dir = _FIXTURE_CACHE.get(key)
     if data_dir is None or not os.path.isdir(data_dir):
@@ -55,7 +63,10 @@ def _events_stream(
         _FIXTURE_CACHE[key] = data_dir
     tmp = tempfile.mkdtemp(prefix="gntcs-stream-run-")
     schema = spark.read.parquet(data_dir).schema
-    return spark.readStream.schema(schema).parquet(data_dir), tmp
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(data_dir), tmp
 
 
 #: State-store partition count for the finite fixture runs. Stateful
@@ -496,4 +507,70 @@ def streaming_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataF
             F.max("n_batches").alias("n_emissions"),
         )
         .orderBy("key")
+    )
+
+
+@query(
+    "streaming_sketch_state",
+    """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS streamed_within_bounds,
+       TRUE AS batch_within_bounds
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def streaming_sketch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch state UNDER STREAMING accumulation — the composition of the
+    -State/-Merge contract (agg_hll_state_merge) with real micro-batch
+    execution: a DataSketches HLL distinct-count per event_type where the
+    sketch state merges across GENUINELY multiple triggers
+    (maxFilesPerTrigger=1, one micro-batch per fixture file) instead of
+    the everything-in-batch-0 drain the windowing rows use.
+
+    The pinned contract is the one agg_hll_state_merge MEASURED to be the
+    strongest true property: the estimate stays within 5% of exact (lgK=12
+    ~1.6% standard error) no matter how the items were sharded into
+    merges. Streamed == batch-estimate equality is deliberately NOT
+    asserted — micro-batch sharding differs from batch partition sharding,
+    and sparse-mode sketch unions are sharding-dependent (the r6 measured
+    non-property). Both the streamed and the batch estimates carry their
+    bound flags into the hashed output; exact counts come from a batch
+    countDistinct. This is the row that says: you can keep HLL states in
+    a streaming state store (or an AggregatingMergeTree) and trust the
+    error bound after ANY replay/merge history — which is what an
+    ingest-time distinct-counting MV needs at 100 TB.
+
+    copies=2 doubles the fixture (guaranteeing >= 2 files => >= 2 real
+    triggers at any SF) AND doubles as the at-least-once case: every
+    event is delivered twice, and the distinct-count estimate must not
+    move — HLL register max-merge is duplicate-insensitive, the reason
+    sketch state is safe under replay."""
+    stream, tmp = _events_stream(
+        spark, sf_dir, copies=2, max_files_per_trigger=1
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("s_est")
+    )
+    tbl = _run_to_table(agg, "complete", tmp)
+    e = load_table(spark, sf_dir, "events")
+    batch = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("b_est"),
+        F.countDistinct("user_id").cast("long").alias("n_exact"),
+    )
+
+    def ok(col: str):
+        return F.abs(F.col(col) - F.col("n_exact")) <= F.lit(0.05) * F.col(
+            "n_exact"
+        )
+
+    return (
+        tbl.join(batch, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            ok("s_est").alias("streamed_within_bounds"),
+            ok("b_est").alias("batch_within_bounds"),
+        )
+        .orderBy("event_type")
     )

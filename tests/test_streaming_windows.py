@@ -280,3 +280,57 @@ class TestLateDataDropQuery:
         assert all(got[k] <= full[k] for k in got)
         # and the helper hb/flush rows never leak into the result
         assert all(t not in ("hb", "flush") for _, t in got)
+
+
+class TestSketchState:
+    def test_multi_batch_accumulation_and_bounds(self, spark, sf_dir):
+        """The sketch-state row's claims, pinned at the mechanism level:
+        (a) maxFilesPerTrigger=1 really produces MULTIPLE micro-batches
+        (state accumulated across triggers, not a batch-0 drain), and
+        (b) the streamed HLL estimate obeys the 5% bound vs exact."""
+        import os
+        import shutil
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        from go_nats_to_clickhouse_spark.queries.streaming import (
+            _events_stream,
+        )
+        from go_nats_to_clickhouse_spark.schemas import load_table
+
+        stream, tmp = _events_stream(
+            spark, sf_dir, copies=2, max_files_per_trigger=1
+        )
+        agg = stream.groupBy("event_type").agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("s_est")
+        )
+        name = "sk" + uuid.uuid4().hex[:10]
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n_batches = len(
+                [p for p in q.recentProgress if p["numInputRows"] > 0]
+            )
+        finally:
+            q.stop()
+            shutil.rmtree(tmp, ignore_errors=True)
+        assert n_batches > 1, "expected one micro-batch per fixture file"
+
+        got = {r.event_type: r.s_est for r in spark.table(name).collect()}
+        exact = {
+            r.event_type: r.n
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        assert set(got) == set(exact)
+        for k, est in got.items():
+            assert abs(est - exact[k]) <= 0.05 * exact[k], (k, est, exact[k])
