@@ -34,6 +34,7 @@ _PRIORITY = [
     "pipeline_manifest_ingested_erased",  # ingest x erase composition cell (new r7)
     "vector_matryoshka_topk",  # prefix-truncation retrieval audit, MRL (new r7)
     "streaming_sketch_state",  # HLL state across real multi-trigger accumulation (new r7)
+    "graph_pagerank_topk",  # integer-exact PageRank supersteps (new r7)
     "text_bpe_merges",  # BPE first-merge pair statistics over the vocabulary (new r7)
     "dedup_containment_pairs",  # asymmetric subset-duplicate containment (new r7)
     "agg_ddsketch_quantiles",  # mergeable relative-error quantile sketch contract (new r7)

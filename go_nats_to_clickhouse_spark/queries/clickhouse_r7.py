@@ -300,3 +300,121 @@ def join_paste_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph algorithm: PageRank (fixed supersteps, integer-exact)
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for rank mass (1e12 — integer arithmetic end-to-end)
+_PR_SCALE = 1_000_000_000_000
+_PR_ITERS = 3
+
+
+def _pr_iter_cte(i: int) -> str:
+    prev = f"r{i - 1}"
+    return f"""
+c{i} AS (
+  SELECT e.dst AS node, CAST(SUM(r.r // d.d) AS BIGINT) AS c
+  FROM edges e JOIN deg d ON d.node = e.src JOIN {prev} r ON r.node = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node, (SELECT base FROM consts) + (85 * COALESCE(c.c, 0)) // 100 AS r
+  FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+)"""
+
+
+_PR_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+),
+edges AS (
+  SELECT concat('p', p) AS src, concat('s', s) AS dst FROM pairs
+  UNION ALL
+  SELECT concat('s', s) AS src, concat('p', p) AS dst FROM pairs
+),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+consts AS (
+  SELECT CAST({_PR_SCALE} // COUNT(*) AS BIGINT) AS r_init,
+         CAST((15 * {_PR_SCALE}) // (100 * COUNT(*)) AS BIGINT) AS base
+  FROM nodes
+),
+r0 AS (SELECT node, (SELECT r_init FROM consts) AS r FROM nodes),
+{_pr_iter_cte(1)},
+{_pr_iter_cte(2)},
+{_pr_iter_cte(3)}
+SELECT node, CAST(r AS BIGINT) AS rank_e12
+FROM r3 ORDER BY rank_e12 DESC, node LIMIT 20
+"""
+
+
+@query("graph_pagerank_topk", _PR_ORACLE)
+def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 fixed supersteps) over the undirected
+    part<->supplier bipartite graph from lineitem — the iterative-graph-
+    algorithm family beyond connected components (operators/graph.py).
+    Top-20 nodes by rank.
+
+    Distribution shape is the canonical edge-partitioned superstep: each
+    iteration is ONE join of the (static) edge+degree table to the
+    current rank vector and one groupBy(dst) sum — at 100 TB of edges
+    this is exactly Pregel-on-a-join, shuffling O(edges) per superstep
+    with map-side partial sums, never materializing anything node^2. The
+    static edge+degree join is snapshotted once (localCheckpoint) so the
+    three supersteps re-read a settled narrow table instead of
+    re-expanding the distinct+union lineage per iteration (branch
+    re-expansion rule).
+
+    Portability discipline: rank mass is int64 at scale 1e12 —
+    contribution = rank div degree (integer), damping = (85 * sum) div
+    100, base = (15 * scale) div (100 * N) — so both engines lose the
+    SAME truncated mass and the unrolled iterations agree bit-for-bit
+    (float PageRank would accumulate order-dependent sums). Fixed
+    iteration count (no convergence test) keeps the plan static and the
+    oracle an unrolled 3-CTE chain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    fwd = pairs.select(
+        F.concat(F.lit("p"), F.col("p")).alias("src"),
+        F.concat(F.lit("s"), F.col("s")).alias("dst"),
+    )
+    bwd = pairs.select(
+        F.concat(F.lit("s"), F.col("s")).alias("src"),
+        F.concat(F.lit("p"), F.col("p")).alias("dst"),
+    )
+    edges = fwd.unionByName(bwd)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    # static per-superstep table: (src, dst, d) — settled once
+    ed = edges.join(deg, "src").localCheckpoint(eager=False)
+    nodes = ed.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=False
+    )
+    n = nodes.count()  # bounded driver-side scalar (node count)
+    r_init = _PR_SCALE // n
+    base = (15 * _PR_SCALE) // (100 * n)
+    r_cur = nodes.select("node", F.lit(r_init).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ed.join(r_cur.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("r div d").alias("cc"))
+            .groupBy("dst")
+            .agg(F.sum("cc").cast("long").alias("c"))
+        )
+        r_cur = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base) + F.expr("(85 * coalesce(c, 0)) div 100")
+                ).cast("long").alias("r"),
+            )
+        )
+    return (
+        r_cur.select("node", F.col("r").alias("rank_e12"))
+        .orderBy(F.col("rank_e12").desc(), "node")
+        .limit(20)
+    )

@@ -115,3 +115,45 @@ class TestDDSketchBuckets:
             assert r.within_bucket and r.rel_error_bounded
             assert r.merged_equals_direct
             assert r.est_lo <= r.exact_v <= r.est_hi
+
+
+class TestPageRank:
+    def test_matches_pure_python(self, spark, sf_dir):
+        """Integer-exact PageRank: the query must equal a pure-Python
+        replay of the same fixed-point arithmetic over the same graph."""
+        import pyarrow.parquet as pq_
+
+        from go_nats_to_clickhouse_spark.queries.clickhouse_r7 import (
+            _PR_ITERS,
+            _PR_SCALE,
+            graph_pagerank_topk,
+        )
+
+        li = pq_.read_table(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+        ).to_pylist()
+        pairs = {(r["l_partkey"], r["l_suppkey"]) for r in li}
+        edges = [(f"p{p}", f"s{s}") for p, s in pairs]
+        edges += [(b, a) for a, b in edges]
+        deg = {}
+        for a, _ in edges:
+            deg[a] = deg.get(a, 0) + 1
+        nodes = sorted(deg)
+        n = len(nodes)
+        base = (15 * _PR_SCALE) // (100 * n)
+        r = {v: _PR_SCALE // n for v in nodes}
+        for _ in range(_PR_ITERS):
+            c = {v: 0 for v in nodes}
+            for a, b in edges:
+                c[b] += r[a] // deg[a]
+            r = {v: base + (85 * c[v]) // 100 for v in nodes}
+        want = sorted(((v, rv) for v, rv in r.items()), key=lambda t: (-t[1], t[0]))[
+            :20
+        ]
+        got = [
+            (row.node, row.rank_e12)
+            for row in graph_pagerank_topk(spark, sf_dir).collect()
+        ]
+        assert got == want
+        # total rank mass stays within the truncation loss of SCALE
+        assert sum(rv for _, rv in r.items()) <= _PR_SCALE
