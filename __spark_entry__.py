@@ -35,6 +35,7 @@ _PRIORITY = [
     "vector_matryoshka_topk",  # prefix-truncation retrieval audit, MRL (new r7)
     "streaming_sketch_state",  # HLL state across real multi-trigger accumulation (new r7)
     "graph_pagerank_topk",  # integer-exact PageRank supersteps (new r7)
+    "pipeline_shard_report",  # manifest shard-balance audit (new r7)
     "text_bpe_merges",  # BPE first-merge pair statistics over the vocabulary (new r7)
     "dedup_containment_pairs",  # asymmetric subset-duplicate containment (new r7)
     "agg_ddsketch_quantiles",  # mergeable relative-error quantile sketch contract (new r7)
@@ -83,23 +84,19 @@ _PRIORITY = [
     "dedup_decontaminate",
     "multimodal_audio_features",
     "multimodal_frame_stats",
-    "multimodal_image_features",
-    "multimodal_resize_stats",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q20_potential_part_promotion",
-    "q21_waiting_suppliers",
-    "q4_late_shipments",
-    # q7_volume_shipping, q9_product_type_profit, sample_consistent_hash,
-    # sample_per_group, scalar_url_functions,
-    # text_chunk_udtf, text_chunk_windows,
+    # multimodal_image_features, multimodal_resize_stats, q11_important_stock,
+    # q13_customer_distribution, q15_top_supplier,
+    # q17_small_quantity_revenue, q20_potential_part_promotion,
+    # q21_waiting_suppliers, q4_late_shipments, q7_volume_shipping,
+    # q9_product_type_profit, sample_consistent_hash, sample_per_group,
+    # scalar_url_functions, text_chunk_udtf, text_chunk_windows,
     # text_pii_scrub, text_sequence_packing, text_simhash,
     # text_vocab_top_terms, training_data_prep, vector_ann_cosine_topk,
     # vector_ann_lsh_topk, vector_neardup_pairs, vector_norms: the
-    # twelve round-2 rows that did not fit the 50-slot window this
-    # round — front them next rotation
+    # twenty-five round-2 rows the 50-slot window cannot also hold this
+    # round (late-r7 queries claimed 9 more slots — every NEW query must
+    # sit inside the window; re-confirmation rows yield first) — front
+    # them next rotation, oldest-green-first
 ]
 
 

@@ -524,6 +524,85 @@ def pipeline_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     return manifest_rows(_kept_docs(spark, sf_dir))
 
 
+_SHARD_REPORT_TAIL = """,
+m AS (
+  SELECT k.doc_id, k.from_batch,
+         ('0x' || substr(md5('manifest-2:' || CAST(k.doc_id AS VARCHAR)),
+                         1, 7))::BIGINT % 8 AS shard,
+         d.n_chars
+  FROM kept k JOIN documents d ON d.doc_id = k.doc_id
+),
+per AS (
+  SELECT shard,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(*) FILTER (WHERE from_batch) AS BIGINT) AS n_from_batch,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM m GROUP BY shard
+),
+g AS (
+  SELECT CAST(max(n_docs) AS DOUBLE) / min(n_docs) AS doc_skew,
+         CAST(max(total_chars) AS DOUBLE) / min(total_chars) AS char_skew
+  FROM per
+)
+SELECT CAST(shard AS BIGINT) AS shard, n_docs, n_from_batch, total_chars,
+       round(g.doc_skew, 4) AS doc_skew,
+       round(g.char_skew, 4) AS char_skew
+FROM per CROSS JOIN g
+ORDER BY shard
+"""
+
+
+@query("pipeline_shard_report", _kept_cte() + _SHARD_REPORT_TAIL)
+def pipeline_shard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard balance audit — the loader-side twin of
+    dedup_index_stats: per manifest shard, doc count, batch-arrival
+    count, char volume, plus the global max/min skew ratios (same value
+    on every row). These are the numbers a data-loader balance policy is
+    set from: salted-md5 sharding (manifest_rows) promises near-uniform
+    shards with no coordination, and this row makes that claim an
+    OBSERVED quantity instead of an assumption — at 100 TB a skewed
+    shard is a straggler epoch, noticed after a day of wasted GPU time
+    if nobody measured. Read path: the same materialized keep-set as the
+    manifest (no text scans); the documents join brings only n_chars.
+    Skew ratios are a single IEEE division of exact integers (engine-
+    portable) — deliberately NOT a thresholded pass flag, because an
+    8-shard split of a fixture-sized keep-set has binomial fluctuation a
+    threshold would couple to."""
+    from go_nats_to_clickhouse_spark.schemas import load_table
+
+    kept = _kept_docs(spark, sf_dir)
+    h = F.md5(F.concat(F.lit("manifest-2:"), F.col("doc_id").cast("string")))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    m = kept.select(
+        "doc_id",
+        "from_batch",
+        (F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % 8).alias("shard"),
+    ).join(d, "doc_id")
+    per = m.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("from_batch").cast("long")).cast("long").alias("n_from_batch"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    g = per.agg(
+        (F.max("n_docs").cast("double") / F.min("n_docs")).alias("doc_skew"),
+        (F.max("total_chars").cast("double") / F.min("total_chars")).alias(
+            "char_skew"
+        ),
+    )
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "n_docs",
+            "n_from_batch",
+            "total_chars",
+            F.round("doc_skew", 4).alias("doc_skew"),
+            F.round("char_skew", 4).alias("char_skew"),
+        )
+        .orderBy("shard")
+    )
+
+
 @query("pipeline_dataset_card", _dataset_card_oracle())
 def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dataset card: per-(source, lang) composition of the deliverable
