@@ -418,3 +418,68 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_e12").desc(), "node")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join reduction (bloom join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_bloom_semi_reduction",
+    """
+WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9900),
+k AS (
+  SELECT o_orderkey FROM orders JOIN rich ON o_custkey = c_custkey
+)
+SELECT l_orderkey AS o_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN k ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+""",
+)
+def join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line items of rich customers' orders through a BLOOM-JOIN
+    (operators/bloom.py): the selective dim key set (orders of
+    c_acctbal > 9900 customers, ~1% of orders) becomes a deterministic
+    md5-hashed Bloom bitmap, applied MAP-SIDE on the lineitem scan so
+    ~99% of fact rows never reach the join exchange — the semi-join
+    reduction every distributed engine ships (Spark's runtime bloom
+    filter; ClickHouse join prefilters), here built explicitly and
+    deterministically so its bits are testable.
+
+    The oracle is the PLAIN join: the Bloom pass only reduces the fact
+    side and an exact semi join follows, so false positives cost shuffle
+    bytes, never rows — result equality with the unfiltered join IS the
+    contract. Scale shape: bitmap build is a bounded groupBy(word) ->
+    bit_or aggregate (<= m/64 rows collected — filter geometry, not data
+    size); the probe is codegen'd element_at+getbit under the scan,
+    below the exchange (plan-pinned in tests/test_bloom.py); the exact
+    semi join's dim side is left to AQE."""
+    from go_nats_to_clickhouse_spark.operators.bloom import bloom_semi_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rich = cust.filter(F.col("c_acctbal") > 9900).select("c_custkey")
+    keys = orders.join(
+        F.broadcast(rich), orders["o_custkey"] == rich["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    hits = bloom_semi_join(
+        li.select("l_orderkey", "l_extendedprice"),
+        keys,
+        fact_key="l_orderkey",
+        dim_key="o_orderkey",
+    )
+    return (
+        hits.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderkey")
+    )
