@@ -120,3 +120,74 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthetic_media_codec(spark, N_MEDIA), width=64, height=64
     ).withColumn("kind", F.lit("image"))
     return image_features(resized).select("media_id", "width", "height", "mean_luma")
+
+
+@query(
+    "multimodal_keyframe_select",
+    f"""
+WITH fm AS (
+  SELECT i, f, CAST((i + f * 11) % 256 AS DOUBLE) AS m
+  FROM range(0, {N_MEDIA}) t(i), range(0, 7) s(f)
+  WHERE i % 3 = 2 AND f <= i % 7
+),
+d AS (
+  SELECT i, f, ABS(m - lag(m) OVER (PARTITION BY i ORDER BY f)) AS delta
+  FROM fm
+)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(f AS INT) AS keyframe_idx,
+       CAST(delta AS DOUBLE) AS boundary_score
+FROM (
+  SELECT i, f, delta,
+         ROW_NUMBER() OVER (PARTITION BY i ORDER BY delta DESC, f) AS rn
+  FROM d WHERE delta IS NOT NULL
+)
+WHERE rn = 1 ORDER BY media_id
+""",
+)
+def multimodal_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary keyframe selection — the frame a vision-language
+    training pipeline keeps per video: decode EVERY frame (real SPKV
+    container decode through the mapInPandas kernel), compute the
+    inter-frame mean-pixel delta per video, and select the frame with
+    the largest jump (tie -> earliest). Single-frame videos have no
+    boundary and emit nothing.
+
+    Scale shape: the decode fan-out is the same explode-then-decode
+    shape as multimodal_frame_stats (frames decode partition-parallel,
+    one video never crosses executors); the per-video lag/argmax windows
+    partition by media_id — millions of small partitions, no global
+    sort. The oracle recomputes the decoded means from the fixture's
+    closed form, so a hash match proves the decode -> delta -> argmax
+    chain end-to-end, not just the window algebra."""
+    from go_nats_to_clickhouse_spark.operators.multimodal import (
+        frame_stats,
+        sample_frames,
+        synthetic_media_codec,
+    )
+    from pyspark.sql.window import Window
+
+    fm = frame_stats(
+        sample_frames(synthetic_media_codec(spark, N_MEDIA), every_n=1)
+    )
+    wl = Window.partitionBy("media_id").orderBy("frame_idx")
+    d = fm.select(
+        "media_id",
+        "frame_idx",
+        F.abs(
+            F.col("frame_mean") - F.lag("frame_mean").over(wl)
+        ).alias("delta"),
+    ).filter(F.col("delta").isNotNull())
+    wr = Window.partitionBy("media_id").orderBy(
+        F.col("delta").desc(), "frame_idx"
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "media_id",
+            F.col("frame_idx").cast("int").alias("keyframe_idx"),
+            F.col("delta").cast("double").alias("boundary_score"),
+        )
+        .orderBy("media_id")
+    )
