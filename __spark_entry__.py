@@ -38,6 +38,9 @@ _PRIORITY = [
     "pipeline_shard_report",  # manifest shard-balance audit (new r7)
     "join_bloom_semi_reduction",  # deterministic bloom-join fact reduction (new r7)
     "multimodal_keyframe_select",  # shot-boundary keyframe per video, real decode (new r7)
+    "table_upsert_latest",  # ReplacingMergeTree physical upsert contract (new r7)
+    "table_read_final",  # SELECT FINAL read-time resolution (new r7)
+    "table_ttl_expiry",  # MergeTree TTL whole-partition drops (new r7)
     "text_bpe_merges",  # BPE first-merge pair statistics over the vocabulary (new r7)
     "dedup_containment_pairs",  # asymmetric subset-duplicate containment (new r7)
     "agg_ddsketch_quantiles",  # mergeable relative-error quantile sketch contract (new r7)
@@ -81,9 +84,7 @@ _PRIORITY = [
     "agg_entropy",
     "agg_histogram",
     "agg_min_max_map",
-    "agg_moving_avg",
-    "agg_statistical_moments",
-    "dedup_decontaminate",
+    # agg_moving_avg, agg_statistical_moments, dedup_decontaminate,
     # multimodal_audio_features, multimodal_frame_stats, multimodal_image_features, multimodal_resize_stats, q11_important_stock,
     # q13_customer_distribution, q15_top_supplier,
     # q17_small_quantity_revenue, q20_potential_part_promotion,
@@ -93,8 +94,8 @@ _PRIORITY = [
     # text_pii_scrub, text_sequence_packing, text_simhash,
     # text_vocab_top_terms, training_data_prep, vector_ann_cosine_topk,
     # vector_ann_lsh_topk, vector_neardup_pairs, vector_norms: the
-    # twenty-seven round-2 rows the 50-slot window cannot also hold this
-    # round (late-r7 queries claimed 11 more slots — every NEW query must
+    # thirty round-2 rows the 50-slot window cannot also hold this
+    # round (late-r7 queries claimed 14 more slots — every NEW query must
     # sit inside the window; re-confirmation rows yield first) — front
     # them next rotation, oldest-green-first
 ]

@@ -78,6 +78,7 @@ def main() -> None:
         ingested_index_tables,
         pipeline_tables,
         streamed_index_tables,
+        tmaint_tables,
     )
 
     pipeline_tables(spark, sf_dir)
@@ -97,6 +98,7 @@ def main() -> None:
     erased_gen4_tables(spark, sf_dir)
     erased_ann2_tables(spark, sf_dir)
     erased_ingested_tables(spark, sf_dir)
+    tmaint_tables(spark, sf_dir)
     bm25_tables(spark, sf_dir)
 
     # Per-query timing with contention guards (VERDICT r4 #6): a single

@@ -232,6 +232,7 @@ FAMILY_PREFIXES = (
     "gen4-",
     "ing-",
     "eri-",
+    "tmaint-",
     "bm25-",
     "erase-",
     "erase3-",
@@ -818,6 +819,73 @@ def ingested_index_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         append_batch_index(docs_from_messages(replayed), tmp, is_new=True)
 
     return _published(f"ing-{sf_name}-", tag, ING_TABLES, build)
+
+
+TMAINT_TABLES = ("events_upserted", "events_appended", "events_daily")
+
+
+def _tmaint_fingerprint(sf_dir: str) -> str:
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    key = f"v{MAT_VERSION}:{st.st_size}:{st.st_mtime_ns}"
+    return hashlib.md5(key.encode()).hexdigest()[:12]
+
+
+def tmaint_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Table-maintenance fixtures, cached per events fixture — the
+    physical tables the ReplacingMergeTree / SELECT FINAL / TTL driver
+    rows read:
+
+    * ``events_upserted`` — monthly layout, base (version 1) then
+      plans/layout.upsert_partitioned of every ``event_id % 7 == 0`` row
+      with value+1000 at version 2: the physical latest-wins rewrite.
+    * ``events_appended`` — the SAME logical history as plain
+      at-least-once appends (base + update rows coexist on disk): what
+      read_table_final must resolve at query time.
+    * ``events_daily`` — day-grained partitions (31 dirs) with every day
+      before 2024-01-16 dropped by plans/layout.expire_partitions: the
+      MergeTree TTL whole-partition drop, surviving dirs byte-untouched.
+    """
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"tmaint-{sf_name}-{_tmaint_fingerprint(sf_dir)}"
+
+    def build(tmp: str) -> None:
+        from go_nats_to_clickhouse_spark.plans.layout import (
+            expire_partitions,
+            upsert_partitioned,
+            write_partitioned,
+        )
+        from go_nats_to_clickhouse_spark.schemas import load_table
+
+        e = load_table(spark, sf_dir, "events").withColumn(
+            "version", F.lit(1).cast("int")
+        )
+        updates = (
+            e.filter(F.pmod(F.col("event_id"), F.lit(7)) == 0)
+            .withColumn("value", F.col("value") + 1000)
+            .withColumn("version", F.lit(2).cast("int"))
+        )
+        sort = ("event_id",)
+        up = os.path.join(tmp, "events_upserted")
+        write_partitioned(e, up, sort, ts_col="ts", mode="overwrite")
+        upsert_partitioned(
+            spark, up, updates, key_cols=("event_id",), sort_keys=sort,
+            ts_col="ts",
+        )
+        ap = os.path.join(tmp, "events_appended")
+        write_partitioned(e, ap, sort, ts_col="ts", mode="overwrite")
+        write_partitioned(updates, ap, sort, ts_col="ts", mode="append")
+        dd = os.path.join(tmp, "events_daily")
+        (
+            e.drop("version")
+            .withColumn(
+                "ym", F.date_format("ts", "yyyyMMdd").cast("int")
+            )
+            .write.partitionBy("ym")
+            .parquet(dd)
+        )
+        expire_partitions(dd, 20240116)
+
+    return _published(f"tmaint-{sf_name}-", tag, TMAINT_TABLES, build)
 
 
 ERI_TABLES = ("doc_sigs", "doc_bands", "doc_quality")

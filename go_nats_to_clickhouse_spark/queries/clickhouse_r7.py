@@ -483,3 +483,107 @@ def join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Table maintenance as driver rows: ReplacingMergeTree / SELECT FINAL / TTL
+# ---------------------------------------------------------------------------
+
+#: latest-wins logical content both maintenance rows must serve: every
+#: event_id % 7 == 0 row carries value+1000 (the version-2 update)
+_FINAL_ORACLE = """
+WITH final AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0 THEN value + 1000 ELSE value END AS value
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(round(value, 2) AS DECIMAL(14,2))), 2) AS DOUBLE)
+         AS total_value
+FROM final GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _final_agg(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum(F.round("value", 2).cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("table_upsert_latest", _FINAL_ORACLE)
+def table_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplacingMergeTree ingestion contract as a driver row: the
+    physical table was built by plans/layout.upsert_partitioned (base
+    at version 1, then every event_id % 7 == 0 row re-ingested with
+    value+1000 at version 2 — the idempotent-re-ingestion primitive),
+    and this query is a PLAIN read of it: no FINAL resolution, no
+    window. A green row proves the partition-pruned rewrite left
+    exactly the latest-wins content on disk — n per type unchanged
+    (replace, not duplicate), sums shifted by the update. Reference
+    anchor: init.sql's MergeTree tables under at-least-once redelivery
+    (main.go:154)."""
+    from go_nats_to_clickhouse_spark.plans.materialize import tmaint_tables
+
+    t = tmaint_tables(spark, sf_dir)
+    return _final_agg(spark.read.parquet(t["events_upserted"]))
+
+
+@query("table_read_final", _FINAL_ORACLE)
+def table_read_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT ... FINAL`` as a driver row: the SAME logical history as
+    table_upsert_latest but left on disk as plain at-least-once appends
+    (base and update rows coexist), resolved AT READ by
+    plans/layout.read_table_final — one window shuffle keyed on
+    event_id, highest version wins. Same oracle as the upsert row: the
+    two ClickHouse strategies (merge-time vs read-time resolution) must
+    serve identical answers, which is exactly what ReplacingMergeTree +
+    FINAL promises. Scale: the appended table defers ALL merge cost to
+    queries — this row is the measured price of that trade."""
+    from go_nats_to_clickhouse_spark.plans.layout import read_table_final
+    from go_nats_to_clickhouse_spark.plans.materialize import tmaint_tables
+
+    t = tmaint_tables(spark, sf_dir)
+    final = read_table_final(
+        spark, t["events_appended"], key_cols=("event_id",),
+        version_col="version",
+    )
+    return _final_agg(final)
+
+
+@query(
+    "table_ttl_expiry",
+    """
+SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE CAST(strftime(ts, '%Y%m%d') AS INT) >= 20240116
+GROUP BY 1 ORDER BY 1
+""",
+)
+def table_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MergeTree TTL as a driver row: the day-partitioned events copy
+    had every partition before 2024-01-16 dropped by
+    plans/layout.expire_partitions — whole-directory drops, O(days) not
+    O(bytes), surviving partition files byte-untouched (mtime-pinned in
+    tests/test_bucketing_layout.py). This query reads the expired table
+    and counts per surviving day; the oracle applies the same cutoff as
+    a WHERE over the source — green proves the metadata operation
+    dropped exactly the expired days and nothing else. The scan's
+    partition listing is also the pruning proof: expired directories no
+    longer exist to list."""
+    from go_nats_to_clickhouse_spark.plans.materialize import tmaint_tables
+
+    t = tmaint_tables(spark, sf_dir)
+    return (
+        spark.read.parquet(t["events_daily"])
+        .groupBy(F.col("ym").cast("long").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("day")
+    )
