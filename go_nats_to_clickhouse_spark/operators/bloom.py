@@ -35,17 +35,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from go_nats_to_clickhouse_spark.operators.dedup import portable_hash64
-
 #: default filter geometry
 M_BITS = 1 << 18
 N_HASHES = 3
 
 
 def _positions(key: Column, m_bits: int, n_hashes: int) -> list[Column]:
-    """The n_hashes deterministic bit positions of a key (md5-seeded)."""
+    """The n_hashes deterministic bit positions of a key.
+
+    xxhash64 (JVM, whole-stage-codegen'd) rather than the repo's
+    md5-derived portable hash: the probe evaluates these on EVERY fact
+    row, and nothing downstream needs cross-engine reproducibility — the
+    oracle is the plain join, so the hash only has to be deterministic
+    within Spark (pinned by tests). Measured: md5-of-string here made the
+    probe the most expensive query in the bench (4.1 s at sf0.1);
+    xxhash64 on the native key type is ~free inside the scan stage."""
     return [
-        F.pmod(portable_hash64(key.cast("string"), seed=F.lit(i)), F.lit(m_bits))
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
         for i in range(n_hashes)
     ]
 
@@ -110,6 +116,9 @@ def bloom_semi_join(
     prefilter map-side, then an exact left-semi join (AQE picks
     broadcast vs shuffle by the dim's real size). Equivalent to a plain
     semi join; the Bloom pass exists to shrink the exchange."""
+    # two consumers (bitmap build + exact join): snapshot so the dim-side
+    # derivation runs once (branch re-expansion rule)
+    keys = keys.localCheckpoint(eager=False)
     bitmap = build_bloom(keys, dim_key, m_bits, n_hashes)
     prefiltered = fact.filter(
         bloom_might_contain(F.col(fact_key), bitmap, n_hashes)
