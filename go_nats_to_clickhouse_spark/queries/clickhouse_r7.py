@@ -587,3 +587,68 @@ def table_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow UDAF surface: grouped-agg pandas UDF (weighted median)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_weighted_median_udaf",
+    """
+WITH v AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+),
+g AS (SELECT flag, x, SUM(w) AS w FROM v GROUP BY 1, 2),
+c AS (
+  SELECT flag, x,
+         SUM(w) OVER (PARTITION BY flag ORDER BY x) AS cum,
+         SUM(w) OVER (PARTITION BY flag) AS tot
+  FROM g
+)
+SELECT flag, CAST(MIN(x) AS BIGINT) AS wmedian_cents
+FROM c WHERE 2 * cum >= tot GROUP BY flag ORDER BY flag
+""",
+)
+def agg_weighted_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag through a GROUPED
+    AGGREGATE pandas UDF — the Arrow UDAF API surface (the repo's other
+    Python touchpoints are mapInPandas/applyInPandas/UDTF; this is the
+    fourth and last). ClickHouse analog: quantileExactWeighted(0.5).
+    Lower weighted median: the smallest value whose cumulative weight
+    reaches half the total — integer cents in, integer cents out, no
+    float path anywhere (the sort and cumsum are exact), so both
+    engines agree bit-for-bit.
+
+    Scale honesty, in both directions: a grouped-agg pandas UDF has NO
+    partial aggregation — every group's rows shuffle to one task and
+    must fit in its memory (fine here: 3 flags x bounded rows; the same
+    per-group bound ClickHouse's quantileExactWeighted carries). For
+    high-cardinality values at 100 TB the right shape is the oracle's
+    own two-step — a (group, value)-histogram reduce THEN a cumulative
+    pick, which is all map-side-combinable SQL; this row exists to pin
+    the UDAF surface against exactly that scalable twin."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def wmedian(x: pd.Series, w: pd.Series) -> int:
+        df = pd.DataFrame({"x": x, "w": w}).sort_values("x")
+        cum = df["w"].cumsum()
+        half = df["w"].sum()
+        return int(df.loc[2 * cum >= half, "x"].iloc[0])
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("x"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    return (
+        li.groupBy("flag")
+        .agg(wmedian(F.col("x"), F.col("w")).alias("wmedian_cents"))
+        .orderBy("flag")
+    )
