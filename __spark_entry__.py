@@ -30,7 +30,67 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the flagship pinned at index <= 49; already-double-green re-confirmation
 #: rows yield their slots first. The rest keep registration order behind.
 _PRIORITY = [
-    # --- round 7: new queries + this round's engine/oracle changes ---
+    # --- round 8: the round-7 unforced error, fixed (module-scope pandas
+    # import) and now FIRST in the window — never driver-sampled ---
+    "agg_weighted_median_udaf",
+    "mv_analytics_projection",  # flagship, pinned inside the window
+    # --- oldest-green rotation (VERDICT r8 #5): the 30 round-2 rows the
+    # r7 window displaced (now the oldest greens, last sampled r2) ---
+    "agg_moving_avg",
+    "agg_statistical_moments",
+    "dedup_decontaminate",
+    "multimodal_audio_features",
+    "multimodal_frame_stats",
+    "multimodal_image_features",
+    "multimodal_resize_stats",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q20_potential_part_promotion",
+    "q21_waiting_suppliers",
+    "q4_late_shipments",
+    "q7_volume_shipping",
+    "q9_product_type_profit",
+    "sample_consistent_hash",
+    "sample_per_group",
+    "scalar_url_functions",
+    "text_chunk_udtf",
+    "text_chunk_windows",
+    "text_pii_scrub",
+    "text_sequence_packing",
+    "text_simhash",
+    "text_vocab_top_terms",
+    "training_data_prep",
+    "vector_ann_cosine_topk",
+    "vector_ann_lsh_topk",
+    "vector_neardup_pairs",
+    "vector_norms",
+    # --- round-3 cohort head (42 rows last sampled r3; the window holds
+    # the alphabetical head, new r8 queries displace from THIS tail,
+    # remainder fronts in r9) ---
+    "agg_approx_percentile_bounds",
+    "agg_bitmap_cardinalities",
+    "agg_cramers_v",
+    "agg_linear_regression",
+    "agg_quantile_exact_weighted",
+    "agg_sequence_count",
+    "agg_time_decayed_avg",
+    "dedup_exact",
+    "dedup_incremental_new_batch",
+    "dedup_ngram_jaccard_pairs",
+    "funnel_conversion",
+    "join_asof_last_click",
+    "join_asof_tolerance",
+    "join_dict_get",
+    "mv_message_type_stats",
+    "mv_union_streams_monthly",
+    "q14_promo_revenue_ratio",
+    "q16_supplier_count_by_part",
+]
+
+_PRIORITY_R7 = [
+    # --- round 7 window (kept for history; all 50 driver-green in r7) ---
     "pipeline_manifest_ingested_erased",  # ingest x erase composition cell (new r7)
     "vector_matryoshka_topk",  # prefix-truncation retrieval audit, MRL (new r7)
     "streaming_sketch_state",  # HLL state across real multi-trigger accumulation (new r7)
@@ -76,28 +136,10 @@ _PRIORITY = [
     "pipeline_dataset_card",  # same rebuilt tables (r7)
     "pipeline_dataset_card_day3",  # same rebuilt tables (r7)
     "dedup_lsh_pairs_read",  # same rebuilt tables (r7)
-    "mv_analytics_projection",  # flagship, pinned inside the window
-    # --- oldest-green rotation (VERDICT r6 #3): the full round-2
-    # cohort (34, now the oldest greens) fills every spare
-    # re-confirmation slot ---
     "agg_delta_sum",
     "agg_entropy",
     "agg_histogram",
     "agg_min_max_map",
-    # agg_moving_avg, agg_statistical_moments, dedup_decontaminate,
-    # multimodal_audio_features, multimodal_frame_stats, multimodal_image_features, multimodal_resize_stats, q11_important_stock,
-    # q13_customer_distribution, q15_top_supplier,
-    # q17_small_quantity_revenue, q20_potential_part_promotion,
-    # q21_waiting_suppliers, q4_late_shipments, q7_volume_shipping,
-    # q9_product_type_profit, sample_consistent_hash, sample_per_group,
-    # scalar_url_functions, text_chunk_udtf, text_chunk_windows,
-    # text_pii_scrub, text_sequence_packing, text_simhash,
-    # text_vocab_top_terms, training_data_prep, vector_ann_cosine_topk,
-    # vector_ann_lsh_topk, vector_neardup_pairs, vector_norms: the
-    # thirty round-2 rows the 50-slot window cannot also hold this
-    # round (late-r7 queries claimed 14 more slots — every NEW query must
-    # sit inside the window; re-confirmation rows yield first) — front
-    # them next rotation, oldest-green-first
 ]
 
 
