@@ -33,6 +33,7 @@ _PRIORITY = [
     # --- round 8: the round-7 unforced error, fixed (module-scope pandas
     # import) and now FIRST in the window — never driver-sampled ---
     "agg_weighted_median_udaf",
+    "agg_weighted_median_exact",  # scale-safe histogram twin, shared oracle (new r8)
     "mv_analytics_projection",  # flagship, pinned inside the window
     # --- oldest-green rotation (VERDICT r8 #5): the 30 round-2 rows the
     # r7 window displaced (now the oldest greens, last sampled r2) ---
@@ -86,7 +87,6 @@ _PRIORITY = [
     "mv_message_type_stats",
     "mv_union_streams_monthly",
     "q14_promo_revenue_ratio",
-    "q16_supplier_count_by_part",
 ]
 
 _PRIORITY_R7 = [
