@@ -103,7 +103,22 @@ def paste_join(
 
     Both indexes are built by :func:`global_row_index`; the join key is
     the dense integer position, so the final shuffle is perfectly
-    balanced by construction (no key skew is possible)."""
+    balanced by construction (no key skew is possible).
+
+    The two sides must carry DISJOINT column names (ClickHouse PASTE
+    JOIN has the same precondition — duplicate names are ambiguous in
+    the pasted row); overlapping names raise here rather than producing
+    a frame whose duplicate columns fail on first reference (ADVICE
+    r7)."""
+    overlap = set(left.columns) & set(right.columns)
+    if index_col in left.columns or index_col in right.columns:
+        overlap.add(index_col)
+    if overlap:
+        raise ValueError(
+            f"paste_join requires disjoint column names; both sides (or the "
+            f"index column {index_col!r}) carry {sorted(overlap)} — "
+            "rename/prefix one side first"
+        )
     li = global_row_index(left, left_order, index_col)
     ri = global_row_index(right, right_order, index_col)
     return li.join(ri, index_col)

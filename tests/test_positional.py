@@ -157,3 +157,25 @@ class TestPageRank:
         assert got == want
         # total rank mass stays within the truncation loss of SCALE
         assert sum(rv for _, rv in r.items()) <= _PR_SCALE
+
+
+class TestPasteJoinGuard:
+    def test_overlapping_columns_rejected(self, spark):
+        import pytest
+
+        from go_nats_to_clickhouse_spark.operators.positional import paste_join
+
+        left = spark.range(5).selectExpr("id AS a", "id AS shared")
+        right = spark.range(5).selectExpr("id AS b", "id AS shared")
+        with pytest.raises(ValueError, match="shared"):
+            paste_join(left, right, ["a"], ["b"])
+
+    def test_index_col_collision_rejected(self, spark):
+        import pytest
+
+        from go_nats_to_clickhouse_spark.operators.positional import paste_join
+
+        left = spark.range(5).selectExpr("id AS pos")
+        right = spark.range(5).selectExpr("id AS b")
+        with pytest.raises(ValueError, match="pos"):
+            paste_join(left, right, ["pos"], ["b"])
