@@ -40,6 +40,9 @@ _PRIORITY = [
     "pipeline_ingest_audit",  # same rebuilt ing- family (r8)
     "pipeline_manifest_ingested_erased",  # eri- family rebuilt on the new ing- (r8)
     "vector_ann_ingested_topk",  # same rebuilt ing- family (r8)
+    "join_any_left",  # LEFT ANY JOIN strictness, aggregate-then-join (new r8)
+    "table_summing_merge",  # SummingMergeTree merge-time pre-aggregation (new r8)
+    "vector_ann_mrl_rerank_topk",  # Matryoshka adaptive two-stage retrieval (new r8)
     "mv_analytics_projection",  # flagship, pinned inside the window
     # --- oldest-green rotation (VERDICT r8 #5): the 30 round-2 rows the
     # r7 window displaced (now the oldest greens, last sampled r2) ---
@@ -84,9 +87,6 @@ _PRIORITY = [
     "agg_sequence_count",
     "agg_time_decayed_avg",
     "dedup_exact",
-    "dedup_incremental_new_batch",
-    "dedup_ngram_jaccard_pairs",
-    "funnel_conversion",
 ]
 
 _PRIORITY_R7 = [

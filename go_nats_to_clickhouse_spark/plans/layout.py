@@ -235,6 +235,59 @@ def upsert_partitioned(
     return {"partitions_rewritten": len(affected), "rows_upserted": n_up}
 
 
+def summing_compact(
+    spark: SparkSession,
+    path: str,
+    key_cols: tuple[str, ...],
+    sum_cols: tuple[str, ...],
+) -> dict[str, int]:
+    """SummingMergeTree merge pass: within every partition, collapse all
+    rows sharing the sorting key into one row whose ``sum_cols`` are
+    summed — ClickHouse's merge-time pre-aggregation (a SummingMergeTree
+    part replaces equal-key rows with their sums when parts merge;
+    reads still GROUP BY because merging is eventual — after THIS full
+    pass the table is fully merged, which tests pin as
+    rows == distinct keys).
+
+    Partition-parallel: each ym directory is one independent
+    groupBy-rewrite (the aggregate state is bounded by that partition's
+    distinct keys), committed with the same hidden-staging rename swap
+    as :func:`upsert_partitioned` — at 100 TB, compaction of a month
+    never touches any other month's files. Returns
+    {"partitions_rewritten", "rows_before", "rows_after"}."""
+    import shutil
+
+    parts = [
+        d
+        for d in os.listdir(path)
+        if d.startswith(f"{PARTITION_COL}=") and "=" in d
+    ]
+    before = after = 0
+    for d in parts:
+        part_dir = os.path.join(path, d)
+        rows = spark.read.parquet(part_dir)
+        before += rows.count()
+        summed = (
+            rows.groupBy(*key_cols)
+            .agg(*[F.sum(c).alias(c) for c in sum_cols])
+            .sortWithinPartitions(*key_cols)
+        )
+        tmp = os.path.join(path, f".summing_tmp-{d.replace('=', '-')}")
+        summed.write.mode("overwrite").parquet(tmp)
+        old = os.path.join(path, f".summing_old-{d.replace('=', '-')}")
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(part_dir, old)
+        os.rename(tmp, part_dir)
+        shutil.rmtree(old)
+        after += spark.read.parquet(part_dir).count()
+    return {
+        "partitions_rewritten": len(parts),
+        "rows_before": before,
+        "rows_after": after,
+    }
+
+
 def read_table_final(
     spark: SparkSession,
     path: str,

@@ -822,12 +822,20 @@ def ingested_index_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     return _published(f"ing-{sf_name}-", tag, ING_TABLES, build)
 
 
-TMAINT_TABLES = ("events_upserted", "events_appended", "events_daily")
+TMAINT_TABLES = (
+    "events_upserted",
+    "events_appended",
+    "events_daily",
+    "events_summed",
+)
 
 
 def _tmaint_fingerprint(sf_dir: str) -> str:
     st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    key = f"v{MAT_VERSION}:{st.st_size}:{st.st_mtime_ns}"
+    # the table list is part of the key: adding a table to the family
+    # must invalidate a cache built without it (bit r8: events_summed
+    # landed in a session whose tmaint tag predated it)
+    key = f"v{MAT_VERSION}:{','.join(TMAINT_TABLES)}:{st.st_size}:{st.st_mtime_ns}"
     return hashlib.md5(key.encode()).hexdigest()[:12]
 
 
@@ -845,6 +853,12 @@ def tmaint_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     * ``events_daily`` — day-grained partitions (31 dirs) with every day
       before 2024-01-16 dropped by plans/layout.expire_partitions: the
       MergeTree TTL whole-partition drop, surviving dirs byte-untouched.
+    * ``events_summed`` — SummingMergeTree: per-event rows written as
+      (day, event_type, user_id, value_cents, cnt=1) appends, then
+      plans/layout.summing_compact collapses equal sorting keys within
+      each day partition into summed rows (merge-time pre-aggregation;
+      value pre-scaled to integer cents so the stored sums carry no
+      float hazard).
     """
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     tag = f"tmaint-{sf_name}-{_tmaint_fingerprint(sf_dir)}"
@@ -885,6 +899,24 @@ def tmaint_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
             .parquet(dd)
         )
         expire_partitions(dd, 20240116)
+        from go_nats_to_clickhouse_spark.plans.layout import summing_compact
+
+        sm = os.path.join(tmp, "events_summed")
+        (
+            e.select(
+                F.date_format("ts", "yyyyMMdd").cast("int").alias("ym"),
+                "event_type",
+                "user_id",
+                F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+                F.lit(1).cast("long").alias("cnt"),
+            )
+            .write.partitionBy("ym")
+            .parquet(sm)
+        )
+        summing_compact(
+            spark, sm, key_cols=("event_type", "user_id"),
+            sum_cols=("value_cents", "cnt"),
+        )
 
     return _published(f"tmaint-{sf_name}-", tag, TMAINT_TABLES, build)
 

@@ -74,3 +74,112 @@ def agg_weighted_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("x").cast("long").alias("wmedian_cents"))
         .orderBy("flag")
     )
+
+
+# ---------------------------------------------------------------------------
+# ClickHouse ANY JOIN strictness
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_any_left",
+    """
+SELECT c.c_custkey,
+       CAST(MIN(o.o_orderkey) AS BIGINT) AS first_orderkey,
+       CAST(arg_min(CAST(round(o.o_totalprice * 100) AS BIGINT),
+                    o.o_orderkey) AS BIGINT) AS first_price_cents
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+ORDER BY c.c_custkey
+""",
+)
+def join_any_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``LEFT ANY JOIN`` — at most ONE right row per left row
+    (ClickHouse SELECT docs, join_default_strictness=ANY heritage; the
+    served row is whichever arrives first, i.e. nondeterministic there —
+    made deterministic here as the MIN-orderkey order, the only
+    cross-engine-pinnable reading). Customers pick up their first
+    order's key and price; customers without orders keep nulls, exactly
+    LEFT ANY semantics.
+
+    Scale shape — the reason ANY JOIN exists: REDUCE THE RIGHT SIDE
+    FIRST. min/min_by aggregate orders to one row per custkey with full
+    map-side partial aggregation (the shuffle carries one row per
+    distinct key, not one per order), then a plain equi-join attaches
+    it. The naive spelling — join all orders then window row_number=1 —
+    shuffles every order row and sorts per key; at 100 TB the
+    aggregate-then-join form is strictly smaller on every exchange.
+    Price pinned to integer cents (standing cross-engine float rule)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    first = o.groupBy("o_custkey").agg(
+        F.min("o_orderkey").cast("long").alias("first_orderkey"),
+        F.min_by("price_cents", "o_orderkey").cast("long").alias(
+            "first_price_cents"
+        ),
+    )
+    return (
+        c.join(first, c["c_custkey"] == first["o_custkey"], "left")
+        .select("c_custkey", "first_orderkey", "first_price_cents")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SummingMergeTree — merge-time pre-aggregation as a physical table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_summing_merge",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cnt) AS BIGINT) AS n_events,
+       CAST(SUM(value_cents) AS BIGINT) AS total_cents
+FROM (
+  SELECT event_type,
+         CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day,
+         user_id,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM events
+  GROUP BY 1, 2, 3
+)
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def table_summing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SummingMergeTree driver row: ``events_summed``
+    (plans/materialize.tmaint_tables) was written as one row per event
+    — (day partition, event_type, user_id, value_cents, cnt=1) — then
+    plans/layout.summing_compact collapsed equal sorting keys within
+    each partition into summed rows, ClickHouse's merge-time
+    pre-aggregation. This query reads the PHYSICAL table and reports,
+    per event_type: how many stored rows remain (n_rows — which must
+    equal the distinct (day, user_id) key count, proving the merge
+    actually collapsed), and the summed cnt/value_cents (which must
+    equal the raw totals, proving the merge lost nothing). The oracle
+    recomputes both from the raw events through the same two-level
+    aggregation. Reads still GROUP BY (the ClickHouse discipline —
+    merges are eventual there); integer cents throughout."""
+    from go_nats_to_clickhouse_spark.plans.materialize import tmaint_tables
+
+    t = tmaint_tables(spark, sf_dir)
+    s = spark.read.parquet(t["events_summed"])
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cnt").cast("long").alias("n_events"),
+            F.sum("value_cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("event_type")
+    )

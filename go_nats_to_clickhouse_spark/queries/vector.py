@@ -905,6 +905,96 @@ ORDER BY t.query_id, t.rank
 """
 
 
+#: adaptive-retrieval shortlist width (stage-1 truncated top-m)
+_MRL_SHORTLIST = 50
+
+_MRL_RERANK_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, vec_id) AS r
+    FROM (
+      SELECT query_id, vec_id,
+             {_cos_sql_dim('qv', 'cv', _MRL_DIM)} AS cos
+      FROM q, c WHERE vec_id <> query_id
+    )
+  ) WHERE r <= {_MRL_SHORTLIST}
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_cos_sql_dim('qv', 'cv', 64)} AS cos
+  FROM short s
+  JOIN q ON q.query_id = s.query_id
+  JOIN c ON c.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, ROUND(cos, 4) + 0.0 AS cosine
+FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM rer
+) WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+@query("vector_ann_mrl_rerank_topk", _MRL_RERANK_ORACLE)
+def vector_ann_mrl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAPTIVE retrieval with Matryoshka prefixes (Kusupati et al. 2022
+    §4 "adaptive retrieval", public arXiv description) — the two-stage
+    composition the vector_matryoshka_topk AUDIT row measures for:
+    stage 1 shortlists top-``_MRL_SHORTLIST`` per query by cosine over
+    only the first 16 components (the scan reads/folds a quarter of
+    every vector), stage 2 re-ranks ONLY the shortlist by exact
+    full-dimension cosine — the same funnel shape as PQ's ADC-then-exact
+    (pq_rerank_topk), with dimension truncation instead of quantization
+    as the cheap pass. Unlike the raw-truncation audit, the funnel's
+    FINAL answer is near-exact even on non-MRL-trained embeddings
+    whenever the true top-10 survives into the truncated top-50.
+
+    Scale shape: stage 1 is the broadcast-query map pass over the
+    (prefix-foldable) corpus with batch-local top-k pruning; stage 2's
+    reach-back join touches n_q x shortlist rows, never the corpus; the
+    final window ranks a shortlist-bounded set. At 100 TB with a
+    16/64-prefix column laid out first in the parquet schema, stage 1's
+    IO drops ~4x exactly as in the PQ code-column story."""
+    from go_nats_to_clickhouse_spark.operators.similarity import (
+        _qc_cosine,
+        _rank_topk,
+        brute_force_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv")
+    )
+    q_t = q.select("query_id", F.slice("qv", 1, _MRL_DIM).alias("qv"))
+    c_t = c.select("neighbor_id", F.slice("cv", 1, _MRL_DIM).alias("cv"))
+    short = brute_force_topk(q_t, c_t, k=_MRL_SHORTLIST).select(
+        "query_id", "neighbor_id"
+    )
+    rer = (
+        short.join(c, "neighbor_id")  # reach-back: full vectors, shortlist only
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", _qc_cosine().alias("cos"))
+    )
+    return _rank_topk(rer, k=10).select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        (F.round("cos", 4) + F.lit(0.0)).alias("cosine"),
+    ).orderBy("query_id", "rank")
+
+
 @query("vector_matryoshka_topk", _MRL_ORACLE)
 def vector_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-truncation retrieval audit (Kusupati et al. 2022, MRL,

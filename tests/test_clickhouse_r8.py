@@ -158,3 +158,58 @@ class TestServiceHealthIngested:
         for r in ann:
             assert r.drift is not None
             assert 0.1 < r.drift < 2.0
+
+
+class TestSummingMerge:
+    def test_fully_merged_after_compact(self, spark, sf_dir):
+        """After the full summing_compact pass the table is completely
+        merged: one stored row per (partition, sorting key) — the state
+        an eventually-merging SummingMergeTree only guarantees after
+        OPTIMIZE FINAL."""
+        from go_nats_to_clickhouse_spark.plans.materialize import tmaint_tables
+
+        t = tmaint_tables(spark, sf_dir)
+        s = spark.read.parquet(t["events_summed"])
+        assert s.count() == s.select("ym", "event_type", "user_id").distinct().count()
+        # and nothing was lost: cnt sums to the raw event count
+        from go_nats_to_clickhouse_spark.schemas import load_table
+
+        raw = load_table(spark, sf_dir, "events").count()
+        assert s.agg({"cnt": "sum"}).first()[0] == raw
+
+
+class TestJoinAnyLeft:
+    def test_any_row_is_min_orderkey(self, spark, sf_dir):
+        """Deterministic ANY: the attached order is the customer's
+        MIN-orderkey order. (The synthetic fixtures give every customer
+        at least one order, so the fixture rows are all matched; the
+        null branch is pinned on a constructed frame below.)"""
+        from go_nats_to_clickhouse_spark.queries import QUERIES
+        from go_nats_to_clickhouse_spark.queries.util import load_table
+
+        rows = QUERIES["join_any_left"](spark, sf_dir).collect()
+        assert rows and all(r.first_orderkey is not None for r in rows)
+        mins = {
+            r.o_custkey: r.mk
+            for r in load_table(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(F.min("o_orderkey").alias("mk"))
+            .collect()
+        }
+        for r in rows[:50]:
+            assert r.first_orderkey == mins[r.c_custkey]
+
+    def test_left_any_null_branch(self, spark):
+        """LEFT ANY keeps unmatched left rows with nulls — pinned on a
+        constructed frame since the fixtures have no orderless
+        customer."""
+        left = spark.createDataFrame([(1,), (2,)], "k long")
+        right = spark.createDataFrame([(1, 10, 99)], "k long, ok long, price long")
+        first = right.groupBy("k").agg(
+            F.min("ok").alias("first_ok"),
+            F.min_by("price", "ok").alias("first_price"),
+        )
+        out = {r.k: (r.first_ok, r.first_price)
+               for r in left.join(first, "k", "left").collect()}
+        assert out[1] == (10, 99)
+        assert out[2] == (None, None)
