@@ -43,6 +43,9 @@ _PRIORITY = [
     "join_any_left",  # LEFT ANY JOIN strictness, aggregate-then-join (new r8)
     "table_summing_merge",  # SummingMergeTree merge-time pre-aggregation (new r8)
     "vector_ann_mrl_rerank_topk",  # Matryoshka adaptive two-stage retrieval (new r8)
+    "agg_combinators_if",  # ClickHouse -If combinator family, one hash aggregate (new r8)
+    "agg_theil_u",  # theilsU uncertainty coefficient over the mix table (new r8)
+    "text_bpe_apply",  # tokenizer application: top-3 merges, exact counts (new r8)
     "mv_analytics_projection",  # flagship, pinned inside the window
     # --- oldest-green rotation (VERDICT r8 #5): the 30 round-2 rows the
     # r7 window displaced (now the oldest greens, last sampled r2) ---
@@ -84,9 +87,6 @@ _PRIORITY = [
     "agg_cramers_v",
     "agg_linear_regression",
     "agg_quantile_exact_weighted",
-    "agg_sequence_count",
-    "agg_time_decayed_avg",
-    "dedup_exact",
 ]
 
 _PRIORITY_R7 = [

@@ -183,3 +183,133 @@ def table_summing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# ClickHouse aggregate-function COMBINATORS: the -If family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_combinators_if",
+    """
+SELECT event_type,
+       CAST(COUNT(*) FILTER (WHERE value > 100) AS BIGINT) AS cnt_if,
+       CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT))
+                     FILTER (WHERE value > 100), 0) AS BIGINT) AS sum_cents_if,
+       CAST(MAX(CAST(round(value * 100) AS BIGINT))
+            FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS max_cents_even,
+       CAST(COUNT(DISTINCT user_id) FILTER (WHERE value > 100) AS BIGINT)
+         AS uniq_users_if
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def agg_combinators_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ClickHouse ``-If`` aggregate combinator family — ``countIf``,
+    ``sumIf``, ``maxIf``, ``uniqExactIf`` — in one grouped pass
+    (ClickHouse docs, aggregate-function combinators; the idiom the
+    reference's analytics consumers use for conditional KPIs without a
+    second scan). ANSI spelling is the FILTER clause; Spark's is the
+    conditional-aggregation ``agg(f(when(cond, x)))`` pattern, which
+    Catalyst keeps inside ONE map-side-combinable hash aggregate — four
+    conditional aggregates cost one scan and one shuffle, identical to
+    the unconditioned query's plan. All sums in integer cents; the empty
+    sumIf group coalesces to 0 on both sides (Spark sum(empty)=null,
+    ClickHouse sumIf(empty)=0 — the 0 is the reference semantics)."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hot = F.col("value") > 100
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.when(hot, 1)).cast("long").alias("cnt_if"),
+            F.coalesce(F.sum(F.when(hot, cents)), F.lit(0))
+            .cast("long")
+            .alias("sum_cents_if"),
+            F.max(F.when(F.pmod("user_id", F.lit(2)) == 0, cents))
+            .cast("long")
+            .alias("max_cents_even"),
+            F.countDistinct(F.when(hot, F.col("user_id")))
+            .cast("long")
+            .alias("uniq_users_if"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil's U (uncertainty coefficient) — ClickHouse theilsU analog
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_theil_u",
+    """
+WITH j AS (
+  SELECT source, lang, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM documents GROUP BY source, lang
+),
+tot AS (SELECT SUM(c) AS n FROM j),
+hx AS (
+  SELECT -SUM((cx / n) * log2(cx / n)) AS h
+  FROM (SELECT lang, SUM(c) AS cx FROM j GROUP BY lang), tot
+),
+sy AS (SELECT source, SUM(c) AS cs FROM j GROUP BY source),
+hxy AS (
+  SELECT -SUM((j.c / tot.n) * log2(j.c / sy.cs)) AS h
+  FROM j JOIN sy USING (source), tot
+)
+SELECT ROUND(hx.h, 6) + 0.0 AS h_lang,
+       ROUND(hxy.h, 6) + 0.0 AS h_lang_given_source,
+       ROUND((hx.h - hxy.h) / hx.h, 6) + 0.0 AS theil_u
+FROM hx, hxy
+""",
+)
+def agg_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U (uncertainty coefficient) of document language given
+    source — the ClickHouse ``theilsU`` statistical aggregate (and the
+    categorical-association companion to agg_cramers_v): U(X|Y) =
+    (H(X) - H(X|Y)) / H(X), the fraction of language entropy explained
+    by knowing the source. A data-mix diagnostic: U near 1 means
+    sources are language-siloed, near 0 means language is independent
+    of source.
+
+    Scale shape: everything reduces to the (source, lang) contingency
+    table first — one map-side-combinable groupBy whose result is
+    categories²-sized — and the entropies fold over that tiny table;
+    the corpus is scanned once, counts only. Float discipline follows
+    agg_entropy: exact integer counts up to the final log2/divide,
+    ROUND(...,6)+0.0 on output."""
+    d = load_table(spark, sf_dir, "documents")
+    j = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    # grand total stays IN the plan (1-row cross join, broadcast by AQE)
+    # rather than a driver-side collect at construction time
+    tot = j.agg(F.sum("c").alias("n"))
+    cx = j.groupBy("lang").agg(F.sum("c").alias("cx"))
+    hx = cx.crossJoin(tot).agg(
+        (-F.sum((F.col("cx") / F.col("n")) * F.log2(F.col("cx") / F.col("n"))))
+        .alias("h")
+    )
+    sy = j.groupBy("source").agg(F.sum("c").alias("cs"))
+    hxy = (
+        j.join(sy, "source")
+        .crossJoin(tot)
+        .agg(
+            (
+                -F.sum(
+                    (F.col("c") / F.col("n")) * F.log2(F.col("c") / F.col("cs"))
+                )
+            ).alias("h")
+        )
+    )
+    return hx.crossJoin(hxy.withColumnRenamed("h", "hc")).select(
+        (F.round("h", 6) + F.lit(0.0)).alias("h_lang"),
+        (F.round("hc", 6) + F.lit(0.0)).alias("h_lang_given_source"),
+        (F.round((F.col("h") - F.col("hc")) / F.col("h"), 6) + F.lit(0.0)).alias(
+            "theil_u"
+        ),
+    )

@@ -910,6 +910,106 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_bpe_apply",
+    """
+WITH words AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+vocab AS (
+  SELECT w, COUNT(*) AS f FROM words WHERE length(w) >= 2 GROUP BY w
+),
+stats AS (
+  SELECT pair, SUM(f) AS c FROM (
+    SELECT unnest(list_transform(range(1, length(w)),
+                  i -> substring(w, CAST(i AS INT), 2))) AS pair, f
+    FROM vocab
+  ) GROUP BY pair
+),
+m AS (
+  SELECT pair, ROW_NUMBER() OVER (ORDER BY c DESC, pair) AS rk FROM stats
+),
+dw AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+appl AS (
+  SELECT doc_id, w,
+         replace(replace(replace(w,
+           (SELECT pair FROM m WHERE rk = 1), chr(1)),
+           (SELECT pair FROM m WHERE rk = 2), chr(2)),
+           (SELECT pair FROM m WHERE rk = 3), chr(3)) AS t
+  FROM dw
+)
+SELECT doc_id,
+       CAST(SUM(length(w)) AS BIGINT) AS n_tokens_before,
+       CAST(SUM(length(t)) AS BIGINT) AS n_tokens_after
+FROM appl GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the consumer of text_bpe_merges'
+    statistics: apply the top-3 learned merges to every document and
+    report per-doc token counts before/after (each character is one
+    base token; a merged pair becomes one token, represented by a
+    private single character so later merges and counts stay exact in
+    both engines). Deviation from full BPE kept deliberate and
+    documented: the three merges are the greedy top-3 of the FIRST
+    iteration's statistics, not re-estimated between merges — this row
+    pins the application machinery (the per-shard map pass a tokenizer
+    runs over 100 TB), while the training loop's statistic is pinned by
+    text_bpe_merges.
+
+    Replacement semantics are the cross-engine anchor: ``replace`` is
+    left-to-right non-overlapping in both Spark and DuckDB ('aaa' with
+    merge 'aa' -> one merged token + 'a'), so token counts agree
+    exactly — no float anywhere.
+
+    Scale shape: the merge table is 3 rows (collected driver-side like
+    centroid literals — geometry-bounded, never corpus-sized); the
+    application is a map-only pass over exploded words with all three
+    replaces fused into one projection; the per-doc count aggregate is
+    map-side combinable."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    vocab = (
+        words.filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    stats = (
+        vocab.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+            "f",
+        )
+        .groupBy("pair")
+        .agg(F.sum("f").alias("c"))
+    )
+    merges = [
+        r.pair
+        for r in stats.orderBy(F.col("c").desc(), "pair").limit(3).collect()
+    ]
+    dw = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    t = F.col("w")
+    for i, pair in enumerate(merges):
+        t = F.replace(t, F.lit(pair), F.lit(chr(i + 1)))
+    return (
+        dw.select("doc_id", F.length("w").alias("nb"), F.length(t).alias("na"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("nb").cast("long").alias("n_tokens_before"),
+            F.sum("na").cast("long").alias("n_tokens_after"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Asymmetric containment: subset-duplicate detection.
 # ---------------------------------------------------------------------------
