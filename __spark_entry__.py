@@ -46,6 +46,7 @@ _PRIORITY = [
     "agg_combinators_if",  # ClickHouse -If combinator family, one hash aggregate (new r8)
     "agg_theil_u",  # theilsU uncertainty coefficient over the mix table (new r8)
     "text_bpe_apply",  # tokenizer application: top-3 merges, exact counts (new r8)
+    "vector_ann_erased_live_topk",  # erase_vectors between live micro-batches (new r8)
     "mv_analytics_projection",  # flagship, pinned inside the window
     # --- oldest-green rotation (VERDICT r8 #5): the 30 round-2 rows the
     # r7 window displaced (now the oldest greens, last sampled r2) ---
@@ -86,7 +87,6 @@ _PRIORITY = [
     "agg_bitmap_cardinalities",
     "agg_cramers_v",
     "agg_linear_regression",
-    "agg_quantile_exact_weighted",
 ]
 
 _PRIORITY_R7 = [

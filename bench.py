@@ -73,6 +73,8 @@ def main() -> None:
         erased_gen4_tables,
         erased_tables,
         erased_ingested_tables,
+        erased_live_tables,
+        erased_live_ann_tables,
         gen3_tables,
         gen4_tables,
         ingested_index_tables,
@@ -98,6 +100,8 @@ def main() -> None:
     erased_gen4_tables(spark, sf_dir)
     erased_ann2_tables(spark, sf_dir)
     erased_ingested_tables(spark, sf_dir)
+    erased_live_tables(spark, sf_dir)
+    erased_live_ann_tables(spark, sf_dir)
     tmaint_tables(spark, sf_dir)
     bm25_tables(spark, sf_dir)
 

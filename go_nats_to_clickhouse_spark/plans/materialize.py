@@ -233,6 +233,7 @@ FAMILY_PREFIXES = (
     "ing-",
     "eri-",
     "erl-",
+    "erlv-",
     "tmaint-",
     "bm25-",
     "erase-",
@@ -1067,6 +1068,97 @@ def erased_live_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
             raise
 
     return _published(f"erl-{sf_name}-", tag, ERL_TABLES, build)
+
+
+ERLV_TABLES = (
+    "ann_centroids",
+    "ann_corpus",
+    "ann_stats",
+    "ann_codebooks",
+    "warehouse",
+)
+
+
+def erased_live_ann_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """The VECTOR half of erase-under-streaming — the twin of
+    :func:`erased_live_tables` over the ANN index: a base IVF index on
+    the non-held corpus, the held quarter arriving as embedding
+    envelopes through the live composed service, and ``erase_vectors``
+    executed BETWEEN micro-batches (cell-partition-pruned dynamic
+    overwrite — the MergeTree part-rewrite — against the same
+    append-only cell layout the in-flight maintainer writes to). Every
+    erase-set vector (base-corpus AND already-arrived) is deliberately
+    erasable at the erase point; phase-B appends then land in the
+    repaired cells through the SAME running query. The driver row
+    vector_ann_erased_live_topk holds the unchanged read path to the
+    erased recall + cleanliness contract. The erase is recorded as a
+    ``service_health`` maintenance row (family ``erase_vectors``)."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"erlv-{sf_name}-m{ERASE_MOD}-{_ing_fingerprint(sf_dir)}"
+
+    def build(tmp: str) -> None:
+        from go_nats_to_clickhouse_spark.config import EngineConfig
+        from go_nats_to_clickhouse_spark.schemas import load_table
+        from go_nats_to_clickhouse_spark.sources.envelope import (
+            embedding_envelopes,
+            message_file_stream,
+        )
+        from go_nats_to_clickhouse_spark.streaming.pipeline import (
+            record_health,
+            start_ingest_service,
+            stop_gracefully,
+        )
+
+        e = load_table(spark, sf_dir, "embeddings")
+        held = F.pmod(F.col("vec_id"), F.lit(4)) == 3
+        base = e.filter(~held).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+        )
+        _build_ann(spark, base, tmp, n_lists=16)
+        ann_paths = {
+            t: os.path.join(tmp, t)
+            for t in ("ann_centroids", "ann_corpus", "ann_stats", "ann_codebooks")
+        }
+        erase_cond = F.pmod(F.col("vec_id"), F.lit(ERASE_MOD)) == 0
+        held_e = e.filter(held)
+        phase_a = held_e.filter(
+            erase_cond | (F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+        )
+        phase_b = held_e.filter(
+            (~erase_cond) & (F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+        )
+        arrivals = os.path.join(tmp, "_arrivals")
+        embedding_envelopes(phase_a.select("vec_id", "embedding")).repartition(
+            2
+        ).write.text(arrivals)
+        warehouse = os.path.join(tmp, "warehouse")
+        cfg = EngineConfig(
+            warehouse_dir=warehouse,
+            checkpoint_dir=os.path.join(tmp, "_ckpt"),
+        )
+        src = message_file_stream(spark, arrivals, max_files_per_trigger=1)
+        q = start_ingest_service(
+            spark, cfg, src, index_root=tmp, ann_tables=ann_paths,
+            trigger_seconds=0,
+        )
+        try:
+            q.processAllAvailable()  # phase-A epochs committed; stream LIVE
+            erase_ids = e.filter(erase_cond).select("vec_id")
+            n_erased = erase_ids.count()
+            erase_vectors(spark, ann_paths, erase_ids)
+            record_health(
+                spark, warehouse, -1, "erase_vectors", n_erased, n_erased
+            )
+            embedding_envelopes(phase_b.select("vec_id", "embedding")).repartition(
+                2
+            ).write.mode("append").text(arrivals)
+            stop_gracefully(q)
+        except Exception:
+            q.stop()
+            raise
+
+    return _published(f"erlv-{sf_name}-", tag, ERLV_TABLES, build)
 
 
 # ---------------------------------------------------------------------------

@@ -635,6 +635,76 @@ def vector_ann_erased_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "vector_ann_erased_live_topk",
+    """
+SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS recall_ok, TRUE AS clean
+FROM embeddings WHERE vec_id < 8
+""",
+)
+def vector_ann_erased_live_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search after erase-UNDER-STREAMING (VERDICT r7 #6, vector
+    half): plans/materialize.erased_live_ann_tables runs the composed
+    service over embedding envelopes and executes erase_vectors BETWEEN
+    two micro-batches — the cell-pruned dynamic-partition overwrite
+    interleaving with the live maintainer's appends, exactly the
+    MergeTree mutations-concurrent-with-inserts model — then streams
+    the remaining arrivals into the repaired cells through the SAME
+    running query. The unchanged read path must (a) never return an
+    erased vector (``clean``) and (b) meet the recall@5 >= 0.4 contract
+    vs brute force over the remaining corpus, the same bar as the
+    stop-then-erase cells (vector_ann_erased_topk,
+    vector_ann_erased_appended_topk) — closing the live cell of the
+    vector lifecycle matrix."""
+    from go_nats_to_clickhouse_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_read_topk,
+    )
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        ERASE_MOD,
+        erased_live_ann_tables,
+    )
+
+    t = erased_live_ann_tables(spark, sf_dir)
+    centers = [
+        list(r.center)
+        for r in spark.read.parquet(t["ann_centroids"]).orderBy("cell").collect()
+    ]
+    corpus = spark.read.parquet(t["ann_corpus"])
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    ivf = ivf_read_topk(q, corpus, centers, nprobe=12, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    c = e.filter(F.pmod(F.col("vec_id"), F.lit(ERASE_MOD)) != 0).select(
+        F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv")
+    )
+    brute = brute_force_topk(q, c, k=5).select("query_id", "neighbor_id")
+    stats = (
+        ivf.join(brute, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    dirty = (
+        ivf.filter(F.pmod(F.col("neighbor_id"), F.lit(ERASE_MOD)) == 0)
+        .select("query_id")
+        .distinct()
+        .withColumn("dirty", F.lit(True))
+    )
+    return (
+        q.select("query_id")
+        .join(stats, "query_id", "left")
+        .join(dirty, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / 5 >= 0.4).alias("recall_ok"),
+            (~F.coalesce(F.col("dirty"), F.lit(False))).alias("clean"),
+        )
+    )
+
+
 #: eval-set membership for semantic decontamination (deterministic split)
 _SEMDECON_EVAL_MOD = 9
 #: contamination threshold — calibrated to the synthetic fixtures (their

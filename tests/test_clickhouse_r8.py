@@ -213,3 +213,56 @@ class TestJoinAnyLeft:
                for r in left.join(first, "k", "left").collect()}
         assert out[1] == (10, 99)
         assert out[2] == (None, None)
+
+
+class TestEraseUnderStreamingAnn:
+    def test_live_corpus_equals_never_contained(self, spark, sf_dir):
+        """After the mid-stream erase + post-erase appends, the cell
+        corpus holds exactly (all embeddings) minus (erase set) — no
+        erased id anywhere, every surviving id present exactly once."""
+        from go_nats_to_clickhouse_spark.plans.materialize import (
+            ERASE_MOD,
+            erased_live_ann_tables,
+        )
+        from go_nats_to_clickhouse_spark.schemas import load_table
+
+        t = erased_live_ann_tables(spark, sf_dir)
+        corpus = spark.read.parquet(t["ann_corpus"])
+        got = sorted(r.neighbor_id for r in corpus.select("neighbor_id").collect())
+        want = sorted(
+            r.vec_id
+            for r in load_table(spark, sf_dir, "embeddings")
+            .filter(F.pmod(F.col("vec_id"), F.lit(ERASE_MOD)) != 0)
+            .select("vec_id")
+            .collect()
+        )
+        assert got == want
+
+    def test_live_ann_health_rows(self, spark, sf_dir):
+        from go_nats_to_clickhouse_spark.plans.materialize import (
+            ERASE_MOD,
+            erased_live_ann_tables,
+        )
+        from go_nats_to_clickhouse_spark.schemas import load_table
+        from go_nats_to_clickhouse_spark.streaming.pipeline import HEALTH_TABLE
+
+        t = erased_live_ann_tables(spark, sf_dir)
+        h = spark.read.parquet(os.path.join(t["warehouse"], HEALTH_TABLE))
+        e = load_table(spark, sf_dir, "embeddings")
+        held = e.filter(F.pmod(F.col("vec_id"), F.lit(4)) == 3)
+        n_held = held.count()
+        n_erase = e.filter(F.pmod(F.col("vec_id"), F.lit(ERASE_MOD)) == 0).count()
+        sums = {
+            r.family: (r.i, r.o)
+            for r in h.groupBy("family")
+            .agg(F.sum("rows_in").alias("i"), F.sum("rows_out").alias("o"))
+            .collect()
+        }
+        # phase B excludes erase-set held vecs: ann appends = held minus
+        # (held ∩ erase-set arriving only in phase A... all held erase
+        # vecs DID arrive in phase A), so total ann appends = n_held
+        assert sums["ann"] == (n_held, n_held)
+        assert sums["erase_vectors"] == (n_erase, n_erase)
+        # ann batches carry drift ratios; the erase row does not
+        ann = h.filter(F.col("family") == "ann")
+        assert ann.filter(F.col("drift").isNull()).count() == 0
