@@ -237,79 +237,3 @@ def agg_combinators_if(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
-
-
-# ---------------------------------------------------------------------------
-# Theil's U (uncertainty coefficient) — ClickHouse theilsU analog
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "agg_theil_u",
-    """
-WITH j AS (
-  SELECT source, lang, CAST(COUNT(*) AS DOUBLE) AS c
-  FROM documents GROUP BY source, lang
-),
-tot AS (SELECT SUM(c) AS n FROM j),
-hx AS (
-  SELECT -SUM((cx / n) * log2(cx / n)) AS h
-  FROM (SELECT lang, SUM(c) AS cx FROM j GROUP BY lang), tot
-),
-sy AS (SELECT source, SUM(c) AS cs FROM j GROUP BY source),
-hxy AS (
-  SELECT -SUM((j.c / tot.n) * log2(j.c / sy.cs)) AS h
-  FROM j JOIN sy USING (source), tot
-)
-SELECT ROUND(hx.h, 6) + 0.0 AS h_lang,
-       ROUND(hxy.h, 6) + 0.0 AS h_lang_given_source,
-       ROUND((hx.h - hxy.h) / hx.h, 6) + 0.0 AS theil_u
-FROM hx, hxy
-""",
-)
-def agg_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theil's U (uncertainty coefficient) of document language given
-    source — the ClickHouse ``theilsU`` statistical aggregate (and the
-    categorical-association companion to agg_cramers_v): U(X|Y) =
-    (H(X) - H(X|Y)) / H(X), the fraction of language entropy explained
-    by knowing the source. A data-mix diagnostic: U near 1 means
-    sources are language-siloed, near 0 means language is independent
-    of source.
-
-    Scale shape: everything reduces to the (source, lang) contingency
-    table first — one map-side-combinable groupBy whose result is
-    categories²-sized — and the entropies fold over that tiny table;
-    the corpus is scanned once, counts only. Float discipline follows
-    agg_entropy: exact integer counts up to the final log2/divide,
-    ROUND(...,6)+0.0 on output."""
-    d = load_table(spark, sf_dir, "documents")
-    j = d.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).cast("double").alias("c")
-    )
-    # grand total stays IN the plan (1-row cross join, broadcast by AQE)
-    # rather than a driver-side collect at construction time
-    tot = j.agg(F.sum("c").alias("n"))
-    cx = j.groupBy("lang").agg(F.sum("c").alias("cx"))
-    hx = cx.crossJoin(tot).agg(
-        (-F.sum((F.col("cx") / F.col("n")) * F.log2(F.col("cx") / F.col("n"))))
-        .alias("h")
-    )
-    sy = j.groupBy("source").agg(F.sum("c").alias("cs"))
-    hxy = (
-        j.join(sy, "source")
-        .crossJoin(tot)
-        .agg(
-            (
-                -F.sum(
-                    (F.col("c") / F.col("n")) * F.log2(F.col("c") / F.col("cs"))
-                )
-            ).alias("h")
-        )
-    )
-    return hx.crossJoin(hxy.withColumnRenamed("h", "hc")).select(
-        (F.round("h", 6) + F.lit(0.0)).alias("h_lang"),
-        (F.round("hc", 6) + F.lit(0.0)).alias("h_lang_given_source"),
-        (F.round((F.col("h") - F.col("hc")) / F.col("h"), 6) + F.lit(0.0)).alias(
-            "theil_u"
-        ),
-    )
