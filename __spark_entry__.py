@@ -42,12 +42,12 @@ _PRIORITY = [
     "vector_ann_ingested_topk",  # same rebuilt ing- family (r8)
     "join_any_left",  # LEFT ANY JOIN strictness, aggregate-then-join (new r8)
     "table_summing_merge",  # SummingMergeTree merge-time pre-aggregation (new r8)
+    "table_agg_state_read",  # AggregatingMergeTree -State blobs merged at read (new r8)
     "vector_ann_mrl_rerank_topk",  # Matryoshka adaptive two-stage retrieval (new r8)
     "agg_combinators_if",  # ClickHouse -If combinator family, one hash aggregate (new r8)
     "text_bpe_apply",  # tokenizer application: top-3 merges, exact counts (new r8)
     "agg_quantile_exact_weighted",
     "vector_ann_erased_live_topk",  # erase_vectors between live micro-batches (new r8)
-    "agg_linear_regression",
     "mv_analytics_projection",  # flagship, pinned inside the window
     # --- oldest-green rotation (VERDICT r8 #5): the 30 round-2 rows the
     # r7 window displaced (now the oldest greens, last sampled r2) ---

@@ -828,6 +828,7 @@ TMAINT_TABLES = (
     "events_appended",
     "events_daily",
     "events_summed",
+    "events_hll_state",
 )
 
 
@@ -860,6 +861,10 @@ def tmaint_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
       each day partition into summed rows (merge-time pre-aggregation;
       value pre-scaled to integer cents so the stored sums carry no
       float hazard).
+    * ``events_hll_state`` — AggregatingMergeTree with a -State column:
+      one DataSketches HLL sketch BLOB per (day partition, event_type)
+      — the physical form a ClickHouse MV ``uniqCombinedState`` target
+      stores; the read path -Merges them (table_agg_state_read).
     """
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     tag = f"tmaint-{sf_name}-{_tmaint_fingerprint(sf_dir)}"
@@ -917,6 +922,18 @@ def tmaint_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         summing_compact(
             spark, sm, key_cols=("event_type", "user_id"),
             sum_cols=("value_cents", "cnt"),
+        )
+        hs = os.path.join(tmp, "events_hll_state")
+        (
+            e.select(
+                F.date_format("ts", "yyyyMMdd").cast("int").alias("ym"),
+                "event_type",
+                "user_id",
+            )
+            .groupBy("ym", "event_type")
+            .agg(F.hll_sketch_agg("user_id").alias("sk"))
+            .write.partitionBy("ym")
+            .parquet(hs)
         )
 
     return _published(f"tmaint-{sf_name}-", tag, TMAINT_TABLES, build)
