@@ -43,6 +43,7 @@ _PRIORITY = [
     "join_any_left",  # LEFT ANY JOIN strictness, aggregate-then-join (new r8)
     "table_summing_merge",  # SummingMergeTree merge-time pre-aggregation (new r8)
     "table_agg_state_read",  # AggregatingMergeTree -State blobs merged at read (new r8)
+    "streaming_summing_mv",  # MV -> Summing target parts under real triggers (new r8)
     "vector_ann_mrl_rerank_topk",  # Matryoshka adaptive two-stage retrieval (new r8)
     "agg_combinators_if",  # ClickHouse -If combinator family, one hash aggregate (new r8)
     "text_bpe_apply",  # tokenizer application: top-3 merges, exact counts (new r8)
@@ -86,7 +87,6 @@ _PRIORITY = [
     # remainder fronts in r9) ---
     "agg_approx_percentile_bounds",
     "agg_bitmap_cardinalities",
-    "agg_cramers_v",
 ]
 
 _PRIORITY_R7 = [

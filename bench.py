@@ -52,11 +52,13 @@ def main() -> None:
     from go_nats_to_clickhouse_spark.queries.streaming import (
         _events_stream,
         _late_replay_fixture,
+        _split_events_fixture,
     )
 
     for copies in (1, 2):
         _events_stream(spark, sf_dir, copies=copies)
     _late_replay_fixture(spark, sf_dir)
+    _split_events_fixture(spark, sf_dir)
 
     # Pre-build the materialized pipeline tables (signature/band index,
     # quality bits, corpus survivors). This is INGEST-time cost by design —

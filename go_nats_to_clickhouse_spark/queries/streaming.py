@@ -574,3 +574,120 @@ def streaming_sketch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _split_events_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """EXACTLY-ONCE multi-trigger fixture for streaming_summing_mv: the
+    shared _events_stream copy is ONE file (single trigger), and
+    copies=2 would double the sums (duplicates are tolerable for the
+    count/sketch rows, fatal for sums) — so the summing row keeps its
+    own 4-file single-copy rewrite: 4 genuine insert blocks, every
+    event exactly once. Cached per process like the shared fixture;
+    bench.py prewarms it as harness setup."""
+    key = (sf_dir, -4)
+    data_dir = _FIXTURE_CACHE.get(key)
+    if data_dir is None or not os.path.isdir(data_dir):
+        import atexit
+        import shutil
+
+        root = tempfile.mkdtemp(prefix="gntcs-stream-fixture4-")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        data_dir = os.path.join(root, "events4")
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(data_dir)
+        _FIXTURE_CACHE[key] = data_dir
+    return data_dir
+
+
+@query(
+    "streaming_summing_mv",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def streaming_summing_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ClickHouse MV -> SummingMergeTree pattern END-TO-END under
+    real micro-batch execution: a streaming query whose every
+    micro-batch (maxFilesPerTrigger=1 — genuinely multiple triggers)
+    reduces its insert block to (day, event_type) partial sums and
+    APPENDS them as an independent set of part files — exactly how a
+    ClickHouse materialized view transforms each INSERT block into
+    parts of its Summing target (init.sql's insert-triggered MV model,
+    one engine feature further than the cascade) — and the read path
+    then merges parts with a GROUP BY, the Summing read discipline.
+    Green against the direct-over-events oracle proves the incremental
+    maintenance lost nothing: sum-of-partials == total, exactly-once
+    per drained epoch.
+
+    The at-least-once caveat is the INTERESTING difference from every
+    other streamed consumer in this file: counts and sketch merges are
+    duplicate-tolerant, SUMS ARE NOT — a crash-replayed epoch would
+    double its partials. The production posture is the cascade's
+    idempotent upgrade (dedup on the batch's idempotency key before the
+    partial reduce) or part names keyed by batch_id; this row pins the
+    clean-run equivalence, tests/test_streaming_pipeline.py pins the
+    replay machinery.
+
+    Scale shape: each micro-batch shuffles only its own partial rows
+    (bounded by day x type cells per batch, not batch rows after the
+    map-side combine); the parts table grows O(batches x cells) and the
+    read merge is proportional to parts, never raw events —
+    summing_compact (table_summing_merge) is the background merge that
+    bounds the parts count."""
+    data_dir = _split_events_fixture(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="gntcs-stream-run-")
+    schema = spark.read.parquet(data_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    parts = os.path.join(tmp, "summing_parts")
+
+    def _append(batch: DataFrame, _bid: int) -> None:
+        (
+            batch.select(
+                F.date_format("ts", "yyyyMMdd").cast("int").alias("day"),
+                "event_type",
+                F.round(F.col("value") * 100).cast("long").alias("vc"),
+            )
+            .groupBy("day", "event_type")
+            .agg(
+                F.sum("vc").alias("value_cents"),
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+            )
+            .write.mode("append")
+            .parquet(parts)
+        )
+
+    saved_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_append)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", saved_nodata
+        )
+    return (
+        spark.read.parquet(parts)
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_events"),
+            F.sum("value_cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("event_type")
+    )
