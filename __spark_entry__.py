@@ -82,9 +82,19 @@ _PRIORITY = [
     "vector_ann_lsh_topk",
     "vector_neardup_pairs",
     "vector_norms",
-    # --- round-3 cohort head (42 rows last sampled r3; the window holds
-    # the alphabetical head, new r8 queries displace from THIS tail,
-    # remainder fronts in r9) ---
+    # --- round-3 cohort head (the window holds what fits after the new
+    # r8 rows + the full r2 cohort; the REMAINING 39 r3 rows are the r9
+    # rotation debt — front them oldest-first next round: agg_cramers_v,
+    # agg_linear_regression, agg_sequence_count, agg_time_decayed_avg,
+    # dedup_exact, dedup_incremental_new_batch, dedup_ngram_jaccard_pairs,
+    # funnel_conversion, join_asof_last_click, join_asof_tolerance,
+    # join_dict_get, mv_message_type_stats, mv_union_streams_monthly,
+    # q14/q16/q18/q19/q22/q2, range_join_incident_events,
+    # retention_cohorts, scalar_{array_transforms,encoding,geo,ip,
+    # rounding,uuid}_functions, session_window_events, text_{fingerprint,
+    # lang_id,ngram_distance,quality_score,stats,token_count},
+    # timeseries_gap_fill, tumbling_window_daily_events,
+    # window_{funnel_depth,lag_events,range_frame_events} ---
     "agg_approx_percentile_bounds",
     "agg_bitmap_cardinalities",
 ]
