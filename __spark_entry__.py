@@ -44,6 +44,7 @@ _PRIORITY = [
     "table_summing_merge",  # SummingMergeTree merge-time pre-aggregation (new r8)
     "table_agg_state_read",  # AggregatingMergeTree -State blobs merged at read (new r8)
     "streaming_summing_mv",  # MV -> Summing target parts under real triggers (new r8)
+    "table_projection_route",  # projection layout auto-selected by filter cols (new r8)
     "vector_ann_mrl_rerank_topk",  # Matryoshka adaptive two-stage retrieval (new r8)
     "agg_combinators_if",  # ClickHouse -If combinator family, one hash aggregate (new r8)
     "text_bpe_apply",  # tokenizer application: top-3 merges, exact counts (new r8)
@@ -96,7 +97,6 @@ _PRIORITY = [
     # timeseries_gap_fill, tumbling_window_daily_events,
     # window_{funnel_depth,lag_events,range_frame_events} ---
     "agg_approx_percentile_bounds",
-    "agg_bitmap_cardinalities",
 ]
 
 _PRIORITY_R7 = [

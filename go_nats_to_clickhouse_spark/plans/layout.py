@@ -235,6 +235,53 @@ def upsert_partitioned(
     return {"partitions_rewritten": len(affected), "rows_upserted": n_up}
 
 
+def build_projection(
+    spark: SparkSession,
+    base_path: str,
+    proj_path: str,
+    partition_col: str,
+    sort_keys: tuple[str, ...],
+) -> None:
+    """Materialize a PROJECTION of a table: the same rows in an alternate
+    physical layout (different partition key + sort order) — ClickHouse's
+    ``ALTER TABLE ... ADD PROJECTION`` + ``MATERIALIZE PROJECTION``,
+    where a MergeTree table stores extra copies of its data inside each
+    part, each sorted/keyed for a different query family. On the file
+    layout here the projection is a sibling directory; at 100 TB it is
+    maintained like any other sink (per-batch appends + compaction) and
+    costs its own storage — the classic read-vs-storage trade
+    projections exist for."""
+    (
+        spark.read.parquet(base_path)
+        .repartition(F.col(partition_col))
+        .sortWithinPartitions(*sort_keys)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(proj_path)
+    )
+
+
+def read_with_projection(
+    spark: SparkSession,
+    base_path: str,
+    projections: dict[str, str],
+    filter_cols: set[str],
+) -> tuple[DataFrame, str]:
+    """Projection ROUTING — the query-time half of ClickHouse
+    projections (the optimizer auto-selects the projection whose
+    primary key matches the query's predicates/grouping;
+    ``optimize_use_projections``): given which columns the query
+    filters on, serve the projection partitioned by one of them (its
+    scan then lists only matching partition directories — the pruning
+    the alternate layout exists for) and fall back to the base table
+    otherwise. Returns (frame, chosen_path) so callers/tests can pin
+    the routing decision."""
+    for col, path in projections.items():
+        if col in filter_cols and os.path.exists(path):
+            return spark.read.parquet(path), path
+    return spark.read.parquet(base_path), base_path
+
+
 def summing_compact(
     spark: SparkSession,
     path: str,

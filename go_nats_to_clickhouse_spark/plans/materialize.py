@@ -829,6 +829,8 @@ TMAINT_TABLES = (
     "events_daily",
     "events_summed",
     "events_hll_state",
+    "events_base",
+    "events_proj_type",
 )
 
 
@@ -865,6 +867,11 @@ def tmaint_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
       one DataSketches HLL sketch BLOB per (day partition, event_type)
       — the physical form a ClickHouse MV ``uniqCombinedState`` target
       stores; the read path -Merges them (table_agg_state_read).
+    * ``events_base`` + ``events_proj_type`` — a monthly-layout base
+      copy and its PROJECTION partitioned by event_type
+      (plans/layout.build_projection): the ClickHouse ADD/MATERIALIZE
+      PROJECTION alternate physical layout the router
+      (read_with_projection) auto-selects for type-filtered queries.
     """
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     tag = f"tmaint-{sf_name}-{_tmaint_fingerprint(sf_dir)}"
@@ -922,6 +929,15 @@ def tmaint_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         summing_compact(
             spark, sm, key_cols=("event_type", "user_id"),
             sum_cols=("value_cents", "cnt"),
+        )
+        from go_nats_to_clickhouse_spark.plans.layout import build_projection
+
+        eb = os.path.join(tmp, "events_base")
+        write_partitioned(e.drop("version"), eb, sort, ts_col="ts",
+                          mode="overwrite")
+        build_projection(
+            spark, eb, os.path.join(tmp, "events_proj_type"),
+            partition_col="event_type", sort_keys=("ts",),
         )
         hs = os.path.join(tmp, "events_hll_state")
         (

@@ -303,3 +303,58 @@ def agg_combinators_if(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Projections — alternate physical layouts auto-selected at query time
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_projection_route",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def table_projection_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse PROJECTIONS as physical layout + query routing: the
+    tmaint family materializes ``events_proj_type`` — the same rows as
+    the monthly-layout base copy, re-partitioned by event_type and
+    re-sorted (plans/layout.build_projection — ALTER TABLE ... ADD
+    PROJECTION + MATERIALIZE) — and plans/layout.read_with_projection
+    AUTO-SELECTS it for this type-filtered aggregate (the
+    optimize_use_projections decision, made from the query's filter
+    columns). The scan then LISTS ONLY the two matching event_type
+    partition directories — at 100 TB a 5-type table serves a
+    type-filtered query from 2/5 of its bytes before any row is read,
+    which is the entire point of paying a projection's storage. The
+    routing decision is pinned in tests (chosen path == the
+    projection; an un-matched filter falls back to base); green here
+    proves the alternate layout serves exactly the base answer."""
+    from go_nats_to_clickhouse_spark.plans.layout import read_with_projection
+    from go_nats_to_clickhouse_spark.plans.materialize import tmaint_tables
+
+    t = tmaint_tables(spark, sf_dir)
+    df, _chosen = read_with_projection(
+        spark,
+        t["events_base"],
+        {"event_type": t["events_proj_type"]},
+        {"event_type"},
+    )
+    return (
+        df.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy("event_type")
+    )

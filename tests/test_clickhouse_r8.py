@@ -266,3 +266,51 @@ class TestEraseUnderStreamingAnn:
         # ann batches carry drift ratios; the erase row does not
         ann = h.filter(F.col("family") == "ann")
         assert ann.filter(F.col("drift").isNull()).count() == 0
+
+
+class TestProjectionRoute:
+    def test_router_picks_projection_for_matching_filter(self, spark, sf_dir):
+        from go_nats_to_clickhouse_spark.plans.layout import read_with_projection
+        from go_nats_to_clickhouse_spark.plans.materialize import tmaint_tables
+
+        t = tmaint_tables(spark, sf_dir)
+        projs = {"event_type": t["events_proj_type"]}
+        _, chosen = read_with_projection(
+            spark, t["events_base"], projs, {"event_type"}
+        )
+        assert chosen == t["events_proj_type"]
+        # un-matched filters fall back to the base layout
+        _, chosen2 = read_with_projection(
+            spark, t["events_base"], projs, {"user_id"}
+        )
+        assert chosen2 == t["events_base"]
+
+    def test_projection_scan_prunes_partitions(self, spark, sf_dir):
+        """The type-filtered scan over the projection must carry the
+        event_type predicate as a PARTITION filter (directory-level
+        pruning), which the base monthly layout cannot."""
+        from go_nats_to_clickhouse_spark.plans.materialize import tmaint_tables
+
+        t = tmaint_tables(spark, sf_dir)
+        plan = (
+            spark.read.parquet(t["events_proj_type"])
+            .filter(F.col("event_type") == "click")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters" in plan and "event_type" in plan.split(
+            "PartitionFilters"
+        )[1][:200]
+
+    def test_projection_same_rows_as_base(self, spark, sf_dir):
+        from go_nats_to_clickhouse_spark.plans.materialize import tmaint_tables
+
+        t = tmaint_tables(spark, sf_dir)
+        base = spark.read.parquet(t["events_base"]).drop("ym")
+        proj = spark.read.parquet(t["events_proj_type"])
+        cols = sorted(set(base.columns) & set(proj.columns))
+        assert base.count() == proj.count()
+        assert (
+            base.select(*cols).exceptAll(proj.select(*cols)).count() == 0
+        )
