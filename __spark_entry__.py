@@ -45,6 +45,7 @@ _PRIORITY = [
     "table_agg_state_read",  # AggregatingMergeTree -State blobs merged at read (new r8)
     "streaming_summing_mv",  # MV -> Summing target parts under real triggers (new r8)
     "table_projection_route",  # projection layout auto-selected by filter cols (new r8)
+    "table_update_mutation",  # ALTER UPDATE part-rewrite mutation (new r8)
     "vector_ann_mrl_rerank_topk",  # Matryoshka adaptive two-stage retrieval (new r8)
     "agg_combinators_if",  # ClickHouse -If combinator family, one hash aggregate (new r8)
     "text_bpe_apply",  # tokenizer application: top-3 merges, exact counts (new r8)
@@ -96,7 +97,6 @@ _PRIORITY = [
     # lang_id,ngram_distance,quality_score,stats,token_count},
     # timeseries_gap_fill, tumbling_window_daily_events,
     # window_{funnel_depth,lag_events,range_frame_events} ---
-    "agg_approx_percentile_bounds",
 ]
 
 _PRIORITY_R7 = [

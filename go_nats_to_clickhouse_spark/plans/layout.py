@@ -183,6 +183,65 @@ def erase_keys(
     }
 
 
+def update_mutation(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict,
+    where,
+    sort_keys: tuple[str, ...],
+) -> dict[str, int]:
+    """``ALTER TABLE ... UPDATE col = expr WHERE cond`` — the in-place
+    column-mutation sibling of :func:`erase_keys` (ClickHouse mutations
+    docs; both rewrite affected parts, neither touches anything else).
+    ``set_exprs`` maps column name -> new-value Column; rows matching
+    ``where`` get the new values, all other rows (and all untouched
+    partitions' files, byte-for-byte) are preserved.
+
+    Scale shape identical to the DELETE mutation: a column-pruned pass
+    finds the affected partition set (bounded collect — one row per
+    partition in the table's lifetime), each affected partition is
+    rewritten sorted through the crash-safe hidden-staging swap, and a
+    WHERE that prunes on the partition key never opens the rest of the
+    table. Returns {"partitions_rewritten", "rows_updated"}."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    affected = [
+        r[0]
+        for r in df.filter(where).select(PARTITION_COL).distinct().collect()
+    ]
+    if not affected:
+        return {"partitions_rewritten": 0, "rows_updated": 0}
+    rows_updated = df.filter(where).filter(
+        F.col(PARTITION_COL).isin(affected)
+    ).count()
+    for ym in affected:
+        part_dir = os.path.join(path, f"{PARTITION_COL}={ym}")
+        # reading the partition dir directly drops the partition column;
+        # re-attach it as a literal so `where` may reference it, and drop
+        # it again before the write (the directory name carries it)
+        rows = spark.read.parquet(part_dir).withColumn(
+            PARTITION_COL, F.lit(ym)
+        )
+        for col, expr in set_exprs.items():
+            rows = rows.withColumn(col, F.when(where, expr).otherwise(F.col(col)))
+        rows = rows.drop(PARTITION_COL).sortWithinPartitions(
+            *[k for k in sort_keys if k != PARTITION_COL]
+        )
+        tmp = os.path.join(path, f".update_tmp-{PARTITION_COL}-{ym}")
+        rows.write.mode("overwrite").parquet(tmp)
+        old = os.path.join(path, f".update_old-{PARTITION_COL}-{ym}")
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(part_dir, old)
+        os.rename(tmp, part_dir)
+        shutil.rmtree(old)
+    return {
+        "partitions_rewritten": len(affected),
+        "rows_updated": rows_updated,
+    }
+
+
 def upsert_partitioned(
     spark: SparkSession,
     path: str,

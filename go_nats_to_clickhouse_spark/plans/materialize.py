@@ -831,6 +831,7 @@ TMAINT_TABLES = (
     "events_hll_state",
     "events_base",
     "events_proj_type",
+    "events_mutated",
 )
 
 
@@ -872,6 +873,12 @@ def tmaint_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
       (plans/layout.build_projection): the ClickHouse ADD/MATERIALIZE
       PROJECTION alternate physical layout the router
       (read_with_projection) auto-selects for type-filtered queries.
+    * ``events_mutated`` — day-partitioned integer-cents copy with an
+      ``ALTER TABLE ... UPDATE`` mutation applied
+      (plans/layout.update_mutation): error rows in the first five days
+      get value_cents += 100000; only those five day-partitions are
+      rewritten, the other 26 days' files stay byte-untouched
+      (mtime-pinned in tests).
     """
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     tag = f"tmaint-{sf_name}-{_tmaint_fingerprint(sf_dir)}"
@@ -938,6 +945,28 @@ def tmaint_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         build_projection(
             spark, eb, os.path.join(tmp, "events_proj_type"),
             partition_col="event_type", sort_keys=("ts",),
+        )
+        from go_nats_to_clickhouse_spark.plans.layout import update_mutation
+
+        em = os.path.join(tmp, "events_mutated")
+        (
+            e.select(
+                "event_id",
+                "ts",
+                "event_type",
+                "user_id",
+                F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+            )
+            .withColumn("ym", F.date_format("ts", "yyyyMMdd").cast("int"))
+            .write.partitionBy("ym")
+            .parquet(em)
+        )
+        update_mutation(
+            spark,
+            em,
+            {"value_cents": F.col("value_cents") + 100000},
+            (F.col("event_type") == "error") & (F.col("ym") <= 20240105),
+            sort_keys=("event_id",),
         )
         hs = os.path.join(tmp, "events_hll_state")
         (

@@ -358,3 +358,48 @@ def table_projection_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# ALTER TABLE ... UPDATE — the column-mutation sibling of DELETE
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_update_mutation",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN event_type = 'error'
+                      AND CAST(strftime(ts, '%Y%m%d') AS BIGINT) <= 20240105
+                     THEN CAST(round(value * 100) AS BIGINT) + 100000
+                     ELSE CAST(round(value * 100) AS BIGINT) END)
+            AS BIGINT) AS total_cents
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def table_update_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ALTER TABLE ... UPDATE col = expr WHERE cond`` as a physical
+    mutation (ClickHouse mutations; the column-rewrite sibling of the
+    DELETE mutation plans/layout.erase_keys already mirrors):
+    ``events_mutated`` had every error row in its first five day
+    partitions re-priced by +100000 cents through
+    plans/layout.update_mutation — ONLY those five partitions were
+    rewritten (the WHERE carries the partition key, so the affected-set
+    scan prunes to them; the other 26 days' files stay byte-identical,
+    mtime-pinned in tests). This row reads the mutated table plain; the
+    oracle recomputes the same mutation as a CASE over the raw events —
+    green proves the part-rewrite applied exactly the predicate, no
+    more, no less. Integer cents end-to-end."""
+    from go_nats_to_clickhouse_spark.plans.materialize import tmaint_tables
+
+    t = tmaint_tables(spark, sf_dir)
+    m = spark.read.parquet(t["events_mutated"])
+    return (
+        m.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value_cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -314,3 +314,69 @@ class TestProjectionRoute:
         assert (
             base.select(*cols).exceptAll(proj.select(*cols)).count() == 0
         )
+
+
+class TestUpdateMutation:
+    def test_partition_pruned_rewrite(self, spark, tmp_path):
+        """ALTER UPDATE rewrites exactly the affected partitions:
+        matching rows get the new values, non-matching rows in affected
+        partitions are preserved, and untouched partitions' files stay
+        byte-identical (mtime-pinned, the erase_keys discipline)."""
+        import os as _os
+
+        from go_nats_to_clickhouse_spark.plans.layout import update_mutation
+
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, i % 3 + 1, "err" if i % 2 == 0 else "ok", 100)
+             for i in range(30)],
+            "id long, ym int, kind string, cents long",
+        )
+        df.write.partitionBy("ym").parquet(path)
+        p3 = _os.path.join(path, "ym=3")
+        mtimes_before = {
+            f: _os.stat(_os.path.join(p3, f)).st_mtime_ns
+            for f in _os.listdir(p3)
+        }
+        stats = update_mutation(
+            spark,
+            path,
+            {"cents": F.col("cents") + 900},
+            (F.col("kind") == "err") & (F.col("ym") <= 2),
+            sort_keys=("id",),
+        )
+        assert stats["partitions_rewritten"] == 2
+        out = spark.read.parquet(path)
+        assert (
+            out.filter(
+                (F.col("kind") == "err") & (F.col("ym") <= 2)
+            ).agg(F.min("cents")).first()[0]
+            == 1000
+        )
+        assert (
+            out.filter(
+                (F.col("kind") == "ok") | (F.col("ym") == 3)
+            ).agg(F.max("cents")).first()[0]
+            == 100
+        )
+        assert out.count() == 30
+        mtimes_after = {
+            f: _os.stat(_os.path.join(p3, f)).st_mtime_ns
+            for f in _os.listdir(p3)
+        }
+        assert mtimes_after == mtimes_before
+
+    def test_no_match_is_noop(self, spark, tmp_path):
+        import os as _os
+
+        from go_nats_to_clickhouse_spark.plans.layout import update_mutation
+
+        path = str(tmp_path / "t2")
+        spark.createDataFrame(
+            [(1, 1, "ok", 5)], "id long, ym int, kind string, cents long"
+        ).write.partitionBy("ym").parquet(path)
+        stats = update_mutation(
+            spark, path, {"cents": F.lit(0)}, F.col("kind") == "absent",
+            sort_keys=("id",),
+        )
+        assert stats == {"partitions_rewritten": 0, "rows_updated": 0}
