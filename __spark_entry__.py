@@ -46,6 +46,7 @@ _PRIORITY = [
     "streaming_summing_mv",  # MV -> Summing target parts under real triggers (new r8)
     "table_projection_route",  # projection layout auto-selected by filter cols (new r8)
     "table_update_mutation",  # ALTER UPDATE part-rewrite mutation (new r8)
+    "table_ttl_column",  # column-level TTL: values expire, rows remain (new r8)
     "vector_ann_mrl_rerank_topk",  # Matryoshka adaptive two-stage retrieval (new r8)
     "agg_combinators_if",  # ClickHouse -If combinator family, one hash aggregate (new r8)
     "text_bpe_apply",  # tokenizer application: top-3 merges, exact counts (new r8)
@@ -83,7 +84,6 @@ _PRIORITY = [
     "vector_ann_cosine_topk",
     "vector_ann_lsh_topk",
     "vector_neardup_pairs",
-    "vector_norms",
     # --- round-3 cohort head (the window holds what fits after the new
     # r8 rows + the full r2 cohort; the REMAINING 39 r3 rows are the r9
     # rotation debt — front them oldest-first next round: agg_cramers_v,

@@ -832,6 +832,7 @@ TMAINT_TABLES = (
     "events_base",
     "events_proj_type",
     "events_mutated",
+    "events_col_ttl",
 )
 
 
@@ -879,6 +880,10 @@ def tmaint_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
       get value_cents += 100000; only those five day-partitions are
       rewritten, the other 26 days' files stay byte-untouched
       (mtime-pinned in tests).
+    * ``events_col_ttl`` — COLUMN-level TTL (``value_cents Int64 TTL ts
+      + INTERVAL``): values in partitions before 2024-01-16 reset to 0
+      while the ROWS remain — the value-expiry half of the TTL story
+      (events_daily is the row-expiry half); one update_mutation call.
     """
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     tag = f"tmaint-{sf_name}-{_tmaint_fingerprint(sf_dir)}"
@@ -966,6 +971,26 @@ def tmaint_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
             em,
             {"value_cents": F.col("value_cents") + 100000},
             (F.col("event_type") == "error") & (F.col("ym") <= 20240105),
+            sort_keys=("event_id",),
+        )
+        ct = os.path.join(tmp, "events_col_ttl")
+        (
+            e.select(
+                "event_id",
+                "ts",
+                "event_type",
+                "user_id",
+                F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+            )
+            .withColumn("ym", F.date_format("ts", "yyyyMMdd").cast("int"))
+            .write.partitionBy("ym")
+            .parquet(ct)
+        )
+        update_mutation(
+            spark,
+            ct,
+            {"value_cents": F.lit(0).cast("long")},
+            F.col("ym") < 20240116,
             sort_keys=("event_id",),
         )
         hs = os.path.join(tmp, "events_hll_state")

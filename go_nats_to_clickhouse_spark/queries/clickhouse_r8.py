@@ -403,3 +403,43 @@ def table_update_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "table_ttl_column",
+    """
+SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN CAST(strftime(ts, '%Y%m%d') AS BIGINT) < 20240116
+                     THEN 0
+                     ELSE CAST(round(value * 100) AS BIGINT) END)
+            AS BIGINT) AS total_cents
+FROM events GROUP BY day ORDER BY day
+""",
+)
+def table_ttl_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-level TTL — ``value_cents Int64 TTL ts + INTERVAL 15 DAY``
+    (ClickHouse column TTL: when a column's TTL expires, its VALUES
+    reset to the column default while the rows remain) — the value-
+    expiry half of the TTL story next to table_ttl_expiry's whole-
+    partition row expiry. ``events_col_ttl`` applied it as one
+    plans/layout.update_mutation call (expired partitions rewritten,
+    the live tail byte-untouched); this row reads the table plain and
+    must show every pre-cutoff day with its full row count but ZERO
+    cents, every post-cutoff day untouched — the oracle recomputes the
+    expiry as a CASE. The operational point at 100 TB: column TTL frees
+    the bytes of one wide column without losing row history, and the
+    rewrite prunes to expired partitions exactly like the DELETE/UPDATE
+    mutations sharing the machinery."""
+    from go_nats_to_clickhouse_spark.plans.materialize import tmaint_tables
+
+    t = tmaint_tables(spark, sf_dir)
+    c = spark.read.parquet(t["events_col_ttl"])
+    return (
+        c.groupBy(F.col("ym").cast("long").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("value_cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("day")
+    )
