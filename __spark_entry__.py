@@ -47,6 +47,7 @@ _PRIORITY = [
     "table_projection_route",  # projection layout auto-selected by filter cols (new r8)
     "table_update_mutation",  # ALTER UPDATE part-rewrite mutation (new r8)
     "table_ttl_column",  # column-level TTL: values expire, rows remain (new r8)
+    "table_lightweight_delete",  # DELETE FROM: instant mask, deferred merge (new r8)
     "vector_ann_mrl_rerank_topk",  # Matryoshka adaptive two-stage retrieval (new r8)
     "agg_combinators_if",  # ClickHouse -If combinator family, one hash aggregate (new r8)
     "text_bpe_apply",  # tokenizer application: top-3 merges, exact counts (new r8)
@@ -83,7 +84,6 @@ _PRIORITY = [
     "training_data_prep",
     "vector_ann_cosine_topk",
     "vector_ann_lsh_topk",
-    "vector_neardup_pairs",
     # --- round-3 cohort head (the window holds what fits after the new
     # r8 rows + the full r2 cohort; the REMAINING 39 r3 rows are the r9
     # rotation debt — front them oldest-first next round: agg_cramers_v,

@@ -242,6 +242,95 @@ def update_mutation(
     }
 
 
+def lightweight_delete(
+    spark: SparkSession,
+    path: str,
+    mask_path: str,
+    where,
+    key_cols: tuple[str, ...],
+) -> int:
+    """ClickHouse LIGHTWEIGHT DELETE (``DELETE FROM ... WHERE``): mark
+    rows deleted NOW, clean them up LATER — the instant-visibility /
+    deferred-IO point of the feature (ClickHouse stores a ``_row_exists``
+    mask inside the part; here the mask is a sidecar key table, which on
+    a 100 TB table is O(deleted keys) bytes written versus the heavy
+    DELETE mutation's partition rewrites). No table file is touched
+    (mtime-pinned in tests); readers go through :func:`read_with_mask`;
+    :func:`apply_mask_compact` is the background merge that makes the
+    deletion physical. Returns the number of newly masked rows."""
+    keys = (
+        spark.read.parquet(path)
+        .filter(where)
+        .select(*key_cols)
+        .dropDuplicates(list(key_cols))
+    )
+    n = keys.count()
+    if n:
+        keys.coalesce(1).write.mode("append").parquet(mask_path)
+    return n
+
+
+def read_with_mask(
+    spark: SparkSession, path: str, mask_path: str, key_cols: tuple[str, ...]
+) -> DataFrame:
+    """Read a table minus its lightweight-deleted rows: one broadcast
+    anti-join against the (deleted-keys-sized) mask sidecar — the
+    ``_row_exists`` filter ClickHouse applies under every SELECT until
+    the parts are rewritten."""
+    df = spark.read.parquet(path)
+    if not os.path.exists(mask_path):
+        return df
+    mask = spark.read.parquet(mask_path).dropDuplicates(list(key_cols))
+    return df.join(F.broadcast(mask), list(key_cols), "left_anti")
+
+
+def apply_mask_compact(
+    spark: SparkSession,
+    path: str,
+    mask_path: str,
+    sort_keys: tuple[str, ...],
+) -> dict[str, int]:
+    """Make lightweight deletions PHYSICAL — the background-merge half:
+    rewrite only the partitions containing masked rows (same pruning and
+    crash-safe swap as :func:`erase_keys`), then clear the mask. After
+    this, a plain read equals the masked read and the deleted bytes are
+    actually gone."""
+    import shutil
+
+    if not os.path.exists(mask_path):
+        return {"partitions_rewritten": 0, "rows_erased": 0}
+    df = spark.read.parquet(path)
+    mask = spark.read.parquet(mask_path)
+    key_cols = tuple(mask.columns)
+    mask = mask.dropDuplicates(list(key_cols))
+    hit = df.join(F.broadcast(mask), list(key_cols), "left_semi")
+    affected = [
+        r[0] for r in hit.select(PARTITION_COL).distinct().collect()
+    ]
+    rows_erased = 0
+    for ym in affected:
+        part_dir = os.path.join(path, f"{PARTITION_COL}={ym}")
+        rows = spark.read.parquet(part_dir)
+        keep = rows.join(F.broadcast(mask), list(key_cols), "left_anti")
+        rows_erased += rows.count() - keep.count()
+        keep = keep.sortWithinPartitions(
+            *[k for k in sort_keys if k != PARTITION_COL]
+        )
+        tmp = os.path.join(path, f".lwd_tmp-{PARTITION_COL}-{ym}")
+        keep.write.mode("overwrite").parquet(tmp)
+        old = os.path.join(path, f".lwd_old-{PARTITION_COL}-{ym}")
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(part_dir, old)
+        os.rename(tmp, part_dir)
+        shutil.rmtree(old)
+    shutil.rmtree(mask_path, ignore_errors=True)
+    return {
+        "partitions_rewritten": len(affected),
+        "rows_erased": rows_erased,
+    }
+
+
 def upsert_partitioned(
     spark: SparkSession,
     path: str,

@@ -833,6 +833,8 @@ TMAINT_TABLES = (
     "events_proj_type",
     "events_mutated",
     "events_col_ttl",
+    "events_lwd",
+    "events_lwd_mask",
 )
 
 
@@ -884,6 +886,12 @@ def tmaint_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
       + INTERVAL``): values in partitions before 2024-01-16 reset to 0
       while the ROWS remain — the value-expiry half of the TTL story
       (events_daily is the row-expiry half); one update_mutation call.
+    * ``events_lwd`` + ``events_lwd_mask`` — LIGHTWEIGHT DELETE
+      (``DELETE FROM``): signup rows in the first ten days are masked in
+      the O(deleted-keys) sidecar, NO table file touched (instant
+      visibility, deferred IO); plans/layout.read_with_mask serves
+      reads, apply_mask_compact is the deferred physical merge (pinned
+      equal in tests).
     """
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     tag = f"tmaint-{sf_name}-{_tmaint_fingerprint(sf_dir)}"
@@ -992,6 +1000,28 @@ def tmaint_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
             {"value_cents": F.lit(0).cast("long")},
             F.col("ym") < 20240116,
             sort_keys=("event_id",),
+        )
+        from go_nats_to_clickhouse_spark.plans.layout import lightweight_delete
+
+        lw = os.path.join(tmp, "events_lwd")
+        (
+            e.select(
+                "event_id",
+                "ts",
+                "event_type",
+                "user_id",
+                F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+            )
+            .withColumn("ym", F.date_format("ts", "yyyyMMdd").cast("int"))
+            .write.partitionBy("ym")
+            .parquet(lw)
+        )
+        lightweight_delete(
+            spark,
+            lw,
+            os.path.join(tmp, "events_lwd_mask"),
+            (F.col("event_type") == "signup") & (F.col("ym") <= 20240110),
+            key_cols=("event_id",),
         )
         hs = os.path.join(tmp, "events_hll_state")
         (

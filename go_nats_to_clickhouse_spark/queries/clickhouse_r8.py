@@ -443,3 +443,46 @@ def table_ttl_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "table_lightweight_delete",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+WHERE NOT (event_type = 'signup'
+           AND CAST(strftime(ts, '%Y%m%d') AS BIGINT) <= 20240110)
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def table_lightweight_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIGHTWEIGHT DELETE (ClickHouse ``DELETE FROM ... WHERE``) — the
+    third deletion flavor beside the heavy mutation (erase_keys) and
+    TTL: rows are masked IMMEDIATELY in an O(deleted-keys) sidecar with
+    NO table file rewritten (mtime-pinned in tests — the whole point:
+    instant visibility, deferred IO), every read goes through the
+    ``_row_exists`` filter (plans/layout.read_with_mask — one broadcast
+    anti-join), and the deferred plans/layout.apply_mask_compact merge
+    makes it physical later. This row reads the masked table; the
+    oracle applies the delete predicate as a WHERE — green proves the
+    mask serves exactly the deleted-rows-absent answer the eventual
+    physical state will. Tests additionally pin masked-read ==
+    post-compaction-read and that compaction clears the mask."""
+    from go_nats_to_clickhouse_spark.plans.layout import read_with_mask
+    from go_nats_to_clickhouse_spark.plans.materialize import tmaint_tables
+
+    t = tmaint_tables(spark, sf_dir)
+    m = read_with_mask(
+        spark, t["events_lwd"], t["events_lwd_mask"], key_cols=("event_id",)
+    )
+    return (
+        m.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value_cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("event_type")
+    )

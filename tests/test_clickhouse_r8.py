@@ -380,3 +380,70 @@ class TestUpdateMutation:
             sort_keys=("id",),
         )
         assert stats == {"partitions_rewritten": 0, "rows_updated": 0}
+
+
+class TestLightweightDelete:
+    def _table(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(i, i % 3 + 1, "del" if i % 4 == 0 else "keep", i * 10)
+             for i in range(40)],
+            "id long, ym int, kind string, v long",
+        ).write.partitionBy("ym").parquet(path)
+        return path
+
+    def test_mask_touches_no_table_file(self, spark, tmp_path):
+        import os as _os
+
+        from go_nats_to_clickhouse_spark.plans.layout import (
+            lightweight_delete,
+            read_with_mask,
+        )
+
+        path = self._table(spark, tmp_path)
+        mask = str(tmp_path / "mask")
+        before = {
+            (d, f): _os.stat(_os.path.join(path, d, f)).st_mtime_ns
+            for d in _os.listdir(path)
+            if d.startswith("ym=")
+            for f in _os.listdir(_os.path.join(path, d))
+        }
+        n = lightweight_delete(
+            spark, path, mask, F.col("kind") == "del", key_cols=("id",)
+        )
+        assert n == 10
+        after = {
+            (d, f): _os.stat(_os.path.join(path, d, f)).st_mtime_ns
+            for d in _os.listdir(path)
+            if d.startswith("ym=")
+            for f in _os.listdir(_os.path.join(path, d))
+        }
+        assert after == before  # the lightweight point: zero table IO
+        got = read_with_mask(spark, path, mask, ("id",))
+        assert got.count() == 30
+        assert got.filter(F.col("kind") == "del").count() == 0
+
+    def test_compaction_makes_it_physical_and_clears_mask(
+        self, spark, tmp_path
+    ):
+        import os as _os
+
+        from go_nats_to_clickhouse_spark.plans.layout import (
+            apply_mask_compact,
+            lightweight_delete,
+            read_with_mask,
+        )
+
+        path = self._table(spark, tmp_path)
+        mask = str(tmp_path / "mask")
+        lightweight_delete(
+            spark, path, mask, F.col("kind") == "del", key_cols=("id",)
+        )
+        masked = sorted(
+            r.id for r in read_with_mask(spark, path, mask, ("id",)).collect()
+        )
+        stats = apply_mask_compact(spark, path, mask, sort_keys=("id",))
+        assert stats["rows_erased"] == 10
+        assert not _os.path.exists(mask)
+        plain = sorted(r.id for r in spark.read.parquet(path).collect())
+        assert plain == masked  # physical state == what the mask served
