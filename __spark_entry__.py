@@ -53,6 +53,11 @@ _PRIORITY = [
     "text_bpe_apply",  # tokenizer application: top-3 merges, exact counts (new r8)
     "agg_quantile_exact_weighted",
     "vector_ann_erased_live_topk",  # erase_vectors between live micro-batches (new r8)
+    "table_collapsing_read",  # CollapsingMergeTree sign-collapse chain (new r8)
+    "table_ttl_rollup",  # TTL GROUP BY: aged partitions downsampled in place (new r8)
+    "table_merge_engine",  # Merge engine: regex union + _table virtual col (new r8)
+    "table_row_policy",  # row-level security compiled to scan predicates (new r8)
+    "dedup_paragraph_exact",  # sub-document C4-style paragraph dedup (new r8)
     "mv_analytics_projection",  # flagship, pinned inside the window
     # --- oldest-green rotation (VERDICT r8 #5): the 30 round-2 rows the
     # r7 window displaced (now the oldest greens, last sampled r2) ---
@@ -79,11 +84,10 @@ _PRIORITY = [
     "text_chunk_windows",
     "text_pii_scrub",
     "text_sequence_packing",
-    "text_simhash",
-    "text_vocab_top_terms",
-    "training_data_prep",
-    "vector_ann_cosine_topk",
-    "vector_ann_lsh_topk",
+    # text_simhash, text_vocab_top_terms, training_data_prep,
+    # vector_ann_cosine_topk, vector_ann_lsh_topk displaced by the five
+    # late-r8 table/dedup rows (the new-query invariant outranks
+    # rotation); they join the r9 rotation debt below ---
     # --- round-3 cohort head (the window holds what fits after the new
     # r8 rows + the full r2 cohort; the REMAINING 39 r3 rows are the r9
     # rotation debt — front them oldest-first next round: agg_cramers_v,

@@ -236,6 +236,80 @@ class AdmissionController:
             return spark.sql(sql)
 
 
+@dataclass
+class RowPolicy:
+    """``CREATE ROW POLICY <name> ON <table> [AS RESTRICTIVE] USING
+    <condition> TO <users>`` — ClickHouse row-level security (the
+    users.xml-era ``<databases>`` per-user filters grew into this SQL
+    surface; the reference's ACL file is where such a deployment would
+    declare them). ``using`` is a SQL boolean over the table's columns,
+    kept as text because that is exactly what the server stores."""
+
+    name: str
+    table: str
+    using: str
+    users: tuple[str, ...]
+    restrictive: bool = False
+
+
+def apply_row_policies(
+    df, table: str, user: str, policies: list[RowPolicy]
+):
+    """Filter ``df`` (rows of ``table``) to what ``user`` may see, with
+    ClickHouse's exact combination semantics: permissive policies OR
+    together, restrictive policies AND on top — and the documented
+    footgun is preserved faithfully: ONCE ANY permissive policy exists
+    on a table, a user granted none of them sees NO rows (a table with
+    no policies at all stays fully visible to everyone).
+
+    Scale shape: policies compile to ordinary Catalyst predicates
+    (``F.expr`` over the scan), so they push down into parquet
+    filters/partition pruning like any WHERE — row security costs what
+    the equivalent filter costs, nothing more."""
+    mine = [p for p in policies if p.table == table]
+    if not mine:
+        return df
+    from pyspark.sql import functions as F
+
+    perm = [p for p in mine if not p.restrictive and user in p.users]
+    restr = [p for p in mine if p.restrictive and user in p.users]
+    any_perm_defined = any(not p.restrictive for p in mine)
+    if any_perm_defined and not perm:
+        return df.filter(F.lit(False))
+    cond = F.lit(True)
+    if perm:
+        allowed = F.lit(False)
+        for p in perm:
+            allowed = allowed | F.expr(p.using)
+        cond = cond & allowed
+    for p in restr:
+        cond = cond & F.expr(p.using)
+    return df.filter(cond)
+
+
+def reference_policies() -> list[RowPolicy]:
+    """The deployment's row-policy set used by the driver row
+    ``table_row_policy`` and the tests: the ``analyst`` user may see
+    non-purchase events (permissive) and is additionally scoped away
+    from the held-out user cohort (restrictive) — one policy of each
+    kind so both combination rules stay exercised."""
+    return [
+        RowPolicy(
+            "analyst_events",
+            table="events",
+            using="event_type <> 'purchase'",
+            users=("analyst",),
+        ),
+        RowPolicy(
+            "no_holdout_cohort",
+            table="events",
+            using="user_id % 10 <> 0",
+            users=("analyst",),
+            restrictive=True,
+        ),
+    ]
+
+
 def write_fair_scheduler_xml(profiles: dict[str, Profile], path: str) -> str:
     """Emit the FAIR scheduler allocation file for the profile->pool
     mapping. Wire it with::

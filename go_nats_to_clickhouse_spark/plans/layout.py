@@ -508,3 +508,167 @@ def read_table_final(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def collapsing_compact(
+    spark: SparkSession,
+    path: str,
+    sign_col: str = "sign",
+    partition_col: str = PARTITION_COL,
+) -> dict[str, int]:
+    """CollapsingMergeTree merge pass: within every partition, rows that
+    are identical on every column except ``sign_col`` cancel pairwise —
+    a state row (sign=+1) annihilates with the cancel row (sign=-1) a
+    later insert wrote for it, and only net state survives (ClickHouse
+    CollapsingMergeTree docs: the merge "collapses" matching sign pairs;
+    the writer is responsible for making each cancel row copy the state
+    row it retracts, which is exactly what makes group-by-all-columns
+    the faithful merge here). Implemented as one groupBy per partition:
+    net = SUM(sign) per full row tuple, rows with net == 0 vanish, a
+    surviving tuple is re-emitted with sign = net (±1 for a correct
+    writer; a duplicated insert would surface as |net| > 1, which is
+    also ClickHouse's observable failure mode).
+
+    Reads must still run the ``SUM(col * sign) ... HAVING SUM(sign) > 0``
+    discipline afterwards (merges are eventual in ClickHouse; here one
+    full pass collapses everything, which tests pin) — and cancellation
+    only happens WITHIN a partition, ClickHouse's own caveat, so tables
+    meant to collapse fully should partition by a stable function of the
+    collapse key (the events_collapsing fixture buckets by user), not by
+    arrival time. Partition-parallel, crash-safe rename swap, state per
+    partition bounded by its distinct live tuples. Returns
+    {"partitions_rewritten", "rows_before", "rows_after"}."""
+    import shutil
+
+    parts = [
+        d for d in os.listdir(path) if d.startswith(f"{partition_col}=")
+    ]
+    before = after = 0
+    for d in parts:
+        part_dir = os.path.join(path, d)
+        rows = spark.read.parquet(part_dir)
+        before += rows.count()
+        tuple_cols = [c for c in rows.columns if c != sign_col]
+        collapsed = (
+            rows.groupBy(*tuple_cols)
+            .agg(F.sum(sign_col).cast("int").alias(sign_col))
+            .filter(F.col(sign_col) != 0)
+            .select(*rows.columns)
+            .sortWithinPartitions(*tuple_cols)
+        )
+        tmp = os.path.join(path, f".collapse_tmp-{d.replace('=', '-')}")
+        collapsed.write.mode("overwrite").parquet(tmp)
+        old = os.path.join(path, f".collapse_old-{d.replace('=', '-')}")
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(part_dir, old)
+        os.rename(tmp, part_dir)
+        shutil.rmtree(old)
+        after += spark.read.parquet(part_dir).count()
+    return {
+        "partitions_rewritten": len(parts),
+        "rows_before": before,
+        "rows_after": after,
+    }
+
+
+def ttl_rollup(
+    spark: SparkSession,
+    path: str,
+    before_part: int,
+    group_cols: tuple[str, ...],
+    agg_exprs: dict,
+    sort_keys: tuple[str, ...],
+) -> dict[str, int]:
+    """``TTL ... GROUP BY`` rollup — the third TTL flavor (ClickHouse
+    table TTL with a GROUP BY clause; also the GraphiteMergeTree rollup
+    model): partitions older than ``before_part`` are not DROPPED
+    (expire_partitions) and not value-reset (column TTL) but DOWNSAMPLED
+    IN PLACE — their rows are replaced by one aggregate row per
+    ``group_cols`` tuple, with every other column produced by its entry
+    in ``agg_exprs`` (aggregate Columns, e.g. ``F.sum(...)`` for
+    additive measures, explicit deterministic defaults for identity
+    columns — ClickHouse keeps "any" value for unlisted columns; an
+    oracle-checkable engine pins them instead). Live partitions' files
+    stay byte-untouched (mtime-pinned in tests).
+
+    The 100-TB shape: aged data keeps QUERYABLE totals at a coarser
+    grain while its bytes shrink by the group-reduction factor — the
+    standard observability-store economics (keep raw for N days, rollups
+    forever) — and the rewrite prunes to expired partitions exactly like
+    the DELETE/UPDATE mutations sharing this machinery. Returns
+    {"partitions_rolled", "rows_before", "rows_after"}."""
+    import shutil
+
+    before = after = 0
+    rolled = []
+    for d in sorted(os.listdir(path)):
+        if not d.startswith(f"{PARTITION_COL}="):
+            continue
+        part = int(d.split("=", 1)[1])
+        if part >= before_part:
+            continue
+        part_dir = os.path.join(path, d)
+        rows = spark.read.parquet(part_dir)
+        before += rows.count()
+        order = [c for c in rows.columns]
+        agg = (
+            rows.groupBy(*group_cols)
+            .agg(*[expr.alias(c) for c, expr in agg_exprs.items()])
+            .select(*order)
+            .sortWithinPartitions(*[k for k in sort_keys if k != PARTITION_COL])
+        )
+        tmp = os.path.join(path, f".rollup_tmp-{d.replace('=', '-')}")
+        agg.write.mode("overwrite").parquet(tmp)
+        old = os.path.join(path, f".rollup_old-{d.replace('=', '-')}")
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(part_dir, old)
+        os.rename(tmp, part_dir)
+        shutil.rmtree(old)
+        after += spark.read.parquet(part_dir).count()
+        rolled.append(part)
+    return {
+        "partitions_rolled": len(rolled),
+        "rows_before": before,
+        "rows_after": after,
+    }
+
+
+def merge_engine(
+    spark: SparkSession, base_dir: str, pattern: str
+) -> DataFrame:
+    """``ENGINE = Merge(db, '<regex>')`` — a virtual table that unions
+    every table in ``base_dir`` whose NAME matches ``pattern``, exposing
+    which physical table each row came from as the ``_table`` virtual
+    column (ClickHouse Merge-engine docs; the canonical use is reading a
+    family of time-sharded tables — metrics_2024, metrics_2025 — as
+    one). Columns are matched BY NAME across member tables with missing
+    columns null-filled (``unionByName(allowMissingColumns=True)`` — the
+    Merge engine's union-of-structures reading), so schema evolution
+    between shards (a column added to newer shards) reads cleanly.
+
+    Scale shape: this is pure plan composition — each member contributes
+    its own parquet scan with its own pushed filters and partition
+    pruning, and Catalyst pushes predicates through the union into every
+    branch; a ``_table`` filter statically removes non-matching members
+    here (pre-plan, since membership is resolved at call time). No data
+    moves to build the view."""
+    import re
+
+    rx = re.compile(pattern)
+    members = sorted(
+        d
+        for d in os.listdir(base_dir)
+        if rx.search(d) and os.path.isdir(os.path.join(base_dir, d))
+        and not d.startswith(".")
+    )
+    if not members:
+        raise ValueError(f"merge_engine: no table in {base_dir!r} matches {pattern!r}")
+    out = None
+    for name in members:
+        df = spark.read.parquet(os.path.join(base_dir, name)).withColumn(
+            "_table", F.lit(name)
+        )
+        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+    return out

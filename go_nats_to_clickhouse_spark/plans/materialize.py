@@ -835,6 +835,10 @@ TMAINT_TABLES = (
     "events_col_ttl",
     "events_lwd",
     "events_lwd_mask",
+    "events_collapsing",
+    "events_rollup",
+    "events_shard_early",
+    "events_shard_late",
 )
 
 
@@ -886,6 +890,24 @@ def tmaint_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
       + INTERVAL``): values in partitions before 2024-01-16 reset to 0
       while the ROWS remain — the value-expiry half of the TTL story
       (events_daily is the row-expiry half); one update_mutation call.
+    * ``events_collapsing`` — CollapsingMergeTree: every event is a
+      state update for its user, written as a +1 state row plus a -1
+      cancel row copying the PREVIOUS state (the writer contract);
+      partitioned by a user bucket (the collapse-friendly partition
+      choice — ClickHouse cancels only within a partition), then
+      plans/layout.collapsing_compact annihilates sign pairs so exactly
+      one live row per user remains. Reads still run the
+      SUM(col*sign) / HAVING SUM(sign) > 0 discipline.
+    * ``events_rollup`` — ``TTL ... GROUP BY`` rollup
+      (GraphiteMergeTree economics): day partitions older than
+      2024-01-16 downsampled IN PLACE to one row per event_type with
+      summed cnt/value_cents (plans/layout.ttl_rollup); live days raw
+      and byte-untouched.
+    * ``events_shard_early`` + ``events_shard_late`` — a time-sharded
+      table family (days <= / > 2024-01-15) for the Merge-engine read
+      (plans/layout.merge_engine); the late shard carries an extra
+      ``region`` column the early shard predates, exercising the Merge
+      engine's union-of-structures schema handling.
     * ``events_lwd`` + ``events_lwd_mask`` — LIGHTWEIGHT DELETE
       (``DELETE FROM``): signup rows in the first ten days are masked in
       the O(deleted-keys) sidecar, NO table file touched (instant
@@ -1034,6 +1056,100 @@ def tmaint_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
             .agg(F.hll_sketch_agg("user_id").alias("sk"))
             .write.partitionBy("ym")
             .parquet(hs)
+        )
+        # CollapsingMergeTree: +1 state row per event, -1 cancel row
+        # copying the previous state (writer contract), bucketed by user
+        # so sign pairs co-locate and can actually annihilate.
+        from pyspark.sql.window import Window as _W
+
+        from go_nats_to_clickhouse_spark.plans.layout import (
+            collapsing_compact,
+        )
+
+        st = e.select(
+            "user_id",
+            F.col("event_id").alias("version"),
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+        w_u = _W.partitionBy("user_id").orderBy("version")
+        cur = st.select(
+            "user_id", "version", "value_cents", F.lit(1).cast("int").alias("sign")
+        )
+        cancels = (
+            st.select(
+                "user_id",
+                F.lag("version").over(w_u).alias("version"),
+                F.lag("value_cents").over(w_u).alias("value_cents"),
+            )
+            .filter(F.col("version").isNotNull())
+            .withColumn("sign", F.lit(-1).cast("int"))
+        )
+        cl = os.path.join(tmp, "events_collapsing")
+        (
+            cur.unionByName(cancels)
+            .withColumn("ub", F.pmod("user_id", F.lit(16)).cast("int"))
+            .sortWithinPartitions("user_id", "version")
+            .write.partitionBy("ub")
+            .parquet(cl)
+        )
+        collapsing_compact(spark, cl, partition_col="ub")
+        # TTL GROUP BY: aged days downsampled to per-type aggregate rows
+        from go_nats_to_clickhouse_spark.plans.layout import ttl_rollup
+
+        ru = os.path.join(tmp, "events_rollup")
+        (
+            e.select(
+                "event_id",
+                "ts",
+                "event_type",
+                "user_id",
+                F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+                F.lit(1).cast("long").alias("cnt"),
+            )
+            .withColumn("ym", F.date_format("ts", "yyyyMMdd").cast("int"))
+            .write.partitionBy("ym")
+            .parquet(ru)
+        )
+        ttl_rollup(
+            spark,
+            ru,
+            before_part=20240116,
+            group_cols=("event_type",),
+            agg_exprs={
+                "event_id": F.lit(-1).cast("long"),
+                "ts": F.max("ts"),
+                "user_id": F.lit(-1).cast("long"),
+                "value_cents": F.sum("value_cents").cast("long"),
+                "cnt": F.sum("cnt").cast("long"),
+            },
+            sort_keys=("event_type",),
+        )
+        # Time-sharded family for the Merge-engine read; the late shard
+        # gained a region column the early shard predates.
+        day = F.date_format("ts", "yyyyMMdd").cast("int")
+        base_cols = e.select(
+            "event_id",
+            "ts",
+            "event_type",
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+        write_partitioned(
+            base_cols.filter(day <= 20240115),
+            os.path.join(tmp, "events_shard_early"),
+            ("event_id",),
+            ts_col="ts",
+            mode="overwrite",
+        )
+        write_partitioned(
+            base_cols.filter(day > 20240115).withColumn(
+                "region",
+                F.concat(F.lit("r"), F.pmod("user_id", F.lit(3)).cast("string")),
+            ),
+            os.path.join(tmp, "events_shard_late"),
+            ("event_id",),
+            ts_col="ts",
+            mode="overwrite",
         )
 
     return _published(f"tmaint-{sf_name}-", tag, TMAINT_TABLES, build)

@@ -486,3 +486,326 @@ def table_lightweight_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# CollapsingMergeTree — sign-column state tracking
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_collapsing_read",
+    """
+SELECT user_id,
+       CAST(arg_max(CAST(round(value * 100) AS BIGINT), event_id) AS BIGINT)
+         AS value_cents,
+       CAST(1 AS BIGINT) AS live
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+)
+def table_collapsing_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollapsingMergeTree end-to-end (ClickHouse's mutable-state-by-
+    appends engine): ``events_collapsing`` treats each event as a state
+    update for its user — every insert wrote a +1 state row AND a -1
+    cancel row copying the previous state (the writer contract the
+    engine docs prescribe), then plans/layout.collapsing_compact
+    annihilated sign pairs within each user-bucket partition. This read
+    runs the mandated discipline anyway — ``SUM(value_cents * sign)``
+    per user ``HAVING SUM(sign) > 0`` — because ClickHouse merges are
+    eventual and a correct reader never assumes full collapse. Green
+    proves the whole chain lands exactly "latest value per user", which
+    the oracle computes directly from raw events as arg_max.
+
+    Scale shape: the table holds net state (one row per user after
+    merge, 2N-U before), so the read aggregates over live-state-sized
+    data, not event-history-sized — the entire reason this engine
+    exists; compaction is partition-parallel and the read's groupBy is
+    map-side combinable."""
+    from go_nats_to_clickhouse_spark.plans.materialize import tmaint_tables
+
+    t = tmaint_tables(spark, sf_dir)
+    c = spark.read.parquet(t["events_collapsing"])
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value_cents") * F.col("sign"))
+            .cast("long")
+            .alias("value_cents"),
+            F.sum("sign").cast("long").alias("live"),
+        )
+        .filter(F.col("live") > 0)
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TTL ... GROUP BY — downsample-in-place rollup of aged partitions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_ttl_rollup",
+    """
+WITH d AS (
+  SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT day,
+       CAST(CASE WHEN day < 20240116 THEN COUNT(DISTINCT event_type)
+                 ELSE COUNT(*) END AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM d GROUP BY day ORDER BY day
+""",
+)
+def table_ttl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TTL ts + INTERVAL 15 DAY GROUP BY day, event_type SET cnt =
+    sum(cnt), value_cents = sum(value_cents)`` — the third TTL flavor
+    (whole-partition drop: table_ttl_expiry; value reset:
+    table_ttl_column; THIS: downsample-in-place, ClickHouse table-TTL
+    GROUP BY / the GraphiteMergeTree retention model).
+    ``events_rollup``'s aged day partitions were rewritten by
+    plans/layout.ttl_rollup to one aggregate row per event_type; live
+    days stayed raw and byte-untouched (mtime-pinned in tests). This row
+    reads the table plain: aged days must show n_rows == distinct types
+    (the row-count collapse — the bytes saved) while n_events and
+    total_cents remain the FULL raw totals (nothing lost at the coarser
+    grain), and live days must be untouched raw counts. The oracle
+    recomputes all three from raw events with the cutoff CASE.
+
+    The 100-TB economics: observability tables keep raw data for N days
+    and queryable rollups forever — aged bytes shrink by the
+    rows-per-(day,type) factor while every SUM over history stays
+    answerable; the rewrite pruned to expired partitions exactly like
+    the mutation machinery it shares."""
+    from go_nats_to_clickhouse_spark.plans.materialize import tmaint_tables
+
+    t = tmaint_tables(spark, sf_dir)
+    r = spark.read.parquet(t["events_rollup"])
+    return (
+        r.groupBy(F.col("ym").cast("long").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cnt").cast("long").alias("n_events"),
+            F.sum("value_cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merge engine — one virtual table over a regex of physical tables
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_merge_engine",
+    """
+WITH d AS (
+  SELECT CASE WHEN CAST(strftime(ts, '%Y%m%d') AS BIGINT) <= 20240115
+              THEN 'events_shard_early' ELSE 'events_shard_late' END AS tbl,
+         event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN CAST(strftime(ts, '%Y%m%d') AS BIGINT) <= 20240115
+              THEN NULL
+              ELSE 'r' || CAST(user_id % 3 AS VARCHAR) END AS region
+  FROM events
+)
+SELECT tbl, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(COUNT(DISTINCT region) AS BIGINT) AS n_regions
+FROM d GROUP BY tbl, event_type ORDER BY tbl, event_type
+""",
+)
+def table_merge_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ENGINE = Merge(db, '^events_shard_')`` (ClickHouse Merge
+    engine; the reference's init.sql keeps per-stream sibling tables —
+    nats_data_stream_* — which is exactly the family shape this engine
+    exists to read as one): plans/layout.merge_engine resolves the
+    regex against the warehouse, unions the members BY COLUMN NAME with
+    missing columns null-filled, and exposes the provenance ``_table``
+    virtual column. The shard family is time-split (days <= / >
+    2024-01-15) and schema-evolved — the late shard carries a ``region``
+    column the early shard predates — so the row pins all three engine
+    behaviors at once: regex membership, the virtual column, and
+    union-of-structures nulling (n_regions = 0 on the early shard, 3 on
+    the late). The oracle rebuilds shard assignment and region from raw
+    events.
+
+    Scale shape: pure plan composition — each member keeps its own scan,
+    pushed filters, and partition pruning under the union; a filter on
+    ``_table`` would prune members before any IO."""
+    import os as _os
+
+    from go_nats_to_clickhouse_spark.plans.layout import merge_engine
+    from go_nats_to_clickhouse_spark.plans.materialize import tmaint_tables
+
+    t = tmaint_tables(spark, sf_dir)
+    root = _os.path.dirname(t["events_shard_early"])
+    m = merge_engine(spark, root, r"^events_shard_")
+    return (
+        m.groupBy(F.col("_table").alias("tbl"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value_cents").cast("long").alias("total_cents"),
+            F.countDistinct("region").cast("long").alias("n_regions"),
+        )
+        .orderBy("tbl", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row policies — row-level security compiled to scan predicates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_row_policy",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+WHERE event_type <> 'purchase' AND user_id % 10 <> 0
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def table_row_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW POLICIES (``CREATE ROW POLICY ... USING ... TO user``) — the
+    row-level-security half of the ACL surface whose profile/quota half
+    admission.AdmissionController already mirrors from the reference's
+    users.xml: the ``analyst`` user reads events through one PERMISSIVE
+    policy (non-purchase rows; permissive policies OR together) and one
+    RESTRICTIVE policy (the held-out user cohort is scoped away;
+    restrictive policies AND on top) — both combination rules live in
+    admission.apply_row_policies, including ClickHouse's documented
+    footgun that a table with any permissive policy shows NO rows to a
+    user granted none (pinned in tests). The oracle is simply the
+    composed WHERE — which is the point: policies compile to ordinary
+    predicates under the scan (pushed filters / partition pruning
+    apply), so row security costs exactly what the equivalent filter
+    costs at any scale."""
+    from go_nats_to_clickhouse_spark.admission import (
+        apply_row_policies,
+        reference_policies,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    v = apply_row_policies(e, "events", "analyst", reference_policies())
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sub-document exact dedup — paragraph granularity (C4/RefinedWeb style)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_paragraph_exact",
+    """
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS arr FROM documents
+),
+p AS (
+  SELECT doc_id, source, CAST(t.g AS BIGINT) AS pos,
+         array_to_string(list_slice(arr, t.g * 10 + 1, t.g * 10 + 10), ' ')
+           AS para
+  FROM d, UNNEST(range(CAST(ceil(len(arr) / 10.0) AS BIGINT))) AS t(g)
+),
+k AS (
+  SELECT * FROM (
+    SELECT p.*,
+           row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+    FROM p
+  ) WHERE rn = 1
+),
+b AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS paras_total
+      FROM p GROUP BY source),
+a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS paras_kept,
+             CAST(SUM(length(para)) AS BIGINT) AS chars_kept,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_with_kept
+      FROM k GROUP BY source)
+SELECT b.source, paras_total, paras_kept, chars_kept, docs_with_kept
+FROM b JOIN a ON b.source = a.source ORDER BY b.source
+""",
+)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-DOCUMENT exact dedup — the paragraph-granular pass every
+    large LLM corpus runs alongside whole-document dedup (C4 dropped
+    repeated three-sentence spans, Raffel 2020; RefinedWeb/Gopher
+    de-duplicate repeated lines/paragraphs across pages — boilerplate
+    survives document-level MinHash because the SURROUNDING text
+    differs). The corpus text carries no newline boundaries, so
+    paragraphs are synthesized deterministically as consecutive 10-word
+    chunks — identical segmentation in both engines — and "first
+    occurrence wins" is pinned to the lexicographically smallest
+    (doc_id, position).
+
+    Spark shape, and why it holds at 100 TB: segmentation is pure array
+    math inside the row (transform + slice + array_join — no explode
+    until paragraphs exist, so the only row multiplication is the
+    paragraph count itself); the winner per paragraph text is ONE
+    map-side-combinable min(struct(doc_id, pos, source)) aggregate —
+    never a window over all occurrences, never a self-join — and the
+    survivor stats reduce from winner rows (distinct-paragraph-sized,
+    not occurrence-sized). Two shuffles total: the winner groupBy
+    (keyed by paragraph text, naturally balanced) and the final
+    per-source rollup. Dedup at this granularity hashes TEXT, not
+    documents, so the reduce key never skews on popular documents —
+    only on genuinely repeated boilerplate, which is exactly what the
+    flood the operator removes."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    d = docs.withColumn("arr", F.split("text", " ")).withColumn(
+        "npar", F.ceil(F.size("arr") / F.lit(10.0)).cast("int")
+    )
+    paras = F.transform(
+        F.sequence(F.lit(0), F.col("npar") - 1),
+        lambda g: F.array_join(
+            F.slice(F.col("arr"), g * F.lit(10) + 1, F.lit(10)), " "
+        ),
+    )
+    p = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(paras).alias("pos", "para"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+    winners = p.groupBy("para").agg(
+        F.min(F.struct("doc_id", "pos", "source")).alias("w")
+    )
+    before = p.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("paras_total")
+    )
+    after = (
+        winners.select(
+            F.col("w.source").alias("source"),
+            F.col("w.doc_id").alias("doc_id"),
+            F.length("para").alias("para_len"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("paras_kept"),
+            F.sum("para_len").cast("long").alias("chars_kept"),
+            F.countDistinct("doc_id").cast("long").alias("docs_with_kept"),
+        )
+    )
+    return (
+        before.join(after, "source")
+        .select(
+            "source", "paras_total", "paras_kept", "chars_kept",
+            "docs_with_kept",
+        )
+        .orderBy("source")
+    )

@@ -447,3 +447,252 @@ class TestLightweightDelete:
         assert not _os.path.exists(mask)
         plain = sorted(r.id for r in spark.read.parquet(path).collect())
         assert plain == masked  # physical state == what the mask served
+
+
+class TestCollapsingMergeTree:
+    def _table(self, spark, tmp_path):
+        """3 users, each with a sequence of state updates written per the
+        CollapsingMergeTree writer contract: +1 state row per update, -1
+        cancel row copying the previous state; bucketed by user."""
+        path = str(tmp_path / "cl")
+        rows = []
+        for uid, states in ((1, [10, 20, 30]), (2, [5]), (3, [7, 7])):
+            prev = None
+            for ver, cents in enumerate(states):
+                if prev is not None:
+                    rows.append((uid, prev[0], prev[1], -1))
+                rows.append((uid, ver, cents, 1))
+                prev = (ver, cents)
+        df = spark.createDataFrame(
+            rows, "user_id long, version long, value_cents long, sign int"
+        ).withColumn("ub", F.pmod("user_id", F.lit(2)).cast("int"))
+        df.write.partitionBy("ub").parquet(path)
+        return path
+
+    def _read_final(self, spark, path):
+        return {
+            r.user_id: (r.value_cents, r.live)
+            for r in spark.read.parquet(path)
+            .groupBy("user_id")
+            .agg(
+                F.sum(F.col("value_cents") * F.col("sign")).alias("value_cents"),
+                F.sum("sign").alias("live"),
+            )
+            .filter(F.col("live") > 0)
+            .collect()
+        }
+
+    def test_read_discipline_same_before_and_after_merge(
+        self, spark, tmp_path
+    ):
+        """The SUM(col*sign)/HAVING SUM(sign)>0 read returns the SAME
+        answer on the raw appended table and on the compacted one —
+        merges are eventual in ClickHouse and a correct reader never
+        depends on them having run."""
+        from go_nats_to_clickhouse_spark.plans.layout import (
+            collapsing_compact,
+        )
+
+        path = self._table(spark, tmp_path)
+        before = self._read_final(spark, path)
+        collapsing_compact(spark, path, partition_col="ub")
+        after = self._read_final(spark, path)
+        assert before == after == {1: (30, 1), 2: (5, 1), 3: (7, 1)}
+
+    def test_merge_collapses_to_net_state(self, spark, tmp_path):
+        """After one full compaction pass the table holds exactly one
+        live row per user (2N-U rows before), and every stored sign is
+        +1 — all cancel pairs annihilated."""
+        from go_nats_to_clickhouse_spark.plans.layout import (
+            collapsing_compact,
+        )
+
+        path = self._table(spark, tmp_path)
+        assert spark.read.parquet(path).count() == 9  # 6 states + 3 cancels
+        stats = collapsing_compact(spark, path, partition_col="ub")
+        assert stats["rows_before"] == 9 and stats["rows_after"] == 3
+        out = spark.read.parquet(path)
+        assert out.count() == 3
+        assert out.agg(F.min("sign"), F.max("sign")).first() == (1, 1)
+
+    def test_driver_row_matches_latest_event(self, spark, sf_dir):
+        """events_collapsing end-to-end: the collapsed read equals
+        latest-event-per-user computed from the raw fixture."""
+        from go_nats_to_clickhouse_spark.queries.util import load_table
+
+        got = {
+            r.user_id: r.value_cents
+            for r in QUERIES["table_collapsing_read"](spark, sf_dir).collect()
+        }
+        want = {
+            r.user_id: r.cents
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.round(F.col("value") * 100).cast("long"), "event_id"
+                ).alias("cents")
+            )
+            .collect()
+        }
+        assert got == want
+
+
+class TestTtlRollup:
+    def test_rollup_downsamples_aged_partitions_only(self, spark, tmp_path):
+        """Aged partitions collapse to one row per group with exact
+        summed measures; live partitions' files stay byte-identical."""
+        import os as _os
+
+        from go_nats_to_clickhouse_spark.plans.layout import ttl_rollup
+
+        path = str(tmp_path / "ru")
+        spark.createDataFrame(
+            [(i, i % 4 + 1, "a" if (i // 4) % 2 == 0 else "b", 10, 1)
+             for i in range(40)],
+            "id long, ym int, kind string, cents long, cnt long",
+        ).write.partitionBy("ym").parquet(path)
+        live = _os.path.join(path, "ym=4")
+        mtimes_before = {
+            f: _os.stat(_os.path.join(live, f)).st_mtime_ns
+            for f in _os.listdir(live)
+        }
+        stats = ttl_rollup(
+            spark,
+            path,
+            before_part=4,
+            group_cols=("kind",),
+            agg_exprs={
+                "id": F.lit(-1).cast("long"),
+                "cents": F.sum("cents").cast("long"),
+                "cnt": F.sum("cnt").cast("long"),
+            },
+            sort_keys=("kind",),
+        )
+        assert stats["partitions_rolled"] == 3
+        assert stats["rows_before"] == 30 and stats["rows_after"] == 6
+        out = spark.read.parquet(path)
+        # nothing lost: totals survive the downsample
+        assert out.agg(F.sum("cnt")).first()[0] == 40
+        assert out.agg(F.sum("cents")).first()[0] == 400
+        # aged rows carry the pinned identity default
+        assert (
+            out.filter(F.col("ym") < 4).agg(F.max("id")).first()[0] == -1
+        )
+        mtimes_after = {
+            f: _os.stat(_os.path.join(live, f)).st_mtime_ns
+            for f in _os.listdir(live)
+        }
+        assert mtimes_after == mtimes_before
+
+
+class TestMergeEngine:
+    def _family(self, spark, tmp_path):
+        import os as _os
+
+        base = str(tmp_path)
+        spark.createDataFrame(
+            [(1, "x", 10)], "id long, kind string, v long"
+        ).write.parquet(_os.path.join(base, "m_2024"))
+        spark.createDataFrame(
+            [(2, "y", 20, "eu")], "id long, kind string, v long, region string"
+        ).write.parquet(_os.path.join(base, "m_2025"))
+        spark.createDataFrame(
+            [(9, "z", 90)], "id long, kind string, v long"
+        ).write.parquet(_os.path.join(base, "other"))
+        return base
+
+    def test_regex_membership_and_virtual_column(self, spark, tmp_path):
+        from go_nats_to_clickhouse_spark.plans.layout import merge_engine
+
+        base = self._family(spark, tmp_path)
+        m = merge_engine(spark, base, r"^m_")
+        rows = {r.id: (r._table, r.region) for r in m.collect()}
+        # non-matching table excluded; provenance column filled per member
+        assert rows == {1: ("m_2024", None), 2: ("m_2025", "eu")}
+
+    def test_no_match_raises(self, spark, tmp_path):
+        import pytest
+
+        from go_nats_to_clickhouse_spark.plans.layout import merge_engine
+
+        self._family(spark, tmp_path)
+        with pytest.raises(ValueError, match="no table"):
+            merge_engine(spark, str(tmp_path), r"^absent_")
+
+
+class TestRowPolicies:
+    def _policies(self):
+        from go_nats_to_clickhouse_spark.admission import RowPolicy
+
+        return [
+            RowPolicy("p1", "t", "kind = 'a'", users=("alice",)),
+            RowPolicy("p2", "t", "kind = 'b'", users=("alice",)),
+            RowPolicy(
+                "r1", "t", "v < 100", users=("alice",), restrictive=True
+            ),
+        ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [("a", 10), ("b", 200), ("c", 10)], "kind string, v long"
+        )
+
+    def test_permissive_or_then_restrictive_and(self, spark):
+        from go_nats_to_clickhouse_spark.admission import apply_row_policies
+
+        out = apply_row_policies(
+            self._df(spark), "t", "alice", self._policies()
+        ).collect()
+        # (a OR b) AND v<100 -> only ('a', 10); ('b', 200) cut by the
+        # restrictive policy, ('c', 10) by the permissive union
+        assert [(r.kind, r.v) for r in out] == [("a", 10)]
+
+    def test_uncovered_user_sees_nothing_once_policies_exist(self, spark):
+        """ClickHouse's documented footgun, preserved faithfully: any
+        permissive policy on the table hides it entirely from users
+        granted none."""
+        from go_nats_to_clickhouse_spark.admission import apply_row_policies
+
+        out = apply_row_policies(
+            self._df(spark), "t", "mallory", self._policies()
+        )
+        assert out.count() == 0
+
+    def test_policy_free_table_fully_visible(self, spark):
+        from go_nats_to_clickhouse_spark.admission import apply_row_policies
+
+        out = apply_row_policies(
+            self._df(spark), "other_table", "mallory", self._policies()
+        )
+        assert out.count() == 3
+
+
+class TestParagraphDedup:
+    def test_kept_equals_distinct_paragraphs(self, spark, sf_dir):
+        """Global invariant: total kept paragraphs == the number of
+        DISTINCT paragraph texts in the corpus (exact first-occurrence
+        dedup keeps exactly one instance of each)."""
+        from go_nats_to_clickhouse_spark.queries.util import load_table
+
+        out = QUERIES["dedup_paragraph_exact"](spark, sf_dir)
+        kept = out.agg(F.sum("paras_kept")).first()[0]
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        d = docs.withColumn("arr", F.split("text", " ")).withColumn(
+            "npar", F.ceil(F.size("arr") / F.lit(10.0)).cast("int")
+        )
+        paras = F.transform(
+            F.sequence(F.lit(0), F.col("npar") - 1),
+            lambda g: F.array_join(
+                F.slice(F.col("arr"), g * F.lit(10) + 1, F.lit(10)), " "
+            ),
+        )
+        distinct = (
+            d.select(F.explode(paras).alias("para"))
+            .select("para")
+            .distinct()
+            .count()
+        )
+        assert kept == distinct
+        total = out.agg(F.sum("paras_total")).first()[0]
+        assert kept < total  # the fixture does contain repeated chunks
