@@ -58,6 +58,11 @@ _PRIORITY = [
     "table_merge_engine",  # Merge engine: regex union + _table virtual col (new r8)
     "table_row_policy",  # row-level security compiled to scan predicates (new r8)
     "dedup_paragraph_exact",  # sub-document C4-style paragraph dedup (new r8)
+    "join_array_left",  # ARRAY JOIN vs LEFT ARRAY JOIN, one explode_outer pass (new r8)
+    "agg_combinators_array",  # -Array combinators: row-local reduce vs explode (new r8)
+    "agg_combinators_distinct",  # -Distinct combinators via Catalyst Expand (new r8)
+    "table_optimize_dedup",  # OPTIMIZE FINAL DEDUPLICATE full-row merge (new r8)
+    "join_dict_range_hashed",  # RANGE_HASHED dictionary, broadcast + residual (new r8)
     "mv_analytics_projection",  # flagship, pinned inside the window
     # --- oldest-green rotation (VERDICT r8 #5): the 30 round-2 rows the
     # r7 window displaced (now the oldest greens, last sampled r2) ---
@@ -79,15 +84,12 @@ _PRIORITY = [
     "q9_product_type_profit",
     "sample_consistent_hash",
     "sample_per_group",
-    "scalar_url_functions",
-    "text_chunk_udtf",
-    "text_chunk_windows",
-    "text_pii_scrub",
-    "text_sequence_packing",
-    # text_simhash, text_vocab_top_terms, training_data_prep,
-    # vector_ann_cosine_topk, vector_ann_lsh_topk displaced by the five
-    # late-r8 table/dedup rows (the new-query invariant outranks
-    # rotation); they join the r9 rotation debt below ---
+    # scalar_url_functions, text_chunk_udtf, text_chunk_windows,
+    # text_pii_scrub, text_sequence_packing, text_simhash,
+    # text_vocab_top_terms, training_data_prep, vector_ann_cosine_topk,
+    # vector_ann_lsh_topk displaced by the ten late-r8 rows (the
+    # new-query invariant outranks rotation); they join the r9 rotation
+    # debt below ---
     # --- round-3 cohort head (the window holds what fits after the new
     # r8 rows + the full r2 cohort; the REMAINING 39 r3 rows are the r9
     # rotation debt — front them oldest-first next round: agg_cramers_v,

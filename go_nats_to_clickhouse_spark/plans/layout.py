@@ -672,3 +672,49 @@ def merge_engine(
         )
         out = df if out is None else out.unionByName(df, allowMissingColumns=True)
     return out
+
+
+def optimize_deduplicate(
+    spark: SparkSession,
+    path: str,
+    sort_keys: tuple[str, ...],
+    partition_col: str = PARTITION_COL,
+) -> dict[str, int]:
+    """``OPTIMIZE TABLE ... FINAL DEDUPLICATE`` — ClickHouse's explicit
+    full-row deduplication merge (drops rows that are byte-identical
+    across EVERY column; the operational remedy after an at-least-once
+    producer double-delivered whole inserts into a plain MergeTree —
+    which has no key semantics to dedupe by, unlike the Replacing
+    engine's version rules that upsert_partitioned/read_table_final
+    mirror). Per-partition dropDuplicates rewrite with the crash-safe
+    rename swap; dedup state is bounded by a partition's distinct rows,
+    partitions never cross-talk — which is also ClickHouse's semantics
+    (DEDUPLICATE works within the merged part). Returns
+    {"partitions_rewritten", "rows_before", "rows_after"}."""
+    import shutil
+
+    parts = [
+        d for d in os.listdir(path) if d.startswith(f"{partition_col}=")
+    ]
+    before = after = 0
+    for d in parts:
+        part_dir = os.path.join(path, d)
+        rows = spark.read.parquet(part_dir)
+        before += rows.count()
+        deduped = rows.dropDuplicates().sortWithinPartitions(
+            *[k for k in sort_keys if k != partition_col]
+        )
+        tmp = os.path.join(path, f".optdedup_tmp-{d.replace('=', '-')}")
+        deduped.write.mode("overwrite").parquet(tmp)
+        old = os.path.join(path, f".optdedup_old-{d.replace('=', '-')}")
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(part_dir, old)
+        os.rename(tmp, part_dir)
+        shutil.rmtree(old)
+        after += spark.read.parquet(part_dir).count()
+    return {
+        "partitions_rewritten": len(parts),
+        "rows_before": before,
+        "rows_after": after,
+    }

@@ -839,6 +839,7 @@ TMAINT_TABLES = (
     "events_rollup",
     "events_shard_early",
     "events_shard_late",
+    "events_dupes",
 )
 
 
@@ -908,6 +909,12 @@ def tmaint_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
       (plans/layout.merge_engine); the late shard carries an extra
       ``region`` column the early shard predates, exercising the Merge
       engine's union-of-structures schema handling.
+    * ``events_dupes`` — OPTIMIZE ... FINAL DEDUPLICATE: a plain
+      MergeTree that received whole-insert double deliveries (every 5th
+      event appended twice, byte-identical), then
+      plans/layout.optimize_deduplicate dropped the full-row duplicates
+      per partition — the explicit dedup merge for engines with no key
+      semantics to upsert by.
     * ``events_lwd`` + ``events_lwd_mask`` — LIGHTWEIGHT DELETE
       (``DELETE FROM``): signup rows in the first ten days are masked in
       the O(deleted-keys) sidecar, NO table file touched (instant
@@ -1151,6 +1158,22 @@ def tmaint_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
             ts_col="ts",
             mode="overwrite",
         )
+        # OPTIMIZE ... DEDUPLICATE: double-delivered whole inserts, then
+        # the explicit full-row dedup merge
+        from go_nats_to_clickhouse_spark.plans.layout import (
+            optimize_deduplicate,
+        )
+
+        dup = os.path.join(tmp, "events_dupes")
+        with_day = base_cols.withColumn("ym", day)
+        with_day.write.partitionBy("ym").parquet(dup)
+        (
+            with_day.filter(F.pmod(F.col("event_id"), F.lit(5)) == 0)
+            .write.mode("append")
+            .partitionBy("ym")
+            .parquet(dup)
+        )
+        optimize_deduplicate(spark, dup, sort_keys=("event_id",))
 
     return _published(f"tmaint-{sf_name}-", tag, TMAINT_TABLES, build)
 

@@ -809,3 +809,335 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# ARRAY JOIN / LEFT ARRAY JOIN
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_array_left",
+    """
+WITH d AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), w -> length(w) >= 6) AS arr
+  FROM documents
+),
+x AS (
+  SELECT doc_id, source,
+         unnest(CASE WHEN len(arr) = 0 THEN CAST([NULL] AS VARCHAR[])
+                     ELSE arr END) AS word
+  FROM d
+)
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_total,
+       CAST(COUNT(word) AS BIGINT) AS arr_rows,
+       CAST(COUNT(*) AS BIGINT) AS left_rows,
+       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+FROM x GROUP BY source ORDER BY source
+""",
+)
+def join_array_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ARRAY JOIN`` vs ``LEFT ARRAY JOIN`` (ClickHouse SELECT docs —
+    its explode: unrolls an array column into rows, and the LEFT form
+    KEEPS rows whose array is empty, emitting a default element; the
+    reference's JSON-heavy analytics rows are exactly where per-message
+    arrays get unrolled like this). The long-word arrays here leave some
+    documents empty, so the two semantics measurably diverge: Spark's
+    ``explode`` is the inner form, ``explode_outer`` the LEFT form —
+    this row runs ONE explode_outer pass and derives both (count(word)
+    skips the null element = inner rows; count(*) keeps it = LEFT rows;
+    docs_total stays at full corpus size ONLY under LEFT semantics,
+    which is the pin). Oracle emulates LEFT via the [NULL] substitution.
+
+    Scale shape: explode multiplies rows by true element count only —
+    no join, no shuffle until the final per-source rollup; generated
+    columns stay inside whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    d = docs.withColumn(
+        "arr",
+        F.filter(F.split("text", " "), lambda w: F.length(w) >= 6),
+    )
+    ex = d.select(
+        "doc_id", "source", F.explode_outer("arr").alias("word")
+    )
+    return (
+        ex.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("docs_total"),
+            F.count("word").cast("long").alias("arr_rows"),
+            F.count(F.lit(1)).cast("long").alias("left_rows"),
+            F.countDistinct("word").cast("long").alias("n_words"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# -Array combinators: aggregate over array ELEMENTS across rows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_combinators_array",
+    """
+WITH d AS (
+  SELECT source,
+         list_transform(
+           list_filter(string_split(text, ' '), w -> length(w) >= 6),
+           w -> length(w)) AS lens
+  FROM documents
+),
+s AS (
+  SELECT source,
+         CAST(COALESCE(SUM(list_aggregate(lens, 'sum')), 0) AS BIGINT)
+           AS sum_chars,
+         CAST(SUM(len(lens)) AS BIGINT) AS n_elems
+  FROM d GROUP BY source
+),
+u AS (
+  SELECT source, CAST(COUNT(DISTINCT word) AS BIGINT) AS uniq_elems
+  FROM (SELECT source, unnest(list_filter(string_split(text, ' '),
+                                          w -> length(w) >= 6)) AS word
+        FROM documents)
+  GROUP BY source
+)
+SELECT s.source, sum_chars, n_elems,
+       CAST((100 * sum_chars) // n_elems AS BIGINT) AS avg_centichars,
+       uniq_elems
+FROM s JOIN u ON s.source = u.source ORDER BY s.source
+""",
+)
+def agg_combinators_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ClickHouse ``-Array`` aggregate combinator family —
+    ``sumArray``, ``avgArray``, ``uniqArray`` (apply the aggregate to
+    all ELEMENTS of an array column across the group's rows) — over the
+    per-document long-word-length arrays. The two scale spellings,
+    deliberately split: sum/avg need NO explode — ``F.aggregate``
+    reduces each row's array to a scalar inside the row (JVM lambda,
+    whole-stage codegen), after which the group aggregate is ordinary
+    and map-side-combinable, so the shuffle never sees element
+    multiplicity; uniqArray genuinely needs element identity, so it
+    explodes and countDistincts — the one combinator whose cost is
+    inherently element-count-shaped. Average pinned as integer
+    centichars with floor division (both engines truncate positives
+    identically — the r5 `//` rule)."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    arr = F.filter(F.split("text", " "), lambda w: F.length(w) >= 6)
+    d = docs.withColumn(
+        "lens", F.transform(arr, lambda w: F.length(w))
+    )
+    rowred = d.select(
+        "source",
+        F.aggregate(
+            "lens", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("row_sum"),
+        F.size("lens").cast("long").alias("n"),
+    )
+    s = rowred.groupBy("source").agg(
+        F.sum("row_sum").cast("long").alias("sum_chars"),
+        F.sum("n").cast("long").alias("n_elems"),
+    )
+    u = (
+        docs.select("source", F.explode(arr).alias("word"))
+        .groupBy("source")
+        .agg(F.countDistinct("word").cast("long").alias("uniq_elems"))
+    )
+    return (
+        s.join(u, "source")
+        .select(
+            "source",
+            "sum_chars",
+            "n_elems",
+            F.floor(F.lit(100) * F.col("sum_chars") / F.col("n_elems"))
+            .cast("long")
+            .alias("avg_centichars"),
+            "uniq_elems",
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# -Distinct combinators: aggregate over the distinct value set
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_combinators_distinct",
+    """
+SELECT l_returnflag AS flag,
+       CAST(COUNT(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT)
+         AS n_distinct_qty,
+       CAST(SUM(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT)
+         AS sum_distinct_qty,
+       CAST(SUM(DISTINCT CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS sum_distinct_cents
+FROM lineitem GROUP BY l_returnflag ORDER BY flag
+""",
+)
+def agg_combinators_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ClickHouse ``-Distinct`` combinator family — ``sumDistinct``
+    / ``countDistinct`` style aggregates where each distinct argument
+    value contributes once (aggregate-function-combinators docs). Two
+    distinct sets over DIFFERENT columns in one grouped pass is the
+    interesting plan: ClickHouse keeps a hash set per (group, arg)
+    inside the aggregate state; Spark/Catalyst instead rewrites
+    multi-distinct into an Expand — each input row is replicated once
+    per distinct set with the others nulled, then two ordinary
+    hash aggregates run (partial dedup map-side first). The expansion
+    factor is the number of distinct sets (2 here), constant in data
+    size, and every stage remains map-side-combinable — the
+    shuffle-native equivalent of per-state hash sets at 100 TB.
+    Quantities are exact integers in TPC-H; prices pinned to cents."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        li.groupBy("flag")
+        .agg(
+            F.count_distinct("qty").cast("long").alias("n_distinct_qty"),
+            F.sum_distinct("qty").cast("long").alias("sum_distinct_qty"),
+            F.sum_distinct("cents").cast("long").alias("sum_distinct_cents"),
+        )
+        .orderBy("flag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE TABLE ... FINAL DEDUPLICATE
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_optimize_dedup",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def table_optimize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``OPTIMIZE TABLE ... FINAL DEDUPLICATE`` (ClickHouse's explicit
+    full-row dedup merge): ``events_dupes`` is a plain MergeTree that
+    took whole-insert DOUBLE DELIVERIES (every 5th event appended twice,
+    byte-identical — the at-least-once failure mode the reference
+    accepts on NATS redelivery, main.go:122-127, landing in a table with
+    no key semantics to upsert by), then
+    plans/layout.optimize_deduplicate dropped the exact-duplicate rows
+    partition-by-partition. This row reads the table PLAIN — no
+    read-time dedup — and must equal the raw per-type totals: without
+    the merge, n and total_cents would both run ~20% hot, so green is
+    direct evidence the physical dedup removed exactly the
+    double-delivered rows. Completes the dedup-flavor triptych:
+    Replacing upsert (key+version), read_table_final (read-time), THIS
+    (explicit full-row merge). Dedup state is bounded per partition;
+    partitions rewrite independently — the 100-TB shape shared with
+    every mutation in plans/layout."""
+    from go_nats_to_clickhouse_spark.plans.materialize import tmaint_tables
+
+    t = tmaint_tables(spark, sf_dir)
+    d = spark.read.parquet(t["events_dupes"])
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value_cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE_HASHED dictionary — dictGet with a validity-range lookup
+# ---------------------------------------------------------------------------
+
+#: (event_type, day_from, day_to, rate) — the tariff dimension with
+#: per-type validity ranges; 'signup' is deliberately absent so the
+#: dictGetOrDefault branch stays exercised.
+_TARIFF_ROWS = (
+    ("click", 20240101, 20240115, 10),
+    ("click", 20240116, 20240131, 15),
+    ("error", 20240101, 20240115, 20),
+    ("error", 20240116, 20240131, 25),
+    ("purchase", 20240101, 20240115, 30),
+    ("purchase", 20240116, 20240131, 35),
+    ("view", 20240101, 20240115, 40),
+    ("view", 20240116, 20240131, 45),
+)
+
+_TARIFF_SQL = "), (".join(
+    f"'{t}', {f}, {to}, {r}" for t, f, to, r in _TARIFF_ROWS
+)
+
+
+@query(
+    "join_dict_range_hashed",
+    f"""
+WITH tariff(event_type, day_from, day_to, rate) AS (
+  VALUES ({_TARIFF_SQL})
+),
+e AS (
+  SELECT event_type, CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(COALESCE(t.rate, 0)) AS BIGINT) AS rate_sum,
+       CAST(SUM(COALESCE(t.rate, 0) * e.cents) AS BIGINT) AS charge_cents
+FROM e LEFT JOIN tariff t
+  ON e.event_type = t.event_type AND e.day BETWEEN t.day_from AND t.day_to
+GROUP BY e.event_type ORDER BY e.event_type
+""",
+)
+def join_dict_range_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE_HASHED dictionary lookups — ``dictGetOrDefault('tariff',
+    'rate', type, day)`` where the dictionary layout keys each attribute
+    by (key, validity range) and the lookup matches the range covering
+    the probe point (ClickHouse external-dictionary LAYOUT(RANGE_HASHED)
+    docs; the standard shape for slowly-changing tariffs/rates joined to
+    fact timestamps). Completes the dictionary story next to
+    join_dict_get (flat/hashed layouts) and join_dict_hierarchy
+    (dictGetHierarchy): here each fact row picks THE one dimension row
+    whose [day_from, day_to] covers its day, with the OrDefault branch
+    live ('signup' has no tariff -> rate 0).
+
+    Spark shape: the dictionary is an in-plan literal dimension,
+    BROADCAST and equi-joined on the hash key (event_type) with the
+    range as a join residual — a BroadcastHashJoin, never a shuffle and
+    never a nested loop, because the equi half carries the join; ranges
+    per key are few (2 here) so the residual scan is O(1). At 100 TB
+    the fact side streams map-side, exactly like every dictGet analog
+    in this engine. All money integer cents."""
+    dim = spark.createDataFrame(
+        list(_TARIFF_ROWS),
+        "event_type string, day_from long, day_to long, rate long",
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyyMMdd").cast("long").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    j = e.join(
+        F.broadcast(dim.withColumnRenamed("event_type", "t_type")),
+        (e["event_type"] == F.col("t_type"))
+        & F.col("day").between(F.col("day_from"), F.col("day_to")),
+        "left",
+    )
+    rate = F.coalesce(F.col("rate"), F.lit(0))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(rate).cast("long").alias("rate_sum"),
+            F.sum(rate * F.col("cents")).cast("long").alias("charge_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -696,3 +696,115 @@ class TestParagraphDedup:
         assert kept == distinct
         total = out.agg(F.sum("paras_total")).first()[0]
         assert kept < total  # the fixture does contain repeated chunks
+
+
+class TestOptimizeDeduplicate:
+    def test_full_row_dedup_within_partitions(self, spark, tmp_path):
+        """Byte-identical double deliveries vanish; rows that differ in
+        ANY column survive (full-row semantics, not key semantics)."""
+        from go_nats_to_clickhouse_spark.plans.layout import (
+            optimize_deduplicate,
+        )
+
+        path = str(tmp_path / "od")
+        base = spark.createDataFrame(
+            [(i, i % 3 + 1, i * 10) for i in range(12)],
+            "id long, ym int, v long",
+        )
+        base.write.partitionBy("ym").parquet(path)
+        # double-deliver a subset byte-identically...
+        base.filter(F.col("id") % 2 == 0).write.mode("append").partitionBy(
+            "ym"
+        ).parquet(path)
+        # ...and append a same-id row with a DIFFERENT value (not a dup)
+        spark.createDataFrame(
+            [(0, 1, 999)], "id long, ym int, v long"
+        ).write.mode("append").partitionBy("ym").parquet(path)
+        stats = optimize_deduplicate(spark, path, sort_keys=("id",))
+        assert stats["rows_before"] == 19
+        assert stats["rows_after"] == 13
+        out = spark.read.parquet(path)
+        assert out.count() == 13
+        assert out.filter(F.col("id") == 0).count() == 2  # both distinct rows
+
+    def test_driver_row_equals_raw_totals(self, spark, sf_dir):
+        """events_dupes read PLAIN equals raw events totals — the
+        double-delivered 20% is physically gone."""
+        from go_nats_to_clickhouse_spark.queries.util import load_table
+
+        got = {
+            r.event_type: (r.n, r.total_cents)
+            for r in QUERIES["table_optimize_dedup"](spark, sf_dir).collect()
+        }
+        want = {
+            r.event_type: (r.n, r.total_cents)
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                .cast("long")
+                .alias("total_cents"),
+            )
+            .collect()
+        }
+        assert got == want
+
+
+class TestRangeHashedDict:
+    def test_broadcast_hash_join_with_range_residual(self, spark, sf_dir):
+        """The dictionary lookup must compile to a BroadcastHashJoin on
+        the hash key with the validity range as a residual — never a
+        nested-loop or a shuffle join."""
+        df = QUERIES["join_dict_range_hashed"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_default_branch_and_range_switch(self, spark, sf_dir):
+        """'signup' (absent from the dictionary) charges rate 0; every
+        covered type's rate_sum is consistent with its two-range tariff
+        (rate_sum == n_first_half*r1 + n_second_half*r2)."""
+        from go_nats_to_clickhouse_spark.queries.clickhouse_r8 import (
+            _TARIFF_ROWS,
+        )
+        from go_nats_to_clickhouse_spark.queries.util import load_table
+
+        got = {
+            r.event_type: (r.n, r.rate_sum)
+            for r in QUERIES["join_dict_range_hashed"](spark, sf_dir).collect()
+        }
+        assert got["signup"][1] == 0
+        day = F.date_format("ts", "yyyyMMdd").cast("long")
+        halves = {
+            (r.event_type, r.early): r.n
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("event_type", (day <= 20240115).alias("early"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        rates = {
+            (t, f == 20240101): r for t, f, _to, r in _TARIFF_ROWS
+        }
+        for etype in ("click", "error", "purchase", "view"):
+            want = sum(
+                halves.get((etype, early), 0) * rates[(etype, early)]
+                for early in (True, False)
+            )
+            assert got[etype][1] == want
+
+
+class TestArrayJoinSemantics:
+    def test_left_keeps_empty_array_docs(self, spark, sf_dir):
+        """LEFT ARRAY JOIN retention: docs_total (distinct docs under
+        explode_outer) equals the full corpus; inner rows < left rows
+        exactly when empty-array docs exist."""
+        from go_nats_to_clickhouse_spark.queries.util import load_table
+
+        out = QUERIES["join_array_left"](spark, sf_dir)
+        tot = out.agg(
+            F.sum("docs_total"), F.sum("arr_rows"), F.sum("left_rows")
+        ).first()
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        assert tot[0] == n_docs
+        assert tot[2] - tot[1] > 0  # the fixture has empty-array docs
