@@ -63,6 +63,7 @@ _PRIORITY = [
     "agg_combinators_distinct",  # -Distinct combinators via Catalyst Expand (new r8)
     "table_optimize_dedup",  # OPTIMIZE FINAL DEDUPLICATE full-row merge (new r8)
     "join_dict_range_hashed",  # RANGE_HASHED dictionary, broadcast + residual (new r8)
+    "pipeline_cascade_erased",  # GDPR scrub of the cascade warehouse itself (new r8)
     "mv_analytics_projection",  # flagship, pinned inside the window
     # --- oldest-green rotation (VERDICT r8 #5): the 30 round-2 rows the
     # r7 window displaced (now the oldest greens, last sampled r2) ---
@@ -83,13 +84,12 @@ _PRIORITY = [
     "q7_volume_shipping",
     "q9_product_type_profit",
     "sample_consistent_hash",
-    "sample_per_group",
-    # scalar_url_functions, text_chunk_udtf, text_chunk_windows,
-    # text_pii_scrub, text_sequence_packing, text_simhash,
-    # text_vocab_top_terms, training_data_prep, vector_ann_cosine_topk,
-    # vector_ann_lsh_topk displaced by the ten late-r8 rows (the
-    # new-query invariant outranks rotation); they join the r9 rotation
-    # debt below ---
+    # sample_per_group, scalar_url_functions, text_chunk_udtf,
+    # text_chunk_windows, text_pii_scrub, text_sequence_packing,
+    # text_simhash, text_vocab_top_terms, training_data_prep,
+    # vector_ann_cosine_topk, vector_ann_lsh_topk displaced by the
+    # eleven late-r8 rows (the new-query invariant outranks rotation);
+    # they join the r9 rotation debt below ---
     # --- round-3 cohort head (the window holds what fits after the new
     # r8 rows + the full r2 cohort; the REMAINING 39 r3 rows are the r9
     # rotation debt — front them oldest-first next round: agg_cramers_v,

@@ -718,3 +718,77 @@ def optimize_deduplicate(
         "rows_before": before,
         "rows_after": after,
     }
+
+
+def erase_where(
+    spark: SparkSession,
+    path: str,
+    where,
+    sort_keys: tuple[str, ...],
+) -> dict[str, int]:
+    """``ALTER TABLE ... DELETE WHERE <expr>`` with a GENERAL predicate —
+    the expression sibling of :func:`erase_keys` (which takes a key
+    list), needed when the erase condition is derived (a regexp over a
+    routing key, a modulus over an embedded id) rather than an IN-set.
+    Works on any partition layout, including nested ones like the
+    per-stream raw table's ``stream=*/ym=*``: every LEAF partition
+    directory is probed with a column-pruned count of matching rows and
+    rewritten through the crash-safe rename swap ONLY if it holds any —
+    untouched leaves are never rewritten (their files stay
+    byte-identical; the probe reads just the predicate's columns).
+    Partition columns are re-attached as literals parsed from the leaf's
+    relative path, so ``where`` may reference them (and a predicate ON a
+    partition column prunes the probe to metadata). Returns
+    {"partitions_rewritten", "rows_erased"}."""
+    import shutil
+
+    leaves = []
+    for dirpath, dirnames, filenames in os.walk(path):
+        if dirpath.rstrip("/") != path.rstrip("/") and os.path.basename(
+            dirpath
+        ).startswith("."):
+            dirnames[:] = []
+            continue
+        if any(f.endswith(".parquet") for f in filenames):
+            leaves.append(dirpath)
+    rewritten = erased = 0
+    for leaf in sorted(leaves):
+        rel = os.path.relpath(leaf, path)
+        part_vals = []
+        if rel != ".":
+            for seg in rel.split(os.sep):
+                if "=" not in seg:
+                    continue
+                col, raw = seg.split("=", 1)
+                val: object = int(raw) if raw.lstrip("-").isdigit() else raw
+                part_vals.append((col, val))
+        rows = spark.read.parquet(leaf)
+        for col, val in part_vals:
+            rows = rows.withColumn(col, F.lit(val))
+        n = rows.filter(where).count()
+        if n == 0:
+            continue
+        keep = (
+            rows.filter(~where)
+            .drop(*[c for c, _ in part_vals])
+            .sortWithinPartitions(
+                *[k for k in sort_keys if k not in {c for c, _ in part_vals}]
+            )
+        )
+        tmp = os.path.join(
+            os.path.dirname(leaf),
+            f".erasew_tmp-{os.path.basename(leaf).replace('=', '-')}",
+        )
+        keep.write.mode("overwrite").parquet(tmp)
+        old = os.path.join(
+            os.path.dirname(leaf),
+            f".erasew_old-{os.path.basename(leaf).replace('=', '-')}",
+        )
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(leaf, old)
+        os.rename(tmp, leaf)
+        shutil.rmtree(old)
+        rewritten += 1
+        erased += n
+    return {"partitions_rewritten": rewritten, "rows_erased": erased}

@@ -1326,6 +1326,77 @@ def erased_live_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     return _published(f"erl-{sf_name}-", tag, ERL_TABLES, build)
 
 
+CER_TABLES = ("warehouse",)
+
+
+def cascade_erased_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """The CASCADE half of GDPR erasure — the reference-shaped warehouse
+    itself scrubbed (the erase story so far repaired the doc INDEX and
+    the ANN index; but the raw per-stream tables, the union table, and
+    the analytics MV target written by the composed service STILL hold
+    the erased documents' full text and metadata — at a regulator's
+    reading, the most important copies). This family copies the ingested
+    run's warehouse and runs ``ALTER TABLE ... DELETE`` across all three
+    cascade tables (plans/layout.erase_where, the expression-predicate
+    mutation) for every message whose routed entity id is in the erase
+    set — document messages (``chat_id = 'doc-<id>'``) AND their
+    embedding twins (``'vec-<id>'``), because a subject's vectors are
+    its data too:
+
+    * ``nats_data_stream`` (nested stream=*/ym=* layout) and
+      ``nats_data_all_streams``: erased by the id parsed from the
+      chat_id routing segment — leaf partitions without matches stay
+      byte-identical (probe is a column-pruned count).
+    * ``analitics_data``: erased by message_id, the MV's
+      JSONExtractString('id') — the same entity by construction
+      (pinned: post-erase raw and analytics agree row-for-row).
+    * the erase is recorded as a ``service_health`` maintenance row
+      (family ``erase_cascade``), like every other erase flavor.
+
+    Reference anchor: the DELETE mutation runs over exactly the
+    MergeTree tables init.sql:8-121 declares; the MV cascade relation
+    between them is why one logical erasure must touch all three. The
+    driver row pipeline_cascade_erased reads the scrubbed analytics
+    table against a never-ingested oracle."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"cer-{sf_name}-m{ERASE_MOD}-{_ing_fingerprint(sf_dir)}"
+
+    def build(tmp: str) -> None:
+        import shutil
+
+        from go_nats_to_clickhouse_spark.plans.layout import erase_where
+        from go_nats_to_clickhouse_spark.streaming.pipeline import (
+            ALL_STREAMS_TABLE,
+            ANALYTICS_TABLE,
+            RAW_TABLE_PREFIX,
+            record_health,
+        )
+
+        g = ingested_index_tables(spark, sf_dir)
+        warehouse = os.path.join(tmp, "warehouse")
+        shutil.copytree(g["warehouse"], warehouse)
+        rid = F.regexp_extract(F.col("chat_id"), r"([0-9]+)$", 1)
+        raw_where = (rid != "") & (
+            F.pmod(rid.cast("long"), F.lit(ERASE_MOD)) == 0
+        )
+        ana_where = (
+            F.pmod(F.col("message_id").cast("long"), F.lit(ERASE_MOD)) == 0
+        )
+        n = 0
+        for table, where, keys in (
+            (RAW_TABLE_PREFIX.rstrip("_"), raw_where, ("timestamp", "chat_id")),
+            (ALL_STREAMS_TABLE, raw_where, ("timestamp", "chat_id")),
+            (ANALYTICS_TABLE, ana_where, ("user_id", "timestamp")),
+        ):
+            stats = erase_where(
+                spark, os.path.join(warehouse, table), where, sort_keys=keys
+            )
+            n += stats["rows_erased"]
+        record_health(spark, warehouse, -1, "erase_cascade", n, n)
+
+    return _published(f"cer-{sf_name}-", tag, CER_TABLES, build)
+
+
 ERLV_TABLES = (
     "ann_centroids",
     "ann_corpus",

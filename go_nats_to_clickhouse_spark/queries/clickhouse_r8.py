@@ -1141,3 +1141,86 @@ def join_dict_range_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# GDPR erasure of the CASCADE warehouse itself
+# ---------------------------------------------------------------------------
+
+
+def _cascade_erased_oracle() -> str:
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        ERASE_MOD,
+        NEW_SOURCES,
+    )
+
+    src = ", ".join(f"'{s}'" for s in NEW_SOURCES)
+    return f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_msgs,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars_stored,
+       CAST(0 AS BIGINT) AS erased_present
+FROM documents
+WHERE source IN ({src}) AND doc_id % {ERASE_MOD} <> 0
+GROUP BY source ORDER BY source
+"""
+
+
+@query("pipeline_cascade_erased", _cascade_erased_oracle())
+def pipeline_cascade_erased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR erasure of the REFERENCE-SHAPED warehouse itself
+    (plans/materialize.cascade_erased_tables): the erase story's other
+    half. The index/ANN erasures repaired what the ENGINE derived; this
+    cell scrubs what the reference's own tables STORE — the per-stream
+    raw tables, the union table, and the analytics MV target written by
+    the composed service still held the erased documents' full text and
+    metadata until the ``ALTER TABLE ... DELETE`` pass
+    (plans/layout.erase_where) removed every message routed for an
+    erase-set entity, document AND embedding twins, across all three
+    tables (init.sql:8-121's MergeTree set — one logical erasure, three
+    physical tables, because that is what the MV cascade multiplied the
+    insert into).
+
+    This row reads the scrubbed analytics table PLAIN: per corpus
+    source, the surviving message count and the total stored characters
+    (content-level evidence: the erased texts' bytes are gone, not just
+    their ids), plus the in-table count of erase-set rows — pinned 0 by
+    the never-ingested oracle, which recomputes everything from a world
+    where the erased docs were never published. Raw/union/analytics
+    agreement and the vector-twin scrub are pinned in tests; the erase
+    itself is a service_health maintenance row like every other flavor.
+
+    Scale shape: the mutation probed each leaf partition with a
+    column-pruned count and rewrote only leaves holding matches —
+    at 100 TB an erase touching one month of one stream rewrites
+    exactly that leaf."""
+    import os as _os
+
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        ERASE_MOD,
+        NEW_SOURCES,
+        cascade_erased_tables,
+    )
+    from go_nats_to_clickhouse_spark.streaming.pipeline import ANALYTICS_TABLE
+
+    t = cascade_erased_tables(spark, sf_dir)
+    ana = spark.read.parquet(_os.path.join(t["warehouse"], ANALYTICS_TABLE))
+    return (
+        ana.filter(F.col("project_code").isin(*NEW_SOURCES))
+        .groupBy(F.col("project_code").alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_msgs"),
+            F.sum(F.length("message_text")).cast("long").alias(
+                "n_chars_stored"
+            ),
+            F.sum(
+                F.when(
+                    F.pmod(F.col("message_id").cast("long"), F.lit(ERASE_MOD))
+                    == 0,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("erased_present"),
+        )
+        .orderBy("source")
+    )

@@ -808,3 +808,161 @@ class TestArrayJoinSemantics:
         n_docs = load_table(spark, sf_dir, "documents").count()
         assert tot[0] == n_docs
         assert tot[2] - tot[1] > 0  # the fixture has empty-array docs
+
+
+class TestEraseWhere:
+    def test_nested_layout_probe_and_rewrite(self, spark, tmp_path):
+        """erase_where on a stream=*/ym=* nested layout: only leaves
+        with matches rewrite (others byte-identical), the predicate may
+        reference partition columns, and surviving rows are intact."""
+        import os as _os
+
+        from go_nats_to_clickhouse_spark.plans.layout import erase_where
+
+        path = str(tmp_path / "nested")
+        df = spark.createDataFrame(
+            [
+                (i, "s1" if i % 2 == 0 else "s2", 202401 + (i % 2), f"u{i % 5}")
+                for i in range(20)
+            ],
+            "id long, stream string, ym int, who string",
+        )
+        df.write.partitionBy("stream", "ym").parquet(path)
+        untouched = _os.path.join(path, "stream=s2", "ym=202402")
+        mt_before = {
+            f: _os.stat(_os.path.join(untouched, f)).st_mtime_ns
+            for f in _os.listdir(untouched)
+        }
+        stats = erase_where(
+            spark,
+            path,
+            (F.col("who") == "u0") & (F.col("stream") == "s1"),
+            sort_keys=("id",),
+        )
+        assert stats["rows_erased"] == 2  # u0 = ids 0,5,10,15; s1 keeps 0,10
+        assert stats["partitions_rewritten"] == 1  # s1 holds only ym=202401
+        out = spark.read.parquet(path)
+        assert out.count() == 18
+        assert (
+            out.filter(
+                (F.col("who") == "u0") & (F.col("stream") == "s1")
+            ).count()
+            == 0
+        )
+        # s2 keeps its u0 rows (the predicate scoped to s1)
+        assert out.filter(F.col("who") == "u0").count() > 0
+        mt_after = {
+            f: _os.stat(_os.path.join(untouched, f)).st_mtime_ns
+            for f in _os.listdir(untouched)
+        }
+        assert mt_after == mt_before
+
+
+class TestCascadeErased:
+    def test_no_erased_entity_in_any_cascade_table(self, spark, sf_dir):
+        """After the cascade erase, no raw, union, or analytics row
+        references an erase-set entity — documents AND their embedding
+        twins."""
+        import os as _os
+
+        from go_nats_to_clickhouse_spark.plans.materialize import (
+            ERASE_MOD,
+            cascade_erased_tables,
+        )
+        from go_nats_to_clickhouse_spark.streaming.pipeline import (
+            ALL_STREAMS_TABLE,
+            ANALYTICS_TABLE,
+            RAW_TABLE_PREFIX,
+        )
+
+        t = cascade_erased_tables(spark, sf_dir)
+        wh = t["warehouse"]
+        rid = F.regexp_extract(F.col("chat_id"), r"([0-9]+)$", 1)
+        for table in (RAW_TABLE_PREFIX.rstrip("_"), ALL_STREAMS_TABLE):
+            df = spark.read.parquet(_os.path.join(wh, table))
+            assert (
+                df.filter(
+                    (rid != "")
+                    & (F.pmod(rid.cast("long"), F.lit(ERASE_MOD)) == 0)
+                ).count()
+                == 0
+            ), table
+            assert df.count() > 0, table
+        ana = spark.read.parquet(_os.path.join(wh, ANALYTICS_TABLE))
+        assert (
+            ana.filter(
+                F.pmod(F.col("message_id").cast("long"), F.lit(ERASE_MOD)) == 0
+            ).count()
+            == 0
+        )
+        # both payload kinds survived for non-erased entities
+        assert ana.filter(F.col("project_code") == "embeddings").count() > 0
+
+    def test_raw_union_analytics_agree_after_erase(self, spark, sf_dir):
+        """One logical erasure, three physical tables: the per-stream
+        raw table, the union table, and the analytics table must hold
+        the SAME surviving entity set."""
+        import os as _os
+
+        from go_nats_to_clickhouse_spark.plans.materialize import (
+            cascade_erased_tables,
+        )
+        from go_nats_to_clickhouse_spark.streaming.pipeline import (
+            ALL_STREAMS_TABLE,
+            ANALYTICS_TABLE,
+            RAW_TABLE_PREFIX,
+        )
+
+        t = cascade_erased_tables(spark, sf_dir)
+        wh = t["warehouse"]
+
+        def chat_ids(table):
+            return {
+                r.chat_id
+                for r in spark.read.parquet(_os.path.join(wh, table))
+                .select("chat_id")
+                .distinct()
+                .collect()
+            }
+
+        raw_ids = chat_ids(RAW_TABLE_PREFIX.rstrip("_"))
+        union_ids = chat_ids(ALL_STREAMS_TABLE)
+        ana = spark.read.parquet(_os.path.join(wh, ANALYTICS_TABLE))
+        ana_ids = {
+            ("doc-" if r.project_code != "embeddings" else "vec-")
+            + r.message_id
+            for r in ana.select("project_code", "message_id")
+            .distinct()
+            .collect()
+        }
+        assert raw_ids == union_ids == ana_ids
+        assert len(raw_ids) > 0
+
+    def test_health_row_records_the_erase(self, spark, sf_dir):
+        import os as _os
+
+        from go_nats_to_clickhouse_spark.plans.materialize import (
+            cascade_erased_tables,
+            ingested_index_tables,
+        )
+        from go_nats_to_clickhouse_spark.streaming.pipeline import (
+            ANALYTICS_TABLE,
+            HEALTH_TABLE,
+        )
+
+        t = cascade_erased_tables(spark, sf_dir)
+        g = ingested_index_tables(spark, sf_dir)
+        h = spark.read.parquet(_os.path.join(t["warehouse"], HEALTH_TABLE))
+        row = h.filter(F.col("family") == "erase_cascade").collect()
+        assert len(row) == 1
+        # conservation across all three tables: raw + union + analytics
+        # each lost the same entity rows; health records their sum
+        before = spark.read.parquet(
+            _os.path.join(g["warehouse"], ANALYTICS_TABLE)
+        ).count()
+        after = spark.read.parquet(
+            _os.path.join(t["warehouse"], ANALYTICS_TABLE)
+        ).count()
+        n_ana = before - after
+        assert n_ana > 0
+        assert row[0].rows_in == 3 * n_ana
