@@ -1824,3 +1824,138 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_events", "weighted_sum")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split — dedup clusters never straddle splits
+# ---------------------------------------------------------------------------
+
+
+def _leakage_split_oracle() -> str:
+    """Corpus CC chain (the provenance prefix), then component-root
+    split assignment: the entire near-dup cluster moves together, so
+    cross-split pair counts are zero by mechanism — which the oracle
+    proves independently by recomputing pairs AND assignment from
+    source."""
+    return f"""
+WITH RECURSIVE {_SH_CTE.strip().rstrip()},
+{_SIG_CTES},
+corp_ids AS (SELECT doc_id FROM documents WHERE source NOT IN {_NEW_SRC_SQL}),
+{_EXACT_SURV_CTES},
+assign AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS root
+  FROM corp_ids d LEFT JOIN ccomp c ON c.doc_id = d.doc_id
+),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN root % 10 < 8 THEN 'train'
+              WHEN root % 10 = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM assign
+),
+xsplit AS (
+  SELECT sa.split, COUNT(*) AS n_cross
+  FROM cpairs p
+  JOIN splits sa ON sa.doc_id = p.doc_a
+  JOIN splits sb ON sb.doc_id = p.doc_b
+  WHERE sa.split <> sb.split
+  GROUP BY sa.split
+)
+SELECT s.split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+       CAST(COALESCE(MAX(x.n_cross), 0) AS BIGINT) AS n_cross_pairs
+FROM splits s
+JOIN documents d ON d.doc_id = s.doc_id
+LEFT JOIN xsplit x ON x.split = s.split
+GROUP BY s.split ORDER BY s.split
+"""
+
+
+@query("pipeline_leakage_safe_split", _leakage_split_oracle())
+def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test splitting — the split step every
+    training pipeline runs after dedup, done the only correct way:
+    assignment by NEAR-DUP CLUSTER, never by document. A random per-doc
+    split leaks eval data whenever two near-duplicates land on opposite
+    sides (the contamination mode Lee 2022 'Deduplicating Training Data
+    Makes Language Models Better' measures); assigning every document
+    its component ROOT's split moves whole clusters together, making
+    cross-split near-dup pairs zero BY MECHANISM.
+
+    Engine path: the PERSISTED exact-verified pair graph
+    (``corpus_pairs`` gen 1 — the same artifact GDPR erasure replays)
+    feeds connected_components; each corpus doc takes
+    ``coalesce(component, doc_id)`` as its root and the root's
+    ``% 10`` bucket picks train(0-7)/val(8)/test(9) — a deterministic
+    integer hash both engines compute identically. The row reports per
+    split: docs, characters, and the independently-counted cross-split
+    pair total, which the oracle (recomputing pairs, components, AND
+    assignment from raw text via the recursive-CTE chain) pins at 0.
+
+    Scale shape: one broadcast-size component map joined to the corpus
+    (components are pair-graph-sized, not corpus-sized), one
+    edge-with-assignment join for the audit — O(pairs); no shuffle
+    carries text. The 80/10/10 expectation holds only in distribution
+    (roots hash, sizes vary) — exactly like production splits."""
+    t = pipeline_tables(spark, sf_dir)
+    from go_nats_to_clickhouse_spark.operators.graph import (
+        connected_components,
+    )
+    from go_nats_to_clickhouse_spark.plans.materialize import NEW_SOURCES
+    from go_nats_to_clickhouse_spark.queries.util import load_table
+
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .filter(~F.col("source").isin(*NEW_SOURCES))
+        .select("doc_id", "n_chars")
+    )
+    pairs = (
+        spark.read.parquet(t["corpus_pairs"])
+        .filter(F.col("within") & (F.col("gen") == 1))
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(pairs, shortcut=True).select(
+        F.col("node").alias("c_doc"), "component"
+    )
+    assign = (
+        corpus.join(comp, corpus["doc_id"] == F.col("c_doc"), "left")
+        .withColumn("root", F.coalesce(F.col("component"), F.col("doc_id")))
+        .withColumn(
+            "split",
+            F.when(F.pmod("root", F.lit(10)) < 8, "train")
+            .when(F.pmod("root", F.lit(10)) == 8, "val")
+            .otherwise("test"),
+        )
+        .select("doc_id", "n_chars", "split")
+    )
+    sa = assign.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = assign.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    cross = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy(F.col("split_a").alias("split"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cross"))
+    )
+    return (
+        assign.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .join(cross, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_chars",
+            F.coalesce(F.col("n_cross"), F.lit(0))
+            .cast("long")
+            .alias("n_cross_pairs"),
+        )
+        .orderBy("split")
+    )

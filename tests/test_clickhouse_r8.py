@@ -966,3 +966,35 @@ class TestCascadeErased:
         n_ana = before - after
         assert n_ana > 0
         assert row[0].rows_in == 3 * n_ana
+
+
+class TestLeakageSafeSplit:
+    def test_clusters_never_straddle_and_split_covers_corpus(
+        self, spark, sf_dir
+    ):
+        """Every near-dup pair lands inside one split (the leakage
+        guarantee), the three splits partition the whole corpus
+        generation, and assignment is deterministic across runs."""
+        from go_nats_to_clickhouse_spark.plans.materialize import NEW_SOURCES
+        from go_nats_to_clickhouse_spark.queries.util import load_table
+
+        out = QUERIES["pipeline_leakage_safe_split"](spark, sf_dir).collect()
+        rows = {r.split: (r.n_docs, r.n_chars, r.n_cross_pairs) for r in out}
+        assert set(rows) == {"train", "val", "test"}
+        assert all(v[2] == 0 for v in rows.values())
+        corpus_n = (
+            load_table(spark, sf_dir, "documents")
+            .filter(~F.col("source").isin(*NEW_SOURCES))
+            .count()
+        )
+        assert sum(v[0] for v in rows.values()) == corpus_n
+        # train dominates under the 80/10/10 root-hash buckets
+        assert rows["train"][0] > rows["val"][0]
+        assert rows["train"][0] > rows["test"][0]
+        again = {
+            r.split: (r.n_docs, r.n_chars, r.n_cross_pairs)
+            for r in QUERIES["pipeline_leakage_safe_split"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert again == rows
