@@ -691,3 +691,149 @@ def streaming_summing_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "streaming_collapsing_mv",
+    """
+SELECT user_id,
+       CAST(arg_max(CAST(round(value * 100) AS BIGINT), event_id) AS BIGINT)
+         AS value_cents,
+       CAST(1 AS BIGINT) AS live
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+)
+def streaming_collapsing_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MV -> CollapsingMergeTree pattern END-TO-END under real
+    micro-batch execution — the MUTABLE-STATE sibling of
+    streaming_summing_mv (additive targets tolerate blind appends;
+    collapsing targets make the WRITER responsible for retracting the
+    previous state, the engine-documented contract): every micro-batch
+    of user-state updates appends, as one part-file set, (+1) state
+    rows for its updates and (-1) cancels for every NON-WINNING
+    candidate, where the candidates are the batch's updates PLUS each
+    affected user's prior live state — read back from the target the
+    way a ClickHouse insert pipeline consults the current state, via
+    the sign-sum identity (per user: SUM(sign)=1, live value =
+    SUM(value*sign), live version = SUM(version*sign) — pure
+    arithmetic, no FINAL needed) — and the winner is the HIGHEST
+    VERSION: the VersionedCollapsingMergeTree resolution, which exists
+    precisely because arrival order is not a truth (micro-batches
+    deliver a user's updates in arbitrary order across triggers; a
+    non-winning batch update nets to zero against its own +1, a
+    superseded prior nets out of the table). The prior-state frame is
+    localCheckpoint'd before the append (the uncacheByPath lesson: a
+    plan reading the path it is about to append to must be snapped
+    first). The read then runs the mandated SUM(col*sign) / HAVING
+    SUM(sign) > 0 discipline; green against the latest-event oracle
+    (shared with table_collapsing_read — batch build and streamed
+    maintenance pin the same truth) proves no state was lost or
+    double-retracted across triggers.
+
+    Sign rows are NOT duplicate-tolerant (a replayed epoch would
+    re-cancel an already-cancelled state), so like the summing row this
+    uses the exactly-once single-copy 4-file fixture; the production
+    posture is the cascade's idempotency-key dedup. Scale shape: each
+    trigger's prior-state read is pruned to the batch's users
+    (broadcast semi-join against a batch-sized key set) and every
+    aggregate is map-side combinable; the parts table grows
+    O(2 x updates) until collapsing_compact (table_collapsing_read's
+    merge) nets it to live-state size."""
+    data_dir = _split_events_fixture(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="gntcs-stream-run-")
+    schema = spark.read.parquet(data_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    parts = os.path.join(tmp, "collapsing_parts")
+
+    def _append(batch: DataFrame, _bid: int) -> None:
+        b = batch.select(
+            "user_id",
+            F.col("event_id").alias("version"),
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        ).persist()
+        try:
+            # candidates for the next live state: this batch's updates
+            # plus each affected user's current live state (read back
+            # from the target via the sign-sum identity)
+            cand = b.withColumn("is_prior", F.lit(False))
+            if os.path.exists(parts):
+                users = b.select("user_id").distinct()
+                prior = (
+                    spark.read.parquet(parts)
+                    .join(F.broadcast(users), "user_id")
+                    .groupBy("user_id")
+                    .agg(
+                        F.sum("sign").alias("live"),
+                        F.sum(F.col("version") * F.col("sign"))
+                        .cast("long")
+                        .alias("version"),
+                        F.sum(F.col("value_cents") * F.col("sign"))
+                        .cast("long")
+                        .alias("value_cents"),
+                    )
+                    .filter(F.col("live") > 0)
+                    .select(
+                        "user_id",
+                        "version",
+                        "value_cents",
+                        F.lit(True).alias("is_prior"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                cand = cand.unionByName(prior)
+            # highest version wins (arrival order is not a truth); every
+            # non-winning candidate gets a cancel — a non-winning batch
+            # update nets to zero against its own +1, a superseded prior
+            # state nets out of the table
+            wmax = cand.groupBy("user_id").agg(F.max("version").alias("wv"))
+            cancels = (
+                cand.join(wmax, "user_id")
+                .filter(F.col("version") != F.col("wv"))
+                .select(
+                    "user_id",
+                    "version",
+                    "value_cents",
+                    F.lit(-1).cast("int").alias("sign"),
+                )
+            )
+            rows = b.withColumn("sign", F.lit(1).cast("int")).unionByName(
+                cancels
+            )
+            rows.write.mode("append").parquet(parts)
+        finally:
+            b.unpersist()
+
+    saved_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_append)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", saved_nodata
+        )
+    return (
+        spark.read.parquet(parts)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value_cents") * F.col("sign"))
+            .cast("long")
+            .alias("value_cents"),
+            F.sum("sign").cast("long").alias("live"),
+        )
+        .filter(F.col("live") > 0)
+        .orderBy("user_id")
+    )

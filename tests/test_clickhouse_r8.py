@@ -998,3 +998,24 @@ class TestLeakageSafeSplit:
             ).collect()
         }
         assert again == rows
+
+
+class TestStreamingCollapsingMv:
+    def test_streamed_equals_batch_built_collapsing(self, spark, sf_dir):
+        """Twin pin (the weighted-median-twins discipline): the state
+        maintained INCREMENTALLY by the streaming MV writer — version-
+        resolved cancels across real micro-batches in arbitrary arrival
+        order — equals the batch-built events_collapsing table row for
+        row. Same truth, two maintenance paths, one shared oracle."""
+        streamed = {
+            (r.user_id, r.value_cents, r.live)
+            for r in QUERIES["streaming_collapsing_mv"](
+                spark, sf_dir
+            ).collect()
+        }
+        batch = {
+            (r.user_id, r.value_cents, r.live)
+            for r in QUERIES["table_collapsing_read"](spark, sf_dir).collect()
+        }
+        assert streamed == batch
+        assert len(streamed) > 0
