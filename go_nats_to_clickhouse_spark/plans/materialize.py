@@ -840,6 +840,7 @@ TMAINT_TABLES = (
     "events_shard_early",
     "events_shard_late",
     "events_dupes",
+    "events_addcol",
 )
 
 
@@ -909,6 +910,15 @@ def tmaint_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
       (plans/layout.merge_engine); the late shard carries an extra
       ``region`` column the early shard predates, exercising the Merge
       engine's union-of-structures schema handling.
+    * ``events_addcol`` — ``ALTER TABLE ... ADD COLUMN value_bucket
+      DEFAULT floor(value_cents / 1000)``: the first half of the days
+      predates the column (files do not store it), the second half was
+      inserted after the ALTER and stores it physically —
+      plans/layout.read_with_default serves the instant-visibility read
+      (compute-at-read for old parts), plans/layout.materialize_column
+      is the part-rewrite that makes it physical (exercised in tests,
+      deliberately NOT applied here so the driver row pins the
+      read-time-default path).
     * ``events_dupes`` — OPTIMIZE ... FINAL DEDUPLICATE: a plain
       MergeTree that received whole-insert double deliveries (every 5th
       event appended twice, byte-identical), then
@@ -1174,6 +1184,22 @@ def tmaint_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
             .parquet(dup)
         )
         optimize_deduplicate(spark, dup, sort_keys=("event_id",))
+        # ADD COLUMN DEFAULT: old days predate the column, new days
+        # store it — the split the read/materialize pair resolves
+        ac = os.path.join(tmp, "events_addcol")
+        bucket = F.floor(F.col("value_cents") / F.lit(1000)).cast("long")
+        (
+            with_day.filter(F.col("ym") <= 20240115)
+            .write.partitionBy("ym")
+            .parquet(ac)
+        )
+        (
+            with_day.filter(F.col("ym") > 20240115)
+            .withColumn("value_bucket", bucket)
+            .write.mode("append")
+            .partitionBy("ym")
+            .parquet(ac)
+        )
 
     return _published(f"tmaint-{sf_name}-", tag, TMAINT_TABLES, build)
 

@@ -1224,3 +1224,56 @@ def pipeline_cascade_erased(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# ADD COLUMN DEFAULT / MATERIALIZE COLUMN
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_materialized_column",
+    """
+SELECT CAST(CAST(round(value * 100) AS BIGINT) // 1000 AS BIGINT)
+         AS value_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY value_bucket ORDER BY value_bucket
+""",
+)
+def table_materialized_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ALTER TABLE ... ADD COLUMN value_bucket Int64 DEFAULT
+    floor(value_cents / 1000)`` — ClickHouse's instant schema evolution:
+    the new column is queryable IMMEDIATELY on a 100 TB table because
+    old parts compute the DEFAULT expression at read time while only
+    parts written after the ALTER store it physically (and
+    ``MATERIALIZE COLUMN`` later rewrites old parts to close the gap).
+    ``events_addcol`` is split exactly that way — the first half of its
+    day partitions predates the column, the second half stores it — and
+    this row reads it through plans/layout.read_with_default (a
+    schema-merging scan + coalesce(stored, default), whole-stage
+    codegen, zero rewrite): the bucket histogram must be IDENTICAL to
+    computing the expression over raw events, proving the stored and
+    computed halves agree seamlessly. The materialization half —
+    part-rewrite confined to column-less partitions, already-physical
+    partitions byte-untouched, plain read == default read afterwards —
+    is pinned in tests. Buckets are integer floor division, identical
+    in both engines for non-negative cents."""
+    from go_nats_to_clickhouse_spark.plans.layout import read_with_default
+    from go_nats_to_clickhouse_spark.plans.materialize import tmaint_tables
+
+    t = tmaint_tables(spark, sf_dir)
+    df = read_with_default(
+        spark,
+        t["events_addcol"],
+        "value_bucket",
+        F.floor(F.col("value_cents") / F.lit(1000)).cast("long"),
+    )
+    return (
+        df.groupBy(F.col("value_bucket").cast("long").alias("value_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value_cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("value_bucket")
+    )

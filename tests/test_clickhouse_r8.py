@@ -1019,3 +1019,60 @@ class TestStreamingCollapsingMv:
         }
         assert streamed == batch
         assert len(streamed) > 0
+
+
+class TestMaterializeColumn:
+    def test_default_read_then_materialize(self, spark, tmp_path):
+        """ADD COLUMN DEFAULT lifecycle: old partitions compute at read,
+        new partitions store; MATERIALIZE rewrites ONLY the column-less
+        partitions (stored ones byte-identical) and afterwards a plain
+        read equals the default read."""
+        import os as _os
+
+        from go_nats_to_clickhouse_spark.plans.layout import (
+            materialize_column,
+            read_with_default,
+        )
+
+        path = str(tmp_path / "ac")
+        old = spark.createDataFrame(
+            [(i, 1, i * 100) for i in range(10)], "id long, ym int, v long"
+        )
+        old.write.partitionBy("ym").parquet(path)
+        new = spark.createDataFrame(
+            [(i, 2, i * 100, i) for i in range(10, 20)],
+            "id long, ym int, v long, bucket long",
+        )
+        new.write.mode("append").partitionBy("ym").parquet(path)
+        default = F.floor(F.col("v") / F.lit(100)).cast("long")
+        viewed = read_with_default(spark, path, "bucket", default)
+        got = {r.id: r.bucket for r in viewed.collect()}
+        assert got == {i: i for i in range(20)}
+        stored_dir = _os.path.join(path, "ym=2")
+        mt_before = {
+            f: _os.stat(_os.path.join(stored_dir, f)).st_mtime_ns
+            for f in _os.listdir(stored_dir)
+        }
+        stats = materialize_column(
+            spark, path, "bucket", default, sort_keys=("id",)
+        )
+        assert stats == {"partitions_materialized": 1, "rows_written": 10}
+        mt_after = {
+            f: _os.stat(_os.path.join(stored_dir, f)).st_mtime_ns
+            for f in _os.listdir(stored_dir)
+        }
+        assert mt_after == mt_before
+        plain = {r.id: r.bucket for r in spark.read.parquet(path).collect()}
+        assert plain == got
+
+    def test_column_absent_everywhere_is_synthesized(self, spark, tmp_path):
+        from go_nats_to_clickhouse_spark.plans.layout import read_with_default
+
+        path = str(tmp_path / "ac2")
+        spark.createDataFrame(
+            [(1, 1, 500)], "id long, ym int, v long"
+        ).write.partitionBy("ym").parquet(path)
+        out = read_with_default(
+            spark, path, "bucket", F.floor(F.col("v") / F.lit(100))
+        ).collect()
+        assert out[0].bucket == 5
