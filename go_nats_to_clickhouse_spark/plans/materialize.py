@@ -1423,6 +1423,107 @@ def cascade_erased_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     return _published(f"cer-{sf_name}-", tag, CER_TABLES, build)
 
 
+CEL_TABLES = ("warehouse",)
+
+
+def cascade_erased_live_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Cascade GDPR erase UNDER STREAMING — the reference-shaped twin of
+    :func:`erased_live_tables`: the ``ALTER TABLE ... DELETE`` pass over
+    the raw/union/analytics tables executed BETWEEN micro-batches of a
+    RUNNING ``start_pipeline`` service (the reference's own ingest loop,
+    main.go:154 + init.sql's MV cascade), with post-erase envelopes
+    appending against the scrubbed tables. This closes the erase x live
+    matrix row for the CASCADE sink family the way erl-/erlv- closed it
+    for the doc index and the ANN index.
+
+    Build: phase-A document envelopes (all erase-set docs inside, plus
+    every even id) stream through the cascade and commit; with the query
+    idle between triggers, plans/layout.erase_where runs the
+    leaf-pruned rename-aside rewrite on all three tables (safe against
+    the live writer for the same reason as every live erase here: sinks
+    are append-only part files, the swap never replaces a directory
+    being written); phase-B envelopes then arrive through the SAME
+    checkpointed query and land on the repaired tables; the run drains.
+    The driver row pipeline_cascade_erased_live reads the final
+    analytics table against the same never-ingested oracle as the
+    stop-then-erase cell (pipeline_cascade_erased); tests pin zero
+    erased entities in any table, phase-B presence, and the
+    service_health maintenance row."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"cel-{sf_name}-m{ERASE_MOD}-{_ing_fingerprint(sf_dir)}"
+
+    def build(tmp: str) -> None:
+        from go_nats_to_clickhouse_spark.config import EngineConfig
+        from go_nats_to_clickhouse_spark.plans.layout import erase_where
+        from go_nats_to_clickhouse_spark.schemas import load_table
+        from go_nats_to_clickhouse_spark.sources.envelope import (
+            document_envelopes,
+            message_file_stream,
+        )
+        from go_nats_to_clickhouse_spark.streaming.pipeline import (
+            ALL_STREAMS_TABLE,
+            ANALYTICS_TABLE,
+            RAW_TABLE_PREFIX,
+            record_health,
+            start_pipeline,
+        )
+
+        batch = load_table(spark, sf_dir, "documents").filter(
+            F.col("source").isin(*NEW_SOURCES)
+        )
+        erase_cond = F.pmod(F.col("doc_id"), F.lit(ERASE_MOD)) == 0
+        phase_a = batch.filter(
+            erase_cond | (F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+        )
+        phase_b = batch.filter(
+            (~erase_cond) & (F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+        )
+        arrivals = os.path.join(tmp, "_arrivals")
+        document_envelopes(phase_a).repartition(2).write.text(arrivals)
+        warehouse = os.path.join(tmp, "warehouse")
+        cfg = EngineConfig(
+            warehouse_dir=warehouse,
+            checkpoint_dir=os.path.join(tmp, "_ckpt"),
+        )
+        src = message_file_stream(spark, arrivals, max_files_per_trigger=1)
+        q = start_pipeline(
+            spark, cfg, src, query_name="cel-ingest", trigger_seconds=0
+        )
+        try:
+            q.processAllAvailable()  # phase A committed; stream LIVE
+            rid = F.regexp_extract(F.col("chat_id"), r"([0-9]+)$", 1)
+            raw_where = (rid != "") & (
+                F.pmod(rid.cast("long"), F.lit(ERASE_MOD)) == 0
+            )
+            ana_where = (
+                F.pmod(F.col("message_id").cast("long"), F.lit(ERASE_MOD))
+                == 0
+            )
+            n = 0
+            for table, where in (
+                (RAW_TABLE_PREFIX.rstrip("_"), raw_where),
+                (ALL_STREAMS_TABLE, raw_where),
+                (ANALYTICS_TABLE, ana_where),
+            ):
+                n += erase_where(
+                    spark,
+                    os.path.join(warehouse, table),
+                    where,
+                    sort_keys=("timestamp",),
+                )["rows_erased"]
+            record_health(spark, warehouse, -1, "erase_cascade", n, n)
+            # phase B arrives through the SAME checkpointed query
+            document_envelopes(phase_b).repartition(2).write.mode(
+                "append"
+            ).text(arrivals)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+
+    return _published(f"cel-{sf_name}-", tag, CEL_TABLES, build)
+
+
 ERLV_TABLES = (
     "ann_centroids",
     "ann_corpus",

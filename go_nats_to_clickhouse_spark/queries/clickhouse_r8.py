@@ -1277,3 +1277,55 @@ def table_materialized_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("value_bucket")
     )
+
+
+@query("pipeline_cascade_erased_live", _cascade_erased_oracle())
+def pipeline_cascade_erased_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The cascade GDPR scrub executed WHILE the reference-shaped ingest
+    service is LIVE (plans/materialize.cascade_erased_live_tables): the
+    ``ALTER TABLE ... DELETE`` pass over raw/union/analytics ran between
+    micro-batches of a running ``start_pipeline`` query, and post-erase
+    envelopes appended against the scrubbed tables — ClickHouse's
+    mutations-concurrent-with-inserts MergeTree semantics (init.sql:17)
+    reproduced over the exact table set the reference's own loop
+    maintains. Same never-ingested oracle as the stop-then-erase cell
+    (pipeline_cascade_erased): green on BOTH proves the cascade scrub is
+    insensitive to whether the service was stopped — the erase x live
+    matrix now covers every sink family (doc index erl-, ANN erlv-,
+    cascade cel-). Reads one narrow projection of the final analytics
+    table; erased-entity absence across all three tables, phase-B
+    arrival, and the service_health maintenance row are pinned in
+    tests."""
+    import os as _os
+
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        ERASE_MOD,
+        NEW_SOURCES,
+        cascade_erased_live_tables,
+    )
+    from go_nats_to_clickhouse_spark.streaming.pipeline import ANALYTICS_TABLE
+
+    t = cascade_erased_live_tables(spark, sf_dir)
+    ana = spark.read.parquet(_os.path.join(t["warehouse"], ANALYTICS_TABLE))
+    return (
+        ana.filter(F.col("project_code").isin(*NEW_SOURCES))
+        .groupBy(F.col("project_code").alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_msgs"),
+            F.sum(F.length("message_text")).cast("long").alias(
+                "n_chars_stored"
+            ),
+            F.sum(
+                F.when(
+                    F.pmod(F.col("message_id").cast("long"), F.lit(ERASE_MOD))
+                    == 0,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("erased_present"),
+        )
+        .orderBy("source")
+    )

@@ -1076,3 +1076,66 @@ class TestMaterializeColumn:
             spark, path, "bucket", F.floor(F.col("v") / F.lit(100))
         ).collect()
         assert out[0].bucket == 5
+
+
+class TestCascadeErasedLive:
+    def test_no_erased_entity_and_phase_b_arrived(self, spark, sf_dir):
+        """Live variant: zero erase-set entities in any cascade table,
+        AND the post-erase phase-B docs (odd non-erase ids) are present
+        — the appends landed on the scrubbed tables."""
+        import os as _os
+
+        from go_nats_to_clickhouse_spark.plans.materialize import (
+            ERASE_MOD,
+            cascade_erased_live_tables,
+        )
+        from go_nats_to_clickhouse_spark.streaming.pipeline import (
+            ALL_STREAMS_TABLE,
+            ANALYTICS_TABLE,
+            HEALTH_TABLE,
+            RAW_TABLE_PREFIX,
+        )
+
+        t = cascade_erased_live_tables(spark, sf_dir)
+        wh = t["warehouse"]
+        rid = F.regexp_extract(F.col("chat_id"), r"([0-9]+)$", 1)
+        for table in (RAW_TABLE_PREFIX.rstrip("_"), ALL_STREAMS_TABLE):
+            df = spark.read.parquet(_os.path.join(wh, table))
+            assert (
+                df.filter(
+                    (rid != "")
+                    & (F.pmod(rid.cast("long"), F.lit(ERASE_MOD)) == 0)
+                ).count()
+                == 0
+            ), table
+        ana = spark.read.parquet(_os.path.join(wh, ANALYTICS_TABLE))
+        mid = F.col("message_id").cast("long")
+        assert ana.filter(F.pmod(mid, F.lit(ERASE_MOD)) == 0).count() == 0
+        assert (
+            ana.filter(
+                (F.pmod(mid, F.lit(2)) == 1)
+                & (F.pmod(mid, F.lit(ERASE_MOD)) != 0)
+            ).count()
+            > 0
+        )
+        h = spark.read.parquet(_os.path.join(wh, HEALTH_TABLE))
+        assert h.filter(F.col("family") == "erase_cascade").count() == 1
+
+    def test_live_equals_stop_then_erase_truth(self, spark, sf_dir):
+        """Both cascade-erase flavors serve the same never-ingested
+        answer: the live row equals the stop-then-erase row per source
+        (the whole point of mutations-concurrent-with-inserts)."""
+        live = {
+            (r.source, r.n_msgs, r.n_chars_stored, r.erased_present)
+            for r in QUERIES["pipeline_cascade_erased_live"](
+                spark, sf_dir
+            ).collect()
+        }
+        stopped = {
+            (r.source, r.n_msgs, r.n_chars_stored, r.erased_present)
+            for r in QUERIES["pipeline_cascade_erased"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert live == stopped
+        assert len(live) > 0
