@@ -855,3 +855,59 @@ def materialize_column(
         done += 1
         rows_written += n
     return {"partitions_materialized": done, "rows_written": rows_written}
+
+
+def parts_report(
+    spark: SparkSession,
+    path: str,
+    stat_col: str,
+    partition_col: str = PARTITION_COL,
+) -> DataFrame:
+    """``system.parts`` — ClickHouse's table-introspection surface (per
+    part: partition, rows, and the sparse-index min/max that drives
+    granule skipping), served here from PARQUET FOOTERS ONLY: no data
+    page is read. Per partition directory, every file's footer
+    contributes its row count and its row-group min/max statistics for
+    ``stat_col``; the report aggregates to one row per partition. This
+    is the same metadata the scan planner uses for data skipping, so a
+    report row pinning footer-min/max == true data min/max (the driver
+    row's oracle recomputes them from the data) is direct evidence the
+    layout's statistics are trustworthy — the foundation under every
+    ORDER-BY-skipping claim in this module.
+
+    Cost shape is the point: O(files) footer reads, driver-side, zero
+    row IO — on a 100 TB table this is a metastore query (ClickHouse
+    serves system.parts from part metadata the same way; a production
+    deployment would serve it from Delta/Iceberg manifests). Returns
+    (part, n_files, n_rows, min_<stat_col>, max_<stat_col>)."""
+    import pyarrow.parquet as pq
+
+    rows = []
+    for d in sorted(os.listdir(path)):
+        if not d.startswith(f"{partition_col}="):
+            continue
+        part = int(d.split("=", 1)[1])
+        part_dir = os.path.join(path, d)
+        n_files = n_rows = 0
+        mn = mx = None
+        for f in sorted(os.listdir(part_dir)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(part_dir, f)).metadata
+            n_files += 1
+            n_rows += md.num_rows
+            idx = {
+                md.schema.column(i).name: i for i in range(len(md.schema))
+            }[stat_col]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+        rows.append((part, n_files, n_rows, mn, mx))
+    return spark.createDataFrame(
+        rows,
+        f"part long, n_files long, n_rows long, "
+        f"min_{stat_col} long, max_{stat_col} long",
+    )

@@ -1329,3 +1329,45 @@ def pipeline_cascade_erased_live(
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# system.parts — introspection from parquet footers only
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_parts_report",
+    """
+SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS part,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id
+FROM events GROUP BY part ORDER BY part
+""",
+)
+def table_parts_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``system.parts`` (ClickHouse's part-introspection table — the ops
+    surface every MergeTree deployment watches, and the reference's
+    operators would query on day one): per partition of the
+    day-partitioned ``events_mutated`` table, row counts and the
+    min/max statistics of the primary-key column — computed from
+    PARQUET FOOTERS ONLY (plans/layout.parts_report; zero data pages
+    read, O(files) metadata probes — on 100 TB this is a metastore
+    query, exactly what system.parts is). The oracle recomputes
+    count/min/max FROM THE DATA, so green is a direct proof that the
+    footer statistics the scan planner skips granules by are exactly
+    true — the foundation under every ORDER-BY data-skipping claim in
+    the layout module — and that the mutation machinery this table went
+    through (an ALTER UPDATE part-rewrite) preserved honest statistics.
+    File counts ride in the report for ops but stay out of the driver
+    row (write-parallelism-dependent, not data-derivable)."""
+    from go_nats_to_clickhouse_spark.plans.layout import parts_report
+    from go_nats_to_clickhouse_spark.plans.materialize import tmaint_tables
+
+    t = tmaint_tables(spark, sf_dir)
+    return (
+        parts_report(spark, t["events_mutated"], "event_id")
+        .select("part", "n_rows", "min_event_id", "max_event_id")
+        .orderBy("part")
+    )

@@ -1139,3 +1139,35 @@ class TestCascadeErasedLive:
         }
         assert live == stopped
         assert len(live) > 0
+
+
+class TestPartsReport:
+    def test_footer_stats_match_data(self, spark, tmp_path):
+        """parts_report reads ONLY footers; its counts and min/max must
+        equal the data — including after an append creates a second
+        part file in one partition (n_files visible, stats merged)."""
+        import os as _os
+
+        from go_nats_to_clickhouse_spark.plans.layout import parts_report
+
+        path = str(tmp_path / "pr")
+        spark.createDataFrame(
+            [(i, i % 2 + 1) for i in range(20)], "id long, ym int"
+        ).coalesce(1).write.partitionBy("ym").parquet(path)
+        spark.createDataFrame(
+            [(100, 1)], "id long, ym int"
+        ).coalesce(1).write.mode("append").partitionBy("ym").parquet(path)
+        rep = {
+            r.part: (r.n_files, r.n_rows, r.min_id, r.max_id)
+            for r in parts_report(spark, path, "id").collect()
+        }
+        assert rep[1] == (2, 11, 0, 100)
+        assert rep[2] == (1, 10, 1, 19)
+        # and the report never opened a data page: nothing to assert
+        # directly, but the whole structure is derived via pyarrow
+        # metadata objects only (see implementation)
+        assert set(rep) == {
+            int(d.split("=")[1])
+            for d in _os.listdir(path)
+            if d.startswith("ym=")
+        }
