@@ -69,6 +69,7 @@ _PRIORITY = [
     "table_materialized_column",  # ADD COLUMN DEFAULT read + MATERIALIZE (new r8)
     "pipeline_cascade_erased_live",  # cascade scrub between live micro-batches (new r8)
     "table_parts_report",  # system.parts from parquet footers only (new r8)
+    "pipeline_leakage_safe_split_erased",  # split x erase composition (new r8)
     "mv_analytics_projection",  # flagship, pinned inside the window
     # --- oldest-green rotation (VERDICT r8 #5): the 30 round-2 rows the
     # r7 window displaced (now the oldest greens, last sampled r2) ---
@@ -83,7 +84,7 @@ _PRIORITY = [
     "q13_customer_distribution",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
-    "q20_potential_part_promotion",
+    # q20_potential_part_promotion,
     # q21_waiting_suppliers,
     # q4_late_shipments,
     # q7_volume_shipping,

@@ -1959,3 +1959,103 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+def _leakage_split_erased_oracle() -> str:
+    """The split oracle recomputed over a world in which the erased docs
+    never existed — the same never-ingested wrap every erased consumer
+    uses (see _kept_cte_erased)."""
+    return _leakage_split_oracle().replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents WHERE doc_id % {ERASE_MOD} <> 0)",
+    )
+
+
+@query("pipeline_leakage_safe_split_erased", _leakage_split_erased_oracle())
+def pipeline_leakage_safe_split_erased(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The leakage-safe split COMPOSED WITH GDPR ERASURE — the reason
+    the split must be computed from the live pair graph, not cached:
+    erasing a document can SPLIT its near-dup component (the erased doc
+    was the bridge), and each fragment then takes its own new root's
+    bucket — documents legitimately move between train/val/test when
+    their cluster changes, and the only correct invariant is the one
+    this row pins: zero cross-split near-dup pairs ON THE CURRENT
+    (repaired) graph. Engine path: the erased family's corpus_pairs
+    (post-surgery — every edge touching an erased doc dropped, the same
+    artifact the manifest consumers read) through the identical
+    component/assignment chain as pipeline_leakage_safe_split; the
+    oracle recomputes pairs, components, and assignment from a world
+    where the erased docs never existed. Green on BOTH split rows
+    proves the splitter is a plain consumer of the lifecycle like the
+    manifest: erase the index, and the split follows with no special
+    cases."""
+    from go_nats_to_clickhouse_spark.operators.graph import (
+        connected_components,
+    )
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        ERASE_MOD,
+        NEW_SOURCES,
+        erased_tables,
+    )
+    from go_nats_to_clickhouse_spark.queries.util import load_table
+
+    t = erased_tables(spark, sf_dir)
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            ~F.col("source").isin(*NEW_SOURCES)
+            & (F.pmod(F.col("doc_id"), F.lit(ERASE_MOD)) != 0)
+        )
+        .select("doc_id", "n_chars")
+    )
+    pairs = (
+        spark.read.parquet(t["corpus_pairs"])
+        .filter(F.col("within") & (F.col("gen") == 1))
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(pairs, shortcut=True).select(
+        F.col("node").alias("c_doc"), "component"
+    )
+    assign = (
+        corpus.join(comp, corpus["doc_id"] == F.col("c_doc"), "left")
+        .withColumn("root", F.coalesce(F.col("component"), F.col("doc_id")))
+        .withColumn(
+            "split",
+            F.when(F.pmod("root", F.lit(10)) < 8, "train")
+            .when(F.pmod("root", F.lit(10)) == 8, "val")
+            .otherwise("test"),
+        )
+        .select("doc_id", "n_chars", "split")
+    )
+    sa = assign.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = assign.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    cross = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy(F.col("split_a").alias("split"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cross"))
+    )
+    return (
+        assign.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .join(cross, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_chars",
+            F.coalesce(F.col("n_cross"), F.lit(0))
+            .cast("long")
+            .alias("n_cross_pairs"),
+        )
+        .orderBy("split")
+    )

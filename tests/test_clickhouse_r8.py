@@ -1171,3 +1171,31 @@ class TestPartsReport:
             for d in _os.listdir(path)
             if d.startswith("ym=")
         }
+
+
+class TestLeakageSplitErased:
+    def test_erased_docs_absent_and_invariant_holds(self, spark, sf_dir):
+        """Split x erase composition: erased docs appear in no split,
+        totals cover exactly the surviving corpus, zero cross-split
+        pairs on the repaired graph."""
+        from go_nats_to_clickhouse_spark.plans.materialize import (
+            ERASE_MOD,
+            NEW_SOURCES,
+        )
+        from go_nats_to_clickhouse_spark.queries.util import load_table
+
+        out = QUERIES["pipeline_leakage_safe_split_erased"](
+            spark, sf_dir
+        ).collect()
+        rows = {r.split: (r.n_docs, r.n_cross_pairs) for r in out}
+        assert set(rows) == {"train", "val", "test"}
+        assert all(v[1] == 0 for v in rows.values())
+        surviving = (
+            load_table(spark, sf_dir, "documents")
+            .filter(
+                ~F.col("source").isin(*NEW_SOURCES)
+                & (F.pmod(F.col("doc_id"), F.lit(ERASE_MOD)) != 0)
+            )
+            .count()
+        )
+        assert sum(v[0] for v in rows.values()) == surviving
