@@ -70,6 +70,7 @@ _PRIORITY = [
     "pipeline_cascade_erased_live",  # cascade scrub between live micro-batches (new r8)
     "table_parts_report",  # system.parts from parquet footers only (new r8)
     "pipeline_leakage_safe_split_erased",  # split x erase composition (new r8)
+    "pipeline_leakage_safe_split_day3",  # split x promotion, full multi-gen graph (new r8)
     "mv_analytics_projection",  # flagship, pinned inside the window
     # --- oldest-green rotation (VERDICT r8 #5): the 30 round-2 rows the
     # r7 window displaced (now the oldest greens, last sampled r2) ---
@@ -83,7 +84,7 @@ _PRIORITY = [
     "q11_important_stock",
     "q13_customer_distribution",
     "q15_top_supplier",
-    "q17_small_quantity_revenue",
+    # q17_small_quantity_revenue,
     # q20_potential_part_promotion,
     # q21_waiting_suppliers,
     # q4_late_shipments,

@@ -2059,3 +2059,176 @@ def pipeline_leakage_safe_split_erased(
         )
         .orderBy("split")
     )
+
+
+def _leakage_split_day3_oracle() -> str:
+    """Split assignment over the PROMOTED two-generation corpus: gen-1
+    exact-verified edges among the day-1 corpus plus the folded batch's
+    est-verified cross (vs ALL corpus docs) and within (among ALL batch
+    docs) edges — exactly the edge set promote_batch persists — closed
+    transitively, component-min roots, %10 buckets."""
+    return f"""
+WITH RECURSIVE {_SH_CTE.strip().rstrip()},
+{_SIG_CTES},
+new_ids AS (SELECT doc_id FROM documents WHERE source IN {_NEW_SRC_SQL}),
+corp_ids AS (SELECT doc_id FROM documents
+             WHERE source NOT IN {_NEW_SRC_SQL}
+               AND source NOT IN {_DAY3_SRC_SQL}),
+{_EXACT_SURV_CTES},
+c2x AS MATERIALIZED (
+  SELECT DISTINCT x.corpus_id AS doc_a, x.new_id AS doc_b FROM (
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+    FROM bands n
+    JOIN bands c ON c.band = n.band AND c.bucket = n.bucket
+    WHERE n.doc_id IN (SELECT doc_id FROM new_ids)
+      AND c.doc_id IN (SELECT doc_id FROM corp_ids)
+  ) x
+  JOIN sig sa ON sa.doc_id = x.new_id
+  JOIN sig sb ON sb.doc_id = x.corpus_id
+  WHERE {_EST_MATCH_SQL}
+),
+c2w AS MATERIALIZED (
+  SELECT w.doc_a, w.doc_b FROM (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id
+    WHERE a.doc_id IN (SELECT doc_id FROM new_ids)
+      AND b.doc_id IN (SELECT doc_id FROM new_ids)
+  ) w
+  JOIN sig sa ON sa.doc_id = w.doc_a
+  JOIN sig sb ON sb.doc_id = w.doc_b
+  WHERE {_EST_MATCH_SQL}
+),
+allpairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM cpairs
+  UNION SELECT doc_a, doc_b FROM c2x
+  UNION SELECT doc_a, doc_b FROM c2w
+),
+gedges AS (
+  SELECT doc_a AS u, doc_b AS v FROM allpairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM allpairs
+),
+gnodes AS (SELECT DISTINCT u AS node FROM gedges),
+greach(node, r) AS (
+  SELECT node, node FROM gnodes
+  UNION
+  SELECT e.u, greach.r FROM gedges e JOIN greach ON greach.node = e.v
+),
+gcomp AS (SELECT node AS doc_id, MIN(r) AS component FROM greach GROUP BY node),
+gdomain AS (
+  SELECT doc_id FROM corp_ids UNION ALL SELECT doc_id FROM new_ids
+),
+assign AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS root
+  FROM gdomain d LEFT JOIN gcomp c ON c.doc_id = d.doc_id
+),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN root % 10 < 8 THEN 'train'
+              WHEN root % 10 = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM assign
+),
+xsplit AS (
+  SELECT sa.split, COUNT(*) AS n_cross
+  FROM allpairs p
+  JOIN splits sa ON sa.doc_id = p.doc_a
+  JOIN splits sb ON sb.doc_id = p.doc_b
+  WHERE sa.split <> sb.split
+  GROUP BY sa.split
+)
+SELECT s.split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+       CAST(COALESCE(MAX(x.n_cross), 0) AS BIGINT) AS n_cross_pairs
+FROM splits s
+JOIN documents d ON d.doc_id = s.doc_id
+LEFT JOIN xsplit x ON x.split = s.split
+GROUP BY s.split ORDER BY s.split
+"""
+
+
+@query("pipeline_leakage_safe_split_day3", _leakage_split_day3_oracle())
+def pipeline_leakage_safe_split_day3(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The leakage-safe split over the PROMOTED two-generation corpus —
+    split x promotion, the third cell of the split family (base /
+    erased / promoted, mirroring the manifest family): after
+    promote_batch folds day-2 into the corpus, the pair graph carries
+    gen-1 exact edges PLUS the fold's est-verified cross and within
+    edges, and a batch doc whose near-dup lives in the day-1 corpus
+    must land in ITS cluster's split — a split computed per-generation
+    would put them on opposite sides and leak. Engine: the gen-3
+    family's corpus_pairs read WHOLE (every generation, cross and
+    within — the same artifact the erase replay trusts) through the
+    identical component/assignment chain; domain = the promoted corpus
+    (day-1 docs + all folded day-2 docs; the suppressed ones get
+    assignments too — inert but consistent, like their inert index
+    rows). The oracle rebuilds the full promoted edge set from raw
+    text (exact gen-1 chain + the est cross/within CTEs matching
+    _batch_pair_edges' no-survivor-filter rule) and pins zero
+    cross-split pairs on it. Green on all three split rows proves
+    assignment follows the lifecycle's graph, not a cached one."""
+    from go_nats_to_clickhouse_spark.operators.graph import (
+        connected_components,
+    )
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        DAY3_SOURCES,
+        gen3_tables,
+    )
+    from go_nats_to_clickhouse_spark.queries.util import load_table
+
+    t = gen3_tables(spark, sf_dir)
+    domain = (
+        load_table(spark, sf_dir, "documents")
+        .filter(~F.col("source").isin(*DAY3_SOURCES))
+        .select("doc_id", "n_chars")
+    )
+    pairs = spark.read.parquet(t["corpus_pairs"]).select("doc_a", "doc_b")
+    comp = connected_components(pairs, shortcut=True).select(
+        F.col("node").alias("c_doc"), "component"
+    )
+    assign = (
+        domain.join(comp, domain["doc_id"] == F.col("c_doc"), "left")
+        .withColumn("root", F.coalesce(F.col("component"), F.col("doc_id")))
+        .withColumn(
+            "split",
+            F.when(F.pmod("root", F.lit(10)) < 8, "train")
+            .when(F.pmod("root", F.lit(10)) == 8, "val")
+            .otherwise("test"),
+        )
+        .select("doc_id", "n_chars", "split")
+    )
+    sa = assign.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = assign.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    cross = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy(F.col("split_a").alias("split"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cross"))
+    )
+    return (
+        assign.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .join(cross, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_chars",
+            F.coalesce(F.col("n_cross"), F.lit(0))
+            .cast("long")
+            .alias("n_cross_pairs"),
+        )
+        .orderBy("split")
+    )

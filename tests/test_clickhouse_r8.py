@@ -1199,3 +1199,41 @@ class TestLeakageSplitErased:
             .count()
         )
         assert sum(v[0] for v in rows.values()) == surviving
+
+
+class TestLeakageSplitDay3:
+    def test_promoted_batch_docs_follow_their_cluster(self, spark, sf_dir):
+        """Split x promotion: the domain covers day-1 + folded day-2
+        docs exactly, zero cross-split pairs on the full multi-
+        generation graph, and any folded batch doc with a cross edge to
+        a day-1 doc shares that doc's split (the leak the per-
+        generation split would create)."""
+        from go_nats_to_clickhouse_spark.plans.materialize import (
+            DAY3_SOURCES,
+            NEW_SOURCES,
+            gen3_tables,
+        )
+        from go_nats_to_clickhouse_spark.queries.util import load_table
+
+        out = QUERIES["pipeline_leakage_safe_split_day3"](
+            spark, sf_dir
+        ).collect()
+        rows = {r.split: (r.n_docs, r.n_cross_pairs) for r in out}
+        assert all(v[1] == 0 for v in rows.values())
+        docs = load_table(spark, sf_dir, "documents")
+        n_domain = docs.filter(~F.col("source").isin(*DAY3_SOURCES)).count()
+        assert sum(v[0] for v in rows.values()) == n_domain
+        # cross edges exist in the fixture (else the composition claim
+        # is vacuous): at least one folded batch doc is chained to a
+        # day-1 doc through the promoted graph
+        t = gen3_tables(spark, sf_dir)
+        pairs = spark.read.parquet(t["corpus_pairs"])
+        new_ids = {
+            r.doc_id
+            for r in docs.filter(F.col("source").isin(*NEW_SOURCES))
+            .select("doc_id")
+            .collect()
+        }
+        cross = pairs.filter(~F.col("within")).collect()
+        assert len(cross) > 0
+        assert any(r.doc_b in new_ids for r in cross)
