@@ -71,6 +71,7 @@ _PRIORITY = [
     "table_parts_report",  # system.parts from parquet footers only (new r8)
     "pipeline_leakage_safe_split_erased",  # split x erase composition (new r8)
     "pipeline_leakage_safe_split_day3",  # split x promotion, full multi-gen graph (new r8)
+    "dedup_cluster_profile",  # duplication profile: cluster-size histogram (new r8)
     "mv_analytics_projection",  # flagship, pinned inside the window
     # --- oldest-green rotation (VERDICT r8 #5): the 30 round-2 rows the
     # r7 window displaced (now the oldest greens, last sampled r2) ---
@@ -83,7 +84,7 @@ _PRIORITY = [
     "multimodal_resize_stats",
     "q11_important_stock",
     "q13_customer_distribution",
-    "q15_top_supplier",
+    # q15_top_supplier,
     # q17_small_quantity_revenue,
     # q20_potential_part_promotion,
     # q21_waiting_suppliers,

@@ -2232,3 +2232,82 @@ def pipeline_leakage_safe_split_day3(
         )
         .orderBy("split")
     )
+
+
+def _cluster_profile_oracle() -> str:
+    """Corpus CC chain, then the duplication profile: how many clusters
+    of each size, singletons counted arithmetically (a component only
+    exists where edges do, so every ccomp component has size >= 2)."""
+    return f"""
+WITH RECURSIVE {_SH_CTE.strip().rstrip()},
+{_SIG_CTES},
+corp_ids AS (SELECT doc_id FROM documents WHERE source NOT IN {_NEW_SRC_SQL}),
+{_EXACT_SURV_CTES},
+csizes AS (SELECT component, COUNT(*) AS sz FROM ccomp GROUP BY component),
+prof AS (
+  SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+  FROM csizes GROUP BY sz
+  UNION ALL
+  SELECT 1 AS cluster_size,
+         CAST((SELECT COUNT(*) FROM corp_ids)
+              - (SELECT COUNT(*) FROM ccomp) AS BIGINT) AS n_clusters,
+         CAST((SELECT COUNT(*) FROM corp_ids)
+              - (SELECT COUNT(*) FROM ccomp) AS BIGINT) AS n_docs
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size, n_clusters, n_docs
+FROM prof ORDER BY cluster_size
+"""
+
+
+@query("dedup_cluster_profile", _cluster_profile_oracle())
+def dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus DUPLICATION PROFILE — the cluster-size histogram every
+    dedup paper reports (Lee 2022 figure-one style: how much of the
+    corpus is duplicated, and how many times): per near-dup cluster
+    size, the number of clusters and documents at that size, singletons
+    included as size-1. This is the diagnostic a curation team reads
+    BEFORE choosing dedup policy (a corpus whose mass sits in huge
+    clusters wants aggressive removal or 1/size down-weighting; a
+    long tail of pairs wants exact-dup removal only) — and the input
+    to duplication-aware sampling weights.
+
+    Engine path: components from the persisted exact-verified pair
+    graph (edge-set-sized, never corpus-sized), sizes by one groupBy on
+    the component label, singletons by arithmetic (corpus count minus
+    noded docs — components exist only where edges do, so every labeled
+    component has size >= 2). Output is histogram-sized: O(distinct
+    cluster sizes) rows regardless of corpus scale. The oracle
+    recomputes the whole chain from raw text via the recursive-CTE
+    closure."""
+    from go_nats_to_clickhouse_spark.operators.graph import (
+        connected_components,
+    )
+    from go_nats_to_clickhouse_spark.plans.materialize import NEW_SOURCES
+    from go_nats_to_clickhouse_spark.queries.util import load_table
+
+    t = pipeline_tables(spark, sf_dir)
+    n_corpus = (
+        load_table(spark, sf_dir, "documents")
+        .filter(~F.col("source").isin(*NEW_SOURCES))
+        .count()
+    )
+    pairs = (
+        spark.read.parquet(t["corpus_pairs"])
+        .filter(F.col("within") & (F.col("gen") == 1))
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(pairs, shortcut=True)
+    csizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    n_noded = comp.count()
+    prof = csizes.groupBy(F.col("sz").cast("long").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.first("sz") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )
+    singletons = spark.createDataFrame(
+        [(1, n_corpus - n_noded, n_corpus - n_noded)],
+        "cluster_size long, n_clusters long, n_docs long",
+    )
+    return prof.unionByName(singletons).orderBy("cluster_size")

@@ -1237,3 +1237,24 @@ class TestLeakageSplitDay3:
         cross = pairs.filter(~F.col("within")).collect()
         assert len(cross) > 0
         assert any(r.doc_b in new_ids for r in cross)
+
+
+class TestClusterProfile:
+    def test_profile_accounts_for_every_corpus_doc(self, spark, sf_dir):
+        """The histogram partitions the corpus exactly: sum(n_docs) ==
+        corpus size, sum over clusters of size*count == sum n_docs, and
+        multi-doc clusters exist in the fixture (non-vacuous)."""
+        from go_nats_to_clickhouse_spark.plans.materialize import NEW_SOURCES
+        from go_nats_to_clickhouse_spark.queries.util import load_table
+
+        out = QUERIES["dedup_cluster_profile"](spark, sf_dir).collect()
+        n_corpus = (
+            load_table(spark, sf_dir, "documents")
+            .filter(~F.col("source").isin(*NEW_SOURCES))
+            .count()
+        )
+        assert sum(r.n_docs for r in out) == n_corpus
+        for r in out:
+            assert r.n_docs == r.cluster_size * r.n_clusters
+        assert any(r.cluster_size >= 2 for r in out)
+        assert any(r.cluster_size == 1 for r in out)
