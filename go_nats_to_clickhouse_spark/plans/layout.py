@@ -911,3 +911,56 @@ def parts_report(
         f"part long, n_files long, n_rows long, "
         f"min_{stat_col} long, max_{stat_col} long",
     )
+
+
+def freeze_table(path: str, backup_dir: str) -> dict[str, int]:
+    """``ALTER TABLE ... FREEZE`` — ClickHouse's instant backup: create
+    a snapshot of every part via HARDLINKS (the exact mechanism the
+    server uses for its ``shadow/`` snapshots — immutable part files
+    make hardlinks a consistent zero-copy backup; parquet part files
+    here are equally immutable, mutations swap in NEW files and the old
+    inodes live on under the snapshot). O(files) metadata operations,
+    zero bytes copied, safe against every mutation in this module
+    because they all rename-swap rather than rewrite in place. Returns
+    {"files_linked", "bytes_referenced"}."""
+    files = bytes_ref = 0
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = [d for d in dirnames if not d.startswith(".")]
+        rel = os.path.relpath(dirpath, path)
+        out = os.path.join(backup_dir, rel) if rel != "." else backup_dir
+        os.makedirs(out, exist_ok=True)
+        for f in filenames:
+            if f.startswith("."):
+                continue
+            src = os.path.join(dirpath, f)
+            os.link(src, os.path.join(out, f))
+            files += 1
+            bytes_ref += os.stat(src).st_size
+    return {"files_linked": files, "bytes_referenced": bytes_ref}
+
+
+def restore_table(backup_dir: str, path: str) -> None:
+    """Restore a frozen snapshot: swap the live table for the snapshot's
+    file set (hardlink back — still zero-copy), using the same
+    rename-aside discipline as every mutation here, so a crash leaves
+    either the old or the restored table readable."""
+    import shutil
+
+    staging = path.rstrip("/") + "__restore_tmp"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    for dirpath, dirnames, filenames in os.walk(backup_dir):
+        dirnames[:] = [d for d in dirnames if not d.startswith(".")]
+        rel = os.path.relpath(dirpath, backup_dir)
+        out = os.path.join(staging, rel) if rel != "." else staging
+        os.makedirs(out, exist_ok=True)
+        for f in filenames:
+            os.link(os.path.join(dirpath, f), os.path.join(out, f))
+    old = path.rstrip("/") + "__restore_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)

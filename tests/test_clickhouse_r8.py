@@ -1258,3 +1258,57 @@ class TestClusterProfile:
             assert r.n_docs == r.cluster_size * r.n_clusters
         assert any(r.cluster_size >= 2 for r in out)
         assert any(r.cluster_size == 1 for r in out)
+
+
+class TestFreezeRestore:
+    def test_snapshot_survives_mutation_and_restores(self, spark, tmp_path):
+        """ALTER TABLE FREEZE: the hardlink snapshot costs zero copied
+        bytes (st_nlink == 2), is untouched by a subsequent mutation
+        (rename-swap mutations leave old inodes alive under the
+        snapshot), and restore_table brings back the pre-mutation state
+        exactly."""
+        import os as _os
+
+        from go_nats_to_clickhouse_spark.plans.layout import (
+            freeze_table,
+            restore_table,
+            update_mutation,
+        )
+
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(i, i % 2 + 1, 100) for i in range(20)],
+            "id long, ym int, cents long",
+        ).write.partitionBy("ym").parquet(path)
+        before = sorted(
+            (r.id, r.ym, r.cents)
+            for r in spark.read.parquet(path).collect()
+        )
+        backup = str(tmp_path / "shadow")
+        stats = freeze_table(path, backup)
+        assert stats["files_linked"] > 0
+        # zero-copy: every snapshot file shares its inode with the live one
+        for dirpath, dirnames, files in _os.walk(backup):
+            for f in files:
+                assert _os.stat(_os.path.join(dirpath, f)).st_nlink == 2
+        update_mutation(
+            spark,
+            path,
+            {"cents": F.col("cents") + 900},
+            F.col("ym") == 1,
+            sort_keys=("id",),
+        )
+        assert (
+            spark.read.parquet(path).agg(F.max("cents")).first()[0] == 1000
+        )
+        snap = sorted(
+            (r.id, r.ym, r.cents)
+            for r in spark.read.parquet(backup).collect()
+        )
+        assert snap == before  # the snapshot never moved
+        restore_table(backup, path)
+        restored = sorted(
+            (r.id, r.ym, r.cents)
+            for r in spark.read.parquet(path).collect()
+        )
+        assert restored == before
