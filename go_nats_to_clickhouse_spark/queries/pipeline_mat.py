@@ -2311,3 +2311,82 @@ def dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size long, n_clusters long, n_docs long",
     )
     return prof.unionByName(singletons).orderBy("cluster_size")
+
+
+def _sampling_weights_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_SH_CTE.strip().rstrip()},
+{_SIG_CTES},
+corp_ids AS (SELECT doc_id FROM documents WHERE source NOT IN {_NEW_SRC_SQL}),
+{_EXACT_SURV_CTES},
+csizes AS (SELECT component, COUNT(*) AS sz FROM ccomp GROUP BY component),
+wts AS (
+  SELECT d.doc_id,
+         CAST(1000000 // COALESCE(s.sz, 1) AS BIGINT) AS w_ppm
+  FROM corp_ids d
+  LEFT JOIN ccomp c ON c.doc_id = d.doc_id
+  LEFT JOIN csizes s ON s.component = c.component
+)
+SELECT doc.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w.w_ppm) AS BIGINT) AS eff_docs_ppm
+FROM wts w JOIN documents doc ON doc.doc_id = w.doc_id
+GROUP BY doc.source ORDER BY doc.source
+"""
+
+
+@query("pipeline_sampling_weights", _sampling_weights_oracle())
+def pipeline_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATION-AWARE SAMPLING WEIGHTS — the softer alternative to
+    dropping near-dups that several curation pipelines prefer (keep
+    every copy, down-weight each to 1/cluster_size so a 40-way
+    duplicated boilerplate page contributes ONE document's worth of
+    sampling mass; dedup_cluster_profile is the diagnostic, THIS is the
+    policy applied): per corpus doc, weight = 1e6 // cluster_size in
+    integer parts-per-million (floor division — identical on both
+    engines for positive ints, the r5 rule), singletons at exactly 1e6.
+    The row reports per source the document count and the effective
+    (weighted) document mass — the number an epoch planner feeds into
+    its mixing instead of the raw count.
+
+    Engine shape: components from the persisted pair graph, sizes by
+    one groupBy on the label, two broadcast-small joins (component map
+    and size map are pair-graph-sized), weights computed in the row —
+    no text read, no corpus-sized shuffle. The oracle recomputes the
+    chain from raw text."""
+    from go_nats_to_clickhouse_spark.operators.graph import (
+        connected_components,
+    )
+    from go_nats_to_clickhouse_spark.plans.materialize import NEW_SOURCES
+    from go_nats_to_clickhouse_spark.queries.util import load_table
+
+    t = pipeline_tables(spark, sf_dir)
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .filter(~F.col("source").isin(*NEW_SOURCES))
+        .select("doc_id", "source")
+    )
+    pairs = (
+        spark.read.parquet(t["corpus_pairs"])
+        .filter(F.col("within") & (F.col("gen") == 1))
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(pairs, shortcut=True)
+    csizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    sized = comp.join(csizes, "component").select(
+        F.col("node").alias("c_doc"), "sz"
+    )
+    return (
+        corpus.join(sized, corpus["doc_id"] == F.col("c_doc"), "left")
+        .withColumn(
+            "w_ppm",
+            F.floor(F.lit(1000000) / F.coalesce(F.col("sz"), F.lit(1)))
+            .cast("long"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("w_ppm").cast("long").alias("eff_docs_ppm"),
+        )
+        .orderBy("source")
+    )

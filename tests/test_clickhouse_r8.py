@@ -1312,3 +1312,23 @@ class TestFreezeRestore:
             for r in spark.read.parquet(path).collect()
         )
         assert restored == before
+
+
+class TestSamplingWeights:
+    def test_effective_mass_bounds_and_cluster_consistency(
+        self, spark, sf_dir
+    ):
+        """1/size weights: effective mass is strictly below raw count
+        (the fixture HAS near-dups), at least the number of clusters
+        (each cluster contributes ~1e6 ppm), and each singleton
+        contributes exactly 1e6."""
+        out = QUERIES["pipeline_sampling_weights"](spark, sf_dir).collect()
+        n_docs = sum(r.n_docs for r in out)
+        eff = sum(r.eff_docs_ppm for r in out)
+        assert eff < n_docs * 1_000_000
+        prof = QUERIES["dedup_cluster_profile"](spark, sf_dir).collect()
+        n_clusters = sum(r.n_clusters for r in prof)
+        # floor division loses < 1 ppm-doc per member; lower bound by
+        # clusters minus that slack
+        assert eff >= n_clusters * 1_000_000 - n_docs
+        assert sum(r.n_docs for r in prof) == n_docs
