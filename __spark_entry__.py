@@ -73,6 +73,7 @@ _PRIORITY = [
     "pipeline_leakage_safe_split_day3",  # split x promotion, full multi-gen graph (new r8)
     "dedup_cluster_profile",  # duplication profile: cluster-size histogram (new r8)
     "pipeline_sampling_weights",  # 1/cluster-size duplication-aware weights (new r8)
+    "agg_with_totals",  # WITH TOTALS, totals_mode=before_having pinned (new r8)
     "mv_analytics_projection",  # flagship, pinned inside the window
     # --- oldest-green rotation (VERDICT r8 #5): the 30 round-2 rows the
     # r7 window displaced (now the oldest greens, last sampled r2) ---
@@ -83,7 +84,7 @@ _PRIORITY = [
     "multimodal_frame_stats",
     "multimodal_image_features",
     "multimodal_resize_stats",
-    "q11_important_stock",
+    # q11_important_stock,
     # q13_customer_distribution,
     # q15_top_supplier,
     # q17_small_quantity_revenue,

@@ -1371,3 +1371,73 @@ def table_parts_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("part", "n_rows", "min_event_id", "max_event_id")
         .orderBy("part")
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ... WITH TOTALS (default totals_mode = before_having)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_with_totals",
+    """
+WITH g AS (
+  SELECT event_type,
+         CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n, total_cents FROM g
+WHERE 200 * n >= (SELECT COUNT(*) FROM events)
+UNION ALL
+SELECT 'TOTALS' AS event_type, CAST(0 AS BIGINT) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+ORDER BY event_type, day
+""",
+)
+def agg_with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ... WITH TOTALS`` with its DEFAULT ``totals_mode =
+    before_having`` — the ClickHouse semantic worth pinning explicitly
+    (SELECT docs, WITH TOTALS modifier): the totals row is computed
+    over ALL input rows, INCLUDING groups a HAVING clause then drops —
+    so when small groups are filtered out, totals deliberately exceed
+    the sum of the surviving groups (the modes after_having_* exist
+    precisely because this surprises people; the default is what the
+    reference's consumers would get). Rendered tabularly with the
+    'TOTALS' sentinel key standing in for ClickHouse's separate totals
+    block. Spark spelling: the grouped aggregate + HAVING filter,
+    unioned with one global aggregate over the unfiltered input —
+    Catalyst runs both from a shared scan, each map-side combinable;
+    unlike rollup (agg_rollup_lineitem) no Expand is needed because the
+    two aggregation levels want DIFFERENT row sets under HAVING."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyyMMdd").cast("long").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    # the HAVING threshold is data-relative (1/200 of the input) so the
+    # filter genuinely drops small (type, day) groups at every SF —
+    # bounded scalar, not data
+    tot = e.count()
+    groups = (
+        e.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .filter(F.lit(200) * F.col("n") >= F.lit(tot))
+    )
+    totals = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    ).select(
+        F.lit("TOTALS").alias("event_type"),
+        F.lit(0).cast("long").alias("day"),
+        "n",
+        "total_cents",
+    )
+    return groups.unionByName(totals).orderBy("event_type", "day")

@@ -1332,3 +1332,19 @@ class TestSamplingWeights:
         # clusters minus that slack
         assert eff >= n_clusters * 1_000_000 - n_docs
         assert sum(r.n_docs for r in prof) == n_docs
+
+
+class TestWithTotals:
+    def test_totals_computed_before_having(self, spark, sf_dir):
+        """The default totals_mode=before_having pin: the TOTALS row
+        covers ALL input rows, so when HAVING drops small (type, day)
+        groups the totals strictly exceed the surviving groups' sum."""
+        from go_nats_to_clickhouse_spark.queries.util import load_table
+
+        out = QUERIES["agg_with_totals"](spark, sf_dir).collect()
+        totals = [r for r in out if r.event_type == "TOTALS"]
+        groups = [r for r in out if r.event_type != "TOTALS"]
+        assert len(totals) == 1
+        full = load_table(spark, sf_dir, "events").count()
+        assert totals[0].n == full
+        assert sum(r.n for r in groups) < full  # >= 1 group was dropped
