@@ -74,14 +74,18 @@ _PRIORITY = [
     "dedup_cluster_profile",  # duplication profile: cluster-size histogram (new r8)
     "pipeline_sampling_weights",  # 1/cluster-size duplication-aware weights (new r8)
     "agg_with_totals",  # WITH TOTALS, totals_mode=before_having pinned (new r8)
+    "sort_limit_by",  # ClickHouse LIMIT n BY, WindowGroupLimit partial top-n (new r8)
+    "join_dict_ip_trie",  # CIDR longest-prefix dictionary, banded equi-join (new r8)
+    "table_detach_attach_partition",  # DETACH/ATTACH/MOVE PARTITION renames (new r8)
+    "vector_ann_filtered_topk",  # filtered vector search, exact pre-filter (new r8)
+    "vector_ann_filtered_read_topk",  # filtered ANN from the IVF index (new r8)
     "mv_analytics_projection",  # flagship, pinned inside the window
-    # --- oldest-green rotation (VERDICT r8 #5): the 30 round-2 rows the
-    # r7 window displaced (now the oldest greens, last sampled r2) ---
-    "agg_moving_avg",
-    "agg_statistical_moments",
-    "dedup_decontaminate",
-    "multimodal_audio_features",
-    "multimodal_frame_stats",
+    # --- oldest-green rotation (VERDICT r8 #5): what fits of the round-2
+    # cohort the r7 window displaced (last sampled r2); agg_moving_avg,
+    # agg_statistical_moments, dedup_decontaminate,
+    # multimodal_audio_features, multimodal_frame_stats displaced by the
+    # five late-r8 rows above (the new-query invariant outranks
+    # rotation) — they join the r9 rotation debt ---
     "multimodal_image_features",
     "multimodal_resize_stats",
     # q11_important_stock,

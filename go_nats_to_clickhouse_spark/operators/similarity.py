@@ -389,6 +389,7 @@ def ivf_read_topk(
     centers: list[list[float]],
     nprobe: int = 4,
     k: int = 5,
+    keep: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k against a PRE-BUILT IVF index: ``assigned`` is the
     cell-labeled corpus (from :func:`ivf_build_assignments`, possibly read
@@ -397,8 +398,21 @@ def ivf_read_topk(
     list. When ``assigned`` is a cell-partitioned parquet scan, the
     broadcast probe join triggers dynamic partition pruning: only the
     probed nprobe/n_lists fraction of corpus FILES is read — the layout
-    that makes IVF an I/O win at 100 TB, not just a compute win."""
+    that makes IVF an I/O win at 100 TB, not just a compute win.
+
+    ``keep`` (optional, one ``neighbor_id`` column) is a PRE-filter for
+    filtered vector search: the allowed-id set is semi-joined into the
+    probed cells BEFORE any cosine is computed, so k results always
+    satisfy the predicate (pre-filtering) rather than top-k-then-discard
+    (post-filtering, which under-fills k exactly when the filter is
+    selective). The semi join touches only the probed nprobe/n_lists
+    slice of the corpus; a production index stores hot filter attributes
+    IN the index rows so this degenerates to a scan-level predicate."""
     q_cells = probe_cells(queries_df, centers, nprobe)
+    if keep is not None:
+        assigned = assigned.join(
+            keep.select("neighbor_id"), "neighbor_id", "semi"
+        )
     # no dedup needed: each corpus row lives in exactly one cell and each
     # query probes distinct cells, so a (query, neighbor) pair occurs once
     scored = (

@@ -964,3 +964,73 @@ def restore_table(backup_dir: str, path: str) -> None:
     os.rename(staging, path)
     if os.path.exists(old):
         shutil.rmtree(old)
+
+
+#: dirname active-partition dirs are moved under by DETACH PARTITION.
+#: The leading underscore matters: Spark's file listing skips `_`- and
+#: `.`-prefixed paths (the _SUCCESS/_metadata convention), so detached
+#: parts are invisible to every reader of the table WITHOUT any reader
+#: changes — the same property ClickHouse gets from its `detached/`
+#: directory living outside the part-name namespace.
+DETACHED_DIR = "_detached"
+
+
+def detach_partition(path: str, col: str, value) -> str:
+    """``ALTER TABLE ... DETACH PARTITION value`` (ClickHouse partition
+    lifecycle; the reference's MergeTree tables expose it via
+    ``PARTITION BY toYYYYMM`` — init.sql:17-19): move the partition's
+    directory aside under ``_detached/``. ONE rename, zero bytes read
+    or copied, O(1) metadata regardless of partition size — at 100 TB
+    detaching a month is the same syscall as at 100 MB. The partition
+    keeps its ``col=value`` Hive name so a later ATTACH is the reverse
+    rename and partition-column inference still works. Returns the
+    detached dir path."""
+    part = f"{col}={value}"
+    src = os.path.join(path, part)
+    if not os.path.isdir(src):
+        raise FileNotFoundError(f"no active partition {part} under {path}")
+    dst = os.path.join(path, DETACHED_DIR, part)
+    if os.path.exists(dst):
+        raise FileExistsError(f"{part} already detached under {path}")
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    os.rename(src, dst)
+    return dst
+
+
+def attach_partition(path: str, col: str, value) -> str:
+    """``ALTER TABLE ... ATTACH PARTITION value``: the reverse rename —
+    the detached directory moves back into the table's active namespace
+    and every reader sees it again on its next file listing. Zero-copy,
+    crash-safe (rename is atomic on one filesystem: the partition is
+    either detached or attached, never half of each)."""
+    part = f"{col}={value}"
+    src = os.path.join(path, DETACHED_DIR, part)
+    if not os.path.isdir(src):
+        raise FileNotFoundError(f"no detached partition {part} under {path}")
+    dst = os.path.join(path, part)
+    if os.path.exists(dst):
+        raise FileExistsError(f"active partition {part} already exists")
+    os.rename(src, dst)
+    return dst
+
+
+def move_partition_to_table(
+    src_path: str, dest_path: str, col: str, value
+) -> str:
+    """``ALTER TABLE src MOVE PARTITION value TO TABLE dest``: the
+    cross-table flavor — the active partition directory renames from
+    one table's namespace into another's. Both tables must share the
+    partitioning scheme (same ``col``), exactly ClickHouse's
+    same-structure precondition; within one warehouse filesystem this
+    is still a single rename, so archiving a month out of a hot table
+    into a cold one moves no data bytes."""
+    part = f"{col}={value}"
+    src = os.path.join(src_path, part)
+    if not os.path.isdir(src):
+        raise FileNotFoundError(f"no active partition {part} under {src_path}")
+    dst = os.path.join(dest_path, part)
+    if os.path.exists(dst):
+        raise FileExistsError(f"{part} already exists in {dest_path}")
+    os.makedirs(dest_path, exist_ok=True)
+    os.rename(src, dst)
+    return dst

@@ -841,6 +841,8 @@ TMAINT_TABLES = (
     "events_shard_late",
     "events_dupes",
     "events_addcol",
+    "events_detached",
+    "events_attach_dest",
 )
 
 
@@ -925,6 +927,13 @@ def tmaint_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
       plans/layout.optimize_deduplicate dropped the full-row duplicates
       per partition — the explicit dedup merge for engines with no key
       semantics to upsert by.
+    * ``events_detached`` + ``events_attach_dest`` — partition
+      lifecycle (``ALTER TABLE ... DETACH / ATTACH / MOVE PARTITION TO
+      TABLE``): days 2+3 detached into the ``_detached/`` namespace
+      (invisible to every reader — Spark skips ``_``-prefixed paths),
+      day 2 re-attached (round trip), day 10 moved into the cold
+      archive table. Every step is ONE directory rename; no parquet
+      file is read, copied, or rewritten (mtime-pinned in tests).
     * ``events_lwd`` + ``events_lwd_mask`` — LIGHTWEIGHT DELETE
       (``DELETE FROM``): signup rows in the first ten days are masked in
       the O(deleted-keys) sidecar, NO table file touched (instant
@@ -1199,6 +1208,24 @@ def tmaint_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
             .write.mode("append")
             .partitionBy("ym")
             .parquet(ac)
+        )
+        # Partition lifecycle: DETACH / ATTACH / MOVE ... TO TABLE.
+        # Day 2 and 3 detach, day 2 re-attaches (round trip), day 10
+        # moves into the cold archive table — every step one rename,
+        # zero parquet bytes touched (mtime-pinned in tests).
+        from go_nats_to_clickhouse_spark.plans.layout import (
+            attach_partition,
+            detach_partition,
+            move_partition_to_table,
+        )
+
+        dt = os.path.join(tmp, "events_detached")
+        with_day.write.partitionBy("ym").parquet(dt)
+        detach_partition(dt, "ym", 20240102)
+        detach_partition(dt, "ym", 20240103)
+        attach_partition(dt, "ym", 20240102)
+        move_partition_to_table(
+            dt, os.path.join(tmp, "events_attach_dest"), "ym", 20240110
         )
 
     return _published(f"tmaint-{sf_name}-", tag, TMAINT_TABLES, build)

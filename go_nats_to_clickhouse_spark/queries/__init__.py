@@ -14,6 +14,7 @@ from go_nats_to_clickhouse_spark.queries.registry import ORACLES, QUERIES
 # registrations and nothing after).
 from go_nats_to_clickhouse_spark.queries import (  # noqa: E402,F401
     clickhouse_r8,
+    clickhouse_r8b,
     clickhouse_r7,
     retrieval,
     pipeline_mat,

@@ -1,0 +1,220 @@
+"""Round-8 second-batch tests: partition lifecycle (DETACH / ATTACH /
+MOVE PARTITION TO TABLE), the ip_trie longest-prefix dictionary, LIMIT n
+BY, and filtered vector search."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_nats_to_clickhouse_spark.plans.layout import (
+    attach_partition,
+    detach_partition,
+    move_partition_to_table,
+)
+from go_nats_to_clickhouse_spark.queries import QUERIES
+
+
+def _parquet_files(path: str) -> list[str]:
+    out = []
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        out += [
+            os.path.join(dirpath, f)
+            for f in filenames
+            if f.endswith(".parquet")
+        ]
+    return sorted(out)
+
+
+class TestPartitionLifecycle:
+    def _mk_table(self, spark, tmp_path) -> str:
+        path = str(tmp_path / "t")
+        rows = [(i, i % 3, i * 10) for i in range(30)]
+        (
+            spark.createDataFrame(rows, "id long, d int, v long")
+            .write.partitionBy("d")
+            .parquet(path)
+        )
+        return path
+
+    def test_detach_hides_and_attach_restores(self, spark, tmp_path):
+        path = self._mk_table(spark, tmp_path)
+        # pin an untouched partition's file inodes: lifecycle ops must
+        # never rewrite parquet bytes, only rename directories
+        keeper = _parquet_files(os.path.join(path, "d=0"))
+        pins = {f: os.stat(f).st_mtime_ns for f in keeper}
+
+        detach_partition(path, "d", 1)
+        got = spark.read.parquet(path)
+        assert sorted(
+            r.d for r in got.select("d").distinct().collect()
+        ) == [0, 2]
+        assert got.count() == 20
+        # the detached dir itself is invisible to Spark's listing
+        assert os.path.isdir(os.path.join(path, "_detached", "d=1"))
+
+        attach_partition(path, "d", 1)
+        back = spark.read.parquet(path)
+        assert back.count() == 30
+        assert back.agg(F.sum("v")).first()[0] == sum(i * 10 for i in range(30))
+        assert {f: os.stat(f).st_mtime_ns for f in keeper} == pins
+
+    def test_move_partition_to_table(self, spark, tmp_path):
+        src = self._mk_table(spark, tmp_path)
+        dest = str(tmp_path / "archive")
+        moved = move_partition_to_table(src, dest, "d", 2)
+        assert os.path.isdir(moved)
+        assert spark.read.parquet(src).count() == 20
+        d = spark.read.parquet(dest)
+        assert d.count() == 10
+        assert [r.d for r in d.select("d").distinct().collect()] == [2]
+
+    def test_lifecycle_guards(self, spark, tmp_path):
+        path = self._mk_table(spark, tmp_path)
+        with pytest.raises(FileNotFoundError):
+            detach_partition(path, "d", 9)
+        with pytest.raises(FileNotFoundError):
+            attach_partition(path, "d", 0)  # not detached
+        detach_partition(path, "d", 0)
+        with pytest.raises(FileNotFoundError):
+            detach_partition(path, "d", 0)  # no longer active
+        os.makedirs(os.path.join(path, "d=0"))
+        with pytest.raises(FileExistsError):
+            detach_partition(path, "d", 0)  # detached name taken
+        with pytest.raises(FileExistsError):
+            attach_partition(path, "d", 0)  # active name taken
+
+    def test_driver_row_state(self, spark, sf_dir):
+        """Day 3 stays detached (invisible), day 2 round-tripped back,
+        day 10 lives only in the archive table."""
+        got = QUERIES["table_detach_attach_partition"](spark, sf_dir)
+        rows = {(r.tbl, r.day): r.n_rows for r in got.collect()}
+        days = {d for (_, d) in rows}
+        assert 20240103 not in days
+        assert ("base", 20240102) in rows
+        assert ("dest", 20240110) in rows and ("base", 20240110) not in rows
+        assert all(t == "dest" for (t, d) in rows if d == 20240110)
+
+
+#: user_ids whose Knuth-hash IPv4 lands in each dictionary network
+#: (found by direct search; the corp-eu id is the LPM nesting case —
+#: its address also matches corp/8 and internet/0)
+_UID = {
+    "internet": 1,
+    "cgnat": 177,
+    "corp": 33927,
+    "private": 35619,
+    "corp-eu": 44873,
+}
+
+
+class TestIpTrie:
+    def test_longest_prefix_wins(self, spark, tmp_path):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        uids = list(_UID.values())
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(len(uids)),
+                "ts": pd.to_datetime("2024-01-01").as_unit("us"),
+                "user_id": uids,
+                "event_type": "click",
+                "value": 1.0,
+                "props": "{}",
+            }
+        )
+        path = str(tmp_path / "fx")
+        os.makedirs(path)
+        # one FILE, like the driver fixtures (load_table probes the
+        # footer schema with pyarrow, which needs a file path)
+        pq.write_table(
+            pa.Table.from_pandas(pdf), os.path.join(path, "events.parquet")
+        )
+        got = {
+            r.network: (r.n_events, r.value_cents)
+            for r in QUERIES["join_dict_ip_trie"](spark, path).collect()
+        }
+        # one event per network; the corp-eu event must NOT fall back to
+        # corp or internet (longest match), the corp one must not take
+        # corp-eu (no false nesting), every event classifies (catch-all)
+        assert got == {name: (1, 100) for name in _UID}
+
+
+class TestLimitBy:
+    def test_at_most_n_per_group_and_global_limit(self, spark, sf_dir):
+        got = QUERIES["sort_limit_by"](spark, sf_dir).collect()
+        assert len(got) <= 100
+        per_cust: dict[int, int] = {}
+        for r in got:
+            per_cust[r.o_custkey] = per_cust.get(r.o_custkey, 0) + 1
+        assert max(per_cust.values()) <= 2
+        # survivors really are each customer's top orders: descending
+        # global order is already oracle-checked; spot the per-group rule
+        prices = [r.price_cents for r in got]
+        assert prices == sorted(prices, reverse=True)
+
+    def test_window_group_limit_in_plan(self, spark, sf_dir):
+        """The rank<=n filter must compile to WindowGroupLimit (partial
+        per-map-task top-n BEFORE the shuffle) — the plan property the
+        docstring's 100-TB claim rests on."""
+        df = QUERIES["sort_limit_by"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+
+
+class TestFilteredAnn:
+    def test_exact_neighbors_satisfy_predicate(self, spark, sf_dir):
+        from go_nats_to_clickhouse_spark.queries.util import load_table
+
+        got = QUERIES["vector_ann_filtered_topk"](spark, sf_dir)
+        labels = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("neighbor_id"), "label"
+        )
+        bad = got.join(labels, "neighbor_id").filter(
+            F.pmod(F.col("label"), F.lit(2)) != 0
+        )
+        assert bad.count() == 0
+        # pre-filtering fills k for every query
+        per_q = got.groupBy("query_id").count().collect()
+        assert len(per_q) == 8 and all(r["count"] == 5 for r in per_q)
+
+    def test_index_path_prefilters_and_recalls(self, spark, sf_dir):
+        got = QUERIES["vector_ann_filtered_read_topk"](spark, sf_dir)
+        rows = got.collect()
+        assert len(rows) == 8
+        assert all(r.recall_ok for r in rows)
+
+    def test_keep_restricts_ivf_read(self, spark, sf_dir):
+        from go_nats_to_clickhouse_spark.operators.similarity import (
+            ivf_read_topk,
+        )
+        from go_nats_to_clickhouse_spark.plans.materialize import ann_tables
+        from go_nats_to_clickhouse_spark.queries.util import load_table
+        from go_nats_to_clickhouse_spark.queries.vector import as_double
+
+        t = ann_tables(spark, sf_dir)
+        centers = [
+            list(r.center)
+            for r in spark.read.parquet(t["ann_centroids"])
+            .orderBy("cell")
+            .collect()
+        ]
+        assigned = spark.read.parquet(t["ann_corpus"])
+        e = load_table(spark, sf_dir, "embeddings")
+        q = e.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"),
+            as_double("embedding").alias("qv"),
+        )
+        allowed = {0, 4, 8, 12, 16, 20, 24, 28, 32, 36}
+        keep = spark.createDataFrame(
+            [(i,) for i in allowed], "neighbor_id long"
+        )
+        got = ivf_read_topk(
+            q, assigned, centers, nprobe=16, k=3, keep=keep
+        ).collect()
+        assert got and all(r.neighbor_id in allowed for r in got)
