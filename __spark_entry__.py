@@ -39,7 +39,6 @@ _PRIORITY = [
     "pipeline_manifest_ingested",  # warehouse now carries health rows (engine changed r8)
     "pipeline_ingest_audit",  # same rebuilt ing- family (r8)
     "pipeline_manifest_ingested_erased",  # eri- family rebuilt on the new ing- (r8)
-    "vector_ann_ingested_topk",  # same rebuilt ing- family (r8)
     "join_any_left",  # LEFT ANY JOIN strictness, aggregate-then-join (new r8)
     "table_summing_merge",  # SummingMergeTree merge-time pre-aggregation (new r8)
     "table_agg_state_read",  # AggregatingMergeTree -State blobs merged at read (new r8)
@@ -51,7 +50,6 @@ _PRIORITY = [
     "vector_ann_mrl_rerank_topk",  # Matryoshka adaptive two-stage retrieval (new r8)
     "agg_combinators_if",  # ClickHouse -If combinator family, one hash aggregate (new r8)
     "text_bpe_apply",  # tokenizer application: top-3 merges, exact counts (new r8)
-    "agg_quantile_exact_weighted",
     "vector_ann_erased_live_topk",  # erase_vectors between live micro-batches (new r8)
     "table_collapsing_read",  # CollapsingMergeTree sign-collapse chain (new r8)
     "table_ttl_rollup",  # TTL GROUP BY: aged partitions downsampled in place (new r8)
@@ -79,15 +77,21 @@ _PRIORITY = [
     "table_detach_attach_partition",  # DETACH/ATTACH/MOVE PARTITION renames (new r8)
     "vector_ann_filtered_topk",  # filtered vector search, exact pre-filter (new r8)
     "vector_ann_filtered_read_topk",  # filtered ANN from the IVF index (new r8)
+    "sort_limit_with_ties",  # LIMIT WITH TIES via date-histogram allow-list (new r8)
+    "table_freeze_restore",  # FREEZE snapshot round trip erases the mutation (new r8)
+    "table_exchange_tables",  # atomic rebuild-aside two-table swap (new r8)
+    "text_selection_curve",  # distributed exact NTILE decile curve (new r8)
     "mv_analytics_projection",  # flagship, pinned inside the window
     # --- oldest-green rotation (VERDICT r8 #5): what fits of the round-2
     # cohort the r7 window displaced (last sampled r2); agg_moving_avg,
     # agg_statistical_moments, dedup_decontaminate,
-    # multimodal_audio_features, multimodal_frame_stats displaced by the
-    # five late-r8 rows above (the new-query invariant outranks
-    # rotation) — they join the r9 rotation debt ---
-    "multimodal_image_features",
-    "multimodal_resize_stats",
+    # multimodal_audio_features, multimodal_frame_stats,
+    # multimodal_image_features, multimodal_resize_stats displaced by the
+    # nine late-r8 rows above (the new-query invariant outranks
+    # rotation), along with the agg_quantile_exact_weighted and
+    # vector_ann_ingested_topk re-confirmations (both r7-green; the
+    # ingested family's rebuild keeps three sibling rows in-window) —
+    # all join the r9 rotation debt ---
     # q11_important_stock,
     # q13_customer_distribution,
     # q15_top_supplier,

@@ -1034,3 +1034,20 @@ def move_partition_to_table(
     os.makedirs(dest_path, exist_ok=True)
     os.rename(src, dst)
     return dst
+
+
+def exchange_tables(path_a: str, path_b: str) -> None:
+    """``EXCHANGE TABLES a AND b`` — ClickHouse's atomic two-table swap,
+    the publish step of the rebuild-aside pattern (recompute a table in
+    a staging name, then swap it with the live name so readers flip
+    between two complete states and never see a partial rebuild). Three
+    renames on one filesystem; the moment of exchange is the single
+    rename that moves the staging dir onto the live name."""
+    if not os.path.isdir(path_a) or not os.path.isdir(path_b):
+        raise FileNotFoundError(f"both tables must exist: {path_a}, {path_b}")
+    tmp = path_a.rstrip("/") + "__xchg_tmp"
+    if os.path.exists(tmp):
+        raise FileExistsError(tmp)
+    os.rename(path_a, tmp)
+    os.rename(path_b, path_a)
+    os.rename(tmp, path_b)

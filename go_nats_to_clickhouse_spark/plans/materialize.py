@@ -843,6 +843,9 @@ TMAINT_TABLES = (
     "events_addcol",
     "events_detached",
     "events_attach_dest",
+    "events_frozen_restored",
+    "events_exchange_live",
+    "events_exchange_staged",
 )
 
 
@@ -934,6 +937,17 @@ def tmaint_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
       day 2 re-attached (round trip), day 10 moved into the cold
       archive table. Every step is ONE directory rename; no parquet
       file is read, copied, or rewritten (mtime-pinned in tests).
+    * ``events_frozen_restored`` — ``ALTER TABLE ... FREEZE`` round
+      trip: hardlink snapshot taken, a corrupting mutation applied
+      (+999 cents on early days), then plans/layout.restore_table
+      swapped the snapshot back — the driver row must read exactly the
+      pre-mutation data.
+    * ``events_exchange_live`` + ``events_exchange_staged`` —
+      ``EXCHANGE TABLES`` (rebuild-aside publish): the live
+      per-(day, type) aggregate was built from a stale data prefix, the
+      complete rebuild staged under the other name, and
+      plans/layout.exchange_tables atomically swapped them — live now
+      serves the full aggregate, staged holds the stale one.
     * ``events_lwd`` + ``events_lwd_mask`` — LIGHTWEIGHT DELETE
       (``DELETE FROM``): signup rows in the first ten days are masked in
       the O(deleted-keys) sidecar, NO table file touched (instant
@@ -1227,6 +1241,44 @@ def tmaint_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         move_partition_to_table(
             dt, os.path.join(tmp, "events_attach_dest"), "ym", 20240110
         )
+        # FREEZE -> corrupting mutation -> restore: the zero-copy backup
+        # round trip must erase the mutation exactly (driver row reads
+        # the restored table against the raw-events oracle)
+        from go_nats_to_clickhouse_spark.plans.layout import (
+            exchange_tables,
+            freeze_table,
+            restore_table,
+        )
+
+        fz = os.path.join(tmp, "events_frozen_restored")
+        with_day.write.partitionBy("ym").parquet(fz)
+        bk = os.path.join(tmp, "_backup_frozen")  # '_': invisible to scans
+        freeze_table(fz, bk)
+        update_mutation(
+            spark,
+            fz,
+            {"value_cents": F.col("value_cents") + 999},
+            F.col("ym") <= 20240110,
+            sort_keys=("event_id",),
+        )
+        restore_table(bk, fz)
+        # EXCHANGE TABLES: the live per-(day, type) aggregate was built
+        # from a stale prefix of the data; the complete rebuild staged
+        # aside, then atomically swapped onto the live name
+        agg = (
+            with_day.groupBy(
+                F.col("ym").cast("long").alias("day"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("value_cents").cast("long").alias("total_cents"),
+            )
+        )
+        live = os.path.join(tmp, "events_exchange_live")
+        staged = os.path.join(tmp, "events_exchange_staged")
+        agg.filter(F.col("day") <= 20240121).coalesce(1).write.parquet(live)
+        agg.coalesce(1).write.parquet(staged)
+        exchange_tables(live, staged)
 
     return _published(f"tmaint-{sf_name}-", tag, TMAINT_TABLES, build)
 

@@ -369,3 +369,243 @@ def vector_ann_filtered_read_topk(
             (F.coalesce(F.col("n_hits"), F.lit(0)) / 5 >= 0.4).alias("recall_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LIMIT n WITH TIES — the rank-closed cousin of LIMIT BY
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_limit_with_ties",
+    """
+WITH r AS (
+  SELECT o_orderkey, o_orderdate,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         RANK() OVER (ORDER BY o_orderdate DESC) AS rk
+  FROM orders
+)
+SELECT o_orderkey, o_orderdate, price_cents
+FROM r WHERE rk <= 10
+ORDER BY o_orderdate DESC, o_orderkey
+""",
+)
+def sort_limit_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``LIMIT 10 WITH TIES`` (ClickHouse / SQL-standard FETCH FIRST 10
+    ROWS WITH TIES): the first 10 rows by order date, closed under ties
+    of the last row — equivalent to ``RANK() <= 10``, which is how the
+    oracle spells it. The Spark plan avoids both the naive global-rank
+    single-reducer window AND a blind global sort: the per-DATE
+    histogram (distinct-dates-sized, bounded by the calendar at any
+    data scale) computes each date's exclusive cumulative row count in
+    one tiny window, keeps the dates whose first row sits inside the
+    limit, and broadcast-joins that date allow-list back into the
+    scan — the full orders table is never sorted, only filtered and
+    top-sorted by TakeOrderedAndProject."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    hist = o.groupBy("o_orderdate").agg(F.count(F.lit(1)).alias("cnt"))
+    # window over the DATE HISTOGRAM: rows bounded by distinct dates
+    # (the TPC-H calendar), not by order count — benign by geometry
+    w = Window.orderBy(F.desc("o_orderdate")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    keep = (
+        hist.withColumn("cum_before", F.sum("cnt").over(w) - F.col("cnt"))
+        .filter(F.col("cum_before") < 10)
+        .select("o_orderdate")
+    )
+    return (
+        o.join(F.broadcast(keep), "o_orderdate")
+        .select("o_orderkey", "o_orderdate", "price_cents")
+        .orderBy(F.desc("o_orderdate"), "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# FREEZE / restore and EXCHANGE TABLES — driver rows over the tmaint family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_freeze_restore",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def table_freeze_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ALTER TABLE ... FREEZE`` + restore as a driver row: the tmaint
+    family snapshotted ``events_frozen_restored`` via hardlinks (zero
+    bytes copied — plans/layout.freeze_table, the exact shadow/
+    mechanism ClickHouse uses, safe because every mutation here swaps
+    in NEW files), then applied a corrupting ALTER UPDATE (+999 cents
+    across the first ten days), then restored the snapshot. This row
+    reads the restored table plain against the RAW-events oracle:
+    green proves the backup round trip erased the mutation exactly —
+    the recovery contract a FREEZE exists to provide."""
+    from go_nats_to_clickhouse_spark.plans.materialize import tmaint_tables
+
+    t = tmaint_tables(spark, sf_dir)
+    m = spark.read.parquet(t["events_frozen_restored"])
+    return (
+        m.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value_cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "table_exchange_tables",
+    """
+WITH d AS (
+  SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+a AS (
+  SELECT day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM d GROUP BY day, event_type
+)
+SELECT 'live' AS tbl, day, event_type, n_rows, total_cents FROM a
+UNION ALL
+SELECT 'staged' AS tbl, day, event_type, n_rows, total_cents FROM a
+WHERE day <= 20240121
+ORDER BY tbl, day, event_type
+""",
+)
+def table_exchange_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``EXCHANGE TABLES a AND b`` — the atomic two-table swap behind
+    the rebuild-aside publish pattern (recompute a derived table under
+    a staging name, swap it onto the live name; readers flip between
+    two COMPLETE states and never observe a partial rebuild — the same
+    discipline every materialization family here uses for its cache
+    publish). The tmaint build wrote the live per-(day, type) aggregate
+    from a stale prefix of the data (days <= 21), staged the complete
+    rebuild, and ran plans/layout.exchange_tables: this row reads BOTH
+    names and the oracle pins live == the full aggregate and staged ==
+    the stale one, i.e. the swap moved both directions atomically."""
+    from go_nats_to_clickhouse_spark.plans.materialize import tmaint_tables
+
+    t = tmaint_tables(spark, sf_dir)
+    live = spark.read.parquet(t["events_exchange_live"]).select(
+        F.lit("live").alias("tbl"), "day", "event_type", "n_rows", "total_cents"
+    )
+    staged = spark.read.parquet(t["events_exchange_staged"]).select(
+        F.lit("staged").alias("tbl"), "day", "event_type", "n_rows",
+        "total_cents",
+    )
+    return live.unionByName(staged).orderBy("tbl", "day", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Selection curve — decile-bucketed corpus curation diagnostic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_selection_curve",
+    """
+WITH d AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+  FROM documents
+),
+t AS (
+  SELECT n_chars,
+         NTILE(10) OVER (ORDER BY n_words DESC, doc_id) AS decile
+  FROM d
+),
+g AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS chars_total
+  FROM t GROUP BY decile
+)
+SELECT CAST(decile AS INT) AS decile, n_docs, chars_total,
+       CAST((SUM(chars_total) OVER (ORDER BY decile) * 1000000)
+            // SUM(chars_total) OVER () AS BIGINT) AS cum_chars_ppm
+FROM g ORDER BY decile
+""",
+)
+def text_selection_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus selection curve: documents bucketed into NTILE(10) deciles
+    by length (longest first, doc_id tie-break), with each decile's doc
+    count, char volume, and cumulative char share in integer ppm — the
+    keep-the-top-X% diagnostic read before setting a length/quality
+    cutoff (what share of training characters survives each candidate
+    threshold).
+
+    Scale shape: NO global NTILE window (a single-reducer sort of the
+    corpus at 100 TB). The exact same bucket assignment is computed
+    distributively: (1) the n_words HISTOGRAM (bounded by distinct
+    lengths) gets exclusive cumulative counts in one tiny window, (2)
+    each doc's global rank = its length's cumulative-before + its
+    doc_id rank WITHIN its length group (a partitioned window), (3) the
+    SQL-standard NTILE arithmetic — first n%k buckets hold n/k+1 rows —
+    maps ranks to buckets with pure integer math. Hash-equal to the
+    oracle's native NTILE by construction."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
+    )
+    hist = d.groupBy("n_words").agg(F.count(F.lit(1)).alias("cnt"))
+    # tiny window over the length histogram (distinct n_words values)
+    w_h = Window.orderBy(F.desc("n_words")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn(
+        "cum_before", F.sum("cnt").over(w_h) - F.col("cnt")
+    ).select("n_words", "cum_before")
+    w_g = Window.partitionBy("n_words").orderBy("doc_id")
+    ranked = (
+        d.join(F.broadcast(cum), "n_words")
+        .withColumn("r", F.col("cum_before") + F.row_number().over(w_g))
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    k = F.lit(10)
+    q = (F.col("n_total") / k).cast("long")  # base bucket size
+    m = F.col("n_total") % k  # first m buckets hold q+1 rows
+    big_span = (q + 1) * m
+    decile = F.when(
+        F.col("r") <= big_span,
+        ((F.col("r") + q) / (q + 1)).cast("long"),  # ceil(r / (q+1))
+    ).otherwise(
+        m + ((F.col("r") - big_span + q - 1) / q).cast("long")
+    )
+    g = (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("decile", decile.cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+        )
+    )
+    # ten-row cumulative window + one scalar total: geometry-bounded
+    w_d = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return g.select(
+        "decile",
+        "n_docs",
+        "chars_total",
+        F.floor(
+            (F.sum("chars_total").over(w_d) * 1000000)
+            / F.sum("chars_total").over(w_all)
+        )
+        .cast("long")
+        .alias("cum_chars_ppm"),
+    ).orderBy("decile")

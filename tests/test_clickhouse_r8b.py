@@ -218,3 +218,109 @@ class TestFilteredAnn:
             q, assigned, centers, nprobe=16, k=3, keep=keep
         ).collect()
         assert got and all(r.neighbor_id in allowed for r in got)
+
+
+class TestExchangeTables:
+    def test_swap_is_total_and_guarded(self, spark, tmp_path):
+        from go_nats_to_clickhouse_spark.plans.layout import exchange_tables
+
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        spark.range(3).write.parquet(a)
+        spark.range(7).write.parquet(b)
+        exchange_tables(a, b)
+        assert spark.read.parquet(a).count() == 7
+        assert spark.read.parquet(b).count() == 3
+        with pytest.raises(FileNotFoundError):
+            exchange_tables(a, str(tmp_path / "missing"))
+
+    def test_driver_row_swapped_directions(self, spark, sf_dir):
+        got = QUERIES["table_exchange_tables"](spark, sf_dir)
+        agg = got.groupBy("tbl").agg(
+            F.max("day").alias("mx"), F.sum("n_rows").alias("n")
+        )
+        rows = {r.tbl: (r.mx, r.n) for r in agg.collect()}
+        # live serves the COMPLETE aggregate, staged holds the stale
+        # prefix — i.e. the swap moved both directions
+        assert rows["staged"][0] <= 20240121
+        assert rows["live"][0] > 20240121
+        assert rows["live"][1] > rows["staged"][1]
+
+
+class TestFreezeRestoreRow:
+    def test_restored_equals_raw(self, spark, sf_dir):
+        from go_nats_to_clickhouse_spark.queries.util import load_table
+
+        got = QUERIES["table_freeze_restore"](spark, sf_dir)
+        raw = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                .cast("long")
+                .alias("total_cents"),
+            )
+            .orderBy("event_type")
+        )
+        assert [tuple(r) for r in got.collect()] == [
+            tuple(r) for r in raw.collect()
+        ]
+
+
+class TestWithTies:
+    def test_equals_rank_spelling(self, spark, sf_dir):
+        from go_nats_to_clickhouse_spark.queries.util import load_table
+        from pyspark.sql.window import Window as W
+
+        got = QUERIES["sort_limit_with_ties"](spark, sf_dir)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+        naive = (
+            o.withColumn(
+                "rk", F.rank().over(W.orderBy(F.desc("o_orderdate")))
+            )
+            .filter(F.col("rk") <= 10)
+            .drop("rk")
+            .orderBy(F.desc("o_orderdate"), "o_orderkey")
+        )
+        assert [tuple(r) for r in got.collect()] == [
+            tuple(r) for r in naive.collect()
+        ]
+
+
+class TestSelectionCurve:
+    def test_distributed_ntile_equals_native(self, spark, sf_dir):
+        """The histogram-rank + integer-arithmetic bucket assignment must
+        reproduce the single-reducer NTILE(10) window exactly."""
+        from go_nats_to_clickhouse_spark.queries.util import load_table
+        from pyspark.sql.window import Window as W
+
+        got = QUERIES["text_selection_curve"](spark, sf_dir)
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
+        )
+        native = (
+            d.withColumn(
+                "decile",
+                F.ntile(10).over(W.orderBy(F.desc("n_words"), "doc_id")),
+            )
+            .groupBy("decile")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("chars_total"),
+            )
+            .orderBy("decile")
+        )
+        left = [(r.decile, r.n_docs, r.chars_total) for r in got.collect()]
+        right = [tuple(r) for r in native.collect()]
+        assert left == right
+        # curve is monotone and ends at exactly 1e6 ppm
+        ppm = [r.cum_chars_ppm for r in got.collect()]
+        assert ppm == sorted(ppm) and ppm[-1] == 1000000
