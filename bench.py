@@ -69,6 +69,7 @@ def main() -> None:
         ann_appended_tables,
         ann_tables,
         bm25_tables,
+        cascade_compacted_live_tables,
         cascade_erased_live_tables,
         cascade_erased_tables,
         erased_ann2_tables,
@@ -108,6 +109,7 @@ def main() -> None:
     erased_live_ann_tables(spark, sf_dir)
     # round 8: the cascade-side GDPR scrubs are maintenance-time cost too
     cascade_erased_tables(spark, sf_dir)
+    cascade_compacted_live_tables(spark, sf_dir)
     cascade_erased_live_tables(spark, sf_dir)
     tmaint_tables(spark, sf_dir)
     bm25_tables(spark, sf_dir)

@@ -1603,6 +1603,103 @@ def cascade_erased_live_tables(spark: SparkSession, sf_dir: str) -> dict[str, st
     return _published(f"cel-{sf_name}-", tag, CEL_TABLES, build)
 
 
+CCL_TABLES = ("warehouse",)
+
+
+def cascade_compacted_live_tables(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, str]:
+    """COMPACTION under streaming — the background-merge half of the
+    mutations-concurrent-with-inserts matrix (the erase halves are
+    :func:`cascade_erased_live_tables` / :func:`erased_live_tables`):
+    MergeTree's defining property is that background part merges run
+    WHILE inserts land (the reference's tables get it from the server
+    for free, init.sql:17); here plans/layout.compact_table runs over
+    all three cascade tables BETWEEN micro-batches of the RUNNING
+    ``start_pipeline`` service, and the post-compaction batches append
+    fresh part files next to the merged ones through the SAME
+    checkpointed query.
+
+    Build: phase-A document envelopes stream through the cascade and
+    commit (many small per-trigger part files — the small-files problem
+    compaction exists for); with the query idle between triggers,
+    compact_table rewrites each table to one sorted file per partition
+    (rename-aside swap, safe against the live writer because sinks are
+    append-only part files and the swap never replaces a directory
+    being written); phase B then arrives and appends. The driver row
+    pipeline_cascade_compacted_live reads the final analytics table
+    against the PLAIN full-ingest oracle: green proves compaction is
+    INVISIBLE to the data — same rows, same bytes of content — which is
+    the entire merge contract. Tests pin the mechanics: a
+    service_health maintenance row for the compaction, phase-B rows
+    present, and the compacted tables' per-partition file counts."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"ccl-{sf_name}-{_ing_fingerprint(sf_dir)}"
+
+    def build(tmp: str) -> None:
+        from go_nats_to_clickhouse_spark.config import EngineConfig
+        from go_nats_to_clickhouse_spark.plans.layout import compact_table
+        from go_nats_to_clickhouse_spark.schemas import load_table
+        from go_nats_to_clickhouse_spark.sources.envelope import (
+            document_envelopes,
+            message_file_stream,
+        )
+        from go_nats_to_clickhouse_spark.streaming.pipeline import (
+            ALL_STREAMS_TABLE,
+            ANALYTICS_TABLE,
+            RAW_TABLE_PREFIX,
+            record_health,
+            start_pipeline,
+        )
+
+        batch = load_table(spark, sf_dir, "documents").filter(
+            F.col("source").isin(*NEW_SOURCES)
+        )
+        phase_a = batch.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+        phase_b = batch.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+        arrivals = os.path.join(tmp, "_arrivals")
+        document_envelopes(phase_a).repartition(2).write.text(arrivals)
+        warehouse = os.path.join(tmp, "warehouse")
+        cfg = EngineConfig(
+            warehouse_dir=warehouse,
+            checkpoint_dir=os.path.join(tmp, "_ckpt"),
+        )
+        src = message_file_stream(spark, arrivals, max_files_per_trigger=1)
+        q = start_pipeline(
+            spark, cfg, src, query_name="ccl-ingest", trigger_seconds=0
+        )
+        try:
+            q.processAllAvailable()  # phase A committed; stream LIVE
+            from go_nats_to_clickhouse_spark.plans.layout import SORT_KEYS
+
+            n = 0
+            for table, parts, keys in (
+                (
+                    RAW_TABLE_PREFIX.rstrip("_"),
+                    ("stream", "ym"),
+                    SORT_KEYS["raw"],
+                ),
+                (ALL_STREAMS_TABLE, ("ym",), SORT_KEYS["all_streams"]),
+                (ANALYTICS_TABLE, ("ym",), SORT_KEYS["analytics"]),
+            ):
+                path = os.path.join(warehouse, table)
+                compact_table(
+                    spark, path, sort_keys=keys, partition_cols=parts
+                )
+                n += spark.read.parquet(path).count()
+            record_health(spark, warehouse, -1, "compact_cascade", n, n)
+            # phase B appends next to the merged parts, same query
+            document_envelopes(phase_b).repartition(2).write.mode(
+                "append"
+            ).text(arrivals)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+
+    return _published(f"ccl-{sf_name}-", tag, CCL_TABLES, build)
+
+
 ERLV_TABLES = (
     "ann_centroids",
     "ann_corpus",

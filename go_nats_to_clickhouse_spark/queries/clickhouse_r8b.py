@@ -609,3 +609,66 @@ def text_selection_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cum_chars_ppm"),
     ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# Compaction under streaming — background merges concurrent with inserts
+# ---------------------------------------------------------------------------
+
+
+def _cascade_compacted_oracle() -> str:
+    from go_nats_to_clickhouse_spark.plans.materialize import NEW_SOURCES
+
+    src = ", ".join(f"'{s}'" for s in NEW_SOURCES)
+    return f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_msgs,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars_stored
+FROM documents
+WHERE source IN ({src})
+GROUP BY source ORDER BY source
+"""
+
+
+@query("pipeline_cascade_compacted_live", _cascade_compacted_oracle())
+def pipeline_cascade_compacted_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Compaction UNDER streaming — the background-merge half of the
+    mutations-concurrent-with-inserts matrix (the erase halves landed
+    as pipeline_cascade_erased_live / pipeline_manifest_erased_live):
+    MergeTree's defining behavior is that part merges run while inserts
+    keep landing (the reference's tables get this from the server,
+    init.sql:17); here plans/layout.compact_table rewrote all three
+    cascade tables to one sorted file per partition BETWEEN
+    micro-batches of the RUNNING start_pipeline service
+    (plans/materialize.cascade_compacted_live_tables), and the phase-B
+    envelopes appended fresh part files next to the merged ones through
+    the same checkpointed query.
+
+    This row reads the final analytics table against the PLAIN
+    full-ingest oracle: green proves the merge is INVISIBLE to the
+    data — every row and every byte of content identical to a
+    never-compacted ingest — which is the entire merge contract.
+    The mechanics (service_health maintenance row, per-partition file
+    counts actually collapsed, phase-B presence) are pinned in tests."""
+    import os as _os
+
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        NEW_SOURCES,
+        cascade_compacted_live_tables,
+    )
+    from go_nats_to_clickhouse_spark.streaming.pipeline import ANALYTICS_TABLE
+
+    t = cascade_compacted_live_tables(spark, sf_dir)
+    ana = spark.read.parquet(_os.path.join(t["warehouse"], ANALYTICS_TABLE))
+    return (
+        ana.filter(F.col("project_code").isin(*NEW_SOURCES))
+        .groupBy(F.col("project_code").alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_msgs"),
+            F.sum(F.length("message_text")).cast("long").alias(
+                "n_chars_stored"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -324,3 +324,48 @@ class TestSelectionCurve:
         # curve is monotone and ends at exactly 1e6 ppm
         ppm = [r.cum_chars_ppm for r in got.collect()]
         assert ppm == sorted(ppm) and ppm[-1] == 1000000
+
+
+class TestCompactedLiveCascade:
+    def test_health_row_and_entity_equality(self, spark, sf_dir):
+        """The mid-stream compaction logged a maintenance health row, and
+        the final warehouse holds exactly the full batch's entities —
+        the merge was invisible to the data."""
+        import os as _os
+
+        from go_nats_to_clickhouse_spark.plans.materialize import (
+            NEW_SOURCES,
+            cascade_compacted_live_tables,
+        )
+        from go_nats_to_clickhouse_spark.queries.util import load_table
+        from go_nats_to_clickhouse_spark.streaming.pipeline import (
+            ANALYTICS_TABLE,
+            HEALTH_TABLE,
+        )
+
+        t = cascade_compacted_live_tables(spark, sf_dir)
+        health = spark.read.parquet(
+            _os.path.join(t["warehouse"], HEALTH_TABLE)
+        ).filter(F.col("family") == "compact_cascade")
+        rows = health.collect()
+        assert len(rows) == 1
+        assert rows[0].rows_in == rows[0].rows_out > 0
+
+        ana = spark.read.parquet(
+            _os.path.join(t["warehouse"], ANALYTICS_TABLE)
+        )
+        got_ids = {
+            int(r.message_id)
+            for r in ana.select("message_id").distinct().collect()
+        }
+        want_ids = {
+            r.doc_id
+            for r in load_table(spark, sf_dir, "documents")
+            .filter(F.col("source").isin(*NEW_SOURCES))
+            .select("doc_id")
+            .collect()
+        }
+        # both phases present (phase B landed AFTER the compaction), no
+        # row lost or duplicated across the merge
+        assert got_ids == want_ids
+        assert ana.count() == len(want_ids)
