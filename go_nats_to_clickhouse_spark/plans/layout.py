@@ -95,6 +95,16 @@ def compact_table(
         shutil.rmtree(old)  # leftover from a previous crashed swap
     os.rename(path, old)
     os.rename(tmp, path)
+    # Carry non-data sidecars through the swap: `_`-prefixed entries are
+    # invisible to the scan (so absent from the rewrite) but must SURVIVE
+    # a merge — detached partitions (`_detached/`, DETACH PARTITION)
+    # outlive background merges in ClickHouse, and losing them here would
+    # make compaction silently destructive.
+    for entry in os.listdir(old):
+        if entry.startswith("_") and not os.path.exists(
+            os.path.join(path, entry)
+        ):
+            os.rename(os.path.join(old, entry), os.path.join(path, entry))
     shutil.rmtree(old)
 
 

@@ -369,3 +369,30 @@ class TestCompactedLiveCascade:
         # row lost or duplicated across the merge
         assert got_ids == want_ids
         assert ana.count() == len(want_ids)
+
+
+class TestCompactionPreservesDetached:
+    def test_detached_partition_survives_compact(self, spark, tmp_path):
+        """Background merges must not destroy detached parts (ClickHouse
+        keeps `detached/` across merges): compact_table's whole-dir swap
+        carries `_`-prefixed sidecars into the new generation."""
+        from go_nats_to_clickhouse_spark.plans.layout import compact_table
+
+        path = str(tmp_path / "t")
+        rows = [(i, i % 3, i * 10) for i in range(30)]
+        (
+            spark.createDataFrame(rows, "id long, d int, v long")
+            .repartition(4)
+            .write.partitionBy("d")
+            .parquet(path)
+        )
+        detach_partition(path, "d", 1)
+        compact_table(
+            spark, path, sort_keys=("id",), partition_cols=("d",)
+        )
+        # the merge rewrote the visible partitions...
+        assert spark.read.parquet(path).count() == 20
+        # ...and the detached part survived it, still attachable
+        assert os.path.isdir(os.path.join(path, "_detached", "d=1"))
+        attach_partition(path, "d", 1)
+        assert spark.read.parquet(path).count() == 30
