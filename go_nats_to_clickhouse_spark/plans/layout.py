@@ -754,9 +754,14 @@ def erase_where(
 
     leaves = []
     for dirpath, dirnames, filenames in os.walk(path):
+        # skip hidden staging dirs AND `_`-prefixed sidecars: a detached
+        # partition (`_detached/`, DETACH PARTITION) is not an active
+        # part, and ClickHouse mutations rewrite only active parts — an
+        # erase pass must ATTACH (or drop) detached parts explicitly,
+        # exactly as on a real server. Mirrors the reader's visibility.
         if dirpath.rstrip("/") != path.rstrip("/") and os.path.basename(
             dirpath
-        ).startswith("."):
+        ).startswith((".", "_")):
             dirnames[:] = []
             continue
         if any(f.endswith(".parquet") for f in filenames):

@@ -396,3 +396,30 @@ class TestCompactionPreservesDetached:
         assert os.path.isdir(os.path.join(path, "_detached", "d=1"))
         attach_partition(path, "d", 1)
         assert spark.read.parquet(path).count() == 30
+
+
+class TestMutationsSkipDetached:
+    def test_erase_where_leaves_detached_untouched(self, spark, tmp_path):
+        """ALTER DELETE rewrites only ACTIVE parts: a detached partition
+        keeps its (unmutated) rows and returns intact on ATTACH — the
+        ClickHouse contract; erasing detached data requires attaching or
+        dropping it explicitly."""
+        from go_nats_to_clickhouse_spark.plans.layout import erase_where
+
+        path = str(tmp_path / "t")
+        rows = [(i, i % 3, i * 10) for i in range(30)]
+        (
+            spark.createDataFrame(rows, "id long, d int, v long")
+            .write.partitionBy("d")
+            .parquet(path)
+        )
+        detach_partition(path, "d", 1)
+        stats = erase_where(
+            spark, path, F.col("id") % 2 == 0, sort_keys=("id",)
+        )
+        assert stats["rows_erased"] == 10  # evens of d=0 (5) + d=2 (5)
+        attach_partition(path, "d", 1)
+        back = spark.read.parquet(path)
+        # the detached partition returned with ALL its rows, evens included
+        assert back.filter((F.col("d") == 1) & (F.col("id") % 2 == 0)).count() == 5
+        assert back.count() == 20  # 20 active - 10 erased + 10 attached
