@@ -1066,3 +1066,38 @@ def exchange_tables(path_a: str, path_b: str) -> None:
     os.rename(path_a, tmp)
     os.rename(path_b, path_a)
     os.rename(tmp, path_b)
+
+
+def detached_parts_report(
+    spark: SparkSession, path: str, partition_col: str = PARTITION_COL
+) -> DataFrame:
+    """``system.detached_parts`` — the introspection surface for parts
+    sitting in the detached namespace (after DETACH PARTITION, or parts
+    set aside by recovery tooling): per detached partition, its file
+    count, row count, and bytes, from parquet footers + stat() only.
+    This is how an operator audits what a blanket ``ATTACH`` would bring
+    back — and, since mutations skip detached parts by contract
+    (:func:`erase_where`), what a GDPR sweep still needs to attach or
+    drop. Empty result (same schema) when nothing is detached."""
+    import pyarrow.parquet as pq
+
+    rows = []
+    det = os.path.join(path, DETACHED_DIR)
+    if os.path.isdir(det):
+        for d in sorted(os.listdir(det)):
+            if not d.startswith(f"{partition_col}="):
+                continue
+            part = d.split("=", 1)[1]
+            part_dir = os.path.join(det, d)
+            n_files = n_rows = n_bytes = 0
+            for f in sorted(os.listdir(part_dir)):
+                if not f.endswith(".parquet"):
+                    continue
+                fp = os.path.join(part_dir, f)
+                n_files += 1
+                n_rows += pq.ParquetFile(fp).metadata.num_rows
+                n_bytes += os.stat(fp).st_size
+            rows.append((part, n_files, n_rows, n_bytes))
+    return spark.createDataFrame(
+        rows, "part string, n_files long, n_rows long, n_bytes long"
+    )

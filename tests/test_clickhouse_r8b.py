@@ -423,3 +423,27 @@ class TestMutationsSkipDetached:
         # the detached partition returned with ALL its rows, evens included
         assert back.filter((F.col("d") == 1) & (F.col("id") % 2 == 0)).count() == 5
         assert back.count() == 20  # 20 active - 10 erased + 10 attached
+
+
+class TestDetachedPartsReport:
+    def test_reports_detached_only(self, spark, tmp_path):
+        from go_nats_to_clickhouse_spark.plans.layout import (
+            detached_parts_report,
+        )
+
+        path = str(tmp_path / "t")
+        rows = [(i, i % 3, i * 10) for i in range(30)]
+        (
+            spark.createDataFrame(rows, "id long, d int, v long")
+            .write.partitionBy("d")
+            .parquet(path)
+        )
+        assert detached_parts_report(spark, path, "d").count() == 0
+        detach_partition(path, "d", 1)
+        detach_partition(path, "d", 2)
+        got = {
+            r.part: (r.n_rows, r.n_files)
+            for r in detached_parts_report(spark, path, "d").collect()
+        }
+        assert set(got) == {"1", "2"}
+        assert all(n_rows == 10 and n_files >= 1 for n_rows, n_files in got.values())
