@@ -91,21 +91,30 @@ def compact_table(
     # format (Delta/Iceberg) commit instead.
     import shutil
 
+    def _carry_sidecars_then_drop(old_dir: str) -> None:
+        # Carry non-data sidecars out of the retired generation before
+        # dropping it: `_`-prefixed entries are invisible to the scan (so
+        # absent from the rewrite) but must SURVIVE a merge — detached
+        # partitions (`_detached/`, DETACH PARTITION) outlive background
+        # merges in ClickHouse, and losing them would make compaction
+        # silently destructive. Running this on a LEFTOVER old dir too
+        # means a crash between the swap and the carry still strands
+        # nothing: the next compaction rescues the sidecars before it
+        # sweeps the leftover.
+        for entry in os.listdir(old_dir):
+            if entry.startswith("_") and not os.path.exists(
+                os.path.join(path, entry)
+            ):
+                os.rename(
+                    os.path.join(old_dir, entry), os.path.join(path, entry)
+                )
+        shutil.rmtree(old_dir)
+
     if os.path.exists(old):
-        shutil.rmtree(old)  # leftover from a previous crashed swap
+        _carry_sidecars_then_drop(old)  # leftover from a crashed swap
     os.rename(path, old)
     os.rename(tmp, path)
-    # Carry non-data sidecars through the swap: `_`-prefixed entries are
-    # invisible to the scan (so absent from the rewrite) but must SURVIVE
-    # a merge — detached partitions (`_detached/`, DETACH PARTITION)
-    # outlive background merges in ClickHouse, and losing them here would
-    # make compaction silently destructive.
-    for entry in os.listdir(old):
-        if entry.startswith("_") and not os.path.exists(
-            os.path.join(path, entry)
-        ):
-            os.rename(os.path.join(old, entry), os.path.join(path, entry))
-    shutil.rmtree(old)
+    _carry_sidecars_then_drop(old)
 
 
 def expire_partitions(path: str, before_ym: int) -> list[int]:

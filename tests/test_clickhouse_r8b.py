@@ -447,3 +447,35 @@ class TestDetachedPartsReport:
         }
         assert set(got) == {"1", "2"}
         assert all(n_rows == 10 and n_files >= 1 for n_rows, n_files in got.values())
+
+
+class TestCompactionCrashRecovery:
+    def test_leftover_old_generation_sidecars_are_rescued(
+        self, spark, tmp_path
+    ):
+        """Simulate a crash between compact_table's swap and its sidecar
+        carry: the retired generation (``__compact_old``) still holds
+        ``_detached/``. The NEXT compaction must rescue those parts
+        before sweeping the leftover, not rmtree them."""
+        import shutil
+
+        from go_nats_to_clickhouse_spark.plans.layout import compact_table
+
+        path = str(tmp_path / "t")
+        rows = [(i, i % 3, i * 10) for i in range(30)]
+        (
+            spark.createDataFrame(rows, "id long, d int, v long")
+            .write.partitionBy("d")
+            .parquet(path)
+        )
+        detach_partition(path, "d", 1)
+        # stage the crash: old generation left behind WITH the sidecar,
+        # live table missing it (exactly the post-swap pre-carry state)
+        old = path + "__compact_old"
+        shutil.copytree(path, old)
+        shutil.rmtree(os.path.join(path, "_detached"))
+        compact_table(spark, path, sort_keys=("id",), partition_cols=("d",))
+        assert not os.path.exists(old)
+        assert os.path.isdir(os.path.join(path, "_detached", "d=1"))
+        attach_partition(path, "d", 1)
+        assert spark.read.parquet(path).count() == 30
