@@ -672,3 +672,35 @@ def pipeline_cascade_compacted_live(
         )
         .orderBy("source")
     )
+
+
+@query(
+    "table_detached_parts",
+    """
+SELECT '20240103' AS part, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM events
+WHERE CAST(strftime(ts, '%Y%m%d') AS BIGINT) = 20240103
+""",
+)
+def table_detached_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``system.detached_parts`` as a driver row — the introspection
+    twin of table_parts_report over the DETACHED namespace: the tmaint
+    family left day 3 of ``events_detached`` detached
+    (table_detach_attach_partition's lifecycle), and this report reads
+    its row count from PARQUET FOOTERS ONLY
+    (plans/layout.detached_parts_report — zero data pages, O(files)
+    driver-side metadata). The oracle recomputes the same count from
+    the raw events: green proves the detached namespace holds exactly
+    the rows DETACH moved aside — what a blanket ATTACH would bring
+    back, and what a GDPR sweep still owes given that mutations skip
+    detached parts by contract (plans/layout.erase_where)."""
+    from go_nats_to_clickhouse_spark.plans.materialize import tmaint_tables
+
+    t = tmaint_tables(spark, sf_dir)
+    from go_nats_to_clickhouse_spark.plans.layout import (
+        detached_parts_report,
+    )
+
+    return detached_parts_report(spark, t["events_detached"], "ym").select(
+        "part", "n_rows"
+    )
