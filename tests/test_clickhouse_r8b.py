@@ -479,3 +479,35 @@ class TestCompactionCrashRecovery:
         assert os.path.isdir(os.path.join(path, "_detached", "d=1"))
         attach_partition(path, "d", 1)
         assert spark.read.parquet(path).count() == 30
+
+
+class TestNtileArithmetic:
+    def test_bucket_formula_matches_sql_standard(self):
+        """Pure-math pin of the distributed NTILE bucket assignment used
+        by text_selection_curve: for any n, the SQL-standard NTILE(k)
+        puts the first n%k buckets at floor(n/k)+1 rows and the rest at
+        floor(n/k) — the formula must reproduce that for every rank."""
+        import random
+
+        rnd = random.Random(8)
+        for n in [1, 5, 9, 10, 11, 23, 100] + [
+            rnd.randrange(1, 10000) for _ in range(50)
+        ]:
+            k = 10
+            q, m = divmod(n, k)
+            big_span = (q + 1) * m
+
+            def bucket(r: int) -> int:
+                if r <= big_span:
+                    return (r + q) // (q + 1)
+                return m + (r - big_span + q - 1) // q
+
+            got = [bucket(r) for r in range(1, n + 1)]
+            # SQL-standard NTILE: first m buckets hold q+1, rest hold q
+            want = []
+            b = 1
+            while len(want) < n:
+                size = q + 1 if b <= m else q
+                want += [b] * size
+                b += 1
+            assert got == want[:n], (n, got[:20], want[:20])
