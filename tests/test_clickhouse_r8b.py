@@ -511,3 +511,21 @@ class TestNtileArithmetic:
                 want += [b] * size
                 b += 1
             assert got == want[:n], (n, got[:20], want[:20])
+
+
+class TestExchangeGuards:
+    def test_stale_xchg_tmp_refuses(self, spark, tmp_path):
+        """A leftover __xchg_tmp from a crashed exchange must make the
+        next exchange refuse loudly instead of silently shuffling three
+        directories around unknown state."""
+        from go_nats_to_clickhouse_spark.plans.layout import exchange_tables
+
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        spark.range(3).write.parquet(a)
+        spark.range(7).write.parquet(b)
+        os.makedirs(a + "__xchg_tmp")
+        with pytest.raises(FileExistsError):
+            exchange_tables(a, b)
+        # both tables untouched by the refusal
+        assert spark.read.parquet(a).count() == 3
+        assert spark.read.parquet(b).count() == 7
