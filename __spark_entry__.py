@@ -36,7 +36,6 @@ _PRIORITY = [
     "agg_weighted_median_exact",  # scale-safe histogram twin, shared oracle (new r8)
     "pipeline_manifest_erased_live",  # erase interleaved mid-stream, live service (new r8)
     "pipeline_service_health",  # per-batch sink-family observability rows (new r8)
-    "pipeline_manifest_ingested",  # warehouse now carries health rows (engine changed r8)
     "join_any_left",  # LEFT ANY JOIN strictness, aggregate-then-join (new r8)
     "table_summing_merge",  # SummingMergeTree merge-time pre-aggregation (new r8)
     "table_agg_state_read",  # AggregatingMergeTree -State blobs merged at read (new r8)
@@ -81,6 +80,7 @@ _PRIORITY = [
     "text_selection_curve",  # distributed exact NTILE decile curve (new r8)
     "pipeline_cascade_compacted_live",  # merges concurrent with inserts (new r8)
     "table_detached_parts",  # system.detached_parts footer report (new r8)
+    "q1_pricing_summary",  # avg columns hardened to integer micros (changed r8, fuzz finding)
     "mv_analytics_projection",  # flagship, pinned inside the window
     # --- oldest-green rotation (VERDICT r8 #5): what fits of the round-2
     # cohort the r7 window displaced (last sampled r2); agg_moving_avg,

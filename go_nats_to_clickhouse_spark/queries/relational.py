@@ -11,12 +11,12 @@ use the exact-decimal strategy from ``queries.util``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from go_nats_to_clickhouse_spark.queries.registry import query
-from go_nats_to_clickhouse_spark.queries.util import MONEY, RATE, davg, dec, dsum, load_table
+from go_nats_to_clickhouse_spark.queries.util import MONEY, RATE, dec, dsum, load_table
 
 # ---------------------------------------------------------------------------
 # Aggregation: TPC-H Q1 style pricing summary (hash agg, partial+final)
@@ -33,9 +33,12 @@ SELECT
   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
-  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
-  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+  CAST((2 * SUM(CAST(round(l_quantity * 100) AS BIGINT)) * 10000 + COUNT(*))
+       // (2 * COUNT(*)) AS DOUBLE) / 1000000 AS avg_qty,
+  CAST((2 * SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) * 10000 + COUNT(*))
+       // (2 * COUNT(*)) AS DOUBLE) / 1000000 AS avg_price,
+  CAST((2 * SUM(CAST(round(l_discount * 100) AS BIGINT)) * 10000 + COUNT(*))
+       // (2 * COUNT(*)) AS DOUBLE) / 1000000 AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -43,10 +46,28 @@ GROUP BY l_returnflag, l_linestatus
 """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary. Money sums use the exact-decimal
+    strategy (decimal SUM, rounded in decimal, THEN cast to double —
+    bit-identical across engines). The three averages are hardened one
+    step further after a fuzz-sweep finding (tools/fuzzcheck.py, round
+    8): ``round(sum_double / count, 6)`` can land EXACTLY on a 6-dp
+    rounding boundary, where Spark (exact BigDecimal conversion of the
+    double) and DuckDB (scale-multiply in floating point, then
+    std::round) legitimately round opposite ways. The averages are
+    therefore computed as half-up integers in MICRO units —
+    ``(2 * cents * 10^4 + n) div (2n)`` — pure int64 arithmetic both
+    engines evaluate identically for any data, and only the final
+    display division by 10^6 touches floating point (same integer in,
+    same double out). int64 headroom: the scaled sum is cents x 2e4,
+    overflowing only past ~4.6e14 in group cents (~SF 100k)."""
     l = load_table(spark, sf_dir, "lineitem")
     disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", RATE))
     charge = disc_price * (F.lit(1) + dec("l_tax", RATE))
-    return (
+
+    def cents(col: str) -> Column:
+        return F.round(F.col(col) * 100).cast("long")
+
+    g = (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -54,11 +75,31 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(dec("l_extendedprice"), "sum_base_price"),
             dsum(disc_price, "sum_disc_price"),
             dsum(charge, "sum_charge"),
-            davg(dec("l_quantity"), "avg_qty"),
-            davg(dec("l_extendedprice"), "avg_price"),
-            davg(dec("l_discount", RATE), "avg_disc"),
+            F.sum(cents("l_quantity")).alias("_qty_c"),
+            F.sum(cents("l_extendedprice")).alias("_price_c"),
+            F.sum(cents("l_discount")).alias("_disc_c"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+    def int_avg(sum_col: str) -> Column:
+        # half-up integer micros: (2 * cents * 10^4 + n) div (2n)
+        micros = F.expr(
+            f"(2 * {sum_col} * 10000 + count_order) div (2 * count_order)"
+        )
+        return micros.cast("double") / F.lit(1000000)
+
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        int_avg("_qty_c").alias("avg_qty"),
+        int_avg("_price_c").alias("avg_price"),
+        int_avg("_disc_c").alias("avg_disc"),
+        "count_order",
     )
 
 

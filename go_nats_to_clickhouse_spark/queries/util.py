@@ -37,9 +37,4 @@ def dsum(expr: Column, alias: str, scale: int = 2) -> Column:
     return F.round(F.sum(expr), scale).cast("double").alias(alias)
 
 
-def davg(expr: Column, alias: str, scale: int = 6) -> Column:
-    """Average as exact-decimal SUM cast to double, divided by COUNT —
-    bit-identical across engines (single IEEE division of equal operands)."""
-    return F.round(
-        F.sum(expr).cast("double") / F.count(F.lit(1)), scale
-    ).alias(alias)
+
