@@ -539,8 +539,8 @@ def behavioral_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH base AS (
   SELECT event_type, date_trunc('hour', ts) AS h,
-         CAST(SUM(CAST(round(value, 3) AS DECIMAL(7,3))) AS DOUBLE)
-           / COUNT(*) AS v
+         (2 * SUM(CAST(round(value * 1000) AS BIGINT)) * 1000 + COUNT(*))
+           // (2 * COUNT(*)) AS vm
   FROM events
   GROUP BY event_type, date_trunc('hour', ts)
 ),
@@ -552,30 +552,32 @@ grid AS (
   FROM bounds
 ),
 joined AS (
-  SELECT g.event_type, g.h, b.v,
-         last_value(b.v IGNORE NULLS)
+  SELECT g.event_type, g.h, b.vm,
+         last_value(b.vm IGNORE NULLS)
            OVER (PARTITION BY g.event_type ORDER BY g.h
-                 ROWS UNBOUNDED PRECEDING) AS pv,
-         last_value(CASE WHEN b.v IS NOT NULL THEN g.h END IGNORE NULLS)
+                 ROWS UNBOUNDED PRECEDING) AS pm,
+         last_value(CASE WHEN b.vm IS NOT NULL THEN g.h END IGNORE NULLS)
            OVER (PARTITION BY g.event_type ORDER BY g.h
                  ROWS UNBOUNDED PRECEDING) AS ph,
-         first_value(b.v IGNORE NULLS)
+         first_value(b.vm IGNORE NULLS)
            OVER (PARTITION BY g.event_type ORDER BY g.h
-                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-         first_value(CASE WHEN b.v IS NOT NULL THEN g.h END IGNORE NULLS)
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nm,
+         first_value(CASE WHEN b.vm IS NOT NULL THEN g.h END IGNORE NULLS)
            OVER (PARTITION BY g.event_type ORDER BY g.h
                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
   FROM grid g LEFT JOIN base b ON b.event_type = g.event_type AND b.h = g.h
 )
 SELECT event_type, h,
-       v IS NOT NULL AS observed,
-       round(CASE
-         WHEN v IS NOT NULL THEN v
-         WHEN pv IS NULL THEN nv
-         WHEN nv IS NULL THEN pv
-         ELSE pv + (nv - pv) * (epoch_us(h) - epoch_us(ph))
-                   / (epoch_us(nh) - epoch_us(ph))
-       END, 6) AS v_interp
+       vm IS NOT NULL AS observed,
+       CAST(CASE
+         WHEN vm IS NOT NULL THEN vm
+         WHEN pm IS NULL THEN nm
+         WHEN nm IS NULL THEN pm
+         ELSE (2 * (pm * date_diff('hour', h, nh)
+                    + nm * date_diff('hour', ph, h))
+               + date_diff('hour', ph, nh))
+              // (2 * date_diff('hour', ph, nh))
+       END AS DOUBLE) / 1000000 AS v_interp
 FROM joined
 ORDER BY event_type, h
 """,
@@ -583,25 +585,34 @@ ORDER BY event_type, h
 def timeseries_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``ORDER BY ... WITH FILL ... INTERPOLATE`` analog: hourly
     resample of value per event type with LINEAR interpolation across
-    missing hours (edges carry the nearest observation). Hourly means come
-    from exact decimal sums (naive double averages are summation-order-
-    dependent across engines); the interpolation is then deterministic
-    double algebra over those means. Grid axis comes from a 2-row bounds
-    aggregate exploded with sequence() — never a driver-side loop; the
-    ignore-nulls window pair resolves both interpolation endpoints on ONE
-    event_type shuffle. Interpolated values inherit positivity from the
-    fixture (value ≥ 0.01), so no signed-zero exposure."""
+    missing hours (edges carry the nearest observation). Every rounding
+    step happens in INTEGER micro-units (the q1 fuzz-finding treatment):
+    the hourly mean is the half-up integer ``(2*milli_sum*1000 + n) div
+    (2n)`` and the interpolation is the half-up integer
+    ``(2*(pm*(b-a) + nm*a) + b) div (2b)`` over integer hour offsets —
+    pure int64 arithmetic both engines evaluate identically, with only
+    the final display division by 10^6 touching floating point.
+    ``round(double, 6)`` as a last step was the round-8 fuzz sweep's
+    knife edge (seeds 99/3: midpoints of 2-dp cents land exactly on 6-dp
+    halves, and Spark's BigDecimal half-up vs DuckDB's scale-multiply
+    std::round legitimately disagree there). int64 headroom: micro-means
+    ≤ ~3.3e8 times hour spans ≤ ~1e4 stays < 1e13. Grid axis comes from
+    a 2-row bounds aggregate exploded with sequence() — never a
+    driver-side loop; the ignore-nulls window pair resolves both
+    interpolation endpoints on ONE event_type shuffle. Values are
+    positive (fixture value ≥ 0.01), so ``div`` (truncating) and
+    DuckDB ``//`` (flooring) agree on every quotient here."""
     e = load_table(spark, sf_dir, "events")
+    milli = F.round(F.col("value") * 1000).cast("long")
     base = (
         e.groupBy(
             "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
         )
-        .agg(
-            (
-                F.sum(F.round(F.col("value"), 3).cast("decimal(7,3)"))
-                .cast("double")
-                / F.count(F.lit(1))
-            ).alias("v")
+        .agg(F.sum(milli).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "h",
+            F.expr("(2 * s * 1000 + n) div (2 * n)").alias("vm"),
         )
     )
     bounds = base.groupBy("event_type").agg(
@@ -624,31 +635,39 @@ def timeseries_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy("h")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    obs_h = F.when(F.col("vm").isNotNull(), F.col("h"))
     joined = j.select(
         "event_type",
         "h",
-        "v",
-        F.last("v", ignorenulls=True).over(wback).alias("pv"),
+        "vm",
+        F.last("vm", ignorenulls=True).over(wback).alias("pm"),
         F.last(obs_h, ignorenulls=True).over(wback).alias("ph"),
-        F.first("v", ignorenulls=True).over(wfwd).alias("nv"),
+        F.first("vm", ignorenulls=True).over(wfwd).alias("nm"),
         F.first(obs_h, ignorenulls=True).over(wfwd).alias("nh"),
     )
-    frac = (
-        (F.unix_micros("h") - F.unix_micros("ph")).cast("double")
-        / (F.unix_micros("nh") - F.unix_micros("ph")).cast("double")
-    )
-    interp = (
-        F.when(F.col("v").isNotNull(), F.col("v"))
-        .when(F.col("pv").isNull(), F.col("nv"))
-        .when(F.col("nv").isNull(), F.col("pv"))
-        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    # integer hour offsets: a = hours(ph -> h), b = hours(ph -> nh);
+    # the ELSE branch only fires strictly between observations (b >= 2)
+    interp_micros = (
+        F.when(F.col("vm").isNotNull(), F.col("vm"))
+        .when(F.col("pm").isNull(), F.col("nm"))
+        .when(F.col("nm").isNull(), F.col("pm"))
+        .otherwise(
+            F.expr(
+                "(2 * (pm * ((unix_micros(nh) - unix_micros(h))"
+                "            div 3600000000)"
+                "       + nm * ((unix_micros(h) - unix_micros(ph))"
+                "               div 3600000000))"
+                " + ((unix_micros(nh) - unix_micros(ph)) div 3600000000))"
+                " div (2 * ((unix_micros(nh) - unix_micros(ph))"
+                "           div 3600000000))"
+            )
+        )
     )
     return joined.select(
         "event_type",
         "h",
-        F.col("v").isNotNull().alias("observed"),
-        F.round(interp, 6).alias("v_interp"),
+        F.col("vm").isNotNull().alias("observed"),
+        (interp_micros.cast("double") / F.lit(1000000)).alias("v_interp"),
     ).orderBy("event_type", "h")
 
 

@@ -16,8 +16,11 @@ tie-break, a NULL-handling divergence, an empty-group edge — exactly
 the class of bug a different seed surfaces.
 
 Usage:
-    python tools/fuzzcheck.py [seed] [percent] [base_sf_dir]
-Defaults: seed 8, 90 %, /root/testdata/sf0.001.
+    python tools/fuzzcheck.py [seed] [percent] [base_sf_dir] [query ...]
+Defaults: seed 8, 90 %, /root/testdata/sf0.001, whole registry.
+Naming queries restricts the sweep to them (the precommit smoke tier
+uses this: one seed over just the changed queries, so the
+rounding-boundary class q1 had cannot land ungated).
 """
 
 from __future__ import annotations
@@ -60,6 +63,7 @@ def main() -> int:
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     percent = int(sys.argv[2]) if len(sys.argv) > 2 else 90
     base = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
+    only = tuple(sys.argv[4:])
 
     out = tempfile.mkdtemp(prefix=f"fuzz-sf-{seed}-")
     build_sampled_dir(base, out, seed, percent)
@@ -74,7 +78,7 @@ def main() -> int:
         EngineConfig(shuffle_partitions=8), app_name=f"fuzzcheck-{seed}"
     )
     con = make_oracle_connection(out)
-    failures = check_queries(spark, con, out)
+    failures = check_queries(spark, con, out, only=only)
     return 1 if failures else 0
 
 

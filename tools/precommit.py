@@ -33,10 +33,21 @@ construction, before any action). The hook triggers it automatically
 when the staged diff touches the query packages; it is a no-op when
 nothing changed.
 
+Tier 3 — FUZZ (VERDICT r8 #3, same ``--smoke`` flag): run every
+CHANGED-OR-NEW query against its DuckDB oracle on ONE seeded Bernoulli
+sample of the fixtures (``tools/fuzzcheck.py`` machinery, restricted to
+the changed set). The seed/percent pair is derived deterministically
+from the changed-query names, so re-running the same changeset
+reproduces the same sample while different changesets explore different
+ones. This is the tier that would have caught the q1 /
+``timeseries_resample_interpolate`` rounding-boundary class at commit
+time: both queries were driver-seed-42-green for rounds while
+diverging on other samples.
+
 Usage:
     python tools/precommit.py              # tier 1
-    python tools/precommit.py --smoke      # tier 1 + tier 2 (changed only)
-    python tools/precommit.py --smoke-all  # tier 1 + tier 2 over EVERYTHING
+    python tools/precommit.py --smoke      # tiers 1 + 2 + 3 (changed only)
+    python tools/precommit.py --smoke-all  # tiers 1 + 3, tier 2 over EVERYTHING
     python tools/precommit.py --install    # write .git/hooks/pre-commit
 """
 
@@ -179,6 +190,39 @@ def smoke(names: list[str]) -> None:
     print(f"tier-2 smoke OK: {len(names)} queries construct at sf0.001")
 
 
+def fuzz_tier(names: list[str]) -> None:
+    """Tier 3: differential oracle check of each named query on one
+    seeded Bernoulli fixture sample (fuzzcheck machinery, changed set
+    only). Seed/percent derive from the changed names — deterministic
+    per changeset, varying across changesets."""
+    if not names:
+        print("tier-3 fuzz: nothing changed — skipped")
+        return
+    import hashlib
+    import tempfile
+
+    from fuzzcheck import build_sampled_dir
+    from selfcheck import check_queries, make_oracle_connection
+
+    from go_nats_to_clickhouse_spark.config import EngineConfig
+    from go_nats_to_clickhouse_spark.session import get_spark
+
+    digest = int(
+        hashlib.md5(" ".join(sorted(names)).encode()).hexdigest(), 16
+    )
+    seed = digest % 997
+    percent = 50 + digest % 46  # 50-95%: real row loss, never degenerate
+    out = tempfile.mkdtemp(prefix=f"precommit-fuzz-{seed}-")
+    build_sampled_dir("/root/testdata/sf0.001", out, seed, percent)
+    print(f"tier-3 fuzz: {percent}% sample, seed {seed} -> {out}")
+    spark = get_spark(EngineConfig(shuffle_partitions=4), app_name="precommit-fuzz")
+    con = make_oracle_connection(out)
+    failures = check_queries(spark, con, out, only=tuple(names))
+    if failures:
+        _fail([f"fuzz divergence (seed {seed}, {percent}%): {n}" for n in failures])
+    print(f"tier-3 fuzz OK: {len(names)} queries agree on the sampled fixtures")
+
+
 def install() -> None:
     hook = os.path.join(REPO, ".git", "hooks", "pre-commit")
     with open(hook, "w", encoding="utf-8") as fh:
@@ -196,5 +240,7 @@ if __name__ == "__main__":
         from go_nats_to_clickhouse_spark.queries import QUERIES
 
         smoke(sorted(QUERIES))
+        fuzz_tier(changed)
     elif "--smoke" in sys.argv:
         smoke(changed)
+        fuzz_tier(changed)
