@@ -32,6 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # --- round 9: changed/new rows first (staleness invariant) ---
     "timeseries_resample_interpolate",  # integer-micros rounding fix (fuzz seeds 99/3, changed r9)
+    "table_skip_index_lookup",  # parquet-bloom skip-index point lookup (new r9)
     "mv_analytics_projection",  # flagship, pinned inside the window
     # --- round-9 rotation-debt payment (VERDICT r8 #2): the window's
     # remaining 48 slots go to the oldest greens, oldest-first. Debt at
@@ -89,9 +90,10 @@ _PRIORITY = [
     "mv_message_type_stats",
     "mv_union_streams_monthly",
     "q14_promo_revenue_ratio",
-    "q16_supplier_count_by_part",
     # --- round-10 debt (does NOT fit this round; front these next):
-    # r3 tail: q18_large_volume_orders, q19_disjunctive_join_filter,
+    # r3 tail: q16_supplier_count_by_part (displaced by
+    # table_skip_index_lookup), q18_large_volume_orders,
+    # q19_disjunctive_join_filter,
     # q22_dormant_rich_customers, q2_best_supplier_per_part,
     # range_join_incident_events, retention_cohorts,
     # scalar_{array_transforms,encoding,geo,ip,rounding,uuid}_functions,

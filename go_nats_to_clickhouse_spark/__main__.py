@@ -67,15 +67,21 @@ def main(argv: list[str] | None = None) -> int:
             ANALYTICS_TABLE,
         )
 
-        for table, keys, pcols in (
-            ("nats_data_stream", layout.SORT_KEYS["raw"], ("stream", layout.PARTITION_COL)),
-            (ALL_STREAMS_TABLE, layout.SORT_KEYS["all_streams"], (layout.PARTITION_COL,)),
-            (ANALYTICS_TABLE, layout.SORT_KEYS["analytics"], (layout.PARTITION_COL,)),
+        for table, fam, pcols in (
+            ("nats_data_stream", "raw", ("stream", layout.PARTITION_COL)),
+            (ALL_STREAMS_TABLE, "all_streams", (layout.PARTITION_COL,)),
+            (ANALYTICS_TABLE, "analytics", (layout.PARTITION_COL,)),
         ):
             path = _os.path.join(cfg.warehouse_dir, table)
             if _os.path.exists(path):
                 logger.info("compacting %s", path)
-                layout.compact_table(spark, path, keys, partition_cols=pcols)
+                layout.compact_table(
+                    spark,
+                    path,
+                    layout.SORT_KEYS[fam],
+                    partition_cols=pcols,
+                    bloom_cols=layout.BLOOM_KEYS[fam],
+                )
         logger.info("compaction complete")
         spark.stop()
         return 0

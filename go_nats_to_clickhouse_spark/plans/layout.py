@@ -14,6 +14,19 @@ Spark-native equivalent, and why it holds at 100 TB:
   the same keys before write. Parquet row-group min/max statistics then
   give data-skipping on those columns, which is the same read-elimination
   mechanism as ClickHouse's sparse index (granule skipping).
+* Secondary skip indexes (``INDEX ... TYPE bloom_filter``, the granule
+  skipping init.sql relies on beyond the sort key) -> per-column Parquet
+  BLOOM FILTERS on the high-cardinality lookup columns (``BLOOM_KEYS``:
+  chat_id, message_id). A point lookup on a non-sort-key column then
+  skips whole row groups at the parquet-mr layer before a single page
+  is decoded — the exact analog of ClickHouse granule skipping on a
+  secondary index. Dictionary encoding is disabled on those columns at
+  write: parquet-mr omits the bloom when every page of a chunk is
+  dictionary-encoded (the dictionary already answers membership
+  exactly), which is true at fixture scale but false at 100 TB where
+  high-cardinality chunks fall back to plain encoding mid-file and lose
+  exact skipping — pinning the bloom at write makes the skip index
+  physical at every scale, like ClickHouse's.
 * MergeTree background merges -> :func:`compact_table`, an explicit
   compaction pass that rewrites a partition's many micro-batch files into
   few large sorted files. Streaming appends create small files by design
@@ -39,6 +52,88 @@ SORT_KEYS: dict[str, tuple[str, ...]] = {
 
 PARTITION_COL = "ym"
 
+#: ClickHouse secondary-skip-index analog (init.sql:19 granule skipping):
+#: per-table high-cardinality point-lookup columns that get a Parquet
+#: bloom filter at write. Sort keys already have min/max skipping; these
+#: columns do not (a ts-sorted file spans the full chat_id/message_id
+#: range, so min/max never excludes a row group).
+BLOOM_KEYS: dict[str, tuple[str, ...]] = {
+    "raw": ("chat_id",),
+    "all_streams": ("chat_id",),
+    "analytics": ("message_id", "chat_id"),
+}
+
+#: expected distinct values per row group for bloom sizing — ~100k keys
+#: at 1% false-positive is ~120 KB per column chunk, negligible against
+#: a 128 MB row group and row-group-bounded regardless of table size.
+BLOOM_NDV = 100_000
+
+
+def bloom_options(cols: tuple[str, ...], ndv: int = BLOOM_NDV) -> dict[str, str]:
+    """Parquet writer options enabling a bloom filter on each column.
+
+    Dictionary encoding is disabled per bloom column (module docstring:
+    parquet-mr silently omits the bloom for all-dictionary chunks, which
+    would leave the skip index absent exactly until the scale where it
+    matters)."""
+    opts: dict[str, str] = {}
+    for c in cols:
+        opts[f"parquet.bloom.filter.enabled#{c}"] = "true"
+        opts[f"parquet.bloom.filter.expected.ndv#{c}"] = str(ndv)
+        opts[f"parquet.enable.dictionary#{c}"] = "false"
+    return opts
+
+
+def bloom_skip_report(
+    spark: SparkSession, path: str, column: str, value: str
+) -> dict[str, int]:
+    """Probe every row group of a table for ``column = value`` through
+    parquet-java's own bloom readers — the same library Spark's scan
+    uses for row-group filtering, so ``excluded`` counts row groups the
+    reader PROVABLY skips on that point lookup. String columns only
+    (the BLOOM_KEYS columns are strings; py4j cannot disambiguate the
+    int/long hash overloads). Driver-side walk over footers only — no
+    row data is read; bounded by file count, not table size."""
+    if not isinstance(value, str):
+        raise TypeError("bloom_skip_report probes string columns only")
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    binary = jvm.org.apache.parquet.io.api.Binary.fromString(value)
+    report = {"row_groups": 0, "with_bloom": 0, "excluded": 0}
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            p = jvm.org.apache.hadoop.fs.Path(os.path.join(root, fname))
+            infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                p, conf
+            )
+            reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+            try:
+                blocks = reader.getFooter().getBlocks()
+                for bi in range(blocks.size()):
+                    block = blocks.get(bi)
+                    cols = block.getColumns()
+                    for ci in range(cols.size()):
+                        meta = cols.get(ci)
+                        if meta.getPath().toDotString() != column:
+                            continue
+                        report["row_groups"] += 1
+                        if meta.getBloomFilterOffset() < 0:
+                            continue
+                        bf = reader.getBloomFilterDataReader(block).readBloomFilter(
+                            meta
+                        )
+                        if bf is None:
+                            continue
+                        report["with_bloom"] += 1
+                        if not bf.findHash(bf.hash(binary)):
+                            report["excluded"] += 1
+            finally:
+                reader.close()
+    return report
+
 
 def with_partition_col(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
     """Materialize the monthly partition key toYYYYMM(timestamp) -> ym."""
@@ -51,10 +146,14 @@ def write_partitioned(
     sort_keys: tuple[str, ...],
     ts_col: str = "timestamp",
     mode: str = "append",
+    bloom_cols: tuple[str, ...] = (),
 ) -> None:
-    """Append a batch in MergeTree-like layout: monthly dirs, sorted files."""
+    """Append a batch in MergeTree-like layout: monthly dirs, sorted files,
+    bloom skip indexes on ``bloom_cols`` (see :data:`BLOOM_KEYS`)."""
     out = with_partition_col(df, ts_col).sortWithinPartitions(*sort_keys)
-    out.write.mode(mode).partitionBy(PARTITION_COL).parquet(path)
+    out.write.mode(mode).options(**bloom_options(bloom_cols)).partitionBy(
+        PARTITION_COL
+    ).parquet(path)
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
@@ -68,15 +167,19 @@ def compact_table(
     sort_keys: tuple[str, ...],
     target_files_per_partition: int = 1,
     partition_cols: tuple[str, ...] = (PARTITION_COL,),
+    bloom_cols: tuple[str, ...] = (),
 ) -> None:
     """Rewrite a table into few large sorted files per partition — the
     analog of MergeTree background merges. Run periodically, not per batch.
     ``partition_cols`` must match the table's existing layout (e.g.
-    ("stream", "ym") for the per-stream raw table). Writes to a temp
-    location, renames the old directory aside, swaps the new one in, then
-    deletes the old — at no point is the table path absent with the data
-    only in a temp dir, so a crash at any step leaves either the old or the
-    new table readable (plus at most a leftover __compact_old to sweep)."""
+    ("stream", "ym") for the per-stream raw table); pass the table's
+    ``BLOOM_KEYS`` as ``bloom_cols`` so the merge preserves its skip
+    indexes (ClickHouse merges rebuild secondary indexes too). Writes to a
+    temp location, renames the old directory aside, swaps the new one in,
+    then deletes the old — at no point is the table path absent with the
+    data only in a temp dir, so a crash at any step leaves either the old
+    or the new table readable (plus at most a leftover __compact_old to
+    sweep)."""
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compact_tmp"
     old = path.rstrip("/") + "__compact_old"
@@ -84,6 +187,7 @@ def compact_table(
         df.repartition(target_files_per_partition, *[F.col(c) for c in partition_cols])
         .sortWithinPartitions(*sort_keys)
         .write.mode("overwrite")
+        .options(**bloom_options(bloom_cols))
         .partitionBy(*partition_cols)
         .parquet(tmp)
     )
@@ -744,6 +848,7 @@ def erase_where(
     path: str,
     where,
     sort_keys: tuple[str, ...],
+    bloom_cols: tuple[str, ...] = (),
 ) -> dict[str, int]:
     """``ALTER TABLE ... DELETE WHERE <expr>`` with a GENERAL predicate —
     the expression sibling of :func:`erase_keys` (which takes a key
@@ -803,7 +908,9 @@ def erase_where(
             os.path.dirname(leaf),
             f".erasew_tmp-{os.path.basename(leaf).replace('=', '-')}",
         )
-        keep.write.mode("overwrite").parquet(tmp)
+        # mutations rebuild skip indexes on the parts they rewrite,
+        # exactly like ClickHouse's
+        keep.write.mode("overwrite").options(**bloom_options(bloom_cols)).parquet(tmp)
         old = os.path.join(
             os.path.dirname(leaf),
             f".erasew_old-{os.path.basename(leaf).replace('=', '-')}",

@@ -56,7 +56,7 @@ from pyspark.sql import functions as F
 #: signature/banding/quality/survivor/pair definitions — or to the
 #: composed ingest service the ing- family bakes its tables with — must
 #: bump this)
-MAT_VERSION = 7  # r8: service_health observability rows in ingested warehouses
+MAT_VERSION = 8  # r9: parquet bloom skip indexes on the cascade engine tables
 
 #: the ingest split: these sources model the day-2 batch (same convention
 #: as queries/clickhouse_r3.dedup_incremental_new_batch)
@@ -1487,14 +1487,35 @@ def cascade_erased_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         ana_where = (
             F.pmod(F.col("message_id").cast("long"), F.lit(ERASE_MOD)) == 0
         )
+        from go_nats_to_clickhouse_spark.plans.layout import BLOOM_KEYS
+
         n = 0
-        for table, where, keys in (
-            (RAW_TABLE_PREFIX.rstrip("_"), raw_where, ("timestamp", "chat_id")),
-            (ALL_STREAMS_TABLE, raw_where, ("timestamp", "chat_id")),
-            (ANALYTICS_TABLE, ana_where, ("user_id", "timestamp")),
+        for table, where, keys, blooms in (
+            (
+                RAW_TABLE_PREFIX.rstrip("_"),
+                raw_where,
+                ("timestamp", "chat_id"),
+                BLOOM_KEYS["raw"],
+            ),
+            (
+                ALL_STREAMS_TABLE,
+                raw_where,
+                ("timestamp", "chat_id"),
+                BLOOM_KEYS["all_streams"],
+            ),
+            (
+                ANALYTICS_TABLE,
+                ana_where,
+                ("user_id", "timestamp"),
+                BLOOM_KEYS["analytics"],
+            ),
         ):
             stats = erase_where(
-                spark, os.path.join(warehouse, table), where, sort_keys=keys
+                spark,
+                os.path.join(warehouse, table),
+                where,
+                sort_keys=keys,
+                bloom_cols=blooms,
             )
             n += stats["rows_erased"]
         record_health(spark, warehouse, -1, "erase_cascade", n, n)
@@ -1578,17 +1599,20 @@ def cascade_erased_live_tables(spark: SparkSession, sf_dir: str) -> dict[str, st
                 F.pmod(F.col("message_id").cast("long"), F.lit(ERASE_MOD))
                 == 0
             )
+            from go_nats_to_clickhouse_spark.plans.layout import BLOOM_KEYS
+
             n = 0
-            for table, where in (
-                (RAW_TABLE_PREFIX.rstrip("_"), raw_where),
-                (ALL_STREAMS_TABLE, raw_where),
-                (ANALYTICS_TABLE, ana_where),
+            for table, where, blooms in (
+                (RAW_TABLE_PREFIX.rstrip("_"), raw_where, BLOOM_KEYS["raw"]),
+                (ALL_STREAMS_TABLE, raw_where, BLOOM_KEYS["all_streams"]),
+                (ANALYTICS_TABLE, ana_where, BLOOM_KEYS["analytics"]),
             ):
                 n += erase_where(
                     spark,
                     os.path.join(warehouse, table),
                     where,
                     sort_keys=("timestamp",),
+                    bloom_cols=blooms,
                 )["rows_erased"]
             record_health(spark, warehouse, -1, "erase_cascade", n, n)
             # phase B arrives through the SAME checkpointed query
@@ -1670,21 +1694,39 @@ def cascade_compacted_live_tables(
         )
         try:
             q.processAllAvailable()  # phase A committed; stream LIVE
-            from go_nats_to_clickhouse_spark.plans.layout import SORT_KEYS
+            from go_nats_to_clickhouse_spark.plans.layout import (
+                BLOOM_KEYS,
+                SORT_KEYS,
+            )
 
             n = 0
-            for table, parts, keys in (
+            for table, parts, keys, blooms in (
                 (
                     RAW_TABLE_PREFIX.rstrip("_"),
                     ("stream", "ym"),
                     SORT_KEYS["raw"],
+                    BLOOM_KEYS["raw"],
                 ),
-                (ALL_STREAMS_TABLE, ("ym",), SORT_KEYS["all_streams"]),
-                (ANALYTICS_TABLE, ("ym",), SORT_KEYS["analytics"]),
+                (
+                    ALL_STREAMS_TABLE,
+                    ("ym",),
+                    SORT_KEYS["all_streams"],
+                    BLOOM_KEYS["all_streams"],
+                ),
+                (
+                    ANALYTICS_TABLE,
+                    ("ym",),
+                    SORT_KEYS["analytics"],
+                    BLOOM_KEYS["analytics"],
+                ),
             ):
                 path = os.path.join(warehouse, table)
                 compact_table(
-                    spark, path, sort_keys=keys, partition_cols=parts
+                    spark,
+                    path,
+                    sort_keys=keys,
+                    partition_cols=parts,
+                    bloom_cols=blooms,
                 )
                 n += spark.read.parquet(path).count()
             record_health(spark, warehouse, -1, "compact_cascade", n, n)

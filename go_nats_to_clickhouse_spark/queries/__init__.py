@@ -13,6 +13,7 @@ from go_nats_to_clickhouse_spark.queries.registry import ORACLES, QUERIES
 # re-verifying the already-green set (CORRECTNESS_r01 covered the first 50
 # registrations and nothing after).
 from go_nats_to_clickhouse_spark.queries import (  # noqa: E402,F401
+    clickhouse_r9,
     clickhouse_r8,
     clickhouse_r8b,
     clickhouse_r7,

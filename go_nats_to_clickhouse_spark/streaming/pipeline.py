@@ -188,20 +188,26 @@ def apply_cascade(
         raw_out = layout.with_partition_col(raw).sortWithinPartitions(
             *layout.SORT_KEYS["raw"]
         )
-        raw_out.write.mode("append").partitionBy("stream", layout.PARTITION_COL).parquet(
+        raw_out.write.mode("append").options(
+            **layout.bloom_options(layout.BLOOM_KEYS["raw"])
+        ).partitionBy("stream", layout.PARTITION_COL).parquet(
             tables.path(RAW_TABLE_PREFIX.rstrip("_"))
         )
         raw_plain = raw.drop("stream")
         counts["raw"] = valid.count() if collect_counts else -1
         # Union table (init.sql:35-46): identical rows, one flat table.
         layout.write_partitioned(
-            raw_plain, tables.path(ALL_STREAMS_TABLE), layout.SORT_KEYS["all_streams"]
+            raw_plain,
+            tables.path(ALL_STREAMS_TABLE),
+            layout.SORT_KEYS["all_streams"],
+            bloom_cols=layout.BLOOM_KEYS["all_streams"],
         )
         # Analytics table (init.sql:74-121): the MV projection.
         layout.write_partitioned(
             analytics_projection(raw_plain),
             tables.path(ANALYTICS_TABLE),
             layout.SORT_KEYS["analytics"],
+            bloom_cols=layout.BLOOM_KEYS["analytics"],
         )
         # isEmpty short-circuits (take-1), so the common no-dead-letter path
         # costs one cheap probe instead of a counting pass.

@@ -1,0 +1,122 @@
+"""Parquet bloom filters as the ClickHouse secondary-skip-index analog
+(VERDICT r8 #4; reference init.sql:19's granule skipping beyond the
+sort key).
+
+The pins go through parquet-java's own bloom readers
+(plans/layout.bloom_skip_report) — the same code path Spark's scan uses
+for row-group filtering — so ``excluded`` literally counts row groups a
+point lookup skips before decoding a page.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from go_nats_to_clickhouse_spark.plans import layout
+
+
+def _toy_frame(spark, n=400):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(hours=i % 72), f"key-{i}", i) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "timestamp timestamp, k string, v long")
+
+
+def test_write_partitioned_writes_bloom_on_every_row_group(spark, tmp_path):
+    path = str(tmp_path / "t")
+    layout.write_partitioned(
+        _toy_frame(spark).repartition(4),
+        path,
+        sort_keys=("timestamp",),
+        mode="overwrite",
+        bloom_cols=("k",),
+    )
+    absent = layout.bloom_skip_report(spark, path, "k", "no-such-key")
+    assert absent["row_groups"] >= 4
+    assert absent["with_bloom"] == absent["row_groups"]
+    # an absent key is provably skippable EVERYWHERE
+    assert absent["excluded"] == absent["row_groups"]
+    present = layout.bloom_skip_report(spark, path, "k", "key-7")
+    # ...while a present key's home row group is never excluded
+    assert present["excluded"] < present["row_groups"]
+
+
+def test_compaction_preserves_the_skip_index(spark, tmp_path):
+    path = str(tmp_path / "t")
+    layout.write_partitioned(
+        _toy_frame(spark).repartition(4),
+        path,
+        sort_keys=("timestamp",),
+        mode="overwrite",
+        bloom_cols=("k",),
+    )
+    layout.compact_table(
+        spark, path, sort_keys=("timestamp",), bloom_cols=("k",)
+    )
+    r = layout.bloom_skip_report(spark, path, "k", "no-such-key")
+    assert r["row_groups"] >= 1
+    assert r["with_bloom"] == r["row_groups"]
+    assert r["excluded"] == r["row_groups"]
+
+
+def test_cascade_point_lookup_skips_row_groups(spark, sf_dir):
+    """The driver row's mechanism pin: on the composed-service warehouse,
+    a message_id point lookup must (a) find a bloom on every row group,
+    (b) skip MOST row groups for a present key (>0 — the VERDICT gate),
+    (c) skip ALL of them for an absent key."""
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        ingested_index_tables,
+    )
+    from go_nats_to_clickhouse_spark.streaming.pipeline import (
+        ALL_STREAMS_TABLE,
+        ANALYTICS_TABLE,
+    )
+
+    t = ingested_index_tables(spark, sf_dir)
+    ana = os.path.join(t["warehouse"], ANALYTICS_TABLE)
+    present = layout.bloom_skip_report(spark, ana, "message_id", "0")
+    assert present["with_bloom"] == present["row_groups"] > 1
+    assert 0 < present["excluded"] < present["row_groups"]
+    absent = layout.bloom_skip_report(spark, ana, "message_id", "no-such-id")
+    assert absent["excluded"] == absent["row_groups"]
+    # the union table's chat_id skip index (init.sql:46 table analog)
+    alls = os.path.join(t["warehouse"], ALL_STREAMS_TABLE)
+    chat = layout.bloom_skip_report(spark, alls, "chat_id", "doc-0")
+    assert chat["with_bloom"] == chat["row_groups"]
+    assert 0 < chat["excluded"] < chat["row_groups"]
+
+
+def test_lookup_predicate_reaches_the_scan(spark, sf_dir):
+    """The point lookup's IN-list must be pushed to the parquet source
+    (PushedFilters) — without that the bloom is never consulted."""
+    from go_nats_to_clickhouse_spark.queries import QUERIES
+
+    df = QUERIES["table_skip_index_lookup"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "message_id" in plan
+
+
+def test_erase_where_rebuilds_blooms_on_rewritten_parts(spark, tmp_path):
+    path = str(tmp_path / "t")
+    layout.write_partitioned(
+        _toy_frame(spark).repartition(2),
+        path,
+        sort_keys=("timestamp",),
+        mode="overwrite",
+        bloom_cols=("k",),
+    )
+    layout.erase_where(
+        spark,
+        path,
+        F.col("v") % 7 == 0,
+        sort_keys=("timestamp",),
+        bloom_cols=("k",),
+    )
+    r = layout.bloom_skip_report(spark, path, "k", "no-such-key")
+    assert r["with_bloom"] == r["row_groups"]
+    assert r["excluded"] == r["row_groups"]
