@@ -127,8 +127,19 @@ def reference_defaults() -> tuple[dict, dict, dict]:
 
 
 class AdmissionController:
-    """Driver-side admission: quota windows, a concurrency cap, and the
-    scheduler-pool + timeout wiring per admitted query."""
+    """Driver-side admission: quota windows, a concurrency cap, the
+    scheduler-pool + timeout wiring per admitted query — and a
+    ``system.query_log`` analog: one event record per query (admitted,
+    finished, errored, or rejected before start), queryable via
+    :meth:`query_log_df` and persistable via :meth:`write_query_log`.
+    Event-type names are ClickHouse's own (``QueryFinish``,
+    ``ExceptionWhileProcessing``, ``ExceptionBeforeStart``).
+
+    Concurrency: all usage-counter reads/writes take ``self._lock``
+    (re-entrant — :meth:`usage` is called from locked contexts), and
+    exit-path charging RE-FETCHES the usage record, because the lazy
+    window roll can replace the ``_Usage`` object mid-query — charging
+    a captured reference would book time to a discarded window."""
 
     def __init__(
         self,
@@ -146,34 +157,107 @@ class AdmissionController:
         self.max_concurrent_queries = max_concurrent_queries
         self._clock = clock
         self._running = 0
-        self._lock = threading.Lock()
+        self._lock = threading.RLock()
         self._usage: dict[str, _Usage] = {}
+        #: the query_log: driver-side list, one dict per query event —
+        #: bounded by queries issued through this controller (a real
+        #: deployment rotates it like ClickHouse rotates query_log)
+        self._log: list[dict] = []
+        self._seq = 0
+        self._tl = threading.local()
 
     # -- quota bookkeeping ------------------------------------------------
     def usage(self, user: str) -> _Usage:
         """Current-interval usage for a user (rolls the window lazily)."""
-        u = self._usage.setdefault(user, _Usage(window_start=self._clock()))
-        q = self.quotas[self.users[user].quota]
-        now = self._clock()
-        if now - u.window_start >= q.duration_seconds:
-            self._usage[user] = u = _Usage(window_start=now)
-        return u
+        with self._lock:
+            u = self._usage.setdefault(
+                user, _Usage(window_start=self._clock())
+            )
+            q = self.quotas[self.users[user].quota]
+            now = self._clock()
+            if now - u.window_start >= q.duration_seconds:
+                self._usage[user] = u = _Usage(window_start=now)
+            return u
 
     def _check(self, user: str) -> None:
-        q = self.quotas[self.users[user].quota]
-        u = self.usage(user)
-        for limit, used, what in (
-            (q.max_queries, u.queries, "queries"),
-            (q.max_errors, u.errors, "errors"),
-            (q.max_result_rows, u.result_rows, "result_rows"),
-            (q.max_read_rows, u.read_rows, "read_rows"),
-            (q.max_execution_time, u.execution_time, "execution_time"),
-        ):
-            if limit and used >= limit:
-                raise QuotaExceeded(
-                    f"quota exceeded for {user!r}: {what} {used} >= {limit} "
-                    f"in the current {q.duration_seconds:.0f}s interval"
-                )
+        with self._lock:
+            q = self.quotas[self.users[user].quota]
+            u = self.usage(user)
+            for limit, used, what in (
+                (q.max_queries, u.queries, "queries"),
+                (q.max_errors, u.errors, "errors"),
+                (q.max_result_rows, u.result_rows, "result_rows"),
+                (q.max_read_rows, u.read_rows, "read_rows"),
+                (q.max_execution_time, u.execution_time, "execution_time"),
+            ):
+                if limit and used >= limit:
+                    raise QuotaExceeded(
+                        f"quota exceeded for {user!r}: {what} {used} >= "
+                        f"{limit} in the current "
+                        f"{q.duration_seconds:.0f}s interval"
+                    )
+
+    # -- query_log --------------------------------------------------------
+    def _record(
+        self,
+        user: str,
+        event_type: str,
+        kind: str = "",
+        result_rows: int = 0,
+        read_rows: int = 0,
+        duration_ms: float = 0.0,
+        error: str = "",
+    ) -> None:
+        with self._lock:
+            self._seq += 1
+            prof = self.profiles.get(self.users[user].profile)
+            self._log.append(
+                {
+                    "seq": self._seq,
+                    "user_name": user,
+                    "pool": prof.pool if prof else "default",
+                    "event_type": event_type,
+                    "kind": kind,
+                    "result_rows": int(result_rows),
+                    "read_rows": int(read_rows),
+                    "duration_ms": float(duration_ms),
+                    "error": error,
+                }
+            )
+
+    def query_log_df(self, spark: SparkSession):
+        """The ``system.query_log`` analog as a DataFrame. Driver-side
+        create from the bounded event list — the table the reference
+        operator reads with ``SELECT ... FROM system.query_log``."""
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("seq", T.LongType()),
+                T.StructField("user_name", T.StringType()),
+                T.StructField("pool", T.StringType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("kind", T.StringType()),
+                T.StructField("result_rows", T.LongType()),
+                T.StructField("read_rows", T.LongType()),
+                T.StructField("duration_ms", T.DoubleType()),
+                T.StructField("error", T.StringType()),
+            ]
+        )
+        with self._lock:
+            rows = [dict(r) for r in self._log]
+        return spark.createDataFrame(rows, schema) if rows else (
+            spark.createDataFrame([], schema)
+        )
+
+    def write_query_log(self, spark: SparkSession, warehouse_dir: str) -> str:
+        """Persist the query_log under the warehouse (append) — the
+        durable twin of :meth:`query_log_df`, parallel to
+        streaming/pipeline's ``service_health`` table. Returns the
+        table path."""
+        path = os.path.join(warehouse_dir, "system_query_log")
+        self.query_log_df(spark).coalesce(1).write.mode("append").parquet(path)
+        return path
 
     # -- admission --------------------------------------------------------
     @contextmanager
@@ -181,22 +265,33 @@ class AdmissionController:
         """Admit one query for ``user``: quota check, concurrency slot,
         scheduler pool, execution-time watchdog. Usage (queries, errors,
         execution_time) is recorded on exit; record result/read rows via
-        :meth:`charge` where the caller knows them."""
-        self._check(user)
-        with self._lock:
-            if self._running >= self.max_concurrent_queries:
-                raise TooManyQueries(
-                    f"{self._running} queries already running "
-                    f"(max_concurrent_queries={self.max_concurrent_queries})"
-                )
-            self._running += 1
+        :meth:`charge` where the caller knows them. Every outcome lands
+        one query_log event (rejections: ``ExceptionBeforeStart``)."""
+        try:
+            self._check(user)
+            with self._lock:
+                if self._running >= self.max_concurrent_queries:
+                    raise TooManyQueries(
+                        f"{self._running} queries already running "
+                        f"(max_concurrent_queries="
+                        f"{self.max_concurrent_queries})"
+                    )
+                self._running += 1
+        except (QuotaExceeded, TooManyQueries) as exc:
+            self._record(
+                user, "ExceptionBeforeStart", error=type(exc).__name__
+            )
+            raise
         prof = self.profiles[self.users[user].profile]
         sc = spark.sparkContext
         prev_pool = sc.getLocalProperty("spark.scheduler.pool")
         sc.setLocalProperty("spark.scheduler.pool", prof.pool)
-        u = self.usage(user)
-        u.queries += 1
+        with self._lock:
+            self.usage(user).queries += 1
+        pending = {"result_rows": 0, "read_rows": 0}
+        self._tl.pending = pending
         t0 = self._clock()
+        failed: str = ""
         try:
             if prof.max_execution_time is not None:
                 from go_nats_to_clickhouse_spark.catalog import cancel_after
@@ -207,33 +302,75 @@ class AdmissionController:
                     yield prof
             else:
                 yield prof
-        except Exception:
-            u.errors += 1
+        except Exception as exc:
+            failed = type(exc).__name__
+            with self._lock:
+                self.usage(user).errors += 1
             raise
         finally:
-            u.execution_time += self._clock() - t0
+            elapsed = self._clock() - t0
+            with self._lock:
+                # re-fetch: the window may have rolled since entry
+                self.usage(user).execution_time += elapsed
+            self._tl.pending = None
+            self._record(
+                user,
+                "ExceptionWhileProcessing" if failed else "QueryFinish",
+                result_rows=pending["result_rows"],
+                read_rows=pending["read_rows"],
+                duration_ms=elapsed * 1000.0,
+                error=failed,
+            )
             sc.setLocalProperty("spark.scheduler.pool", prev_pool)
             with self._lock:
                 self._running -= 1
 
     def charge(self, user: str, result_rows: int = 0, read_rows: int = 0) -> None:
-        u = self.usage(user)
-        u.result_rows += result_rows
-        u.read_rows += read_rows
+        with self._lock:
+            u = self.usage(user)
+            u.result_rows += result_rows
+            u.read_rows += read_rows
+        pending = getattr(self._tl, "pending", None)
+        if pending is not None:
+            pending["result_rows"] += result_rows
+            pending["read_rows"] += read_rows
+
+    def _readonly_check(self, user: str, sql: str) -> str:
+        """ClickHouse readonly=1 parse-time refusal; logs the rejection
+        as ``ExceptionBeforeStart`` like the server's query_log does."""
+        prof = self.profiles[self.users[user].profile]
+        verb = sql.lstrip().split(None, 1)[0].lower() if sql.strip() else ""
+        if prof.readonly and verb in _MUTATING_VERBS:
+            self._record(
+                user,
+                "ExceptionBeforeStart",
+                kind=verb.upper(),
+                error="ReadonlyViolation",
+            )
+            raise ReadonlyViolation(
+                f"user {user!r} has the readonly profile; {verb.upper()} "
+                "statements are refused (users.xml readonly=1)"
+            )
+        return verb
 
     def run_sql(self, spark: SparkSession, user: str, sql: str):
         """Execute SQL under the user's profile; a readonly profile
         rejects mutating statements before any execution (ClickHouse
         readonly=1 parse-time refusal). Returns the DataFrame."""
-        prof = self.profiles[self.users[user].profile]
-        verb = sql.lstrip().split(None, 1)[0].lower() if sql.strip() else ""
-        if prof.readonly and verb in _MUTATING_VERBS:
-            raise ReadonlyViolation(
-                f"user {user!r} has the readonly profile; {verb.upper()} "
-                "statements are refused (users.xml readonly=1)"
-            )
+        self._readonly_check(user, sql)
         with self.session(spark, user):
             return spark.sql(sql)
+
+    def execute(self, spark: SparkSession, user: str, sql: str) -> list:
+        """``run_sql`` + collect + result-row charging in ONE admitted
+        session, so execution_time covers the action and the query_log
+        event carries the real result_rows — the full ClickHouse
+        per-query accounting loop."""
+        self._readonly_check(user, sql)
+        with self.session(spark, user):
+            rows = spark.sql(sql).collect()
+            self.charge(user, result_rows=len(rows))
+            return rows
 
 
 @dataclass

