@@ -1053,15 +1053,21 @@ def freeze_table(path: str, backup_dir: str) -> dict[str, int]:
     inodes live on under the snapshot). O(files) metadata operations,
     zero bytes copied, safe against every mutation in this module
     because they all rename-swap rather than rewrite in place. Returns
-    {"files_linked", "bytes_referenced"}."""
+    {"files_linked", "bytes_referenced"}.
+
+    Only ACTIVE parts are snapshotted: ``_``-prefixed sidecars
+    (``_detached/`` from DETACH PARTITION, delete masks) are skipped
+    exactly like the reader's visibility rule — ClickHouse FREEZE
+    snapshots active parts only, and hardlinking detached parts in
+    would make a later restore resurrect them (ADVICE r8)."""
     files = bytes_ref = 0
     for dirpath, dirnames, filenames in os.walk(path):
-        dirnames[:] = [d for d in dirnames if not d.startswith(".")]
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
         rel = os.path.relpath(dirpath, path)
         out = os.path.join(backup_dir, rel) if rel != "." else backup_dir
         os.makedirs(out, exist_ok=True)
         for f in filenames:
-            if f.startswith("."):
+            if f.startswith(("_", ".")):
                 continue
             src = os.path.join(dirpath, f)
             os.link(src, os.path.join(out, f))
@@ -1074,7 +1080,10 @@ def restore_table(backup_dir: str, path: str) -> None:
     """Restore a frozen snapshot: swap the live table for the snapshot's
     file set (hardlink back — still zero-copy), using the same
     rename-aside discipline as every mutation here, so a crash leaves
-    either the old or the restored table readable."""
+    either the old or the restored table readable. ``_``-prefixed
+    sidecars of the LIVE table (detached parts, delete masks) are
+    carried through the swap — restoring active parts must not destroy
+    them, the same rule compact_table follows."""
     import shutil
 
     staging = path.rstrip("/") + "__restore_tmp"
@@ -1094,6 +1103,11 @@ def restore_table(backup_dir: str, path: str) -> None:
         os.rename(path, old)
     os.rename(staging, path)
     if os.path.exists(old):
+        for entry in os.listdir(old):
+            if entry.startswith("_") and not os.path.exists(
+                os.path.join(path, entry)
+            ):
+                os.rename(os.path.join(old, entry), os.path.join(path, entry))
         shutil.rmtree(old)
 
 

@@ -359,7 +359,13 @@ def start_ingest_service(
                 batch_df, tables, idempotent=idempotent, collect_counts=health
             )
             if health:
-                n_msgs = batch_df.count()
+                # rows_in derives from the counts the cascade already
+                # collected (valid appended + dead-lettered) — no extra
+                # count() job on the batch (ADVICE r8). Idempotent-dedup
+                # drops are invisible here by construction: health
+                # records what the sink admitted, and a replayed epoch's
+                # rows were admitted in their original batch.
+                n_msgs = counts["raw"] + counts["dead_letter"]
                 if n_msgs:
                     record_health(
                         spark_b, cfg.warehouse_dir, batch_id, "cascade",

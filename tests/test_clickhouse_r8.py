@@ -1313,6 +1313,40 @@ class TestFreezeRestore:
         )
         assert restored == before
 
+    def test_freeze_skips_detached_parts_and_restore_preserves_them(
+        self, spark, tmp_path
+    ):
+        """ADVICE r8: FREEZE snapshots ACTIVE parts only — a table with
+        a ``_detached/`` sidecar must not hardlink it into the shadow
+        (restore would resurrect the detached partition), and a restore
+        over a live table must carry the live ``_detached/`` through
+        the swap instead of destroying it."""
+        import os as _os
+
+        from go_nats_to_clickhouse_spark.plans.layout import (
+            detach_partition,
+            freeze_table,
+            restore_table,
+        )
+
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(i, i % 2 + 1, 100) for i in range(20)],
+            "id long, ym int, cents long",
+        ).write.partitionBy("ym").parquet(path)
+        detach_partition(path, "ym", 2)
+        backup = str(tmp_path / "shadow")
+        freeze_table(path, backup)
+        # the snapshot holds only the active partition, no _detached
+        assert not _os.path.exists(_os.path.join(backup, "_detached"))
+        assert spark.read.parquet(backup).count() == 10
+        restore_table(backup, path)
+        # live _detached survived the restore swap, still invisible
+        assert _os.path.exists(
+            _os.path.join(path, "_detached", "ym=2")
+        )
+        assert spark.read.parquet(path).count() == 10
+
 
 class TestSamplingWeights:
     def test_effective_mass_bounds_and_cluster_consistency(

@@ -368,6 +368,42 @@ class TestComposedIngestService:
         assert ana.count() == 12  # cascade absorbed the replay
         assert manifest() == before  # consumer absorbed the index dupes
 
+    def test_health_rows_derive_from_cascade_counts(self, spark, tmp_path):
+        """ADVICE r8: cascade health rows_in comes from the counts the
+        cascade already collected — no extra count() job on the batch.
+        Conservation must still hold batch-by-batch, INCLUDING the
+        dead-letter branch: a malformed envelope is counted in rows_in
+        but not rows_out."""
+        from go_nats_to_clickhouse_spark.sources.envelope import (
+            document_envelopes,
+        )
+        from go_nats_to_clickhouse_spark.streaming.pipeline import (
+            HEALTH_TABLE,
+        )
+
+        arrivals = tmp_path / "arrivals"
+        document_envelopes(self._docs(spark, range(8))).coalesce(1).write.mode(
+            "append"
+        ).text(str(arrivals))
+        # a metadata-less envelope: parses, but ts/sequence are null ->
+        # dead letter (the K4 silent-loss fix path)
+        spark.createDataFrame(
+            [('{"subject":"corpus.src0.ingest.doc-99.batch","data":"{}"}',)],
+            "value string",
+        ).coalesce(1).write.mode("append").text(str(arrivals))
+        from pyspark.sql import functions as F
+
+        cfg = self._run_service(spark, tmp_path, name="svc-health")
+        h = spark.read.parquet(os.path.join(cfg.warehouse_dir, HEALTH_TABLE))
+        sums = {
+            r.family: (r.i, r.o)
+            for r in h.groupBy("family")
+            .agg(F.sum("rows_in").alias("i"), F.sum("rows_out").alias("o"))
+            .collect()
+        }
+        assert sums["cascade"] == (9, 8)  # dead letter in rows_in only
+        assert sums["doc_index"] == (8, 8)
+
 
 class TestBackfill:
     def test_drain_in_admission_controlled_batches(self, spark, tmp_path):
