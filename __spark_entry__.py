@@ -34,6 +34,7 @@ _PRIORITY = [
     "timeseries_resample_interpolate",  # integer-micros rounding fix (fuzz seeds 99/3, changed r9)
     "table_skip_index_lookup",  # parquet-bloom skip-index point lookup (new r9)
     "system_query_log",  # per-query accounting table, admission-fed (new r9)
+    "pipeline_manifest_promoted_live",  # promotion between live micro-batches (new r9)
     "mv_analytics_projection",  # flagship, pinned inside the window
     # --- round-9 rotation-debt payment (VERDICT r8 #2): the window's
     # remaining 48 slots go to the oldest greens, oldest-first. Debt at
@@ -89,9 +90,10 @@ _PRIORITY = [
     "join_asof_tolerance",
     "join_dict_get",
     "mv_message_type_stats",
-    "mv_union_streams_monthly",
     # --- round-10 debt (does NOT fit this round; front these next):
-    # r3 tail: q14_promo_revenue_ratio (displaced by system_query_log),
+    # r3 tail: mv_union_streams_monthly (displaced by
+    # pipeline_manifest_promoted_live),
+    # q14_promo_revenue_ratio (displaced by system_query_log),
     # q16_supplier_count_by_part (displaced by
     # table_skip_index_lookup), q18_large_volume_orders,
     # q19_disjunctive_join_filter,

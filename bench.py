@@ -84,6 +84,7 @@ def main() -> None:
         gen4_tables,
         ingested_index_tables,
         pipeline_tables,
+        promoted_live_tables,
         streamed_index_tables,
         tmaint_tables,
     )
@@ -107,6 +108,8 @@ def main() -> None:
     erased_ingested_tables(spark, sf_dir)
     erased_live_tables(spark, sf_dir)
     erased_live_ann_tables(spark, sf_dir)
+    # round 9: promotion executed between live micro-batches
+    promoted_live_tables(spark, sf_dir)
     # round 8: the cascade-side GDPR scrubs are maintenance-time cost too
     cascade_erased_tables(spark, sf_dir)
     cascade_compacted_live_tables(spark, sf_dir)

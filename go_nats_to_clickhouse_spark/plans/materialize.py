@@ -1431,6 +1431,98 @@ def erased_live_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     return _published(f"erl-{sf_name}-", tag, ERL_TABLES, build)
 
 
+PLV_TABLES = TABLES + ("warehouse",)
+
+
+def promoted_live_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """PROMOTION under streaming — the last lifecycle x streaming matrix
+    cell (erase-live and compact-live landed in r7/r8): the day-2 ->
+    corpus fold (:func:`promote_batch`) executed WHILE the composed
+    ``start_ingest_service`` is LIVE, between two micro-batches, with
+    the day-3 batch streaming in afterwards through the SAME checkpointed
+    query against the promoted corpus. Reference anchor: the continuous
+    MV chain (init.sql:100-121) never stops for a generation roll —
+    ClickHouse folds parts across days with background merges while
+    inserts keep landing; the staged rename-aside promotion against
+    append-only part files reproduces that interleaving.
+
+    Build: the day-1 corpus (sources minus day-2 minus day-3) is built
+    batch-side with NO is_new rows; the service starts and streams the
+    day-2 envelopes (phase A) through the index maintainer; with the
+    stream idle between triggers, ``promote_batch`` folds the streamed
+    day-2 rows into the corpus (same staged + rename-aside swap shape as
+    the live erase — new part files land beside a swap, never inside a
+    directory being replaced); phase B streams the day-3 envelopes in
+    against the promoted tables, and the run drains. The final state is
+    distinct-row-equal to :func:`gen3_tables`' stop-then-promote build
+    (pinned in tests), and the driver row
+    ``pipeline_manifest_promoted_live`` runs the unchanged day-3
+    manifest consumer against the same two-generation oracle. The fold
+    is recorded as a ``service_health`` maintenance row (family
+    ``promote_batch``)."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"plv-{sf_name}-{_fingerprint(sf_dir)}"
+
+    def build(tmp: str) -> None:
+        from go_nats_to_clickhouse_spark.config import EngineConfig
+        from go_nats_to_clickhouse_spark.schemas import load_table
+        from go_nats_to_clickhouse_spark.sources.envelope import (
+            document_envelopes,
+            message_file_stream,
+        )
+        from go_nats_to_clickhouse_spark.streaming.pipeline import (
+            record_health,
+            start_ingest_service,
+            stop_gracefully,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        day2 = F.col("source").isin(*NEW_SOURCES)
+        day3 = F.col("source").isin(*DAY3_SOURCES)
+        # day-1 corpus only; NEW_SOURCES rows are absent, so is_new is
+        # all-False and the batch generation arrives purely by stream
+        _build_from(docs.filter(~day2 & ~day3), tmp, NEW_SOURCES)
+        arrivals = os.path.join(tmp, "_arrivals")
+        document_envelopes(docs.filter(day2)).repartition(2).write.text(
+            arrivals
+        )
+        warehouse = os.path.join(tmp, "warehouse")
+        cfg = EngineConfig(
+            warehouse_dir=warehouse,
+            checkpoint_dir=os.path.join(tmp, "_ckpt"),
+        )
+        src = message_file_stream(spark, arrivals, max_files_per_trigger=1)
+        q = start_ingest_service(
+            spark, cfg, src, index_root=tmp, trigger_seconds=0
+        )
+        try:
+            q.processAllAvailable()  # day-2 epochs committed; stream LIVE
+            # THE PROMOTION — between micro-batches of the running
+            # service: fold the streamed day-2 generation into the corpus
+            n_folded = (
+                spark.read.parquet(os.path.join(tmp, "doc_quality"))
+                .filter(F.col("is_new"))
+                .select("doc_id")
+                .distinct()
+                .count()
+            )
+            promote_batch(spark, tmp)
+            record_health(
+                spark, warehouse, -1, "promote_batch", n_folded, n_folded
+            )
+            # day 3 arrives while the query is live; its micro-batches
+            # append the next is_new generation onto the promoted corpus
+            document_envelopes(docs.filter(day3)).repartition(2).write.mode(
+                "append"
+            ).text(arrivals)
+            stop_gracefully(q)
+        except Exception:
+            q.stop()
+            raise
+
+    return _published(f"plv-{sf_name}-", tag, PLV_TABLES, build)
+
+
 CER_TABLES = ("warehouse",)
 
 

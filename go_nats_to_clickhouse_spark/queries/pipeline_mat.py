@@ -1014,6 +1014,38 @@ def pipeline_manifest_day3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipeline_manifest_promoted_live",
+    _day3_kept_cte() + _manifest_tail_sql("manifest-3l:"),
+)
+def pipeline_manifest_promoted_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The day-3 manifest where the day-2 -> corpus PROMOTION ran
+    BETWEEN MICRO-BATCHES of the live composed service
+    (plans/materialize.promoted_live_tables) — the last lifecycle x
+    streaming matrix cell (erase-live: r8; compact-live: r8): day 2
+    streamed in, the fold executed against the running maintainer's
+    tables, day 3 streamed in on top through the same checkpointed
+    query. Same two-generation oracle as pipeline_manifest_day3 (modulo
+    the manifest salt), so a green row proves streamed-then-promoted ==
+    batch-promoted end-to-end through the actual micro-batch machinery,
+    consumer unchanged (kept_docs_from)."""
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        promoted_live_tables,
+    )
+
+    t = promoted_live_tables(spark, sf_dir)
+    return manifest_rows(
+        kept_docs_from(
+            spark.read.parquet(t["doc_bands"]),
+            spark.read.parquet(t["doc_quality"]),
+            spark.read.parquet(t["corpus_survivors"]),
+        ),
+        salt="manifest-3l:",
+    )
+
+
 def _provenance_oracle() -> str:
     """Per-document dedup provenance over the day-2 layout: the shared
     kept-CTE chain already computes every decision; this appends the

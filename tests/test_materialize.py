@@ -1391,3 +1391,39 @@ class TestPromotionLoop:
                 spark, root, spark.createDataFrame([(2,)], "doc_id long")
             )
         assert read_surv(eroot) == read_surv(sroot) == {20, 40, 41}
+
+
+class TestPromotedLive:
+    def test_live_promotion_equals_stop_then_promote(self, spark, sf_dir):
+        """promoted_live_tables' final state must be DISTINCT-ROW equal
+        to gen3_tables' batch build per table (the stop-then-promote
+        truth): promotion between micro-batches of the running service
+        loses nothing and leaks nothing. Distinct, not multiset — the
+        batch build compacts, the streamed build may lay the same rows
+        across more part files."""
+        from pyspark.sql import functions as F
+
+        from go_nats_to_clickhouse_spark.plans import materialize
+
+        live = materialize.promoted_live_tables(spark, sf_dir)
+        batch = materialize.gen3_tables(spark, sf_dir)
+        for name in materialize.TABLES:
+            a = spark.read.parquet(live[name]).distinct()
+            b = spark.read.parquet(batch[name]).select(*a.columns).distinct()
+            assert a.exceptAll(b).count() == 0, f"{name}: live-only rows"
+            assert b.exceptAll(a).count() == 0, f"{name}: batch-only rows"
+        # the fold itself is visible to operators as a maintenance row
+        import os as _os
+
+        from go_nats_to_clickhouse_spark.queries.util import load_table
+        from go_nats_to_clickhouse_spark.streaming.pipeline import HEALTH_TABLE
+
+        h = spark.read.parquet(_os.path.join(live["warehouse"], HEALTH_TABLE))
+        row = h.filter(F.col("family") == "promote_batch").collect()
+        n_day2 = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("source").isin(*materialize.NEW_SOURCES))
+            .count()
+        )
+        assert len(row) == 1
+        assert (row[0].rows_in, row[0].rows_out) == (n_day2, n_day2)
