@@ -57,6 +57,15 @@ class EngineConfig:
     # overridden by spark-submit / cluster defaults).
     master: str | None = None
     shuffle_partitions: int = 32
+    #: local-mode JVM heap. The JVM default (~1 GB on this box) is a toy
+    #: artifact: the round-9 sf1 probe showed an AQE broadcast whose
+    #: compressed shuffle size passed the 10 MB threshold expanding to
+    #: ~128 MB in memory and failing allocation under the default heap —
+    #: while at real scale the same relation exceeds the threshold and
+    #: AQE falls back to shuffle join on its own. Sizing the heap like a
+    #: real driver removes the mid-scale trap. Only effective for the
+    #: process's FIRST JVM (spark.driver.memory is a launch-time knob).
+    driver_memory: str = "8g"
     extra_spark_conf: dict[str, str] = field(default_factory=dict)
 
 

@@ -48,6 +48,9 @@ def get_spark(cfg: EngineConfig | None = None, app_name: str = "gntcs-engine") -
         # Keep driver results bounded — the engine never collects big data,
         # but guard against accidental driver OOM at scale anyway.
         .config("spark.driver.maxResultSize", "2g")
+        # see EngineConfig.driver_memory (launch-time only; a live JVM
+        # keeps its heap)
+        .config("spark.driver.memory", cfg.driver_memory)
         .config("spark.ui.enabled", "false")
     )
     for k, v in cfg.extra_spark_conf.items():

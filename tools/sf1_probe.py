@@ -1,0 +1,185 @@
+"""sf1.0 probe of the heavy families (VERDICT r8 #5): convert the
+"designed for 100x" plan-shape claims into a MEASURED wall-time slope
+sf0.1 -> sf1.
+
+No sf1 fixtures exist, so the probe synthesizes one at /tmp by
+replicating the sf0.1 tables 10x with a structure-preserving transform:
+
+* documents — replica k prefixes every word with ``r<k>`` (replica 0 is
+  the original). Within a replica, every shingle set is ISOMORPHIC to
+  the original's (a uniform word bijection), so the internal near-dup
+  pair structure is preserved exactly; across replicas no shingle ever
+  matches, so cross-replica pairs are zero. Result: pair count, cluster
+  structure, and survivor fraction scale exactly 10x — a clean linear
+  reference against which any super-linear build time is a PLAN
+  property, not a data artifact. doc_id shifts by k * 10^6; source is
+  kept, so the day-2/day-3 generation fractions are preserved.
+* embeddings — vec_id shifts by k * 10^6; each component gets a small
+  deterministic hash jitter so replicas are not coincident directions
+  (coincident copies would degenerately densify IVF cells).
+* every other table is copied through unchanged.
+
+Both scales are then built COLD (SPARK_GRAFT_MAT_DIR pointed at a fresh
+temp root) and timed over the same units:
+
+  build: pipeline_tables (signatures/bands/exact-verify/CC/survivors),
+         gen3_tables (promotion chain), ann_tables (IVF+PQ index),
+         ingested_index_tables (the composed streaming service);
+  read:  pipeline_training_manifest, pipeline_dedup_provenance_day3,
+         vector_ann_ivfpq_read_topk, dedup_connected_components.
+
+Output: one JSON line per (unit, sf) with seconds, plus a final slope
+summary {unit: sf1_seconds / sf0.1_seconds}. Linear scaling target on
+local[32] is <= ~10 (10x rows over fixed cores); the PERF_NOTES table
+records the measured values and flags anything materially above it.
+
+Usage:
+    python tools/sf1_probe.py [base_sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REPLICAS = 10
+OFFSET = 1_000_000
+
+
+def build_sf1(spark, base: str, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    from go_nats_to_clickhouse_spark.schemas import TESTDATA_SCHEMAS, load_table
+
+    os.makedirs(out, exist_ok=True)
+    for t in TESTDATA_SCHEMAS:
+        src = os.path.join(base, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if t not in ("documents", "embeddings"):
+            shutil.copyfile(src, dst)
+    docs = load_table(spark, base, "documents")
+    reps = []
+    for k in range(REPLICAS):
+        if k == 0:
+            reps.append(docs)
+            continue
+        tag = F.lit(f"r{k}")
+        text = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "), lambda w: F.concat(tag, w)
+            ),
+            " ",
+        )
+        reps.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * OFFSET)).alias("doc_id"),
+                text.alias("text"),
+                "lang",
+                "source",
+                F.length(text).cast("long").alias("n_chars"),
+            )
+        )
+    big = reps[0]
+    for r in reps[1:]:
+        big = big.unionByName(r)
+    # single FILE per table: load_table probes the parquet footer
+    big.coalesce(1).write.mode("overwrite").parquet(out + "/_docs_tmp")
+    _single_file(out + "/_docs_tmp", os.path.join(out, "documents.parquet"))
+
+    vecs = load_table(spark, base, "embeddings")
+    vreps = []
+    for k in range(REPLICAS):
+        if k == 0:
+            vreps.append(vecs)
+            continue
+        jitter = F.transform(
+            F.col("embedding"),
+            lambda x, i: (
+                x
+                + (
+                    F.pmod(
+                        F.col("vec_id") * 31 + i * 7 + F.lit(k), F.lit(17)
+                    )
+                    - 8
+                ).cast("double")
+                * 0.01
+            ).cast("float"),
+        )
+        vreps.append(
+            vecs.select(
+                (F.col("vec_id") + F.lit(k * OFFSET)).alias("vec_id"),
+                jitter.alias("embedding"),
+                *[c for c in vecs.columns if c not in ("vec_id", "embedding")],
+            )
+        )
+    vbig = vreps[0]
+    for r in vreps[1:]:
+        vbig = vbig.unionByName(r.select(*vbig.columns))
+    vbig.coalesce(1).write.mode("overwrite").parquet(out + "/_vecs_tmp")
+    _single_file(out + "/_vecs_tmp", os.path.join(out, "embeddings.parquet"))
+
+
+def _single_file(spark_dir: str, dest: str) -> None:
+    part = [f for f in os.listdir(spark_dir) if f.endswith(".parquet")]
+    assert len(part) == 1
+    shutil.move(os.path.join(spark_dir, part[0]), dest)
+    shutil.rmtree(spark_dir)
+
+
+def probe(spark, sf_dir: str, label: str) -> dict[str, float]:
+    from go_nats_to_clickhouse_spark.plans import materialize as M
+    from go_nats_to_clickhouse_spark.queries import QUERIES
+
+    times: dict[str, float] = {}
+
+    def timed(unit, fn):
+        t0 = time.time()
+        fn()
+        times[unit] = round(time.time() - t0, 2)
+        print(json.dumps({"unit": unit, "sf": label, "sec": times[unit]}), flush=True)
+
+    timed("build_pipeline", lambda: M.pipeline_tables(spark, sf_dir))
+    timed("build_gen3", lambda: M.gen3_tables(spark, sf_dir))
+    timed("build_ann", lambda: M.ann_tables(spark, sf_dir))
+    timed("build_ingested", lambda: M.ingested_index_tables(spark, sf_dir))
+    for q in (
+        "pipeline_training_manifest",
+        "pipeline_dedup_provenance_day3",
+        "vector_ann_ivfpq_read_topk",
+        "dedup_connected_components",
+    ):
+        timed(f"read_{q}", lambda q=q: QUERIES[q](spark, sf_dir).collect())
+    return times
+
+
+def main() -> int:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1probe"
+    mat = tempfile.mkdtemp(prefix="sf1probe-mat-")
+    os.environ["SPARK_GRAFT_MAT_DIR"] = mat  # cold builds at BOTH scales
+
+    from go_nats_to_clickhouse_spark.config import EngineConfig
+    from go_nats_to_clickhouse_spark.session import get_spark
+
+    spark = get_spark(EngineConfig(shuffle_partitions=32), app_name="sf1probe")
+    if not os.path.exists(os.path.join(out, "documents.parquet")):
+        t0 = time.time()
+        build_sf1(spark, base, out)
+        print(f"sf1 fixtures -> {out} ({time.time() - t0:.1f}s)", flush=True)
+
+    small = probe(spark, base, "sf0.1")
+    big = probe(spark, out, "sf1")
+    slope = {u: round(big[u] / small[u], 2) for u in small if small[u] > 0}
+    print(json.dumps({"slope_sf1_over_sf01": slope, "mat_root": mat}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
