@@ -1,7 +1,8 @@
-"""The remaining TPC-H patterns (q7/q9/q11/q13/q15/q17/q20/q21) adapted to
-this star schema (SURVEY.md §2.7 scope: joins, outer joins, decorrelated
+"""The remaining TPC-H patterns (q7/q8/q9/q11/q13/q15/q17/q20/q21) adapted
+to this star schema (SURVEY.md §2.7 scope: joins, outer joins, decorrelated
 EXISTS/NOT EXISTS, scalar thresholds — all ClickHouse-side in the
-reference, first-class here).
+reference, first-class here). With q8 the registry covers all 22 TPC-H
+query patterns.
 
 Schema adaptations (the synthetic tables are trimmed TPC-H): no
 ``partsupp`` — q11/q20 use per-(supplier, part) lineitem aggregates as
@@ -391,4 +392,91 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "q8_national_market_share",
+    f"""
+SELECT o_year,
+       CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                           ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE)
+         AS nation_rev,
+       CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS total_rev,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         {_DISC_SQL} AS volume,
+         n2.n_name AS supp_nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'AMERICA'
+    AND s_nationkey = n2.n_nationkey
+    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                        AND TIMESTAMP '1996-12-31 00:00:00'
+    AND p_type = 'STANDARD'
+) all_nations
+GROUP BY o_year
+""",
+)
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8: one nation's share of regional market revenue by order
+    year — the last of the 22 TPC-H patterns (the full 8-table join with
+    nation in two roles). Adapted predicates for this schema's domains:
+    p_type 'STANDARD', region 'AMERICA', supplier nation 'NATION_1'.
+
+    Scale shape: every dimension side is broadcast — part (filtered to
+    one type BEFORE the fact join, so the fact scan drops ~4/5 of rows
+    on a broadcast semi-ish probe), supplier+nation(n2), and
+    customer+nation(n1)+region (region filter prunes customers to one
+    region's ~1/5 before the orders join). The only real shuffle is
+    lineitem->orders on the order key, with the orders side pre-pruned
+    by both the date range and the region-filtered customer broadcast.
+    The share is a conditional decimal aggregate — one pass, no second
+    join against a totals subquery.
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01 00:00:00").cast("timestamp"),
+            F.lit("1996-12-31 00:00:00").cast("timestamp"),
+        )
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+
+    n1 = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("n1_key"))
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    s2 = s.join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    c2 = c.join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key")).select(
+        "c_custkey"
+    )
+    volume = _disc()
+    nation_vol = F.when(
+        F.col("supp_nation") == "NATION_1", volume
+    ).otherwise(F.lit(0).cast("decimal(12,2)"))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s2), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c2), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            dsum(nation_vol, "nation_rev"),
+            dsum(volume, "total_rev"),
+            F.round(
+                F.sum(nation_vol).cast("double") / F.sum(volume).cast("double"), 6
+            ).alias("mkt_share"),
+        )
     )
