@@ -17,6 +17,12 @@ replicating the sf0.1 tables 10x with a structure-preserving transform:
 * embeddings — vec_id shifts by k * 10^6; each component gets a small
   deterministic hash jitter so replicas are not coincident directions
   (coincident copies would degenerately densify IVF cells).
+* lineitem / orders / customer / supplier / part (round 9) — every key
+  column shifts by k * 10^8, the SAME shift across tables, so each
+  replica is a self-contained TPC-H universe: every join hits exactly
+  its own replica's rows (fan-outs preserved, join selectivity
+  unchanged, group counts x10 where the key domain grows). nation and
+  region stay shared dimensions (as at real scale).
 * every other table is copied through unchanged.
 
 Both scales are then built COLD (SPARK_GRAFT_MAT_DIR pointed at a fresh
@@ -26,7 +32,12 @@ temp root) and timed over the same units:
          gen3_tables (promotion chain), ann_tables (IVF+PQ index),
          ingested_index_tables (the composed streaming service);
   read:  pipeline_training_manifest, pipeline_dedup_provenance_day3,
-         vector_ann_ivfpq_read_topk, dedup_connected_components.
+         vector_ann_ivfpq_read_topk, dedup_connected_components,
+         and (round 9) the relational family: q1_pricing_summary
+         (two-phase hash agg over the fact), q8_national_market_share
+         (8-table broadcast star + one shuffle), q21_waiting_suppliers
+         (fact-fact decorrelated EXISTS — the shuffle-heaviest TPC-H
+         pattern in the registry).
 
 Output: one JSON line per (unit, sf) with seconds, plus a final slope
 summary {unit: sf1_seconds / sf0.1_seconds}. Linear scaling target on
@@ -51,6 +62,16 @@ sys.path.insert(0, REPO)
 
 REPLICAS = 10
 OFFSET = 1_000_000
+# TPC-H key shift per replica (round 9): one shared value across all key
+# columns keeps each replica a self-contained join universe.
+KEY_OFFSET = 100_000_000
+TPCH_KEYS = {
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "orders": ("o_orderkey", "o_custkey"),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+}
 
 
 def build_sf1(spark, base: str, out: str) -> None:
@@ -62,8 +83,30 @@ def build_sf1(spark, base: str, out: str) -> None:
     for t in TESTDATA_SCHEMAS:
         src = os.path.join(base, f"{t}.parquet")
         dst = os.path.join(out, f"{t}.parquet")
-        if t not in ("documents", "embeddings"):
+        if t not in ("documents", "embeddings", *TPCH_KEYS):
             shutil.copyfile(src, dst)
+
+    for t, keys in TPCH_KEYS.items():
+        tbl = load_table(spark, base, t)
+        treps = []
+        for k in range(REPLICAS):
+            if k == 0:
+                treps.append(tbl)
+                continue
+            shifted = tbl.select(
+                *[
+                    (F.col(c) + F.lit(k * KEY_OFFSET)).alias(c)
+                    if c in keys
+                    else F.col(c)
+                    for c in tbl.columns
+                ]
+            )
+            treps.append(shifted)
+        tbig = treps[0]
+        for r in treps[1:]:
+            tbig = tbig.unionByName(r)
+        tbig.coalesce(1).write.mode("overwrite").parquet(out + f"/_{t}_tmp")
+        _single_file(out + f"/_{t}_tmp", os.path.join(out, f"{t}.parquet"))
     docs = load_table(spark, base, "documents")
     reps = []
     for k in range(REPLICAS):
@@ -154,6 +197,9 @@ def probe(spark, sf_dir: str, label: str) -> dict[str, float]:
         "pipeline_dedup_provenance_day3",
         "vector_ann_ivfpq_read_topk",
         "dedup_connected_components",
+        "q1_pricing_summary",
+        "q8_national_market_share",
+        "q21_waiting_suppliers",
     ):
         timed(f"read_{q}", lambda q=q: QUERIES[q](spark, sf_dir).collect())
     return times
@@ -169,9 +215,13 @@ def main() -> int:
     from go_nats_to_clickhouse_spark.session import get_spark
 
     spark = get_spark(EngineConfig(shuffle_partitions=32), app_name="sf1probe")
-    if not os.path.exists(os.path.join(out, "documents.parquet")):
+    # marker versions the fixture recipe: v2 added the 10x TPC-H replicas
+    marker = os.path.join(out, "_fixture_v2")
+    if not os.path.exists(marker):
         t0 = time.time()
         build_sf1(spark, base, out)
+        with open(marker, "w", encoding="utf-8") as fh:
+            fh.write("docs+vecs+tpch 10x\n")
         print(f"sf1 fixtures -> {out} ({time.time() - t0:.1f}s)", flush=True)
 
     small = probe(spark, base, "sf0.1")
