@@ -1121,3 +1121,106 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("contained_doc", "container_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sub-document EXACT SUBSTRING dedup — repeated n-gram span merging
+# ---------------------------------------------------------------------------
+
+_RS_N = 15  # words per gram — Lee et al. used 50 BPE tokens; ~15 words
+
+
+@query(
+    "dedup_repeated_substring",
+    f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id, u.i - 1 AS pos,
+         array_to_string(ws[u.i : u.i + {_RS_N - 1}], ' ') AS gram
+  FROM w, UNNEST(generate_series(1, len(ws) - {_RS_N - 1})) u(i)
+  WHERE len(ws) >= {_RS_N}
+),
+rep AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_RS_N - 1} AS e
+  FROM isl GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(MAX(e - s + 1) AS BIGINT) AS max_span_words,
+       CAST(SUM(e - s + 1) AS BIGINT) AS repeated_words_total
+FROM spans GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def dedup_repeated_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SUBSTRING dedup — the suffix-array pass of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed as a distributed repeated-n-gram span merge: any
+    word-level 15-gram occurring in >= 2 DISTINCT documents marks
+    its positions, and runs of consecutive marked positions merge into
+    maximal repeated spans — exactly the substrings a suffix array
+    would report at >= 15 words, found without any global suffix
+    sort (which does not distribute). Complements the dedup family's
+    other granularities: whole-doc (exact/MinHash), paragraph
+    (dedup_paragraph_exact), and cross-doc boilerplate n-grams.
+
+    Spark shape, and why it holds at 100 TB: gram extraction is
+    in-row array math (transform over sequence + slice + array_join),
+    exploding to one row per gram — the same row volume a shingle
+    index pays. The engine shuffles xxhash64(gram) (8-byte keys), not
+    the ~100-byte gram strings the oracle groups by — collision odds
+    at 2^64 are negligible against corpus gram counts, the standard
+    large-corpus trade. Cross-doc repetition is ONE map-side-
+    combinable two-distinct-docs aggregate (min != max, never
+    countDistinct's full dedup state); marked positions join back on
+    the same 8-byte key (AQE handles boilerplate-gram skew); the
+    islands window partitions BY DOCUMENT (bounded by document length,
+    never a global sort). Reference scope: the reference delegates all
+    text analytics to ClickHouse SQL (init.sql); this operator is part
+    of the training-data extension surface (SURVEY.md north star).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = docs.withColumn("ws", _words()).filter(F.size("ws") >= _RS_N)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - F.lit(_RS_N)),
+        lambda i: F.array_join(F.slice(F.col("ws"), i + 1, F.lit(_RS_N)), " "),
+    )
+    g = d.select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"),
+             F.xxhash64("gram").alias("gk"))
+    rep = (
+        g.groupBy("gk")
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
+        .select("gk")
+    )
+    hits = g.join(rep, "gk").select("doc_id", "pos")
+    from pyspark.sql.window import Window
+
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(wd))
+    spans = isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(_RS_N - 1)).alias("e"),
+    )
+    span_words = F.col("e") - F.col("s") + 1
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.max(span_words).cast("long").alias("max_span_words"),
+            F.sum(span_words).cast("long").alias("repeated_words_total"),
+        )
+        .orderBy("doc_id")
+    )
