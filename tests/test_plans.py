@@ -14,6 +14,8 @@ correct. These tests pin the plan features that matter:
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from go_nats_to_clickhouse_spark.queries import QUERIES
@@ -99,3 +101,41 @@ class TestTopK:
         # Spark 3.5+ pushes rn <= k into WindowGroupLimit before the sort
         plan = _plan(spark, sf_dir, "window_topk_orders")
         assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+class TestRound9Shapes:
+    def test_q8_star_is_all_broadcast_with_one_shuffle(self, spark, sf_dir):
+        """The 8-table q8 star must broadcast every dimension side: the
+        only Exchange hashpartitioning allowed is the final year agg
+        (plus AQE's coalesce-read of it) — the fact table never shuffles
+        for a join."""
+        plan = _plan(spark, sf_dir, "q8_national_market_share")
+        tree = plan.split("\n\n")[0]  # operator tree, before per-op details
+        assert tree.count("BroadcastHashJoin") == 7  # 4 fact-level + s-n2, c-n1, n1-region
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+        shuffles = [
+            l for l in plan.splitlines()
+            if re.fullmatch(r"\(\d+\) Exchange", l.strip())
+        ]
+        assert len(shuffles) == 1, shuffles
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+        # part's p_type filter is pushed, and lineitem reads only its
+        # join keys + money columns (no l_shipdate et al.)
+        assert any("EqualTo(p_type,STANDARD)" in l for l in plan.splitlines())
+        li = [l for l in read_schema if "l_extendedprice" in l][0]
+        assert "l_shipdate" not in li and "l_quantity" not in li
+
+    def test_repeated_substring_shuffles_hashes_not_grams(self, spark, sf_dir):
+        """The substring-dedup shuffle keys must be the 8-byte xxhash64
+        gram keys, never the ~100-byte gram strings, and the islands
+        window must partition by document (no global window)."""
+        plan = _plan(spark, sf_dir, "dedup_repeated_substring")
+        gram_shuffles = [
+            l for l in plan.splitlines()
+            if "hashpartitioning" in l and "gram#" in l
+        ]
+        assert gram_shuffles == [], gram_shuffles
+        assert "Window" in plan
+        win = [l for l in plan.splitlines() if "partitionBy" in l.lower()
+               or "windowspecdefinition" in l.lower()]
+        assert any("doc_id" in l for l in win), win
