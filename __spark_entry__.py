@@ -37,6 +37,7 @@ _PRIORITY = [
     "pipeline_manifest_promoted_live",  # promotion between live micro-batches (new r9)
     "q8_national_market_share",  # last TPC-H pattern — 22/22 now covered (new r9)
     "dedup_repeated_substring",  # exact-substring dedup, Lee et al. span merge (new r9)
+    "table_token_skip_search",  # tokenbf_v1 analog — token-bloom pruned hasToken (new r9)
     "mv_analytics_projection",  # flagship, pinned inside the window
     # --- round-9 rotation-debt payment (VERDICT r8 #2): the window's
     # remaining 48 slots go to the oldest greens, oldest-first. Debt at
@@ -89,9 +90,10 @@ _PRIORITY = [
     "dedup_ngram_jaccard_pairs",
     "funnel_conversion",
     "join_asof_last_click",
-    "join_asof_tolerance",
     # --- round-10 debt (does NOT fit this round; front these next):
-    # r3 tail: join_dict_get (displaced by dedup_repeated_substring),
+    # r3 tail: join_asof_tolerance (displaced by
+    # table_token_skip_search), join_dict_get (displaced by
+    # dedup_repeated_substring),
     # mv_message_type_stats (displaced by
     # q8_national_market_share), mv_union_streams_monthly (displaced by
     # pipeline_manifest_promoted_live),

@@ -1231,3 +1231,109 @@ def detached_parts_report(
     return spark.createDataFrame(
         rows, "part string, n_files long, n_rows long, n_bytes long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-bloom text skip index — ClickHouse ``tokenbf_v1`` analog
+# ---------------------------------------------------------------------------
+
+#: sidecar directory under a table root. The leading underscore keeps it
+#: invisible to normal table reads (same visibility rule erase_where's
+#: sidecars use), so the index never pollutes the data schema.
+TOKEN_BLOOM_DIR = "_token_bloom"
+#: bloom geometry: m bits / k hashes per FILE (a "part" here, mirroring
+#: ClickHouse's per-granule tokenbf_v1 at part granularity). 4096 bits
+#: holds ~400 distinct tokens at ~1% fp; text corpora with larger
+#: per-file vocabularies raise m — the sidecar row stays a bounded
+#: bitmap either way.
+TOKEN_BLOOM_BITS = 4096
+TOKEN_BLOOM_HASHES = 3
+#: the tokenizer: lowercase alphanumeric runs. MUST be identical at
+#: index build and at query, like ClickHouse's tokenbf_v1 tokenizer.
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _token_bit(expr, k: int):
+    """Bit position of hash k for a token expression — xxhash64 seeded
+    by position-k literal, reduced mod m. Pure JVM expressions, so the
+    index build never leaves codegen."""
+    return F.pmod(
+        F.xxhash64(F.lit(k), expr), F.lit(TOKEN_BLOOM_BITS)
+    ).cast("int")
+
+
+def build_token_bloom(spark: SparkSession, path: str, col: str) -> str:
+    """Build (or rebuild) the per-file token-bloom sidecar for ``col``
+    over every live part of the table at ``path`` — the ClickHouse
+    ``INDEX ... TYPE tokenbf_v1`` analog. Equality blooms
+    (:data:`BLOOM_KEYS`) cannot prune token searches: ``hasToken(text,
+    'x')`` matches inside arbitrarily long values, so membership must be
+    over the TOKEN vocabulary, not the column values.
+
+    Shape at 100 TB: tokenize in-row (split + array_distinct — codegen),
+    explode to (file, bit) pairs, distinct, and reduce to one bitmap row
+    per file — the shuffle is bounded by files x m bits, independent of
+    row count. Rebuild after part rewrites (compaction, mutations,
+    erasure), exactly as ClickHouse rebuilds skip indexes on merge.
+    """
+    df = spark.read.parquet(path).select(
+        F.col("_metadata.file_path").alias("f"), F.col(col).alias("v")
+    )
+    toks = df.select(
+        "f",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("v")), TOKEN_SPLIT))
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bits = toks.select(
+        "f",
+        F.explode(
+            F.array(
+                *[_token_bit(F.col("tok"), k) for k in range(TOKEN_BLOOM_HASHES)]
+            )
+        ).alias("bit"),
+    ).distinct()
+    sidecar = bits.groupBy("f").agg(
+        F.sort_array(F.collect_set("bit")).alias("bits")
+    )
+    out = os.path.join(path, TOKEN_BLOOM_DIR)
+    sidecar.coalesce(1).write.mode("overwrite").parquet(out)
+    return out
+
+
+def search_token_pruned(
+    spark: SparkSession, path: str, col: str, token: str
+) -> tuple[DataFrame, dict[str, int]]:
+    """``hasToken(col, token)`` served through the token-bloom sidecar:
+    files whose bloom lacks any of the token's k bits are never opened.
+    Returns (matching rows, {"files_total", "files_candidate"}).
+
+    False positives only ADD candidate files (the exact token filter
+    re-checks every row); false negatives are impossible because build
+    and query share the tokenizer and hash family. The collects are
+    geometry-bounded: k bit positions (one 1-row job) and the candidate
+    FILE list (part count, never rows)."""
+    target = (
+        spark.range(1)
+        .select(
+            F.array(
+                *[_token_bit(F.lit(token.lower()), k) for k in range(TOKEN_BLOOM_HASHES)]
+            ).alias("bits")
+        )
+        .head()[0]
+    )
+    side = spark.read.parquet(os.path.join(path, TOKEN_BLOOM_DIR))
+    pred = None
+    for b in target:
+        c = F.array_contains("bits", int(b))
+        pred = c if pred is None else (pred & c)
+    cand = [r[0] for r in side.filter(pred).select("f").collect()]
+    report = {"files_total": side.count(), "files_candidate": len(cand)}
+    if cand:
+        df = spark.read.option("basePath", path).parquet(*cand)
+    else:
+        df = spark.read.parquet(path).limit(0)
+    has_token = F.array_contains(
+        F.split(F.lower(F.col(col)), TOKEN_SPLIT), token.lower()
+    )
+    return df.filter(has_token), report

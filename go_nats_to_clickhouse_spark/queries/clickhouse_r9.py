@@ -159,3 +159,55 @@ def system_query_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("seq", "user_name", "event_type", "result_rows", "error")
         .orderBy("seq")
     )
+
+
+@query(
+    "table_token_skip_search",
+    f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+WHERE source IN {_NEW_SRC_SQL}
+  AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'dup')
+ORDER BY doc_id
+""",
+)
+def table_token_skip_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``hasToken(message_text, 'dup')`` over the cascade's analytics
+    table, served through the TOKEN-bloom sidecar — the ClickHouse
+    ``INDEX ... TYPE tokenbf_v1`` analog (plans/layout.py
+    ``build_token_bloom``/``search_token_pruned``). The equality blooms
+    of ``table_skip_index_lookup`` cannot prune this shape: a token
+    match reaches inside arbitrarily long text values, so file
+    elimination must test membership over each file's token VOCABULARY.
+    Files whose bloom lacks any of the token's k bits are never opened;
+    an exact token filter re-checks the candidates, so bloom false
+    positives cost I/O only, never correctness
+    (tests/test_token_bloom.py pins files-skipped > 0 and full-scan
+    equality on controlled data; this row pins end-to-end correctness
+    against the base corpus through the ingest cascade).
+
+    Scale shape: the sidecar is one bitmap row per part (files x 4 KB,
+    driver collect bounded by part count); index build is a
+    codegen-only tokenize + a (file, bit)-bounded shuffle; rebuilt
+    after part rewrites like ClickHouse rebuilds skip indexes on
+    merge."""
+    from go_nats_to_clickhouse_spark.plans import layout as L
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        ingested_index_tables,
+    )
+    from go_nats_to_clickhouse_spark.streaming.pipeline import ANALYTICS_TABLE
+
+    t = ingested_index_tables(spark, sf_dir)
+    ana_path = os.path.join(t["warehouse"], ANALYTICS_TABLE)
+    if not os.path.isdir(os.path.join(ana_path, L.TOKEN_BLOOM_DIR)):
+        L.build_token_bloom(spark, ana_path, "message_text")
+    hits, _report = L.search_token_pruned(spark, ana_path, "message_text", "dup")
+    return (
+        hits.filter(F.col("project_code").isin(*NEW_SOURCES))
+        .select(
+            F.col("message_id").cast("long").alias("doc_id"),
+            F.length("message_text").cast("long").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )

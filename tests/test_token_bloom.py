@@ -1,0 +1,83 @@
+"""Token-bloom text skip index (plans/layout.py — the ClickHouse
+``tokenbf_v1`` analog): pruning must actually skip files, never lose a
+match, survive part rewrites via rebuild, and stay byte-equal to the
+unpruned token search.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from go_nats_to_clickhouse_spark.plans import layout as L
+
+
+def _write_fixture(spark, path: str) -> None:
+    """Two monthly partitions; the token 'needle' appears only in the
+    January rows, so at least February's files must be prunable."""
+    rows = []
+    for i in range(200):
+        month = 1 if i % 2 == 0 else 2
+        text = f"common words row {i}" + (" needle here" if month == 1 and i % 20 == 0 else "")
+        rows.append((dt.datetime(2024, month, 1 + i % 27), f"c{i}", i, text))
+    df = spark.createDataFrame(
+        rows, "timestamp timestamp, chat_id string, sequence long, data string"
+    )
+    L.write_partitioned(df, path, sort_keys=("timestamp",), mode="overwrite")
+
+
+class TestTokenBloom:
+    def test_prunes_files_and_loses_nothing(self, spark, tmp_path):
+        path = str(tmp_path / "tbl")
+        _write_fixture(spark, path)
+        L.build_token_bloom(spark, path, "data")
+
+        got, report = L.search_token_pruned(spark, path, "data", "needle")
+        assert report["files_candidate"] < report["files_total"]
+        assert report["files_candidate"] >= 1
+
+        full = spark.read.parquet(path).filter(
+            F.array_contains(F.split(F.lower("data"), L.TOKEN_SPLIT), "needle")
+        )
+        assert sorted(r.sequence for r in got.collect()) == sorted(
+            r.sequence for r in full.collect()
+        )
+        assert got.count() == 10  # i % 20 == 0 among 100 january rows
+
+    def test_absent_token_prunes_everything(self, spark, tmp_path):
+        path = str(tmp_path / "tbl")
+        _write_fixture(spark, path)
+        L.build_token_bloom(spark, path, "data")
+        got, report = L.search_token_pruned(spark, path, "data", "absenttoken")
+        assert got.count() == 0
+        # 3 bits over 4096 for one token: candidates are fp-only, almost
+        # always zero on this vocabulary — but never assert exactly zero
+        # (a bloom is allowed false positives), only that results are empty.
+        assert report["files_candidate"] <= report["files_total"]
+
+    def test_sidecar_invisible_to_table_reads(self, spark, tmp_path):
+        path = str(tmp_path / "tbl")
+        _write_fixture(spark, path)
+        before = spark.read.parquet(path).columns
+        L.build_token_bloom(spark, path, "data")
+        after = spark.read.parquet(path).columns
+        assert before == after  # _-prefixed sidecar dir never leaks
+
+    def test_rebuild_after_compaction(self, spark, tmp_path):
+        path = str(tmp_path / "tbl")
+        _write_fixture(spark, path)
+        # extra appends -> many small files, then compact January
+        extra = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 3), "cx", 10_000, "late needle arrival")],
+            "timestamp timestamp, chat_id string, sequence long, data string",
+        )
+        L.write_partitioned(extra, path, sort_keys=("timestamp",))
+        L.compact_table(spark, path, sort_keys=("timestamp",))
+        L.build_token_bloom(spark, path, "data")  # rebuild over rewritten parts
+        got, report = L.search_token_pruned(spark, path, "data", "needle")
+        assert report["files_candidate"] < report["files_total"]
+        assert got.count() == 11
+        assert {r.sequence for r in got.filter(F.col("sequence") > 9000).collect()} == {
+            10_000
+        }
