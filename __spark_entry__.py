@@ -38,6 +38,7 @@ _PRIORITY = [
     "q8_national_market_share",  # last TPC-H pattern — 22/22 now covered (new r9)
     "dedup_repeated_substring",  # exact-substring dedup, Lee et al. span merge (new r9)
     "table_token_skip_search",  # tokenbf_v1 analog — token-bloom pruned hasToken (new r9)
+    "table_ngram_skip_like",  # ngrambf_v1 analog — ngram-bloom pruned LIKE (new r9)
     "mv_analytics_projection",  # flagship, pinned inside the window
     # --- round-9 rotation-debt payment (VERDICT r8 #2): the window's
     # remaining 48 slots go to the oldest greens, oldest-first. Debt at
@@ -89,9 +90,9 @@ _PRIORITY = [
     "dedup_incremental_new_batch",
     "dedup_ngram_jaccard_pairs",
     "funnel_conversion",
-    "join_asof_last_click",
     # --- round-10 debt (does NOT fit this round; front these next):
-    # r3 tail: join_asof_tolerance (displaced by
+    # r3 tail: join_asof_last_click (displaced by
+    # table_ngram_skip_like), join_asof_tolerance (displaced by
     # table_token_skip_search), join_dict_get (displaced by
     # dedup_repeated_substring),
     # mv_message_type_stats (displaced by

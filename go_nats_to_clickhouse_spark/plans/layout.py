@@ -1337,3 +1337,108 @@ def search_token_pruned(
         F.split(F.lower(F.col(col)), TOKEN_SPLIT), token.lower()
     )
     return df.filter(has_token), report
+
+
+# ---------------------------------------------------------------------------
+# N-gram-bloom text skip index — ClickHouse ``ngrambf_v1`` analog
+# ---------------------------------------------------------------------------
+
+#: the substring sibling of the token index: character 3-grams of the
+#: lowercased value. Serves ``LIKE '%substr%'`` — a predicate the token
+#: bloom cannot prune (a substring may cross token boundaries). Larger
+#: bitmap than the token index: char-3-gram vocabularies are denser.
+NGRAM_BLOOM_DIR = "_ngram_bloom"
+NGRAM_BLOOM_BITS = 16384
+NGRAM_BLOOM_HASHES = 3
+NGRAM_N = 3
+
+
+def _ngram_bit(expr, k: int):
+    return F.pmod(
+        F.xxhash64(F.lit(1000 + k), expr), F.lit(NGRAM_BLOOM_BITS)
+    ).cast("int")
+
+
+def _ngrams_of(col):
+    """All character 3-grams of lower(col) — in-row JVM array math."""
+    v = F.lower(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length(v) - F.lit(NGRAM_N - 1), F.lit(0))
+            ),
+            lambda i: v.substr(i, F.lit(NGRAM_N)),
+        )
+    )
+
+
+def build_ngram_bloom(spark: SparkSession, path: str, col: str) -> str:
+    """Per-file char-3-gram bloom sidecar — ``INDEX ... TYPE
+    ngrambf_v1`` (ClickHouse's substring-search skip index). Same
+    build shape as :func:`build_token_bloom`: in-row gram extraction,
+    (file, bit)-bounded shuffle, one bitmap row per part; rebuild after
+    part rewrites."""
+    df = spark.read.parquet(path).select(
+        F.col("_metadata.file_path").alias("f"), F.col(col).alias("v")
+    )
+    grams = df.select("f", F.explode(_ngrams_of(F.col("v"))).alias("g")).filter(
+        F.length("g") == NGRAM_N
+    )
+    bits = grams.select(
+        "f",
+        F.explode(
+            F.array(*[_ngram_bit(F.col("g"), k) for k in range(NGRAM_BLOOM_HASHES)])
+        ).alias("bit"),
+    ).distinct()
+    sidecar = bits.groupBy("f").agg(
+        F.sort_array(F.collect_set("bit")).alias("bits")
+    )
+    out = os.path.join(path, NGRAM_BLOOM_DIR)
+    sidecar.coalesce(1).write.mode("overwrite").parquet(out)
+    return out
+
+
+def search_like_pruned(
+    spark: SparkSession, path: str, col: str, needle: str
+) -> tuple[DataFrame, dict[str, int]]:
+    """``lower(col) LIKE '%needle%'`` through the n-gram sidecar: a
+    candidate file must contain EVERY 3-gram of the needle. Needles
+    shorter than 3 chars cannot prune (no full gram) and fall back to
+    the full scan. Same safety argument as the token index: false
+    positives re-checked row-exactly, false negatives impossible."""
+    needle_l = needle.lower()
+    grams = [needle_l[i : i + NGRAM_N] for i in range(len(needle_l) - NGRAM_N + 1)]
+    side = spark.read.parquet(os.path.join(path, NGRAM_BLOOM_DIR))
+    if grams:
+        target = (
+            spark.range(1)
+            .select(
+                F.flatten(
+                    F.array(
+                        *[
+                            F.array(
+                                *[
+                                    _ngram_bit(F.lit(g), k)
+                                    for k in range(NGRAM_BLOOM_HASHES)
+                                ]
+                            )
+                            for g in grams
+                        ]
+                    )
+                ).alias("bits")
+            )
+            .head()[0]
+        )
+        pred = None
+        for b in sorted(set(target)):
+            c = F.array_contains("bits", int(b))
+            pred = c if pred is None else (pred & c)
+        cand = [r[0] for r in side.filter(pred).select("f").collect()]
+    else:
+        cand = [r[0] for r in side.select("f").collect()]
+    report = {"files_total": side.count(), "files_candidate": len(cand)}
+    if cand:
+        df = spark.read.option("basePath", path).parquet(*cand)
+    else:
+        df = spark.read.parquet(path).limit(0)
+    return df.filter(F.lower(F.col(col)).contains(needle_l)), report

@@ -211,3 +211,53 @@ def table_token_skip_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "table_ngram_skip_like",
+    f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+WHERE source IN {_NEW_SRC_SQL}
+  AND contains(lower(text), ' dup')
+ORDER BY doc_id
+""",
+)
+def table_ngram_skip_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``LIKE '% dup%'`` over the cascade's analytics table, served
+    through the N-GRAM bloom sidecar — the ClickHouse ``ngrambf_v1``
+    analog (plans/layout.py ``build_ngram_bloom``/``search_like_pruned``),
+    the substring sibling of ``table_token_skip_search``. The needle
+    CROSSES a token boundary (separator + 'dup'), so the token index has no
+    entry for it by construction; pruning must come from the needle's
+    character 3-grams, every one of which a candidate file's bloom must
+    contain. False positives cost I/O only (exact ``contains`` re-check);
+    false negatives impossible (shared gram extraction + hash family).
+
+    Scale shape: identical to the token index — bitmap-per-part sidecar
+    (16 Kbit for the denser char-3-gram vocabulary), part-count-bounded
+    collects, rebuild-on-part-rewrite (tests/test_ngram_bloom.py pins
+    pruning > 0, cross-token correctness, and the sub-gram full-scan
+    fallback)."""
+    from go_nats_to_clickhouse_spark.plans import layout as L
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        ingested_index_tables,
+    )
+    from go_nats_to_clickhouse_spark.streaming.pipeline import ANALYTICS_TABLE
+
+    t = ingested_index_tables(spark, sf_dir)
+    ana_path = os.path.join(t["warehouse"], ANALYTICS_TABLE)
+    if not os.path.isdir(os.path.join(ana_path, L.NGRAM_BLOOM_DIR)):
+        L.build_ngram_bloom(spark, ana_path, "message_text")
+    hits, _report = L.search_like_pruned(
+        spark, ana_path, "message_text", " dup"
+    )
+    return (
+        hits.filter(F.col("project_code").isin(*NEW_SOURCES))
+        .select(
+            F.col("message_id").cast("long").alias("doc_id"),
+            F.length("message_text").cast("long").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
