@@ -219,6 +219,11 @@ def compact_table(
     os.rename(path, old)
     os.rename(tmp, path)
     _carry_sidecars_then_drop(old)
+    # Carried text-index sidecars reference the RETIRED generation's
+    # files; rebuild them over the new parts, as ClickHouse merges
+    # rebuild secondary indexes (search also self-protects: a stale
+    # sidecar falls back to a full scan, never a wrong result).
+    rebuild_text_indexes(spark, path)
 
 
 def expire_partitions(path: str, before_ym: int) -> list[int]:
@@ -1293,12 +1298,70 @@ def build_token_bloom(spark: SparkSession, path: str, col: str) -> str:
             )
         ).alias("bit"),
     ).distinct()
-    sidecar = bits.groupBy("f").agg(
+    agg = bits.groupBy("f").agg(
         F.sort_array(F.collect_set("bit")).alias("bits")
+    )
+    # one row per LIVE file, even token-less ones (empty bitmap): the
+    # freshness check at query time needs the sidecar's file set to be
+    # a superset of the live files, not just the token-bearing ones.
+    sidecar = (
+        df.select("f")
+        .distinct()
+        .join(agg, "f", "left")
+        .select("f", F.coalesce("bits", F.array().cast("array<int>")).alias("bits"))
     )
     out = os.path.join(path, TOKEN_BLOOM_DIR)
     sidecar.coalesce(1).write.mode("overwrite").parquet(out)
+    _write_index_meta(out, col)
     return out
+
+
+
+def _write_index_meta(side_dir: str, col: str) -> None:
+    """Record which column a text-index sidecar covers (read back by
+    :func:`rebuild_text_indexes`). Written AFTER the parquet overwrite so
+    a crashed build leaves no meta and reads as absent, not stale."""
+    import json
+
+    with open(os.path.join(side_dir, "_index_meta.json"), "w", encoding="utf-8") as fh:
+        json.dump({"col": col}, fh)
+
+
+def _read_index_meta(side_dir: str) -> str | None:
+    import json
+
+    meta = os.path.join(side_dir, "_index_meta.json")
+    if not os.path.exists(meta):
+        return None
+    with open(meta, encoding="utf-8") as fh:
+        return json.load(fh)["col"]
+
+
+def _live_files(spark: SparkSession, path: str) -> set[str]:
+    """The table's current data files — a footer/listing-only job,
+    bounded by part count."""
+    return {
+        r[0]
+        for r in spark.read.parquet(path)
+        .select(F.col("_metadata.file_path"))
+        .distinct()
+        .collect()
+    }
+
+
+def rebuild_text_indexes(spark: SparkSession, path: str) -> list[str]:
+    """Rebuild every text-index sidecar present on the table — called by
+    :func:`compact_table` after a part rewrite, the way ClickHouse merges
+    rebuild secondary indexes. Returns the rebuilt sidecar paths."""
+    rebuilt = []
+    for d, builder in (
+        (TOKEN_BLOOM_DIR, build_token_bloom),
+        (NGRAM_BLOOM_DIR, build_ngram_bloom),
+    ):
+        col = _read_index_meta(os.path.join(path, d))
+        if col is not None:
+            rebuilt.append(builder(spark, path, col))
+    return rebuilt
 
 
 def search_token_pruned(
@@ -1327,15 +1390,35 @@ def search_token_pruned(
     for b in target:
         c = F.array_contains("bits", int(b))
         pred = c if pred is None else (pred & c)
-    cand = [r[0] for r in side.filter(pred).select("f").collect()]
-    report = {"files_total": side.count(), "files_candidate": len(cand)}
+    has_token = F.array_contains(
+        F.split(F.lower(F.col(col)), TOKEN_SPLIT), token.lower()
+    )
+    # Freshness: a live file the sidecar has never seen means parts were
+    # rewritten/appended since the last build — fall back to the full
+    # scan (correctness first; pruning is only ever an optimization).
+    # Conversely, sidecar entries for deleted files are dropped by the
+    # live intersection so the read never opens a vanished path.
+    live = _live_files(spark, path)
+    indexed = {r[0] for r in side.select("f").collect()}
+    if not live <= indexed:
+        report = {
+            "files_total": len(live),
+            "files_candidate": len(live),
+            "stale": True,
+        }
+        return spark.read.parquet(path).filter(has_token), report
+    cand = [
+        r[0] for r in side.filter(pred).select("f").collect() if r[0] in live
+    ]
+    report = {
+        "files_total": len(indexed),
+        "files_candidate": len(cand),
+        "stale": False,
+    }
     if cand:
         df = spark.read.option("basePath", path).parquet(*cand)
     else:
         df = spark.read.parquet(path).limit(0)
-    has_token = F.array_contains(
-        F.split(F.lower(F.col(col)), TOKEN_SPLIT), token.lower()
-    )
     return df.filter(has_token), report
 
 
@@ -1390,11 +1473,18 @@ def build_ngram_bloom(spark: SparkSession, path: str, col: str) -> str:
             F.array(*[_ngram_bit(F.col("g"), k) for k in range(NGRAM_BLOOM_HASHES)])
         ).alias("bit"),
     ).distinct()
-    sidecar = bits.groupBy("f").agg(
+    agg = bits.groupBy("f").agg(
         F.sort_array(F.collect_set("bit")).alias("bits")
+    )
+    sidecar = (
+        df.select("f")
+        .distinct()
+        .join(agg, "f", "left")
+        .select("f", F.coalesce("bits", F.array().cast("array<int>")).alias("bits"))
     )
     out = os.path.join(path, NGRAM_BLOOM_DIR)
     sidecar.coalesce(1).write.mode("overwrite").parquet(out)
+    _write_index_meta(out, col)
     return out
 
 
@@ -1433,12 +1523,27 @@ def search_like_pruned(
         for b in sorted(set(target)):
             c = F.array_contains("bits", int(b))
             pred = c if pred is None else (pred & c)
-        cand = [r[0] for r in side.filter(pred).select("f").collect()]
+        cand_rows = side.filter(pred)
     else:
-        cand = [r[0] for r in side.select("f").collect()]
-    report = {"files_total": side.count(), "files_candidate": len(cand)}
+        cand_rows = side
+    match = F.lower(F.col(col)).contains(needle_l)
+    live = _live_files(spark, path)
+    indexed = {r[0] for r in side.select("f").collect()}
+    if not live <= indexed:  # parts rewritten since the build
+        report = {
+            "files_total": len(live),
+            "files_candidate": len(live),
+            "stale": True,
+        }
+        return spark.read.parquet(path).filter(match), report
+    cand = [r[0] for r in cand_rows.select("f").collect() if r[0] in live]
+    report = {
+        "files_total": len(indexed),
+        "files_candidate": len(cand),
+        "stale": False,
+    }
     if cand:
         df = spark.read.option("basePath", path).parquet(*cand)
     else:
         df = spark.read.parquet(path).limit(0)
-    return df.filter(F.lower(F.col(col)).contains(needle_l)), report
+    return df.filter(match), report

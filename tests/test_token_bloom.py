@@ -81,3 +81,37 @@ class TestTokenBloom:
         assert {r.sequence for r in got.filter(F.col("sequence") > 9000).collect()} == {
             10_000
         }
+
+
+class TestFreshness:
+    def test_append_without_rebuild_falls_back_to_full_scan(self, spark, tmp_path):
+        """New parts the sidecar has never seen -> search must NOT prune
+        (a pruned read would silently miss the new rows)."""
+        path = str(tmp_path / "tbl")
+        _write_fixture(spark, path)
+        L.build_token_bloom(spark, path, "data")
+        late = spark.createDataFrame(
+            [(dt.datetime(2024, 2, 9), "cz", 20_000, "february needle too")],
+            "timestamp timestamp, chat_id string, sequence long, data string",
+        )
+        L.write_partitioned(late, path, sort_keys=("timestamp",))
+        got, report = L.search_token_pruned(spark, path, "data", "needle")
+        assert report["stale"] is True
+        assert 20_000 in {r.sequence for r in got.collect()}
+        assert got.count() == 11
+
+    def test_compaction_rebuilds_automatically(self, spark, tmp_path):
+        """compact_table must leave the indexes fresh over the new parts
+        (ClickHouse merges rebuild secondary indexes)."""
+        path = str(tmp_path / "tbl")
+        _write_fixture(spark, path)
+        L.build_token_bloom(spark, path, "data")
+        L.build_ngram_bloom(spark, path, "data")
+        L.compact_table(spark, path, sort_keys=("timestamp",))
+        got, report = L.search_token_pruned(spark, path, "data", "needle")
+        assert report["stale"] is False
+        assert report["files_candidate"] < report["files_total"]
+        assert got.count() == 10
+        got2, report2 = L.search_like_pruned(spark, path, "data", "needle h")
+        assert report2["stale"] is False
+        assert got2.count() == 10
