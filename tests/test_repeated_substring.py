@@ -11,7 +11,6 @@ sharing counted once per document.
 
 from __future__ import annotations
 
-import pytest
 
 from go_nats_to_clickhouse_spark.queries.registry import QUERIES
 
