@@ -202,6 +202,34 @@ def probe(spark, sf_dir: str, label: str) -> dict[str, float]:
         "q21_waiting_suppliers",
     ):
         timed(f"read_{q}", lambda q=q: QUERIES[q](spark, sf_dir).collect())
+
+    # round 9: text skip indexes over the ingested analytics table —
+    # build cost and pruned-search cost at both scales, plus the
+    # pruning ratio the sidecar achieves (printed, not timed).
+    from go_nats_to_clickhouse_spark.plans import layout as L
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        ingested_index_tables,
+    )
+    from go_nats_to_clickhouse_spark.streaming.pipeline import ANALYTICS_TABLE
+
+    ana = os.path.join(
+        ingested_index_tables(spark, sf_dir)["warehouse"], ANALYTICS_TABLE
+    )
+    timed("build_token_bloom", lambda: L.build_token_bloom(spark, ana, "message_text"))
+    timed("build_ngram_bloom", lambda: L.build_ngram_bloom(spark, ana, "message_text"))
+
+    def _search_token():
+        _df, rep = L.search_token_pruned(spark, ana, "message_text", "dup")
+        _df.write.format("noop").mode("overwrite").save()
+        print(json.dumps({"unit": "token_prune_ratio", "sf": label, **rep}), flush=True)
+
+    def _search_like():
+        _df, rep = L.search_like_pruned(spark, ana, "message_text", " dup")
+        _df.write.format("noop").mode("overwrite").save()
+        print(json.dumps({"unit": "ngram_prune_ratio", "sf": label, **rep}), flush=True)
+
+    timed("search_token_pruned", _search_token)
+    timed("search_like_pruned", _search_like)
     return times
 
 
