@@ -401,3 +401,51 @@ def incremental_lsh_pairs(
         .join(sb, "corpus_id")
         .select("new_id", "corpus_id", F.round(est, 6).alias("est_jaccard"))
     )
+
+
+def gram_postings(docs: DataFrame, n: int = 15) -> DataFrame:
+    """Word-level n-gram postings: (doc_id, pos, gk) with gk =
+    xxhash64 of the n-word gram starting at word position ``pos``
+    (0-based). The building block of exact-substring dedup (Lee et al.
+    2021's suffix-array pass as a repeated-gram span merge — see
+    queries/text.dedup_repeated_substring) and of its PERSISTED ingest
+    index (plans/materialize.gram_index_tables), shared so the inline
+    query and the index build cannot drift.
+
+    The 8-byte xxhash64 key is shuffled instead of the ~100-byte gram
+    string: collision odds at 2^64 are negligible against corpus gram
+    counts (the standard large-corpus trade). Documents shorter than
+    ``n`` words produce no postings. Same input-split widening as
+    word_shingles — at 100 TB the reader already yields thousands of
+    splits and the repartition is a near-no-op.
+    """
+    width = docs.sparkSession.sparkContext.defaultParallelism
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - F.lit(n)),
+        lambda i: F.array_join(F.slice(F.col("ws"), i + 1, F.lit(n)), " "),
+    )
+    return (
+        docs.repartition(width)
+        .select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+        .filter(F.size("ws") >= n)
+        .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.xxhash64("gram").alias("gk"),
+        )
+    )
+
+
+def repeated_gram_keys(postings: DataFrame) -> DataFrame:
+    """Gram keys occurring in >= 2 DISTINCT documents: (gk).
+
+    ONE map-side-combinable aggregate — two-distinct-docs is decided by
+    min(doc_id) != max(doc_id), never countDistinct's full dedup state.
+    """
+    return (
+        postings.groupBy("gk")
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
+        .select("gk")
+    )

@@ -236,6 +236,7 @@ FAMILY_PREFIXES = (
     "erlv-",
     "tmaint-",
     "bm25-",
+    "grams-",
     "erase-",
     "erase3-",
     "erase4-",
@@ -1997,6 +1998,59 @@ def bm25_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         )
 
     return _published(f"bm25-{sf_name}-", tag, BM25_TABLES, build)
+
+
+GRAM_TABLES = ("gram_postings", "gram_rep")
+
+
+def gram_index_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """The materialized repeated-15-gram index for exact-substring dedup
+    (queries/text.dedup_repeated_substring), cached per fixture — the
+    ingest-time form its docstring promises, exactly as bm25_tables is
+    the production form of text_bm25_topk:
+
+    * ``gram_postings`` — (gk, doc_id, pos): one row per word-position
+      15-gram, gk = xxhash64 of the gram (operators/dedup.gram_postings;
+      drift vs the inline query is pinned away by the read==inline
+      equality test in tests/test_repeated_substring.py). Sorted by gk
+      within partitions so parquet row-group stats give data-skipping on
+      key probes.
+    * ``gram_rep`` — (gk) for every gram occurring in >= 2 distinct
+      documents. Derived at build (rebuild-on-merge, the skip-index
+      sidecar convention): the repeated-key aggregation is the full
+      postings shuffle — paying it once at ingest means the span read
+      path (dedup_repeated_substring_read) never re-aggregates the
+      corpus, only joins hits on 8-byte keys.
+
+    At 100 TB: postings volume equals the shingle index's (one row per
+    word position), written once per corpus generation; the build is one
+    wide shuffle (groupBy gk) that the inline query would otherwise pay
+    per run."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"grams-{sf_name}-{_fingerprint(sf_dir)}"
+
+    def build(tmp: str) -> None:
+        from go_nats_to_clickhouse_spark.operators.dedup import (
+            gram_postings,
+            repeated_gram_keys,
+        )
+        from go_nats_to_clickhouse_spark.schemas import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        posts = gram_postings(docs, n=15)
+        _write(
+            posts.sortWithinPartitions("gk"),
+            os.path.join(tmp, "gram_postings"),
+        )
+        # read the postings back so gram extraction runs ONCE (the
+        # corpus_pairs convention: write first, reuse for the derivation)
+        posts = spark.read.parquet(os.path.join(tmp, "gram_postings"))
+        _write(
+            repeated_gram_keys(posts).sortWithinPartitions("gk"),
+            os.path.join(tmp, "gram_rep"),
+        )
+
+    return _published(f"grams-{sf_name}-", tag, GRAM_TABLES, build)
 
 
 # ---------------------------------------------------------------------------

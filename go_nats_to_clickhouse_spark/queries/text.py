@@ -1224,3 +1224,86 @@ def dedup_repeated_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _repeated_spans(hits: DataFrame) -> DataFrame:
+    """Merge marked gram positions into maximal repeated spans and
+    aggregate per document — the tail of the persisted-index read path
+    (dedup_repeated_substring_read), mirroring the inline query's tail
+    expression-for-expression (equality pinned by
+    tests/test_repeated_substring.py::test_read_path_equals_inline). The
+    islands window partitions BY DOCUMENT (bounded by document length,
+    never a global sort)."""
+    from pyspark.sql.window import Window
+
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(wd))
+    spans = isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(_RS_N - 1)).alias("e"),
+    )
+    span_words = F.col("e") - F.col("s") + 1
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.max(span_words).cast("long").alias("max_span_words"),
+            F.sum(span_words).cast("long").alias("repeated_words_total"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_repeated_substring_read",
+    # identical oracle: DuckDB recomputes from text — the read path must
+    # reproduce the inline result exactly, from the index alone
+    f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id, u.i - 1 AS pos,
+         array_to_string(ws[u.i : u.i + {_RS_N - 1}], ' ') AS gram
+  FROM w, UNNEST(generate_series(1, len(ws) - {_RS_N - 1})) u(i)
+  WHERE len(ws) >= {_RS_N}
+),
+rep AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_RS_N - 1} AS e
+  FROM isl GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(MAX(e - s + 1) AS BIGINT) AS max_span_words,
+       CAST(SUM(e - s + 1) AS BIGINT) AS repeated_words_total
+FROM spans GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def dedup_repeated_substring_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_repeated_substring answered from the PERSISTED repeated-gram
+    index (plans/materialize.gram_index_tables) with ZERO text
+    re-shingling — the deployment form the inline query's docstring
+    promises: at 100 TB the (gk, doc_id, pos) postings and the
+    repeated-key set are ingest-time artifacts (built once per corpus
+    generation, like the shingle index and the tokenbf sidecars), and
+    span queries touch only index rows. The read plan is postings ⋈
+    repeated-keys on the 8-byte gk (no gram strings, no documents scan —
+    plan-pinned in tests/test_repeated_substring.py), then the per-doc
+    islands merge. Oracle recomputes from raw text, so a green row
+    proves index build + read == direct computation."""
+    from go_nats_to_clickhouse_spark.plans.materialize import gram_index_tables
+
+    t = gram_index_tables(spark, sf_dir)
+    g = spark.read.parquet(t["gram_postings"])
+    rep = spark.read.parquet(t["gram_rep"])
+    hits = g.join(rep, "gk").select("doc_id", "pos")
+    return _repeated_spans(hits)

@@ -83,3 +83,67 @@ class TestRepeatedSubstring:
         out = _run(spark, tmp_path, [(1, d1), (2, d2)])
         assert out[1] == (2, N, 2 * N)
         assert out[2] == (2, N, 2 * N)
+
+
+class TestPersistedGramIndex:
+    """dedup_repeated_substring_read: the ingest-time index form."""
+
+    def _run_read(self, spark, tmp_path, docs, monkeypatch):
+        monkeypatch.setenv("SPARK_GRAFT_MAT_DIR", str(tmp_path / "mat"))
+        sf = str(tmp_path)
+        import os
+        import shutil
+
+        spark.createDataFrame(
+            [(i, t, "en", "synth", len(t)) for i, t in docs],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(sf + "/_docs")
+        part = [f for f in os.listdir(sf + "/_docs") if f.endswith(".parquet")][0]
+        shutil.move(
+            os.path.join(sf, "_docs", part), os.path.join(sf, "documents.parquet")
+        )
+        shutil.rmtree(sf + "/_docs")
+        rows = QUERIES["dedup_repeated_substring_read"](spark, sf).collect()
+        inline = QUERIES["dedup_repeated_substring"](spark, sf).collect()
+        return (
+            {r.doc_id: (r.n_spans, r.max_span_words, r.repeated_words_total) for r in rows},
+            {r.doc_id: (r.n_spans, r.max_span_words, r.repeated_words_total) for r in inline},
+        )
+
+    def test_read_path_equals_inline(self, spark, tmp_path, monkeypatch):
+        shared = words("s", 20)
+        docs = [
+            (1, f"{words('a', 5)} {shared} {words('b', 30)}"),
+            (2, f"{words('c', 11)} {shared} {words('d', 3)}"),
+            (3, words("z", 40)),
+        ]
+        read, inline = self._run_read(spark, tmp_path, docs, monkeypatch)
+        assert read == inline
+        assert read[1] == (1, 20, 20)
+
+    def test_read_plan_never_scans_text(self, spark, tmp_path, monkeypatch):
+        # the deployment contract: the span read path touches ONLY index
+        # rows — no documents scan, no gram-string re-shingling
+        shared = words("s", N)
+        docs = [(1, f"{shared} {words('a', 5)}"), (2, f"{words('b', 5)} {shared}")]
+        monkeypatch.setenv("SPARK_GRAFT_MAT_DIR", str(tmp_path / "mat"))
+        sf = str(tmp_path)
+        import os
+        import shutil
+
+        spark.createDataFrame(
+            [(i, t, "en", "synth", len(t)) for i, t in docs],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(sf + "/_docs")
+        part = [f for f in os.listdir(sf + "/_docs") if f.endswith(".parquet")][0]
+        shutil.move(
+            os.path.join(sf, "_docs", part), os.path.join(sf, "documents.parquet")
+        )
+        shutil.rmtree(sf + "/_docs")
+        df = QUERIES["dedup_repeated_substring_read"](spark, sf)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "documents.parquet" not in plan
+        assert "xxhash64" not in plan  # keys come from the index, not recomputed
+        assert "gram_postings" in plan and "gram_rep" in plan
