@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from go_nats_to_clickhouse_spark.operators.hints import bounded
+
 #: 15 hex chars = 60 bits — fits BIGINT in every engine.
 HASH_HEX_CHARS = 15
 
@@ -387,7 +389,7 @@ def incremental_lsh_pairs(
         F.col("doc_id").alias("corpus_id"), "band", "bucket"
     )
     cand = (
-        corp_bands.join(F.broadcast(new_bands), ["band", "bucket"])
+        corp_bands.join(F.broadcast(bounded(new_bands, "ingest micro-batch, admission-bounded")), ["band", "bucket"])
         .select("new_id", "corpus_id")
         .distinct()
     )
@@ -397,7 +399,7 @@ def incremental_lsh_pairs(
     )
     est = minhash_estimate(F.col("sig_a"), F.col("sig_b"), num_hashes)
     return (
-        cand.join(F.broadcast(sa), "new_id")
+        cand.join(F.broadcast(bounded(sa, "ingest micro-batch, admission-bounded")), "new_id")
         .join(sb, "corpus_id")
         .select("new_id", "corpus_id", F.round(est, 6).alias("est_jaccard"))
     )

@@ -26,6 +26,8 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from go_nats_to_clickhouse_spark.operators.hints import bounded
+
 
 def blocked_all_pairs_cosine(
     spark: SparkSession,
@@ -183,7 +185,7 @@ def brute_force_topk(
     (query_id, cos) pairs shuffle for ranking.
     """
     scored = (
-        corpus_df.crossJoin(F.broadcast(queries_df))
+        corpus_df.crossJoin(F.broadcast(bounded(queries_df, "ann probe batch <= admission cap")))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", _qc_cosine().alias("cos"))
     )
@@ -254,7 +256,7 @@ def lsh_topk(
     q = queries_df.withColumn("bucket", lsh_bucket(F.col("qv"), signs))
     c = corpus_df.withColumn("bucket", lsh_bucket(F.col("cv"), signs))
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(bounded(q, "ann probe batch <= admission cap")), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", _qc_cosine().alias("cos"))
     )
@@ -416,7 +418,7 @@ def ivf_read_topk(
     # no dedup needed: each corpus row lives in exactly one cell and each
     # query probes distinct cells, so a (query, neighbor) pair occurs once
     scored = (
-        assigned.join(F.broadcast(q_cells), "cell")
+        assigned.join(F.broadcast(bounded(q_cells, "Q x nprobe probe cells")), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", _qc_cosine().alias("cos"))
     )
@@ -657,8 +659,11 @@ def pq_rerank_topk(
     cand = pq_topk(
         queries_df, corpus_df, m=m, k_sub=k_sub, k=shortlist, seed=seed
     ).select("query_id", "neighbor_id")
-    exact = corpus_df.join(F.broadcast(cand), "neighbor_id").join(
-        F.broadcast(queries_df.select("query_id", "qv")), "query_id"
+    exact = corpus_df.join(
+        F.broadcast(bounded(cand, "Q x shortlist candidates")), "neighbor_id"
+    ).join(
+        F.broadcast(bounded(queries_df.select("query_id", "qv"), "ann probe batch <= admission cap")),
+        "query_id",
     )
     scored = exact.select("query_id", "neighbor_id", _qc_cosine().alias("cos"))
     return _rank_topk(scored, k)
@@ -810,7 +815,7 @@ def ivfpq_adc_candidates(
     # stage 1: codes-only scan of the probed cells
     return (
         corpus.select("cell", "neighbor_id", "code")
-        .join(F.broadcast(q_cells), "cell")
+        .join(F.broadcast(bounded(q_cells, "Q x nprobe probe cells")), "cell")
         .mapInPandas(_adc, adc_schema)
     )
 
@@ -851,8 +856,11 @@ def ivfpq_read_topk(
     # vectors, DPP-pruned again through the shortlist's cell column
     exact = (
         corpus.select("cell", "neighbor_id", "cv")
-        .join(F.broadcast(short), ["cell", "neighbor_id"])
-        .join(F.broadcast(queries_df.select("query_id", "qv")), "query_id")
+        .join(F.broadcast(bounded(short, "Q x shortlist candidates")), ["cell", "neighbor_id"])
+        .join(
+            F.broadcast(bounded(queries_df.select("query_id", "qv"), "ann probe batch <= admission cap")),
+            "query_id",
+        )
     )
     scored = exact.select("query_id", "neighbor_id", _qc_cosine().alias("cos"))
     return _rank_topk(scored, k)

@@ -41,6 +41,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from go_nats_to_clickhouse_spark.operators.hints import bounded
+
 from go_nats_to_clickhouse_spark.functions.clickhouse import to_yyyymm
 
 #: sort keys per engine table (init.sql:19,32,46,96)
@@ -409,7 +411,7 @@ def read_with_mask(
     if not os.path.exists(mask_path):
         return df
     mask = spark.read.parquet(mask_path).dropDuplicates(list(key_cols))
-    return df.join(F.broadcast(mask), list(key_cols), "left_anti")
+    return df.join(F.broadcast(bounded(mask, "lightweight-delete mask, O(deleted keys), cleared by compaction")), list(key_cols), "left_anti")
 
 
 def apply_mask_compact(
@@ -431,7 +433,7 @@ def apply_mask_compact(
     mask = spark.read.parquet(mask_path)
     key_cols = tuple(mask.columns)
     mask = mask.dropDuplicates(list(key_cols))
-    hit = df.join(F.broadcast(mask), list(key_cols), "left_semi")
+    hit = df.join(F.broadcast(bounded(mask, "lightweight-delete mask, O(deleted keys), cleared by compaction")), list(key_cols), "left_semi")
     affected = [
         r[0] for r in hit.select(PARTITION_COL).distinct().collect()
     ]
@@ -439,7 +441,7 @@ def apply_mask_compact(
     for ym in affected:
         part_dir = os.path.join(path, f"{PARTITION_COL}={ym}")
         rows = spark.read.parquet(part_dir)
-        keep = rows.join(F.broadcast(mask), list(key_cols), "left_anti")
+        keep = rows.join(F.broadcast(bounded(mask, "lightweight-delete mask, O(deleted keys), cleared by compaction")), list(key_cols), "left_anti")
         rows_erased += rows.count() - keep.count()
         keep = keep.sortWithinPartitions(
             *[k for k in sort_keys if k != PARTITION_COL]

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from go_nats_to_clickhouse_spark.operators.hints import bounded
+
 from go_nats_to_clickhouse_spark.queries.registry import query
 from go_nats_to_clickhouse_spark.schemas import load_table
 
@@ -748,7 +750,7 @@ def join_dict_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     return (
-        o.join(broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        o.join(broadcast(bounded(c, "clickhouse dictionary contract: replicated fully in RAM")), F.col("c_custkey") == F.col("o_custkey"))
         .join(broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"), "left")
         .join(broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"), "left")
         .select(

@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from go_nats_to_clickhouse_spark.operators.hints import bounded
 from pyspark.sql.window import Window
 
 from go_nats_to_clickhouse_spark.queries.registry import query
@@ -653,7 +655,7 @@ def dedup_semantic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    scored = e.crossJoin(F.broadcast(cents)).select(
+    scored = e.crossJoin(F.broadcast(bounded(cents, "K centroids, fixed K"))).select(
         "vec_id", "cid", "v", cosine(F.col("v"), F.col("cv")).alias("cos_c")
     )
     # Precompute each vector's norm ONCE: sqrt(dot(v,v)) here is the exact
@@ -1042,7 +1044,7 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1000000,
         0,
     ).cast("long")
-    scored = bgc.join(F.broadcast(pfx), "bigram").select(
+    scored = bgc.join(pfx, "bigram").select(
         "doc_id", "c_doc", (q * F.col("c_doc")).alias("qc")
     )
     # integer half-away rounding of the per-doc average (shared helper;
@@ -1513,7 +1515,7 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n = tf.select(F.countDistinct("doc_id").alias("n"))
     scored = (
-        tf.join(F.broadcast(df), "w")
+        tf.join(df, "w")
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
@@ -1766,7 +1768,7 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         df.filter(F.col("df") >= 3)
-        .join(F.broadcast(src), "source")
+        .join(F.broadcast(bounded(src, "config-enumerated ingest sources")), "source")
         .select(
             "source",
             F.col("shingle").alias("ngram"),
@@ -1827,7 +1829,7 @@ def vector_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
     )
     scored = (
-        e.crossJoin(F.broadcast(q))
+        e.crossJoin(F.broadcast(bounded(q, "ann probe batch <= admission cap")))
         .filter(F.col("label") != F.col("qlabel"))
         .select(
             "qid",
@@ -1897,7 +1899,7 @@ def behavioral_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame
     ).agg(F.count(F.lit(1)).alias("n"))
     tot = c.groupBy("from_type").agg(F.sum("n").alias("tn"))
     return (
-        c.join(F.broadcast(tot), "from_type")
+        c.join(F.broadcast(bounded(tot, "event_type enum domain")), "from_type")
         .select(
             "from_type",
             "to_type",
@@ -1959,13 +1961,13 @@ def timeseries_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).cast("double").alias("x"),
     )
     med = v.groupBy("user_id").agg(F.expr("percentile(x, 0.5)").alias("med"))
-    dev = v.join(F.broadcast(med), "user_id").withColumn(
+    dev = v.join(med, "user_id").withColumn(
         "ad", F.abs(F.col("x") - F.col("med"))
     )
     mad = dev.groupBy("user_id").agg(
         F.expr("percentile(ad, 0.5)").alias("mad")
     )
-    scored = dev.join(F.broadcast(mad), "user_id").withColumn(
+    scored = dev.join(mad, "user_id").withColumn(
         "score", F.col("ad") / (F.lit(1.4826) * F.col("mad"))
     )
     return (
@@ -2546,7 +2548,7 @@ def behavioral_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
-        .join(F.broadcast(size), "cohort_week")
+        .join(F.broadcast(bounded(size, "calendar-week cohort domain")), "cohort_week")
         .select(
             "cohort_week",
             "week_offset",

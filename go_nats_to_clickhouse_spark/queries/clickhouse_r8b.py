@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from go_nats_to_clickhouse_spark.operators.hints import bounded
 from pyspark.sql.window import Window
 
 from go_nats_to_clickhouse_spark.queries.registry import query
@@ -419,7 +421,7 @@ def sort_limit_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderdate")
     )
     return (
-        o.join(F.broadcast(keep), "o_orderdate")
+        o.join(F.broadcast(bounded(keep, "top-k WITH TIES threshold dates <= k")), "o_orderdate")
         .select("o_orderkey", "o_orderdate", "price_cents")
         .orderBy(F.desc("o_orderdate"), "o_orderkey")
     )
@@ -570,7 +572,7 @@ def text_selection_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_words", "cum_before")
     w_g = Window.partitionBy("n_words").orderBy("doc_id")
     ranked = (
-        d.join(F.broadcast(cum), "n_words")
+        d.join(F.broadcast(bounded(cum, "document-length histogram domain")), "n_words")
         .withColumn("r", F.col("cum_before") + F.row_number().over(w_g))
     )
     tot = d.agg(F.count(F.lit(1)).cast("long").alias("n_total"))

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from go_nats_to_clickhouse_spark.operators.hints import bounded
+
 from go_nats_to_clickhouse_spark.operators.dedup import word_shingles
 from go_nats_to_clickhouse_spark.queries.registry import query
 from go_nats_to_clickhouse_spark.queries.util import load_table
@@ -69,7 +71,7 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = (
         train.alias("tr")
         .join(
-            F.broadcast(test.select(F.col("doc_id").alias("test_doc_id"), "shingle")),
+            F.broadcast(bounded(test.select(F.col("doc_id").alias("test_doc_id"), "shingle"), "held-out benchmark shingles, curated set")),
             "shingle",
         )
         .groupBy(F.col("tr.doc_id").alias("doc_id"))

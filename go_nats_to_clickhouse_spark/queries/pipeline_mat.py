@@ -40,6 +40,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from go_nats_to_clickhouse_spark.operators.hints import bounded
 from pyspark.sql.window import Window
 
 from go_nats_to_clickhouse_spark.queries.registry import query
@@ -441,7 +443,7 @@ def batch_survivors_from(
     )
     # no distinct on xdup — the left_anti below dedups by construction
     xdup = (
-        cb.join(F.broadcast(nb), ["band", "bucket"])
+        cb.join(F.broadcast(bounded(nb, "ingest micro-batch, admission-bounded")), ["band", "bucket"])
         .filter(_est_matches(F.col("sig_a"), F.col("sig_b")) >= 8)
         .select("new_id")
     )
@@ -1192,7 +1194,7 @@ def _provenance_from(spark: SparkSession, t: dict[str, str]) -> DataFrame:
         )
     )
     xmatch = (
-        cb.join(F.broadcast(nb), ["band", "bucket"])
+        cb.join(F.broadcast(bounded(nb, "ingest micro-batch, admission-bounded")), ["band", "bucket"])
         .filter(_est_matches(F.col("sig_a"), F.col("sig_b")) >= 8)
         .groupBy("new_id")
         .agg(F.min("corpus_id").alias("supp"))
@@ -1456,7 +1458,7 @@ def pipeline_dedup_provenance_day3(
         )
     )
     xm3 = (
-        cb.join(F.broadcast(nb), ["band", "bucket"])
+        cb.join(F.broadcast(bounded(nb, "ingest micro-batch, admission-bounded")), ["band", "bucket"])
         .filter(_est_matches(F.col("sig_a"), F.col("sig_b")) >= 8)
         .groupBy(F.col("new_id").alias("doc_id"))
         .agg(F.min("corpus_id").alias("supp"))

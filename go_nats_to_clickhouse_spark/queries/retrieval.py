@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from go_nats_to_clickhouse_spark.operators.hints import bounded
 from pyspark.sql.window import Window
 
 from go_nats_to_clickhouse_spark.queries.registry import query
@@ -296,7 +298,7 @@ def text_bm25_read_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = (
         posts.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(df), "term")
+        .join(F.broadcast(bounded(df, "per-query-term DF <= |query vocab|")), "term")
         .crossJoin(F.broadcast(stats))
         .select("query_id", "doc_id", contrib.alias("q"))
         .groupBy("query_id", "doc_id")
@@ -464,7 +466,7 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     ratio = cnt.crossJoin(F.broadcast(tot)).select("bucket", q.alias("q"))
     agg = (
-        dc.join(F.broadcast(ratio), "bucket")
+        dc.join(F.broadcast(bounded(ratio, "256-bucket feature-hash model table")), "bucket")
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("long").alias("n"),

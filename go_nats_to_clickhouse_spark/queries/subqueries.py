@@ -110,7 +110,7 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(18,4)")
     )
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.lit(100.0)
@@ -149,8 +149,8 @@ def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        l.join(F.broadcast(bad_supp), l.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(bad_supp, l.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -184,11 +184,13 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("q") > 300)
         .select(F.col("l_orderkey").alias("big_orderkey"))
     )
-    # `big` (orders over the HAVING threshold) is tiny by construction —
-    # broadcast it; orders/customer are fact-sized, AQE decides those.
+    # `big` (orders over the HAVING threshold) is tiny at any realistic
+    # selectivity but still SCALES with sf, so it carries no hint — AQE
+    # broadcasts it from its measured runtime size; orders/customer are
+    # fact-sized, AQE decides those too.
     return (
         l.join(
-            F.broadcast(big), F.col("l_orderkey") == F.col("big_orderkey"), "left_semi"
+            big, F.col("l_orderkey") == F.col("big_orderkey"), "left_semi"
         )
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
@@ -231,7 +233,7 @@ def q19_disjunctive_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     disc = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", RATE))
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(dsum(disc, "revenue"), F.count(F.lit(1)).alias("n"))
     )
@@ -309,15 +311,15 @@ def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     l = load_table(spark, sf_dir, "lineitem")
     part_supp = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .select("l_partkey", "s_suppkey", "s_acctbal")
         .distinct()
     )
     best = part_supp.groupBy("l_partkey").agg(F.max("s_acctbal").alias("best_bal"))
     return (
-        part_supp.join(F.broadcast(best), "l_partkey")
+        part_supp.join(best, "l_partkey")
         .filter(F.col("s_acctbal") == F.col("best_bal"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .select("p_partkey", "p_name", "s_suppkey", "s_acctbal")
         .distinct()
     )

@@ -297,8 +297,8 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sa.n") + F.col("sb.n") - F.col("n_common")
     )
     return (
-        common.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= 0.1)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
@@ -620,8 +620,8 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sa.n") + F.col("sb.n") - F.col("n_common")
     )
     pairs = (
-        common.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b")
     )
@@ -1110,8 +1110,8 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sa.n") + F.col("sb.n") - F.col("n_common")
     )
     return (
-        common.join(F.broadcast(sa), F.col("contained_doc") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("container_doc") == F.col("sb.doc_id"))
+        common.join(sa, F.col("contained_doc") == F.col("sa.doc_id"))
+        .join(sb, F.col("container_doc") == F.col("sb.doc_id"))
         .filter(cont >= 0.8)
         .select(
             "contained_doc",

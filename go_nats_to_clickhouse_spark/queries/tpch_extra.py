@@ -72,7 +72,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = s.join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
     c2 = c.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
     return (
-        l.join(F.broadcast(s2), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(s2, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c2, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -117,8 +117,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     amount = _disc() - dec("p_retailprice") * dec("l_quantity")
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .withColumn("o_year", F.year("o_orderdate").cast("int"))
         .groupBy("nation", "o_year")
@@ -164,7 +164,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     pv = (
-        l.join(F.broadcast(region_supp), l.l_suppkey == region_supp.s_suppkey, "left_semi")
+        l.join(region_supp, l.l_suppkey == region_supp.s_suppkey, "left_semi")
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(F.sum(dec("l_extendedprice")).alias("value_d"))
     )
@@ -248,7 +248,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(best))
         .filter(F.col("total_rev") == F.col("best_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -288,7 +288,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
     )
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(per_part, F.col("l_partkey") == F.col("pp_partkey"))
         .filter(F.lit(5) * dec("l_quantity") * F.col("cnt") < F.col("sum_qty"))
         .agg(
@@ -332,14 +332,14 @@ def q20_potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     big = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        l.join(p, l.l_partkey == p.p_partkey, "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(dec("l_quantity")).alias("qty"))
         .filter(F.col("qty") > 40)
         .select("l_suppkey")
     )
     return s.join(
-        F.broadcast(big), s.s_suppkey == big.l_suppkey, "left_semi"
+        big, s.s_suppkey == big.l_suppkey, "left_semi"
     ).select("s_suppkey", "s_name")
 
 
@@ -389,7 +389,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo.filter(F.col("late"))
         .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -467,10 +467,10 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("supp_nation") == "NATION_1", volume
     ).otherwise(F.lit(0).cast("decimal(12,2)"))
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s2), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s2, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c2), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c2, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
             dsum(nation_vol, "nation_rev"),

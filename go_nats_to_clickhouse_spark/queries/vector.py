@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from go_nats_to_clickhouse_spark.operators.hints import bounded
 from pyspark.sql.window import Window
 
 from go_nats_to_clickhouse_spark.queries.registry import query
@@ -775,7 +777,7 @@ def dedup_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = fold(F.zip_with(F.col("tv"), F.col("xv"), lambda a, b: a * b))
     sim = dot / (F.col("tn") * F.col("xn"))
     return (
-        tr.crossJoin(F.broadcast(ev))
+        tr.crossJoin(F.broadcast(bounded(ev, "held-out eval set, curated size")))
         .select("vec_id", sim.alias("sim"))
         .groupBy("vec_id")
         .agg(F.max("sim").alias("ms"))
@@ -1054,7 +1056,7 @@ def vector_ann_mrl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rer = (
         short.join(c, "neighbor_id")  # reach-back: full vectors, shortlist only
-        .join(F.broadcast(q), "query_id")
+        .join(F.broadcast(bounded(q, "ann probe batch <= admission cap")), "query_id")
         .select("query_id", "neighbor_id", _qc_cosine().alias("cos"))
     )
     return _rank_topk(rer, k=10).select(
@@ -1099,7 +1101,7 @@ def vector_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", F.lit(True).alias("in_full")
     )
     return (
-        trunc.join(F.broadcast(full), ["query_id", "neighbor_id"], "left")
+        trunc.join(F.broadcast(bounded(full, "Q x k exact top-k")), ["query_id", "neighbor_id"], "left")
         .select(
             "query_id",
             "neighbor_id",

@@ -49,17 +49,81 @@ BASELINE_PATH = os.path.join(REPO, "STALENESS.json")
 WINDOW = 50
 
 
+_HINT_RE = re.compile(r"(?:\b(?:F\.)?broadcast|\bbounded)\(")
+
+
+def _strip_broadcast(src: str) -> str:
+    """Remove every ``F.broadcast( expr )`` / ``bounded( expr, reason )``
+    wrapper, keeping ``expr`` (the first top-level argument).
+
+    Join hints and boundedness markers are PLAN-ONLY: adding or removing
+    one cannot change a deterministic query's result set (``bounded`` is
+    an alias node — operators/hints.py), so the gate compares a second,
+    hint-normalized hash — a hint-only edit (e.g. VERDICT r9 #2's removal
+    of forced broadcasts on sf-scaling dimensions) does not force the row
+    back into the 50-slot driver window, while any edit that touches an
+    expression, filter, or the oracle still trips the raw hash AND this
+    one. The reverse direction (sneaking a NEW bad hint in without a
+    driver re-sample) is closed by the planaudit forbidden-hint rule, not
+    by this gate. On any paren-scan failure the raw source is returned,
+    which degrades to the strict behavior."""
+    out: list[str] = []
+    i = 0
+    while True:
+        m = _HINT_RE.search(src, i)
+        if not m:
+            out.append(src[i:])
+            return "".join(out)
+        out.append(src[i : m.start()])
+        depth, j = 1, m.end()
+        arg_end = None  # first top-level comma = end of the frame arg
+        try:
+            while depth:
+                c = src[j]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                elif c == "," and depth == 1 and arg_end is None:
+                    arg_end = j
+                j += 1
+        except IndexError:  # unbalanced (string literal with parens) —
+            return src  # fall back to strict raw-source comparison
+        inner = src[m.end() : arg_end if arg_end is not None else j - 1]
+        out.append(_strip_broadcast(inner))
+        i = j
+
+
+def _source_of(fn) -> str:
+    try:
+        return inspect.getsource(fn)
+    except (OSError, TypeError):  # dynamically-defined fallback
+        return repr(fn)
+
+
 def current_hashes() -> dict[str, str]:
     sys.path.insert(0, REPO)
     from go_nats_to_clickhouse_spark.queries import ORACLES, QUERIES
 
     out = {}
     for name, fn in QUERIES.items():
-        try:
-            src = inspect.getsource(fn)
-        except (OSError, TypeError):  # dynamically-defined fallback
-            src = repr(fn)
-        key = src + "\n---oracle---\n" + ORACLES.get(name, "")
+        key = _source_of(fn) + "\n---oracle---\n" + ORACLES.get(name, "")
+        out[name] = hashlib.md5(key.encode()).hexdigest()[:16]
+    return out
+
+
+def current_nhashes() -> dict[str, str]:
+    """Hint-normalized variant of current_hashes (see _strip_broadcast)."""
+    sys.path.insert(0, REPO)
+    from go_nats_to_clickhouse_spark.queries import ORACLES, QUERIES
+
+    out = {}
+    for name, fn in QUERIES.items():
+        key = (
+            _strip_broadcast(_source_of(fn))
+            + "\n---oracle---\n"
+            + ORACLES.get(name, "")
+        )
         out[name] = hashlib.md5(key.encode()).hexdigest()[:16]
     return out
 
@@ -108,11 +172,21 @@ def stale_outside_window() -> list[str]:
     in the driver's next sample window — the governance violation."""
     baseline = load_baseline()
     hashes = current_hashes()
+    nhashes = current_nhashes()
     window = set(priority_window())
     bad = []
     for name, h in hashes.items():
         entry = baseline.get(name)
-        if (entry is None or entry.get("hash") != h) and name not in window:
+        unchanged = entry is not None and (
+            entry.get("hash") == h
+            # hint-only edit: raw hash moved but the hint-normalized
+            # source is bit-identical to what the driver sampled
+            or (
+                entry.get("nhash") is not None
+                and entry.get("nhash") == nhashes[name]
+            )
+        )
+        if not unchanged and name not in window:
             bad.append(name)
     return sorted(bad)
 
@@ -132,15 +206,27 @@ def update_baseline() -> dict[str, dict]:
     """
     baseline = load_baseline()
     hashes = current_hashes()
+    nhashes = current_nhashes()
     rounds = last_green_rounds()
     for name, h in hashes.items():
         rno = rounds.get(name, 0)
         prev = baseline.get(name)
         if prev is None:
-            baseline[name] = {"round": rno, "hash": h if rno > 0 else None}
+            baseline[name] = {
+                "round": rno,
+                "hash": h if rno > 0 else None,
+                "nhash": nhashes[name] if rno > 0 else None,
+            }
         elif rno > prev.get("round", 0):
-            baseline[name] = {"round": rno, "hash": h}
-        # rno == prev.round: keep the recorded hash — no laundering
+            baseline[name] = {"round": rno, "hash": h, "nhash": nhashes[name]}
+        elif prev.get("hash") == h and prev.get("nhash") != nhashes[name]:
+            # backfill/refresh: source is bit-identical to the sampled
+            # state (raw hash matches), so the normalized hash of the
+            # CURRENT source equals the normalized hash of the sampled
+            # source under the CURRENT normalizer — no laundering; this
+            # also migrates entries across normalizer revisions
+            baseline[name] = {**prev, "nhash": nhashes[name]}
+        # rno == prev.round with a moved hash: keep the recorded hash
     # drop unregistered leftovers
     baseline = {k: v for k, v in baseline.items() if k in hashes}
     with open(BASELINE_PATH, "w", encoding="utf-8") as fh:
