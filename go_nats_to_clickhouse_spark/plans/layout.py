@@ -37,6 +37,7 @@ Spark-native equivalent, and why it holds at 100 TB:
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1282,9 +1283,14 @@ def build_token_bloom(spark: SparkSession, path: str, col: str) -> str:
     per file — the shuffle is bounded by files x m bits, independent of
     row count. Rebuild after part rewrites (compaction, mutations,
     erasure), exactly as ClickHouse rebuilds skip indexes on merge.
+    Published ATOMICALLY (build under a hidden tmp dir + rename swap) so
+    racing builders can never interleave writes into one sidecar dir
+    (ADVICE r9).
     """
     df = spark.read.parquet(path).select(
-        F.col("_metadata.file_path").alias("f"), F.col(col).alias("v")
+        F.col("_metadata.file_path").alias("f"),
+        F.col("_metadata.file_size").alias("fsize"),
+        F.col(col).alias("v"),
     )
     toks = df.select(
         "f",
@@ -1306,15 +1312,47 @@ def build_token_bloom(spark: SparkSession, path: str, col: str) -> str:
     # one row per LIVE file, even token-less ones (empty bitmap): the
     # freshness check at query time needs the sidecar's file set to be
     # a superset of the live files, not just the token-bearing ones.
+    # fsize rides along so a part REWRITTEN UNDER THE SAME PATH (manual
+    # moves — Spark's own writes use fresh UUID part names) still fails
+    # the freshness check instead of being pruned with stale blooms.
     sidecar = (
-        df.select("f")
+        df.select("f", "fsize")
         .distinct()
         .join(agg, "f", "left")
-        .select("f", F.coalesce("bits", F.array().cast("array<int>")).alias("bits"))
+        .select(
+            "f",
+            "fsize",
+            F.coalesce("bits", F.array().cast("array<int>")).alias("bits"),
+        )
     )
-    out = os.path.join(path, TOKEN_BLOOM_DIR)
-    sidecar.coalesce(1).write.mode("overwrite").parquet(out)
-    _write_index_meta(out, col)
+    return _publish_sidecar(sidecar, path, TOKEN_BLOOM_DIR, col)
+
+
+def _publish_sidecar(sidecar: DataFrame, path: str, dirname: str, col: str) -> str:
+    """Atomic sidecar publish: write to a hidden per-build tmp dir (the
+    '.' prefix keeps table reads from seeing it), stamp the meta, then
+    swap into place with renames. Two racing builders each stage their
+    own dir; the loser's rename fails against the winner's publish and
+    its litter is dropped — no builder ever writes into a live sidecar
+    (same protocol as plans/materialize._published)."""
+    import shutil
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    tmp = os.path.join(path, f".{dirname}.build-{tag}")
+    trash = os.path.join(path, f".{dirname}.old-{tag}")
+    sidecar.coalesce(1).write.mode("overwrite").parquet(tmp)
+    _write_index_meta(tmp, col)
+    out = os.path.join(path, dirname)
+    try:
+        if os.path.isdir(out):
+            os.rename(out, trash)
+        os.rename(tmp, out)
+    except OSError:
+        # lost a publish race — the winner's sidecar (same inputs) stands
+        shutil.rmtree(tmp, ignore_errors=True)
+    finally:
+        shutil.rmtree(trash, ignore_errors=True)
     return out
 
 
@@ -1351,6 +1389,29 @@ def _live_files(spark: SparkSession, path: str) -> set[str]:
     }
 
 
+def _live_file_sizes(spark: SparkSession, path: str) -> dict[str, int]:
+    """(file_path -> size) for every live part — the freshness identity
+    the sidecars are checked against: path AND size, so a rewrite under
+    a reused path is detected (ADVICE r9)."""
+    return {
+        r[0]: r[1]
+        for r in spark.read.parquet(path)
+        .select(F.col("_metadata.file_path"), F.col("_metadata.file_size"))
+        .distinct()
+        .collect()
+    }
+
+
+def _sidecar_is_fresh(side: DataFrame, live: dict[str, int]) -> bool:
+    """True iff the sidecar covers every live (path, size) pair. Sidecars
+    from before the fsize column (schema v1) read as stale and get
+    rebuilt by the search's heal pass."""
+    if "fsize" not in side.columns:
+        return False
+    indexed = {(r[0], r[1]) for r in side.select("f", "fsize").collect()}
+    return set(live.items()) <= indexed
+
+
 def rebuild_text_indexes(spark: SparkSession, path: str) -> list[str]:
     """Rebuild every text-index sidecar present on the table — called by
     :func:`compact_table` after a part rewrite, the way ClickHouse merges
@@ -1367,7 +1428,7 @@ def rebuild_text_indexes(spark: SparkSession, path: str) -> list[str]:
 
 
 def search_token_pruned(
-    spark: SparkSession, path: str, col: str, token: str
+    spark: SparkSession, path: str, col: str, token: str, heal: bool = True
 ) -> tuple[DataFrame, dict[str, int]]:
     """``hasToken(col, token)`` served through the token-bloom sidecar:
     files whose bloom lacks any of the token's k bits are never opened.
@@ -1377,51 +1438,88 @@ def search_token_pruned(
     re-checks every row); false negatives are impossible because build
     and query share the tokenizer and hash family. The collects are
     geometry-bounded: k bit positions (one 1-row job) and the candidate
-    FILE list (part count, never rows)."""
+    FILE list (part count, never rows).
+
+    Safety fallbacks (each reported in the returned dict):
+
+    * ``wrong_col`` — the sidecar's meta names a DIFFERENT column than
+      the one searched; pruning with another column's blooms would drop
+      matching rows, so the search full-scans instead (ADVICE r9).
+    * ``untokenizable`` — ``token`` is not a single ``[a-z0-9]+`` run
+      after lowercasing (empty string, separators, multi-token): the
+      build's tokenizer never indexes such values, but the exact
+      re-check CAN match them (regex split yields empty boundary
+      tokens), so pruning would be unsound — full scan (ADVICE r9).
+    * ``stale`` — a live (path, size) pair the sidecar has never seen:
+      with ``heal=True`` (default) the index is REBUILT atomically and
+      the search proceeds pruned, so an appended-to table resumes
+      skipping instead of silently full-scanning forever; ``heal=False``
+      keeps the read-only fallback (ADVICE r9).
+    """
+    token_l = token.lower()
+    side_dir = os.path.join(path, TOKEN_BLOOM_DIR)
+    has_token = F.array_contains(
+        F.split(F.lower(F.col(col)), TOKEN_SPLIT), token_l
+    )
+    live = _live_file_sizes(spark, path)
+
+    meta_col = _read_index_meta(side_dir)
+    if meta_col is not None and meta_col != col:
+        report = _full_scan_report(live, wrong_col=True)
+        return spark.read.parquet(path).filter(has_token), report
+    if not re.fullmatch("[a-z0-9]+", token_l):
+        report = _full_scan_report(live, untokenizable=True)
+        return spark.read.parquet(path).filter(has_token), report
+
+    side = spark.read.parquet(side_dir)
+    stale = not _sidecar_is_fresh(side, live)
+    if stale:
+        if not heal:
+            return (
+                spark.read.parquet(path).filter(has_token),
+                _full_scan_report(live, stale=True),
+            )
+        build_token_bloom(spark, path, col)
+        side = spark.read.parquet(side_dir)
+
     target = (
         spark.range(1)
         .select(
             F.array(
-                *[_token_bit(F.lit(token.lower()), k) for k in range(TOKEN_BLOOM_HASHES)]
+                *[_token_bit(F.lit(token_l), k) for k in range(TOKEN_BLOOM_HASHES)]
             ).alias("bits")
         )
         .head()[0]
     )
-    side = spark.read.parquet(os.path.join(path, TOKEN_BLOOM_DIR))
     pred = None
     for b in target:
         c = F.array_contains("bits", int(b))
         pred = c if pred is None else (pred & c)
-    has_token = F.array_contains(
-        F.split(F.lower(F.col(col)), TOKEN_SPLIT), token.lower()
-    )
-    # Freshness: a live file the sidecar has never seen means parts were
-    # rewritten/appended since the last build — fall back to the full
-    # scan (correctness first; pruning is only ever an optimization).
-    # Conversely, sidecar entries for deleted files are dropped by the
-    # live intersection so the read never opens a vanished path.
-    live = _live_files(spark, path)
-    indexed = {r[0] for r in side.select("f").collect()}
-    if not live <= indexed:
-        report = {
-            "files_total": len(live),
-            "files_candidate": len(live),
-            "stale": True,
-        }
-        return spark.read.parquet(path).filter(has_token), report
+    # sidecar entries for deleted files are dropped by the live
+    # intersection so the read never opens a vanished path
     cand = [
         r[0] for r in side.filter(pred).select("f").collect() if r[0] in live
     ]
     report = {
-        "files_total": len(indexed),
+        "files_total": len(live),
         "files_candidate": len(cand),
-        "stale": False,
+        "stale": stale,
+        "healed": stale,
     }
     if cand:
         df = spark.read.option("basePath", path).parquet(*cand)
     else:
         df = spark.read.parquet(path).limit(0)
     return df.filter(has_token), report
+
+
+def _full_scan_report(live: dict[str, int], **flags) -> dict:
+    return {
+        "files_total": len(live),
+        "files_candidate": len(live),
+        "stale": flags.pop("stale", False),
+        **flags,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -1464,7 +1562,9 @@ def build_ngram_bloom(spark: SparkSession, path: str, col: str) -> str:
     (file, bit)-bounded shuffle, one bitmap row per part; rebuild after
     part rewrites."""
     df = spark.read.parquet(path).select(
-        F.col("_metadata.file_path").alias("f"), F.col(col).alias("v")
+        F.col("_metadata.file_path").alias("f"),
+        F.col("_metadata.file_size").alias("fsize"),
+        F.col(col).alias("v"),
     )
     grams = df.select("f", F.explode(_ngrams_of(F.col("v"))).alias("g")).filter(
         F.length("g") == NGRAM_N
@@ -1479,28 +1579,50 @@ def build_ngram_bloom(spark: SparkSession, path: str, col: str) -> str:
         F.sort_array(F.collect_set("bit")).alias("bits")
     )
     sidecar = (
-        df.select("f")
+        df.select("f", "fsize")
         .distinct()
         .join(agg, "f", "left")
-        .select("f", F.coalesce("bits", F.array().cast("array<int>")).alias("bits"))
+        .select(
+            "f",
+            "fsize",
+            F.coalesce("bits", F.array().cast("array<int>")).alias("bits"),
+        )
     )
-    out = os.path.join(path, NGRAM_BLOOM_DIR)
-    sidecar.coalesce(1).write.mode("overwrite").parquet(out)
-    _write_index_meta(out, col)
-    return out
+    return _publish_sidecar(sidecar, path, NGRAM_BLOOM_DIR, col)
 
 
 def search_like_pruned(
-    spark: SparkSession, path: str, col: str, needle: str
+    spark: SparkSession, path: str, col: str, needle: str, heal: bool = True
 ) -> tuple[DataFrame, dict[str, int]]:
     """``lower(col) LIKE '%needle%'`` through the n-gram sidecar: a
     candidate file must contain EVERY 3-gram of the needle. Needles
     shorter than 3 chars cannot prune (no full gram) and fall back to
     the full scan. Same safety argument as the token index: false
-    positives re-checked row-exactly, false negatives impossible."""
+    positives re-checked row-exactly, false negatives impossible. The
+    ``wrong_col`` and ``stale``/heal fallbacks mirror
+    :func:`search_token_pruned` (ADVICE r9)."""
     needle_l = needle.lower()
+    match = F.lower(F.col(col)).contains(needle_l)
+    live = _live_file_sizes(spark, path)
+    side_dir = os.path.join(path, NGRAM_BLOOM_DIR)
+
+    meta_col = _read_index_meta(side_dir)
+    if meta_col is not None and meta_col != col:
+        report = _full_scan_report(live, wrong_col=True)
+        return spark.read.parquet(path).filter(match), report
+
+    side = spark.read.parquet(side_dir)
+    stale = not _sidecar_is_fresh(side, live)
+    if stale:
+        if not heal:
+            return (
+                spark.read.parquet(path).filter(match),
+                _full_scan_report(live, stale=True),
+            )
+        build_ngram_bloom(spark, path, col)
+        side = spark.read.parquet(side_dir)
+
     grams = [needle_l[i : i + NGRAM_N] for i in range(len(needle_l) - NGRAM_N + 1)]
-    side = spark.read.parquet(os.path.join(path, NGRAM_BLOOM_DIR))
     if grams:
         target = (
             spark.range(1)
@@ -1528,21 +1650,12 @@ def search_like_pruned(
         cand_rows = side.filter(pred)
     else:
         cand_rows = side
-    match = F.lower(F.col(col)).contains(needle_l)
-    live = _live_files(spark, path)
-    indexed = {r[0] for r in side.select("f").collect()}
-    if not live <= indexed:  # parts rewritten since the build
-        report = {
-            "files_total": len(live),
-            "files_candidate": len(live),
-            "stale": True,
-        }
-        return spark.read.parquet(path).filter(match), report
     cand = [r[0] for r in cand_rows.select("f").collect() if r[0] in live]
     report = {
-        "files_total": len(indexed),
+        "files_total": len(live),
         "files_candidate": len(cand),
-        "stale": False,
+        "stale": stale,
+        "healed": stale,
     }
     if cand:
         df = spark.read.option("basePath", path).parquet(*cand)
