@@ -230,3 +230,42 @@ class TestSafetyFallbacks:
         got2, report2 = L.search_like_pruned(spark, path, "data", "needle h")
         assert report2["stale"] is False
         assert got2.count() == 10
+
+
+class TestAtomicPublish:
+    def test_racing_builders_leave_one_complete_sidecar(self, spark, tmp_path):
+        """Two concurrent build_token_bloom calls on the same table must
+        leave exactly one complete, readable sidecar (ADVICE r9: the old
+        in-place overwrite could interleave two writers' files)."""
+        import threading
+
+        path = str(tmp_path / "tbl")
+        _write_fixture(spark, path)
+        errs = []
+
+        def build():
+            try:
+                L.build_token_bloom(spark, path, "data")
+            except Exception as e:  # pragma: no cover - failure signal
+                errs.append(e)
+
+        ts = [threading.Thread(target=build) for _ in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs
+        # the published sidecar is complete and fresh: search prunes
+        got, report = L.search_token_pruned(spark, path, "data", "needle")
+        assert report["stale"] is False
+        assert report["files_candidate"] < report["files_total"]
+        assert got.count() == 10
+        # no build litter left behind
+        import os
+
+        litter = [
+            d
+            for d in os.listdir(path)
+            if d.startswith((".{0}".format(L.TOKEN_BLOOM_DIR)))
+        ]
+        assert litter == [], litter
