@@ -52,6 +52,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from go_nats_to_clickhouse_spark.operators.hints import bounded
+
 #: bump to invalidate every cached materialization (any change to the
 #: signature/banding/quality/survivor/pair definitions — or to the
 #: composed ingest service the ing- family bakes its tables with — must
@@ -1321,7 +1323,7 @@ def erased_ingested_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         )
         for t in ERI_TABLES:
             df = spark.read.parquet(g[t]).join(
-                F.broadcast(erase_ids), "doc_id", "left_anti"
+                F.broadcast(bounded(erase_ids, "one erase request's id set")), "doc_id", "left_anti"
             )
             _write(df.sortWithinPartitions(*SORT_KEYS[t]), os.path.join(tmp, t))
 
@@ -1409,7 +1411,7 @@ def erased_live_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
             for t in ("doc_sigs", "doc_bands", "doc_quality"):
                 live = os.path.join(tmp, t)
                 df = spark.read.parquet(live).join(
-                    F.broadcast(erase_ids), "doc_id", "left_anti"
+                    F.broadcast(bounded(erase_ids, "one erase request's id set")), "doc_id", "left_anti"
                 )
                 s = os.path.join(tmp, f".erase-{t}")
                 shutil.rmtree(s, ignore_errors=True)
@@ -2180,7 +2182,7 @@ def _batch_pair_edges(bands: DataFrame, gen: int) -> DataFrame:
         F.col("sig").alias("sig_b"),
     )
     cross = (
-        cb.join(F.broadcast(nb), ["band", "bucket"])
+        cb.join(F.broadcast(bounded(nb, "ingest micro-batch, admission-bounded")), ["band", "bucket"])
         .filter(_est_matches(F.col("sig_a"), F.col("sig_b")) >= 8)
         .select(
             F.col("old_id").alias("doc_a"), F.col("new_id").alias("doc_b")
@@ -2278,12 +2280,12 @@ def erase_docs(spark: SparkSession, root: str, erase_ids: DataFrame) -> None:
 
     kept_pairs = (
         pairs.join(
-            F.broadcast(erase_ids),
+            F.broadcast(bounded(erase_ids, "one erase request's id set")),
             pairs["doc_a"] == F.col("doc_id"),
             "left_anti",
         )
         .join(
-            F.broadcast(erase_ids),
+            F.broadcast(bounded(erase_ids, "one erase request's id set")),
             F.col("doc_b") == F.col("doc_id"),
             "left_anti",
         )
@@ -2291,7 +2293,7 @@ def erase_docs(spark: SparkSession, root: str, erase_ids: DataFrame) -> None:
     )
     kept_nodes, graph_nodes = _replay_survivors(pairs, kept_pairs, erase_ids)
     surv = (
-        surv0.join(F.broadcast(erase_ids), "doc_id", "left_anti")
+        surv0.join(F.broadcast(bounded(erase_ids, "one erase request's id set")), "doc_id", "left_anti")
         .join(graph_nodes, "doc_id", "left_anti")
         .select("doc_id")
         .unionByName(kept_nodes.select("doc_id"))
@@ -2299,12 +2301,12 @@ def erase_docs(spark: SparkSession, root: str, erase_ids: DataFrame) -> None:
 
     rewrites = {
         "doc_sigs": spark.read.parquet(paths["doc_sigs"]).join(
-            F.broadcast(erase_ids), "doc_id", "left_anti"
+            F.broadcast(bounded(erase_ids, "one erase request's id set")), "doc_id", "left_anti"
         ),
         "doc_bands": spark.read.parquet(paths["doc_bands"]).join(
-            F.broadcast(erase_ids), "doc_id", "left_anti"
+            F.broadcast(bounded(erase_ids, "one erase request's id set")), "doc_id", "left_anti"
         ),
-        "doc_quality": qual.join(F.broadcast(erase_ids), "doc_id", "left_anti"),
+        "doc_quality": qual.join(F.broadcast(bounded(erase_ids, "one erase request's id set")), "doc_id", "left_anti"),
         "corpus_pairs": kept_pairs,
         "corpus_survivors": surv,
     }
@@ -2365,7 +2367,7 @@ def _replay_survivors(
     ).localCheckpoint(eager=False)
     touched = (
         full_comp.join(
-            F.broadcast(erase_ids),
+            F.broadcast(bounded(erase_ids, "one erase request's id set")),
             full_comp["node"] == F.col("doc_id"),
             "left_semi",
         )
@@ -2373,7 +2375,7 @@ def _replay_survivors(
         .dropDuplicates(["component"])
     )
     affected = (
-        full_comp.join(F.broadcast(touched), "component", "left_semi")
+        full_comp.join(F.broadcast(bounded(touched, "components touched by one erase request")), "component", "left_semi")
         .select(F.col("node").alias("doc_id"))
         .localCheckpoint(eager=False)
     )
@@ -2393,7 +2395,7 @@ def _replay_survivors(
         )
         .dropDuplicates(["doc_id"])
         .join(affected, "doc_id", "left_semi")
-        .join(F.broadcast(erase_ids), "doc_id", "left_anti")
+        .join(F.broadcast(bounded(erase_ids, "one erase request's id set")), "doc_id", "left_anti")
         .localCheckpoint(eager=False)
     )
     kept_pairs = kept_pairs.join(
@@ -2464,7 +2466,7 @@ def erase_vectors(
     corpus = spark.read.parquet(tables["ann_corpus"])
     touched = [
         r.cell
-        for r in corpus.join(F.broadcast(erase_ids), "neighbor_id")
+        for r in corpus.join(F.broadcast(bounded(erase_ids, "one erase request's id set")), "neighbor_id")
         .select("cell")
         .distinct()
         .collect()
@@ -2472,7 +2474,7 @@ def erase_vectors(
     if not touched:
         return
     remaining = corpus.filter(F.col("cell").isin(touched)).join(
-        F.broadcast(erase_ids), "neighbor_id", "left_anti"
+        F.broadcast(bounded(erase_ids, "one erase request's id set")), "neighbor_id", "left_anti"
     )
     still = {
         r.cell for r in remaining.select("cell").distinct().collect()

@@ -473,7 +473,7 @@ def join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     rich = cust.filter(F.col("c_acctbal") > 9900).select("c_custkey")
     keys = orders.join(
-        F.broadcast(rich), orders["o_custkey"] == rich["c_custkey"], "left_semi"
+        rich, orders["o_custkey"] == rich["c_custkey"], "left_semi"
     ).select("o_orderkey")
     hits = bloom_semi_join(
         li.select("l_orderkey", "l_extendedprice"),

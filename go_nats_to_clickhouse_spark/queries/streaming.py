@@ -23,6 +23,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from go_nats_to_clickhouse_spark.operators.hints import bounded
+
 from go_nats_to_clickhouse_spark.queries.registry import query
 from go_nats_to_clickhouse_spark.schemas import load_table
 
@@ -309,7 +311,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = (
         stream.filter(F.col("event_type") == "purchase")
         .select("user_id", "value")
-        .join(broadcast(dim), F.col("user_id") == F.col("c_custkey"), "inner")
+        .join(broadcast(bounded(dim, "stream-enrich dimension: in-RAM by contract, the clickhouse dictionary semantics")), F.col("user_id") == F.col("c_custkey"), "inner")
         .select("c_mktsegment", "value")
     )
     tbl = _run_to_table(enriched, "append", tmp)
@@ -764,7 +766,7 @@ def streaming_collapsing_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 users = b.select("user_id").distinct()
                 prior = (
                     spark.read.parquet(parts)
-                    .join(F.broadcast(users), "user_id")
+                    .join(F.broadcast(bounded(users, "distinct users of one micro-batch")), "user_id")
                     .groupBy("user_id")
                     .agg(
                         F.sum("sign").alias("live"),

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from go_nats_to_clickhouse_spark.operators.hints import bounded
+
 
 def correlate_streams(
     left: DataFrame,
@@ -61,4 +63,8 @@ def enrich_with_static(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Stream-static join: enrich each message with a (broadcast) dimension
     table — no state, no watermark needed; the dim is re-resolved per
     micro-batch so slowly-changing dimensions pick up updates."""
-    return stream.join(F.broadcast(dim), on, "left")
+    return stream.join(
+        F.broadcast(bounded(dim, "stream-enrich dimension: in-RAM by contract")),
+        on,
+        "left",
+    )
