@@ -405,14 +405,23 @@ def incremental_lsh_pairs(
     )
 
 
-def gram_postings(docs: DataFrame, n: int = 15) -> DataFrame:
+#: canonical repeated-substring gram width (words per gram) — Lee et al.
+#: 2021 used 50 BPE tokens; ~15 words is the equivalent threshold here.
+#: queries/text._RS_N aliases this, and the grams- materialization tag
+#: embeds it, so tuning the width re-keys the persisted index instead of
+#: silently serving spans of the old width (code review r10).
+GRAM_N = 15
+
+
+def gram_postings(docs: DataFrame, n: int = GRAM_N) -> DataFrame:
     """Word-level n-gram postings: (doc_id, pos, gk) with gk =
     xxhash64 of the n-word gram starting at word position ``pos``
     (0-based). The building block of exact-substring dedup (Lee et al.
     2021's suffix-array pass as a repeated-gram span merge — see
-    queries/text.dedup_repeated_substring) and of its PERSISTED ingest
-    index (plans/materialize.gram_index_tables), shared so the inline
-    query and the index build cannot drift.
+    queries/text.dedup_repeated_substring, which pins equality against
+    the persisted-index read path in tests/test_repeated_substring.py)
+    and of its PERSISTED ingest index
+    (plans/materialize.gram_index_tables).
 
     The 8-byte xxhash64 key is shuffled instead of the ~100-byte gram
     string: collision odds at 2^64 are negligible against corpus gram

@@ -59,7 +59,7 @@ def blocked_all_pairs_cosine(
     )
     left = (
         blocked.alias("bl")
-        .join(F.broadcast(pairs.alias("pl")), F.col("bl._b") == F.col("pl.bi"))
+        .join(F.broadcast(bounded(pairs, "block-pair literal").alias("pl")), F.col("bl._b") == F.col("pl.bi"))
         .select(
             F.col("pl.bi").alias("bi"),
             F.col("pl.bj").alias("bj"),
@@ -69,7 +69,7 @@ def blocked_all_pairs_cosine(
     )
     right = (
         blocked.alias("br")
-        .join(F.broadcast(pairs.alias("pr")), F.col("br._b") == F.col("pr.bj"))
+        .join(F.broadcast(bounded(pairs, "block-pair literal").alias("pr")), F.col("br._b") == F.col("pr.bj"))
         .select(
             F.col("pr.bi").alias("bi"),
             F.col("pr.bj").alias("bj"),

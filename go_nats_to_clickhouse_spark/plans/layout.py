@@ -1471,16 +1471,14 @@ def search_token_pruned(
         report = _full_scan_report(live, untokenizable=True)
         return spark.read.parquet(path).filter(has_token), report
 
-    side = spark.read.parquet(side_dir)
-    stale = not _sidecar_is_fresh(side, live)
-    if stale:
-        if not heal:
-            return (
-                spark.read.parquet(path).filter(has_token),
-                _full_scan_report(live, stale=True),
-            )
-        build_token_bloom(spark, path, col)
-        side = spark.read.parquet(side_dir)
+    side, stale = _load_sidecar(
+        spark, path, side_dir, live, heal, lambda: build_token_bloom(spark, path, col)
+    )
+    if side is None:  # stale/missing and could not heal — correctness first
+        return (
+            spark.read.parquet(path).filter(has_token),
+            _full_scan_report(live, stale=True),
+        )
 
     target = (
         spark.range(1)
@@ -1520,6 +1518,39 @@ def _full_scan_report(live: dict[str, int], **flags) -> dict:
         "stale": flags.pop("stale", False),
         **flags,
     }
+
+
+def _load_sidecar(spark, path, side_dir, live, heal, rebuild):
+    """Load a text-index sidecar for pruning, healing when allowed.
+
+    Returns (sidecar_df, was_stale) — or (None, True) when the sidecar
+    is stale/missing and cannot be healed, in which case the caller must
+    full-scan. Tolerates every degraded state a read API must survive
+    (code review r10): a MISSING sidecar dir (crashed publish mid-swap,
+    or never built) reads as stale rather than raising; a FAILED heal
+    rebuild (read-only storage, permissions) degrades to the full-scan
+    fallback instead of propagating — the search is a read API and must
+    never fail because an optimization could not be maintained."""
+
+    def _read():
+        try:
+            return spark.read.parquet(side_dir)
+        except Exception:  # missing/partial dir — treat as no sidecar
+            return None
+
+    side = _read()
+    if side is not None and _sidecar_is_fresh(side, live):
+        return side, False
+    if not heal:
+        return None, True
+    try:
+        rebuild()
+    except Exception:  # e.g. read-only table dir — optimization only
+        return None, True
+    side = _read()
+    if side is None or not _sidecar_is_fresh(side, live):
+        return None, True  # lost a race with a concurrent writer — scan
+    return side, True
 
 
 # ---------------------------------------------------------------------------
@@ -1611,46 +1642,47 @@ def search_like_pruned(
         report = _full_scan_report(live, wrong_col=True)
         return spark.read.parquet(path).filter(match), report
 
-    side = spark.read.parquet(side_dir)
-    stale = not _sidecar_is_fresh(side, live)
-    if stale:
-        if not heal:
-            return (
-                spark.read.parquet(path).filter(match),
-                _full_scan_report(live, stale=True),
-            )
-        build_ngram_bloom(spark, path, col)
-        side = spark.read.parquet(side_dir)
-
     grams = [needle_l[i : i + NGRAM_N] for i in range(len(needle_l) - NGRAM_N + 1)]
-    if grams:
-        target = (
-            spark.range(1)
-            .select(
-                F.flatten(
-                    F.array(
-                        *[
-                            F.array(
-                                *[
-                                    _ngram_bit(F.lit(g), k)
-                                    for k in range(NGRAM_BLOOM_HASHES)
-                                ]
-                            )
-                            for g in grams
-                        ]
-                    )
-                ).alias("bits")
-            )
-            .head()[0]
+    if not grams:
+        # sub-gram needle: no full 3-gram exists, so the index cannot
+        # prune anything — full-scan directly, and in particular never
+        # pay a heal rebuild for a search it cannot help (code review r10)
+        report = _full_scan_report(live, sub_gram=True)
+        return spark.read.parquet(path).filter(match), report
+
+    side, stale = _load_sidecar(
+        spark, path, side_dir, live, heal, lambda: build_ngram_bloom(spark, path, col)
+    )
+    if side is None:  # stale/missing and could not heal — correctness first
+        return (
+            spark.read.parquet(path).filter(match),
+            _full_scan_report(live, stale=True),
         )
-        pred = None
-        for b in sorted(set(target)):
-            c = F.array_contains("bits", int(b))
-            pred = c if pred is None else (pred & c)
-        cand_rows = side.filter(pred)
-    else:
-        cand_rows = side
-    cand = [r[0] for r in cand_rows.select("f").collect() if r[0] in live]
+
+    target = (
+        spark.range(1)
+        .select(
+            F.flatten(
+                F.array(
+                    *[
+                        F.array(
+                            *[
+                                _ngram_bit(F.lit(g), k)
+                                for k in range(NGRAM_BLOOM_HASHES)
+                            ]
+                        )
+                        for g in grams
+                    ]
+                )
+            ).alias("bits")
+        )
+        .head()[0]
+    )
+    pred = None
+    for b in sorted(set(target)):
+        c = F.array_contains("bits", int(b))
+        pred = c if pred is None else (pred & c)
+    cand = [r[0] for r in side.filter(pred).select("f").collect() if r[0] in live]
     report = {
         "files_total": len(live),
         "files_candidate": len(cand),

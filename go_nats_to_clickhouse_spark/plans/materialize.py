@@ -2028,8 +2028,12 @@ def gram_index_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     word position), written once per corpus generation; the build is one
     wide shuffle (groupBy gk) that the inline query would otherwise pay
     per run."""
+    from go_nats_to_clickhouse_spark.operators.dedup import GRAM_N
+
     sf_name = os.path.basename(os.path.normpath(sf_dir))
-    tag = f"grams-{sf_name}-{_fingerprint(sf_dir)}"
+    # the gram width is part of the cache identity: tuning GRAM_N re-keys
+    # the index instead of serving spans of the old width (review r10)
+    tag = f"grams-{sf_name}-n{GRAM_N}-{_fingerprint(sf_dir)}"
 
     def build(tmp: str) -> None:
         from go_nats_to_clickhouse_spark.operators.dedup import (
@@ -2039,7 +2043,7 @@ def gram_index_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         from go_nats_to_clickhouse_spark.schemas import load_table
 
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        posts = gram_postings(docs, n=15)
+        posts = gram_postings(docs, n=GRAM_N)
         _write(
             posts.sortWithinPartitions("gk"),
             os.path.join(tmp, "gram_postings"),

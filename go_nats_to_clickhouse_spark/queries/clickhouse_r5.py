@@ -2055,7 +2055,7 @@ def timeseries_period_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(p,) for p in _PD_PERIODS], "period int"
     )
     phase = (
-        t0.crossJoin(F.broadcast(periods))
+        t0.crossJoin(F.broadcast(bounded(periods, "candidate-period literal")))
         .groupBy(
             "event_type", "period", (F.col("t") % F.col("period")).alias("k")
         )

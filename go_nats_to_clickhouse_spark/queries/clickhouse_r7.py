@@ -30,6 +30,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from go_nats_to_clickhouse_spark.operators.hints import bounded
 from pyspark.sql.window import Window
 
 from go_nats_to_clickhouse_spark.queries.registry import query
@@ -188,11 +190,11 @@ def agg_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = hist.agg(F.sum("c").cast("long").alias("n"))
     ranks = (
         spark.createDataFrame(list(_QS), "q_label string, q double")
-        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(bounded(tot, "global-aggregate row over a literal-leaf plan")))
         .select("q_label", F.ceil(F.col("q") * F.col("n")).cast("long").alias("r"))
     )
     est = (
-        F.broadcast(ranks)
+        F.broadcast(bounded(ranks, "one row per quantile label literal"))
         .join(cum, F.col("cum") >= F.col("r"))
         .groupBy("q_label", "r")
         .agg(F.min("bucket").alias("qb"))
@@ -201,7 +203,7 @@ def agg_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact verifier, bucket-narrowed: rank (r - below) within bucket qb
     inb = bk.join(
-        F.broadcast(est.select("q_label", "r", "qb", "below")),
+        F.broadcast(bounded(est.select("q_label", "r", "qb", "below"), "one row per quantile label")),
         F.col("bucket") == F.col("qb"),
     )
     vh = inb.groupBy("q_label", "r", "below", "x").agg(

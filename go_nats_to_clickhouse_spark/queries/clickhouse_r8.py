@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from go_nats_to_clickhouse_spark.operators.hints import bounded
 from pyspark.sql.window import Window
 
 from go_nats_to_clickhouse_spark.queries.registry import query
@@ -1126,7 +1128,7 @@ def join_dict_range_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     j = e.join(
-        F.broadcast(dim.withColumnRenamed("event_type", "t_type")),
+        F.broadcast(bounded(dim, "tariff dictionary literal").withColumnRenamed("event_type", "t_type")),
         (e["event_type"] == F.col("t_type"))
         & F.col("day").between(F.col("day_from"), F.col("day_to")),
         "left",

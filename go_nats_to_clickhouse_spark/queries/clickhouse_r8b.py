@@ -171,7 +171,7 @@ def join_dict_ip_trie(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c"),
     ).select("event_id", "cents", "c.plen", "c.prefix")
     best = (
-        cand.join(F.broadcast(dim), ["plen", "prefix"])
+        cand.join(F.broadcast(bounded(dim, "ip-prefix dictionary literal")), ["plen", "prefix"])
         .groupBy("event_id", "cents")
         .agg(F.max_by("network", "plen").alias("network"))
     )

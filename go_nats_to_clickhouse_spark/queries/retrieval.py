@@ -194,8 +194,8 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
 
     scored = (
-        tf.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(df), "term")
+        tf.join(F.broadcast(bounded(qterms, "query term literal")), "term")
+        .join(F.broadcast(bounded(df, "per-query-term DF <= |query vocab|")), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("query_id", "doc_id", contrib.alias("q"))
@@ -297,7 +297,7 @@ def text_bm25_read_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
 
     scored = (
-        posts.join(F.broadcast(qterms), "term")
+        posts.join(F.broadcast(bounded(qterms, "query term literal")), "term")
         .join(F.broadcast(bounded(df, "per-query-term DF <= |query vocab|")), "term")
         .crossJoin(F.broadcast(stats))
         .select("query_id", "doc_id", contrib.alias("q"))
@@ -627,7 +627,7 @@ def pipeline_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ordered = d.select("doc_id", "source", "n_tok", cum.alias("cum"))
-    sel = ordered.join(F.broadcast(quota.select("source", "quota")), "source").filter(
+    sel = ordered.join(F.broadcast(bounded(quota.select("source", "quota"), "one row per config-enumerated source")), "source").filter(
         F.col("cum") - F.col("n_tok") < F.col("quota")
     )
     picked = sel.groupBy("source").agg(

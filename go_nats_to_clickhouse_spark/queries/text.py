@@ -1127,7 +1127,11 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sub-document EXACT SUBSTRING dedup — repeated n-gram span merging
 # ---------------------------------------------------------------------------
 
-_RS_N = 15  # words per gram — Lee et al. used 50 BPE tokens; ~15 words
+from go_nats_to_clickhouse_spark.operators.dedup import GRAM_N as _RS_N
+
+# words per gram — canonical constant lives beside the postings builder
+# (operators/dedup.GRAM_N) so the inline query, the DuckDB oracle, and
+# the persisted gram index always agree on the width
 
 
 @query(

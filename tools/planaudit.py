@@ -139,10 +139,13 @@ def _subtree_is_bounded(node) -> bool:
         except Exception:
             return True  # in-memory / non-file relation
         return all(any(b in p for b in BOUNDED_PATHS) for p in paths)
-    if cls in ("LocalRelation", "OneRowRelation", "Range", "LogicalRDD"):
-        # LogicalRDD: a createDataFrame literal — the rows were
-        # materialized on the driver already, bounded by definition
+    if cls in ("LocalRelation", "OneRowRelation", "Range"):
         return True
+    # LogicalRDD is deliberately NOT bounded (code review r10): it covers
+    # both createDataFrame literals (bounded) AND localCheckpoint'ed
+    # frames of ANY size — blessing the class would let a checkpoint
+    # launder a corpus-scale frame past the rule. Literal sites must
+    # carry an explicit operators/hints.bounded marker instead.
     kids = _scala_seq(node.children())
     if not kids:  # unknown leaf: conservative — NOT bounded
         return False
