@@ -287,8 +287,13 @@ class NatsPyJetStreamClient(JetStreamClient):
       key-value bucket named after the durable; the KV write happens only
       after Spark committed the batch (ack-after-commit, main.go:199-208).
 
-    Network I/O is exercised only against a live server (integration tests
-    skip when ``nats-py``/a broker is unavailable); transport *selection*
+    Coverage: the full orchestration — event-loop thread, connect/KV
+    bucket creation, sequence-windowed fetch loop with mid-batch early
+    stop, ack cursor write, drain-on-close — runs in
+    tests/test_nats_live_transport.py against a protocol-faithful
+    in-process fake of the public nats-py API (installed into
+    ``sys.modules``); only the socket layer itself still needs a real
+    broker, which the sandbox does not provide. Transport *selection*
     is unit-tested via :func:`_connect`.
     """
 
