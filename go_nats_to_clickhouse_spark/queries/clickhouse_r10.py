@@ -77,6 +77,10 @@ _SSB_PART_SQL = " + ".join(
     for g in EVENT_TYPES
 )
 
+# group count interpolated everywhere it appears, so a domain change
+# cannot leave the degrees of freedom silently stale in both engines
+_K = len(EVENT_TYPES)
+
 
 ORACLE_ANOVA = f"""
 WITH {_V2_SQL},
@@ -93,10 +97,11 @@ terms AS (
          q
   FROM piv
 )
-SELECT CAST(5 AS INT) AS n_groups, n AS n_rows,
-       CAST(4 AS BIGINT) AS df_between, CAST(n - 5 AS BIGINT) AS df_within,
-       round(((ssb_part - cf) / 4.0)
-             / ((q - ssb_part) / CAST(n - 5 AS DOUBLE)), 6) AS f_stat
+SELECT CAST({_K} AS INT) AS n_groups, n AS n_rows,
+       CAST({_K - 1} AS BIGINT) AS df_between,
+       CAST(n - {_K} AS BIGINT) AS df_within,
+       round(((ssb_part - cf) / {float(_K - 1)!r})
+             / ((q - ssb_part) / CAST(n - {_K} AS DOUBLE)), 6) AS f_stat
 FROM terms
 """
 
@@ -150,15 +155,15 @@ def agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", ssb_part.alias("ssb_part"), cf.alias("cf"), "q"
     )
     return terms.select(
-        F.lit(5).cast("int").alias("n_groups"),
+        F.lit(_K).cast("int").alias("n_groups"),
         F.col("n").alias("n_rows"),
-        F.lit(4).cast("long").alias("df_between"),
-        (F.col("n") - 5).cast("long").alias("df_within"),
+        F.lit(_K - 1).cast("long").alias("df_between"),
+        (F.col("n") - _K).cast("long").alias("df_within"),
         F.round(
-            ((F.col("ssb_part") - F.col("cf")) / F.lit(4.0))
+            ((F.col("ssb_part") - F.col("cf")) / F.lit(float(_K - 1)))
             / (
                 (F.col("q") - F.col("ssb_part"))
-                / (F.col("n") - 5).cast("double")
+                / (F.col("n") - _K).cast("double")
             ),
             6,
         ).alias("f_stat"),

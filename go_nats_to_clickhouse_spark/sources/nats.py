@@ -20,9 +20,10 @@ Transport: the wire layer is injectable. ``JetStreamClient`` is the minimal
 protocol the source needs; tests and local runs use
 :class:`ReplayJetStreamClient` (deterministic, in-memory), and
 :class:`NatsPyJetStreamClient` wires the public ``nats-py`` client
-(import-gated — this environment does not ship it, so its network methods
-are exercised only against a live broker; transport *selection* is
-unit-tested).
+(import-gated — this environment does not ship it; the transport's full
+orchestration is exercised against a protocol-faithful in-process fake
+of the nats-py API in tests/test_nats_live_transport.py, and only the
+socket layer itself still needs a live broker).
 """
 
 from __future__ import annotations
@@ -314,14 +315,18 @@ class NatsPyJetStreamClient(JetStreamClient):
         self._nc = None
         self._js = None
         self._kv = None
-        self._run(self._connect_async())
+        try:
+            self._run(self._connect_async())
+        except BaseException:
+            self._shutdown_loop()
+            raise
 
     def _run(self, coro):
         import asyncio
 
         return asyncio.run_coroutine_threadsafe(coro, self._loop).result(timeout=60)
 
-    async def _connect_async(self) -> None:  # pragma: no cover - needs broker
+    async def _connect_async(self) -> None:
         import nats
         from nats.js.errors import NotFoundError
 
@@ -333,7 +338,7 @@ class NatsPyJetStreamClient(JetStreamClient):
         except NotFoundError:
             self._kv = await self._js.create_key_value(bucket=bucket)
 
-    def max_sequence(self) -> int:  # pragma: no cover - needs broker
+    def max_sequence(self) -> int:
         async def go():
             info = await self._js.stream_info(self._stream)
             return int(info.state.last_seq)
@@ -342,7 +347,7 @@ class NatsPyJetStreamClient(JetStreamClient):
 
     def fetch(
         self, start_seq: int, end_seq: int, subjects: Sequence[str]
-    ) -> list[JsMessage]:  # pragma: no cover - needs broker
+    ) -> list[JsMessage]:
         async def go():
             import asyncio
 
@@ -356,7 +361,16 @@ class NatsPyJetStreamClient(JetStreamClient):
                 config=ConsumerConfig(
                     deliver_policy=DeliverPolicy.BY_START_SEQUENCE,
                     opt_start_seq=start_seq + 1,
-                    filter_subjects=[s for s in subjects if s != ">"] or None,
+                    # '>' matches everything: if present, the ONLY correct
+                    # server-side filter is none at all (keeping the other
+                    # patterns would silently drop messages '>' matches —
+                    # the replay transport delivers them, so the two
+                    # transports would disagree).
+                    filter_subjects=(
+                        None
+                        if ">" in subjects
+                        else list(subjects) or None
+                    ),
                 ),
             )
             out: list[JsMessage] = []
@@ -393,19 +407,28 @@ class NatsPyJetStreamClient(JetStreamClient):
 
         return self._run(go())
 
-    def ack_through(self, seq: int) -> None:  # pragma: no cover - needs broker
+    def ack_through(self, seq: int) -> None:
         async def go():
             await self._kv.put("acked_through", str(seq).encode())
 
         self._run(go())
 
-    def close(self) -> None:  # pragma: no cover - needs broker
+    def close(self) -> None:
         async def go():
             if self._nc is not None:
                 await self._nc.drain()
 
         self._run(go())
+        self._shutdown_loop()
+
+    def _shutdown_loop(self) -> None:
+        """Stop the IO loop, JOIN its thread, and close the loop — close()
+        must be synchronous (callers may tear the process down next), and
+        a failed connect must not leak a spinning run_forever thread."""
         self._loop.call_soon_threadsafe(self._loop.stop)
+        self._thread.join(timeout=10)
+        if not self._thread.is_alive():
+            self._loop.close()
 
 
 #: per-process transport cache (workers are reused across batches)

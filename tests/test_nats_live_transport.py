@@ -233,6 +233,13 @@ def test_live_transport_full_lifecycle(monkeypatch):
         assert [m.sequence for m in msgs] == [1, 2, 3, 4, 5, 6]
         assert "�" in msgs[4].data  # bad utf-8 replaced, not crashed
 
+        # '>' mixed with narrower patterns must STILL mean match-all:
+        # keeping only the narrow ones would drop messages '>' matches
+        # (the replay transport delivers them — transports must agree)
+        msgs = client.fetch(0, 100, ("chats.>", ">"))
+        assert server.pull_configs[-1][1].filter_subjects is None
+        assert [m.sequence for m in msgs] == [1, 2, 3, 4, 5, 6]
+
         # ack-after-commit persists the cursor in the durable's KV bucket
         client.ack_through(4)
         assert server.buckets["spark-ingest-cursor"]["acked_through"] == b"4"
