@@ -398,11 +398,157 @@ def timeseries_outliers_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# seriesDecomposeSTL analog: classical additive seasonal decomposition
+# ---------------------------------------------------------------------------
+
+#: micros per hour — the bucket width of the decomposed series
+_HOUR_US = 3_600_000_000
+
+ORACLE_DECOMPOSE = f"""
+WITH b AS (
+  SELECT CAST(epoch_us(ts) // {_HOUR_US} AS BIGINT) AS h_idx,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+grid AS (
+  SELECT g.h_idx, COALESCE(b.c, 0) AS x
+  FROM (
+    SELECT unnest(generate_series((SELECT MIN(h_idx) FROM b),
+                                  (SELECT MAX(h_idx) FROM b))) AS h_idx
+  ) g
+  LEFT JOIN b ON g.h_idx = b.h_idx
+),
+w AS (
+  SELECT h_idx, x,
+         SUM(x) OVER win25 AS s25,
+         COUNT(*) OVER win25 AS c25,
+         LAG(x, 12) OVER (ORDER BY h_idx) AS xm12,
+         LEAD(x, 12) OVER (ORDER BY h_idx) AS xp12
+  FROM grid
+  WINDOW win25 AS (ORDER BY h_idx ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+t AS (
+  SELECT h_idx, x,
+         CASE WHEN c25 = 25 THEN 2 * s25 - xm12 - xp12 END AS trend2,
+         CASE WHEN c25 = 25 THEN 48 * x - (2 * s25 - xm12 - xp12) END AS d48,
+         h_idx % 24 AS hod
+  FROM w
+),
+s AS (
+  SELECT h_idx, x, trend2, d48,
+         SUM(d48) OVER (PARTITION BY hod) AS s48,
+         COUNT(d48) OVER (PARTITION BY hod) AS cs
+  FROM t
+)
+SELECT h_idx, x AS n_events,
+       CAST(trend2 AS DOUBLE) / 48.0 AS trend,
+       CAST(s48 AS DOUBLE) / (48.0 * CAST(cs AS DOUBLE)) AS seasonal,
+       (CAST(x AS DOUBLE) - CAST(trend2 AS DOUBLE) / 48.0)
+         - CAST(s48 AS DOUBLE) / (48.0 * CAST(cs AS DOUBLE)) AS resid
+FROM s
+WHERE d48 IS NOT NULL
+ORDER BY h_idx
+"""
+
+
+def timeseries_decompose_seasonal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ClickHouse ``seriesDecomposeSTL(series, 24)`` analog: additive
+    trend / seasonal / residual decomposition of the hourly event-count
+    series at period 24. (STL proper iterates LOESS smoothers — a
+    float-iteration surface no SQL engine reproduces bit-stably; the
+    classical decomposition is the textbook analog with the same output
+    contract: x = trend + seasonal + resid, which is what makes the row
+    oracle-checkable.)
+
+    Exactness: the series is DENSIFIED onto the full hour grid (missing
+    hours are true zeros, and without densification the centered-MA ROWS
+    frame would silently span gaps). Counts are ints, so the centered
+    2x24 moving average is kept as the exact integer ``trend2 = 48 *
+    trend = x[t-12] + 2*sum(x[t-11..t+11]) + x[t+12]`` (computed as
+    ``2*s25 - lag12 - lead12`` off one 25-row frame), the detrended
+    value as ``d48 = 48*x - trend2``, and the per-hour-of-day seasonal
+    sums ``s48`` as exact integer window sums — every double in the
+    output is produced by per-row fixed-order ops on exact integers,
+    bit-identical across engines, no cross-row float summation anywhere.
+
+    Scale shape: the grouped count is a map-side-combinable aggregate
+    over the fact stream; everything after runs on the densified grid,
+    whose size is the RETENTION WINDOW in hours (a deployment constant —
+    ~9k rows/year), not the data volume, so the single-ordered-window
+    stage is bounded regardless of fact size. The hour-of-day seasonal
+    window partitions 24 ways.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("h_idx")
+        )
+        .groupBy("h_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    grid = (
+        b.agg(F.min("h_idx").alias("lo"), F.max("h_idx").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("h_idx"))
+        .join(b, "h_idx", "left")
+        .select("h_idx", F.coalesce("c", F.lit(0)).alias("x"))
+    )
+    # the ordered windows run on the retention-bounded grid (see above)
+    ordered = Window.orderBy("h_idx")
+    win25 = ordered.rowsBetween(-12, 12)
+    w = grid.select(
+        "h_idx",
+        "x",
+        F.sum("x").over(win25).alias("s25"),
+        F.count(F.lit(1)).over(win25).alias("c25"),
+        F.lag("x", 12).over(ordered).alias("xm12"),
+        F.lead("x", 12).over(ordered).alias("xp12"),
+    )
+    trend2 = 2 * F.col("s25") - F.col("xm12") - F.col("xp12")
+    t = w.select(
+        "h_idx",
+        "x",
+        F.when(F.col("c25") == 25, trend2).alias("trend2"),
+        F.when(F.col("c25") == 25, 48 * F.col("x") - trend2).alias("d48"),
+        (F.col("h_idx") % 24).alias("hod"),
+    )
+    hodw = Window.partitionBy("hod")
+    s = t.select(
+        "h_idx",
+        "x",
+        "trend2",
+        "d48",
+        F.sum("d48").over(hodw).alias("s48"),
+        F.count("d48").over(hodw).alias("cs"),
+    )
+    trend = F.col("trend2").cast("double") / F.lit(48.0)
+    seasonal = F.col("s48").cast("double") / (
+        F.lit(48.0) * F.col("cs").cast("double")
+    )
+    return (
+        s.filter(F.col("d48").isNotNull())
+        .select(
+            "h_idx",
+            F.col("x").alias("n_events"),
+            trend.alias("trend"),
+            seasonal.alias("seasonal"),
+            ((F.col("x").cast("double") - trend) - seasonal).alias("resid"),
+        )
+        .orderBy("h_idx")
+    )
+
+
 #: name -> (engine fn, oracle SQL) — what ``register()`` activates.
 R10_ROWS = {
     "agg_anova_f": (agg_anova_f, ORACLE_ANOVA),
     "agg_mean_ztest": (agg_mean_ztest, ORACLE_MEAN_ZTEST),
     "timeseries_outliers_tukey": (timeseries_outliers_tukey, ORACLE_TUKEY),
+    "timeseries_decompose_seasonal": (
+        timeseries_decompose_seasonal,
+        ORACLE_DECOMPOSE,
+    ),
 }
 
 

@@ -8,6 +8,7 @@ engine agreement."""
 from __future__ import annotations
 
 import math
+from datetime import timezone
 
 import duckdb
 import pyarrow.parquet as pq
@@ -125,6 +126,42 @@ def test_tukey_fences_match_exact_interpolation(spark, sf_dir):
         assert row.fence_lo == lo8 / 800.0
         assert row.fence_hi == hi8 / 800.0
         assert row.n_outliers == n_out
+
+
+def test_decompose_seasonal_matches_exact_model(spark, sf_dir):
+    """Integer-exact reference for the classical decomposition: trend2,
+    d48 and the per-hour-of-day seasonal sums are exact ints, so every
+    output double must match bit-exactly."""
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])
+    counts: dict[int, int] = {}
+    for ts in t.column("ts").to_pylist():
+        # pyarrow returns naive-UTC datetimes for timestamp(us)
+        us = int(ts.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+        h = us // 3_600_000_000
+        counts[h] = counts.get(h, 0) + 1
+    lo, hi = min(counts), max(counts)
+    xs = [counts.get(h, 0) for h in range(lo, hi + 1)]
+    n = len(xs)
+    trend2 = {}
+    for i in range(12, n - 12):
+        trend2[i] = xs[i - 12] + 2 * sum(xs[i - 11 : i + 12]) + xs[i + 12]
+    s48: dict[int, int] = {}
+    cs: dict[int, int] = {}
+    for i, t2 in trend2.items():
+        hod = (lo + i) % 24
+        s48[hod] = s48.get(hod, 0) + (48 * xs[i] - t2)
+        cs[hod] = cs.get(hod, 0) + 1
+
+    rows = r10.timeseries_decompose_seasonal(spark, sf_dir).collect()
+    assert len(rows) == len(trend2)
+    for row in rows:
+        i = row.h_idx - lo
+        hod = row.h_idx % 24
+        assert row.n_events == xs[i]
+        assert row.trend == trend2[i] / 48.0
+        seasonal = s48[hod] / (48.0 * cs[hod])
+        assert row.seasonal == seasonal
+        assert row.resid == (xs[i] - trend2[i] / 48.0) - seasonal
 
 
 def test_registration_is_deferred_and_register_works(monkeypatch):
