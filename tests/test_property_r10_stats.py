@@ -77,6 +77,79 @@ _CASES = [
 ]
 
 
+@pytest.mark.parametrize("seed", [5, 17])
+def test_decompose_cross_engine_on_gappy_series(spark, tmp_path, seed):
+    """Sparse hourly series with real gaps: the densification (missing
+    hours are true zeros) is the risky path — an undensified ROWS frame
+    would silently span gaps. Events land at random hours over a ~6-day
+    span with ~60% of hours empty; Spark, DuckDB, and an exact integer
+    model must agree bit-for-bit."""
+    rng = random.Random(seed)
+    d = tmp_path / f"gap{seed}"
+    d.mkdir()
+    ids, ts, uid, et, val, props = [], [], [], [], [], []
+    base_us = 1_700_000_000_000_000  # deliberately NOT hour-aligned
+    counts: dict[int, int] = {}
+    i = 0
+    for h in range(150):
+        if rng.random() < 0.6:
+            continue  # empty hour (gap)
+        for _ in range(rng.randrange(1, 6)):
+            t_us = base_us + h * 3_600_000_000 + rng.randrange(3_600) * 1_000_000
+            ids.append(i)
+            ts.append(t_us)
+            uid.append(i % 7)
+            et.append(rng.choice(["view", "click"]))
+            val.append(1.0)
+            props.append("{}")
+            # bucket by the event's ACTUAL hour (the unaligned base means
+            # in-hour offsets can cross the bucket boundary)
+            hb = t_us // 3_600_000_000
+            counts[hb] = counts.get(hb, 0) + 1
+            i += 1
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array(uid, pa.int64()),
+                "event_type": pa.array(et, pa.string()),
+                "value": pa.array(val, pa.float64()),
+                "props": pa.array(props, pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+
+    fn, oracle = r10.R10_ROWS["timeseries_decompose_seasonal"]
+    srows = [[_fmt(v) for v in row] for row in fn(spark, str(d)).collect()]
+    orows = [[_fmt(v) for v in row] for row in _oracle_rows(d, oracle)]
+    assert srows == orows
+
+    # exact integer model over the densified grid
+    lo, hi = min(counts), max(counts)
+    xs = [counts.get(h, 0) for h in range(lo, hi + 1)]
+    n_interior = max(0, len(xs) - 24)
+    assert len(srows) == n_interior
+    got = {row.h_idx: row for row in fn(spark, str(d)).collect()}
+    trend2 = {
+        i: xs[i - 12] + 2 * sum(xs[i - 11 : i + 12]) + xs[i + 12]
+        for i in range(12, len(xs) - 12)
+    }
+    s48: dict[int, int] = {}
+    cs: dict[int, int] = {}
+    for i, t2 in trend2.items():
+        hod = (lo + i) % 24
+        s48[hod] = s48.get(hod, 0) + (48 * xs[i] - t2)
+        cs[hod] = cs.get(hod, 0) + 1
+    for i, t2 in trend2.items():
+        row = got[lo + i]
+        hod = (lo + i) % 24
+        assert row.n_events == xs[i]
+        assert row.trend == t2 / 48.0
+        assert row.seasonal == s48[hod] / (48.0 * cs[hod])
+
+
 @pytest.mark.parametrize("counts,seed", _CASES)
 def test_r10_rows_cross_engine_on_adversarial_fixtures(
     spark, tmp_path, counts, seed
