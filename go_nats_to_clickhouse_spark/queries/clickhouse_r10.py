@@ -1,7 +1,8 @@
 """Round-10 ClickHouse analogs: the last uncovered statistical
 aggregate functions from ClickHouse's surface — ``analysisOfVariance``
-(one-way ANOVA F), ``meanZTest`` (known-variance two-sample z), and
-``seriesOutliersDetectTukey`` (IQR-fence outlier detection).
+(one-way ANOVA F), ``meanZTest`` (known-variance two-sample z),
+``seriesOutliersDetectTukey`` (IQR-fence outlier detection), and
+``seriesDecomposeSTL`` (classical additive seasonal decomposition).
 
 The reference (go-nats-to-clickhouse) delegates its entire query
 surface to ClickHouse (init.sql creates the tables; every analytical
@@ -28,7 +29,7 @@ displacement ("never displace an old cohort for a new query"). The
 rows are fully implemented and oracle-verified by
 tests/test_clickhouse_r10.py against live DuckDB in the meantime; the
 round-11 session flips them live by calling ``register()`` from
-queries/__init__ and fronting the three names in ``_PRIORITY``.
+queries/__init__ and fronting the four names in ``_PRIORITY``.
 """
 
 from __future__ import annotations
@@ -559,7 +560,7 @@ def register() -> None:
     driver's 50-slot sample window is fully committed to the r3/r4
     rotation-debt cohort this round, and the staleness gate correctly
     refuses new un-sampled rows outside that window. Round 11 calls
-    this from queries/__init__ and fronts the three names in
+    this from queries/__init__ and fronts the four names in
     ``__spark_entry__._PRIORITY``."""
     for name, (fn, oracle) in R10_ROWS.items():
         query(name, oracle)(fn)
