@@ -218,14 +218,29 @@ _EVENTS_NANOS_READ_SCHEMA = T.StructType(
 
 
 def _timestamp_units(path: str) -> dict[str, str]:
-    """Map timestamp-typed column name -> parquet footer time unit ('us', 'ns', ...)."""
+    """Map timestamp-typed column name -> parquet footer time unit ('us',
+    'ns', 'int96', ...).
+
+    Legacy INT96 timestamps (old Spark/Hive/Impala writers) surface in
+    the ARROW schema as timestamp[ns], indistinguishable from a true
+    TIMESTAMP(NANOS) INT64 column — but the two need opposite read
+    paths (Spark reads INT96 natively as timestamp; NANOS needs the
+    nanosAsLong long-read + div-1000 rebuild, which EXPLODES on INT96
+    with SchemaColumnConvertNotSupportedException). Disambiguate via
+    the parquet physical type and report 'int96' distinctly."""
     import pyarrow.parquet as pq
     import pyarrow.types as pat
 
-    schema = pq.ParquetFile(path).schema_arrow
+    pf = pq.ParquetFile(path)
+    physical = {
+        pf.schema.column(i).name: pf.schema.column(i).physical_type
+        for i in range(len(pf.schema))
+    }
     return {
-        field.name: field.type.unit
-        for field in schema
+        field.name: (
+            "int96" if physical.get(field.name) == "INT96" else field.type.unit
+        )
+        for field in pf.schema_arrow
         if pat.is_timestamp(field.type)
     }
 

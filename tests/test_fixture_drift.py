@@ -116,3 +116,41 @@ def test_events_ts_is_modern_not_epoch(spark, sf_dir):
     lo, hi = df.selectExpr("min(ts)", "max(ts)").collect()[0]
     assert lo.year >= 2000, f"events.ts min {lo} is epoch-adjacent — unit bug"
     assert hi.year < 2100, f"events.ts max {hi} is implausibly far future"
+
+
+def test_events_int96_legacy_encoding_reads_correctly(spark, sf_dir, tmp_path):
+    """Third encoding, covered proactively: legacy INT96 timestamps (old
+    Spark/Hive writers) surface in the ARROW schema as timestamp[ns] —
+    indistinguishable from TIMESTAMP(NANOS) INT64, which load_table must
+    read via nanosAsLong. Taking that path on INT96 explodes with
+    SchemaColumnConvertNotSupportedException; the physical-type
+    disambiguation in _timestamp_units must route INT96 to the native
+    read and produce identical values to the micros original."""
+    import glob
+    import shutil
+
+    src = load_table(spark, sf_dir, "events")
+    d = tmp_path / "int96"
+    d.mkdir()
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        src.coalesce(1).write.mode("overwrite").parquet(str(d / "_tmp"))
+    finally:
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+    part = glob.glob(str(d / "_tmp" / "part-*.parquet"))[0]
+    shutil.move(part, str(d / "events.parquet"))
+
+    from go_nats_to_clickhouse_spark.schemas import _timestamp_units
+
+    assert _timestamp_units(str(d / "events.parquet"))["ts"] == "int96"
+    got = load_table(spark, str(d), "events")
+    assert got.schema == src.schema
+    a = sorted(
+        (r.event_id, r.ts) for r in got.select("event_id", "ts").collect()
+    )
+    b = sorted(
+        (r.event_id, r.ts) for r in src.select("event_id", "ts").collect()
+    )
+    assert a == b
