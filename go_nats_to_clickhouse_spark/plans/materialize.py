@@ -58,7 +58,8 @@ from go_nats_to_clickhouse_spark.operators.hints import bounded
 #: signature/banding/quality/survivor/pair definitions — or to the
 #: composed ingest service the ing- family bakes its tables with — must
 #: bump this)
-MAT_VERSION = 8  # r9: parquet bloom skip indexes on the cascade engine tables
+MAT_VERSION = 9  # r10: INT64 micros timestamps (INT96 carried no row-group
+# stats, so time-range predicates could never prune — session.py)
 
 #: the ingest split: these sources model the day-2 batch (same convention
 #: as queries/clickhouse_r3.dedup_incremental_new_batch)

@@ -45,6 +45,16 @@ def get_spark(cfg: EngineConfig | None = None, app_name: str = "gntcs-engine") -
         .config("spark.sql.session.timeZone", "UTC")
         # Micro-batch parquet output: don't write tiny-file summaries.
         .config("spark.hadoop.parquet.summary.metadata.level", "NONE")
+        # Write modern INT64 TIMESTAMP(MICROS), not Spark's legacy INT96
+        # default: parquet writers emit NO min/max statistics for INT96
+        # (deprecated since PARQUET-323), so every timestamp column the
+        # cascade writes would be un-prunable — a time-range predicate
+        # could never skip a row group, silently defeating the
+        # ClickHouse-granule-skipping story for the ORDER BY timestamp
+        # sort keys (init.sql:19,32,46). INT64 micros carries full stats
+        # and is 8 bytes instead of 12. Pinned by
+        # tests/test_bucketing_layout.py::test_warehouse_timestamps_are_prunable_micros.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # Keep driver results bounded — the engine never collects big data,
         # but guard against accidental driver OOM at scale anyway.
         .config("spark.driver.maxResultSize", "2g")

@@ -384,3 +384,44 @@ class TestTableMaintenance:
         assert len(new_months) >= 1
         for ym in new_months:
             assert _os.path.isdir(_os.path.join(path, f"ym={ym}"))
+
+
+def test_warehouse_timestamps_are_prunable_micros(spark, sf_dir):
+    """The cascade must write INT64 TIMESTAMP(MICROS), never Spark's
+    legacy INT96 default: parquet emits NO min/max statistics for INT96
+    (deprecated since PARQUET-323), so a time-range predicate could
+    never skip a row group on the warehouse tables — silently defeating
+    the ORDER BY ... timestamp sort-key pruning story (init.sql:19).
+    Pins physical type INT64 + present row-group stats for every
+    timestamp column of every cascade table."""
+    import os
+
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        ingested_index_tables,
+    )
+
+    wh = ingested_index_tables(spark, sf_dir)["warehouse"]
+    checked = 0
+    for root, _dirs, files in os.walk(wh):
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            pf = pq.ParquetFile(os.path.join(root, fname))
+            arrow = {f.name: f.type for f in pf.schema_arrow}
+            for i in range(len(pf.schema)):
+                col = pf.schema.column(i)
+                typ = arrow.get(col.name)
+                if typ is None or not pat.is_timestamp(typ):
+                    continue
+                assert col.physical_type == "INT64", (
+                    f"{root}/{fname}:{col.name} is {col.physical_type}"
+                )
+                st = pf.metadata.row_group(0).column(i).statistics
+                assert st is not None and st.has_min_max, (
+                    f"{root}/{fname}:{col.name} lacks row-group stats"
+                )
+                checked += 1
+    assert checked > 0  # the walk actually saw timestamp columns

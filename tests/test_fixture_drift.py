@@ -132,13 +132,12 @@ def test_events_int96_legacy_encoding_reads_correctly(spark, sf_dir, tmp_path):
     src = load_table(spark, sf_dir, "events")
     d = tmp_path / "int96"
     d.mkdir()
+    orig = spark.conf.get("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
     try:
         src.coalesce(1).write.mode("overwrite").parquet(str(d / "_tmp"))
     finally:
-        spark.conf.set(
-            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-        )
+        spark.conf.set("spark.sql.parquet.outputTimestampType", orig)
     part = glob.glob(str(d / "_tmp" / "part-*.parquet"))[0]
     shutil.move(part, str(d / "events.parquet"))
 
