@@ -128,7 +128,7 @@ def test_tukey_fences_match_exact_interpolation(spark, sf_dir):
         assert row.n_outliers == n_out
 
 
-def test_decompose_seasonal_matches_exact_model(spark, sf_dir):
+def test_decompose_seasonal_matches_exact_model(spark, sf_dir, decompose_model):
     """Integer-exact reference for the classical decomposition: trend2,
     d48 and the per-hour-of-day seasonal sums are exact ints, so every
     output double must match bit-exactly."""
@@ -139,18 +139,7 @@ def test_decompose_seasonal_matches_exact_model(spark, sf_dir):
         us = int(ts.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
         h = us // 3_600_000_000
         counts[h] = counts.get(h, 0) + 1
-    lo, hi = min(counts), max(counts)
-    xs = [counts.get(h, 0) for h in range(lo, hi + 1)]
-    n = len(xs)
-    trend2 = {}
-    for i in range(12, n - 12):
-        trend2[i] = xs[i - 12] + 2 * sum(xs[i - 11 : i + 12]) + xs[i + 12]
-    s48: dict[int, int] = {}
-    cs: dict[int, int] = {}
-    for i, t2 in trend2.items():
-        hod = (lo + i) % 24
-        s48[hod] = s48.get(hod, 0) + (48 * xs[i] - t2)
-        cs[hod] = cs.get(hod, 0) + 1
+    lo, xs, trend2, s48, cs = decompose_model(counts)
 
     rows = r10.timeseries_decompose_seasonal(spark, sf_dir).collect()
     assert len(rows) == len(trend2)

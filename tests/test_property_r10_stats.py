@@ -78,7 +78,9 @@ _CASES = [
 
 
 @pytest.mark.parametrize("seed", [5, 17])
-def test_decompose_cross_engine_on_gappy_series(spark, tmp_path, seed):
+def test_decompose_cross_engine_on_gappy_series(
+    spark, tmp_path, seed, decompose_model
+):
     """Sparse hourly series with real gaps: the densification (missing
     hours are true zeros) is the risky path — an undensified ROWS frame
     would silently span gaps. Events land at random hours over a ~6-day
@@ -122,26 +124,16 @@ def test_decompose_cross_engine_on_gappy_series(spark, tmp_path, seed):
     )
 
     fn, oracle = r10.R10_ROWS["timeseries_decompose_seasonal"]
-    srows = [[_fmt(v) for v in row] for row in fn(spark, str(d)).collect()]
+    sparkrows = fn(spark, str(d)).collect()
+    srows = [[_fmt(v) for v in row] for row in sparkrows]
     orows = [[_fmt(v) for v in row] for row in _oracle_rows(d, oracle)]
     assert srows == orows
 
-    # exact integer model over the densified grid
-    lo, hi = min(counts), max(counts)
-    xs = [counts.get(h, 0) for h in range(lo, hi + 1)]
-    n_interior = max(0, len(xs) - 24)
-    assert len(srows) == n_interior
-    got = {row.h_idx: row for row in fn(spark, str(d)).collect()}
-    trend2 = {
-        i: xs[i - 12] + 2 * sum(xs[i - 11 : i + 12]) + xs[i + 12]
-        for i in range(12, len(xs) - 12)
-    }
-    s48: dict[int, int] = {}
-    cs: dict[int, int] = {}
-    for i, t2 in trend2.items():
-        hod = (lo + i) % 24
-        s48[hod] = s48.get(hod, 0) + (48 * xs[i] - t2)
-        cs[hod] = cs.get(hod, 0) + 1
+    # exact integer model over the densified grid (shared with
+    # test_clickhouse_r10 via the conftest fixture)
+    lo, xs, trend2, s48, cs = decompose_model(counts)
+    assert len(sparkrows) == max(0, len(xs) - 24)
+    got = {row.h_idx: row for row in sparkrows}
     for i, t2 in trend2.items():
         row = got[lo + i]
         hod = (lo + i) % 24
