@@ -120,3 +120,51 @@ def test_erase_where_rebuilds_blooms_on_rewritten_parts(spark, tmp_path):
     r = layout.bloom_skip_report(spark, path, "k", "no-such-key")
     assert r["with_bloom"] == r["row_groups"]
     assert r["excluded"] == r["row_groups"]
+
+
+def test_timestamp_range_predicate_can_skip_row_groups(spark, tmp_path):
+    """Mechanism pin for the INT64-micros write fix (round 10): a
+    time-range predicate over an engine-written, timestamp-sorted table
+    must be able to exclude row groups via footer min/max statistics —
+    the scan planner's data-skipping input. Under Spark's INT96 default
+    this was impossible (INT96 carries NO statistics; verified absent
+    during the round-10 audit), so this pins both halves: every row
+    group exposes ts stats, and a one-hour predicate excludes most
+    groups on range-partitioned data."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "ts_sorted")
+    frame = _toy_frame(spark, n=1200).repartitionByRange(6, "timestamp")
+    layout.write_partitioned(
+        frame, path, sort_keys=("timestamp",), mode="overwrite"
+    )
+
+    lo = dt.datetime(2024, 1, 2, 5)
+    hi = dt.datetime(2024, 1, 2, 6)
+    groups = 0
+    with_stats = 0
+    excluded = 0
+    for root, _dirs, files in os.walk(path):
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            pf = pq.ParquetFile(os.path.join(root, fname))
+            ci = [
+                i
+                for i in range(len(pf.schema))
+                if pf.schema.column(i).name == "timestamp"
+            ][0]
+            assert pf.schema.column(ci).physical_type == "INT64"
+            for ri in range(pf.metadata.num_row_groups):
+                groups += 1
+                st = pf.metadata.row_group(ri).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                with_stats += 1
+                gmin = st.min.replace(tzinfo=None)
+                gmax = st.max.replace(tzinfo=None)
+                if gmax < lo or gmin > hi:
+                    excluded += 1
+    assert groups >= 6
+    assert with_stats == groups  # the INT96 regression would zero this
+    assert excluded >= groups - 2  # disjoint ranges: most groups skip
