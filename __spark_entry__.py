@@ -30,70 +30,65 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the flagship pinned at index <= 49; already-double-green re-confirmation
 #: rows yield their slots first. The rest keep registration order behind.
 _PRIORITY = [
-    # --- round 10: new/changed rows first (staleness invariant) ---
-    "dedup_repeated_substring_read",  # persisted repeated-15-gram index read path (new r10)
+    # --- round 11: new rows first (staleness invariant) — the four
+    # round-10 stats analogs activated this round (clickhouse_r10
+    # register() now called from queries/__init__; agg_anova_f's
+    # sum-of-squares also changed engine+oracle this round: decimal38
+    # accumulation, see its docstring) ---
+    "agg_anova_f",
+    "agg_mean_ztest",
+    "timeseries_outliers_tukey",
+    "timeseries_decompose_seasonal",
     "mv_analytics_projection",  # flagship, pinned inside the window
-    # --- round-10 rotation-debt payment IN FULL (VERDICT r9 #1): the
-    # remaining 48 slots take every r3-tail + r4 debt row, oldest-first
-    # (alphabetical within each equal-age cohort). After this round the
-    # staleness histogram's oldest cohort is round 5.
-    # --- round-3 tail (31 rows, last driver-green r3) ---
-    "join_asof_last_click",
-    "join_asof_tolerance",
-    "join_dict_get",
-    "mv_message_type_stats",
-    "mv_union_streams_monthly",
-    "q14_promo_revenue_ratio",
-    "q16_supplier_count_by_part",
-    "q18_large_volume_orders",
-    "q19_disjunctive_join_filter",
-    "q22_dormant_rich_customers",
-    "q2_best_supplier_per_part",
-    "range_join_incident_events",
-    "retention_cohorts",
-    "scalar_array_transforms",
-    "scalar_encoding_functions",
-    "scalar_geo_functions",
-    "scalar_ip_functions",
-    "scalar_rounding_functions",
-    "scalar_uuid_functions",
-    "session_window_events",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_ngram_distance",
-    "text_quality_score",
-    "text_stats",
-    "text_token_count",
-    "timeseries_gap_fill",
-    "tumbling_window_daily_events",
-    "window_funnel_depth",
-    "window_lag_events",
-    "window_range_frame_events",
-    # --- round-4 cohort (17 rows, last driver-green r4) ---
-    "agg_bounding_ratio",
-    "agg_covar_corr",
-    "agg_interval_length_sum",
-    "agg_lttb_downsample",
-    "agg_max_intersections",
-    "agg_rank_corr",
-    "agg_retention_flags",
-    "agg_topk_weighted",
-    "agg_welch_ttest",
-    "behavioral_next_event",
-    "dedup_semantic_buckets",
-    "scalar_bit_functions",
-    "scalar_null_semantics",
-    "scalar_string_search_functions",
-    "text_mix_report",
-    "text_repetition_ratio",
-    "vector_distance_functions",
-    # --- next-round debt: none from r3/r4; the oldest cohort after this
-    # window lands is round 5 (43 rows) — front those in round 11. Note:
-    # the round-10 broadcast-hint removals (VERDICT #2) are plan-only
-    # changes (hints cannot alter results); the affected rows
-    # (q8/subqueries/relational) were re-verified by the local oracle
-    # selfcheck at sf0.01 + sf0.001 this round and plan-pinned in tests,
-    # so they do not displace debt rows from the driver window. ---
+    # --- round-5 cohort IN FULL (43 rows, last driver-green r5;
+    # VERDICT r10 #2), alphabetical within the equal-age cohort ---
+    "agg_approx_distinct",
+    "agg_categorical_iv",
+    "agg_contingency_coefs",
+    "agg_group_array_types",
+    "agg_ks_test",
+    "agg_mann_whitney",
+    "agg_partial_state_merge",
+    "agg_sparkbar",
+    "agg_student_ttest",
+    "agg_theils_u",
+    "behavioral_markov_transitions",
+    "behavioral_retention_matrix",
+    "dedup_connected_components",
+    "dedup_minhash_lsh_pairs",
+    "dedup_survivors",
+    "join_asof_nearest",
+    "join_dict_hierarchy",
+    "join_interval_overlap",
+    "join_skew_salted",
+    "pipeline_training_manifest",
+    "q12_priority_by_linestatus",
+    "scalar_array_functions",
+    "scalar_hash_functions",
+    "scalar_point_in_polygon",
+    "scalar_string_distance",
+    "scalar_timezone_functions",
+    "scalar_zorder_key",
+    "streaming_dedup_counts",
+    "streaming_late_data_drop",
+    "streaming_session_windows",
+    "streaming_sliding_12h",
+    "streaming_stateful_running_counts",
+    "streaming_static_enrich",
+    "streaming_stream_stream_join",
+    "streaming_tumbling_daily",
+    "text_boilerplate_ngrams",
+    "text_global_shuffle",
+    "text_gopher_rules",
+    "timeseries_anomaly_mad",
+    "timeseries_period_power",
+    "vector_hard_negatives",
+    "vector_quantize_int8",
+    "window_funnel_strict_order",
+    # --- two spare slots: start the round-6 cohort (39 rows),
+    # oldest-first alphabetical; the remaining 37 front in round 12 ---
+    "agg_argmax_latest_event",
+    "agg_bit_ops",
 ]
 
 

@@ -12,6 +12,14 @@ from go_nats_to_clickhouse_spark.queries.registry import ORACLES, QUERIES
 # row from round 1 come FIRST so a capped run verifies them before
 # re-verifying the already-green set (CORRECTNESS_r01 covered the first 50
 # registrations and nothing after).
+from go_nats_to_clickhouse_spark.queries import clickhouse_r10  # noqa: E402
+
+# Round-11 activation of the four round-10 stats analogs (deferred one
+# round so they would not displace the r3/r4 rotation-debt cohort from
+# the driver's 50-slot sample window — see clickhouse_r10's module
+# docstring). Registered FIRST: never-driver-sampled rows lead.
+clickhouse_r10.register()
+
 from go_nats_to_clickhouse_spark.queries import (  # noqa: E402,F401
     clickhouse_r9,
     clickhouse_r8,

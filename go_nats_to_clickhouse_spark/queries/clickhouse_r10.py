@@ -89,7 +89,7 @@ piv AS (
   SELECT {_ANOVA_PIVOT_SQL},
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(v2) AS BIGINT) AS s,
-         CAST(SUM(v2 * v2) AS DOUBLE) AS q
+         CAST(SUM(CAST(v2 * v2 AS DECIMAL(38, 0))) AS DOUBLE) AS q
   FROM v
 ),
 terms AS (
@@ -124,9 +124,12 @@ def agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     combination order engine-dependent.
 
     Exactness: counts and value sums are exact int64 on the 100x-scaled
-    values; sum-of-squares goes straight to DOUBLE (the conversion of
-    an exact integer sum is one correctly-rounded op in both engines).
-    F is scale-invariant, so the 100x factor cancels.
+    values; the sum of squares accumulates as DECIMAL(38,0) in BOTH
+    engines (v2^2 ~ 1.6e9 per row, so an int64 accumulator would wrap
+    past ~5.7e9 rows — exactly the 100-TB regime; decimal38 is exact to
+    ~1e38, i.e. ~6e28 rows) and converts to DOUBLE once — a single
+    correctly-rounded op on the identical exact integer in both
+    engines. F is scale-invariant, so the 100x factor cancels.
     """
     base = _scaled(spark, sf_dir)
     aggs = []
@@ -142,7 +145,9 @@ def agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         *aggs,
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("v2").cast("long").alias("s"),
-        F.sum(F.col("v2") * F.col("v2")).cast("double").alias("q"),
+        F.sum((F.col("v2") * F.col("v2")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("q"),
     )
     ssb_part = None
     for g in EVENT_TYPES:

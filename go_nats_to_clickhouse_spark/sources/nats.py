@@ -315,6 +315,7 @@ class NatsPyJetStreamClient(JetStreamClient):
         self._nc = None
         self._js = None
         self._kv = None
+        self._closed = False
         try:
             self._run(self._connect_async())
         except BaseException:
@@ -348,6 +349,16 @@ class NatsPyJetStreamClient(JetStreamClient):
     def fetch(
         self, start_seq: int, end_seq: int, subjects: Sequence[str]
     ) -> list[JsMessage]:
+        # Empty subject list = nothing requested. Without this guard the
+        # live path would pass filter_subjects=None (JetStream's
+        # match-ALL), while ReplayJetStreamClient matches nothing — the
+        # exact transport-divergence class the filter_subjects comment
+        # below warns about (reachable: option('subjects', '') strips to
+        # [] in NatsStreamReader). Replay semantics win: no patterns, no
+        # messages. Pinned in tests/test_nats_live_transport.py.
+        if not subjects:
+            return []
+
         async def go():
             import asyncio
 
@@ -414,6 +425,19 @@ class NatsPyJetStreamClient(JetStreamClient):
         self._run(go())
 
     def close(self) -> None:
+        # Idempotent: _shutdown_loop stops and closes the event loop, so a
+        # second close() (or any call routed through _run afterwards) would
+        # raise RuntimeError from run_coroutine_threadsafe. Also evict this
+        # client from _CLIENT_CACHE so a later _connect with the same
+        # options rebuilds a live transport instead of handing out the
+        # closed one.
+        if self._closed:
+            return
+        self._closed = True
+        for key, cached in list(_CLIENT_CACHE.items()):
+            if cached is self:
+                del _CLIENT_CACHE[key]
+
         async def go():
             if self._nc is not None:
                 await self._nc.drain()

@@ -153,16 +153,18 @@ def test_decompose_seasonal_matches_exact_model(spark, sf_dir, decompose_model):
         assert row.resid == (xs[i] - trend2[i] / 48.0) - seasonal
 
 
-def test_registration_is_deferred_and_register_works(monkeypatch):
-    """Round-10 contract: the rows are NOT in the live registry (the
-    driver window is committed to rotation debt), and ``register()``
-    installs exactly the three (name, oracle) pairs when round 11 flips
-    it on."""
+def test_registration_is_active_and_register_is_exact(monkeypatch):
+    """Round-11 contract: queries/__init__ now calls ``register()``, so
+    every R10_ROWS name is live in the global registry with its oracle;
+    and ``register()`` itself installs exactly the R10_ROWS (name,
+    oracle) pairs — all four of them — into whatever registry is
+    current."""
     from go_nats_to_clickhouse_spark import queries as qpkg
     from go_nats_to_clickhouse_spark.queries import registry
 
     for name in r10.R10_ROWS:
-        assert name not in qpkg.QUERIES
+        assert name in qpkg.QUERIES
+        assert name in qpkg.ORACLES
 
     fresh_q: dict = {}
     fresh_o: dict = {}

@@ -265,6 +265,49 @@ def test_connect_selects_and_caches_live_transport(monkeypatch):
         client.close()
 
 
+def test_fetch_empty_subjects_matches_replay_semantics(monkeypatch):
+    """An empty subject list must fetch NOTHING on the live transport,
+    matching ReplayJetStreamClient (no patterns -> no matches). Without
+    the guard, `list([]) or None` would send filter_subjects=None —
+    JetStream's match-ALL — the exact transport divergence the
+    filter_subjects comment warns about (reachable via
+    option('subjects', '') which strips to [] in NatsStreamReader)."""
+    server = _server()
+    _install_fake_nats(monkeypatch, server)
+    from go_nats_to_clickhouse_spark.sources.nats import NatsPyJetStreamClient
+
+    client = NatsPyJetStreamClient(["nats://a:4222"], "globex_support", "d3")
+    try:
+        assert client.fetch(0, 100, ()) == []
+        assert not server.pull_configs  # no consumer even created
+    finally:
+        client.close()
+
+
+def test_close_is_idempotent_and_evicts_cache(monkeypatch):
+    """A second close() must be a no-op (the first one stopped and closed
+    the event loop, so any _run afterwards would raise RuntimeError), and
+    close() must pop the client from _CLIENT_CACHE so a later _connect
+    with the same options rebuilds a live transport instead of returning
+    the dead one."""
+    server = _server()
+    _install_fake_nats(monkeypatch, server)
+    from go_nats_to_clickhouse_spark.sources import nats as natsmod
+
+    monkeypatch.setattr(natsmod, "_CLIENT_CACHE", {})
+    opts = {"servers": "nats://a:4222", "stream": "globex_support"}
+    client = natsmod._connect(opts)
+    client.close()
+    client.close()  # idempotent: must not raise on the closed loop
+    assert natsmod._CLIENT_CACHE == {}
+    rebuilt = natsmod._connect(dict(opts))
+    try:
+        assert rebuilt is not client
+        assert rebuilt.max_sequence() == 6  # the rebuilt transport is live
+    finally:
+        rebuilt.close()
+
+
 def test_fetch_early_stop_with_small_batches(monkeypatch):
     """end_seq lands mid-batch: the loop must stop WITHOUT draining the
     rest of the stream (the `seq > end_seq -> done` branch) even when
