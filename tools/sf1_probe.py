@@ -274,6 +274,35 @@ def probe(spark, sf_dir: str, label: str) -> dict[str, float]:
         .mode("overwrite")
         .save(),
     )
+
+    # round 11 (VERDICT r10 #5): the erase/promote lifecycle — the one
+    # heavy family whose slopes were still inferred from design rather
+    # than measured. Each erase build is index SURGERY (filter-rewrites
+    # + generational pair-graph replay / touched-cell ANN rewrite), so
+    # its slope should track the index size, never the from-scratch
+    # rebuild; the reads are the UNCHANGED manifest/topk consumers over
+    # the erased tables. Prerequisite builds (gen4 promotion loop, the
+    # appended ANN index) get their own timed units so the erase units
+    # measure surgery alone, not a lazily-triggered upstream build.
+    timed("build_gen4", lambda: M.gen4_tables(spark, sf_dir))
+    timed("build_ann_appended", lambda: M.ann_appended_tables(spark, sf_dir))
+    timed("build_erased", lambda: M.erased_tables(spark, sf_dir))
+    timed("build_erased_gen3", lambda: M.erased_gen3_tables(spark, sf_dir))
+    timed("build_erased_gen4", lambda: M.erased_gen4_tables(spark, sf_dir))
+    timed("build_erased_ann2", lambda: M.erased_ann2_tables(spark, sf_dir))
+    for q in (
+        "pipeline_manifest_erased",
+        "pipeline_manifest_erased_day3",
+        "pipeline_manifest_erased_day4",
+        "vector_ann_erased_appended_topk",
+    ):
+        timed(
+            f"read_{q}",
+            lambda q=q: QUERIES[q](spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
     return times
 
 
