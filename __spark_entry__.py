@@ -85,10 +85,11 @@ _PRIORITY = [
     "vector_hard_negatives",
     "vector_quantize_int8",
     "window_funnel_strict_order",
-    # --- two spare slots: start the round-6 cohort (39 rows),
-    # oldest-first alphabetical; the remaining 37 front in round 12 ---
-    "agg_argmax_latest_event",
-    "agg_bit_ops",
+    # --- two spare slots: the two NEW round-11 rows (never-sampled
+    # rows must sit inside the window; the full round-6 cohort — 39
+    # rows — plus flagship fits round 12's window with room left) ---
+    "agg_skew_kurt",
+    "agg_exp_moving_avg",
 ]
 
 

@@ -21,6 +21,7 @@ from go_nats_to_clickhouse_spark.queries import clickhouse_r10  # noqa: E402
 clickhouse_r10.register()
 
 from go_nats_to_clickhouse_spark.queries import (  # noqa: E402,F401
+    clickhouse_r11,
     clickhouse_r9,
     clickhouse_r8,
     clickhouse_r8b,
