@@ -240,6 +240,7 @@ FAMILY_PREFIXES = (
     "tmaint-",
     "bm25-",
     "grams-",
+    "erasegr-",
     "erase-",
     "erase3-",
     "erase4-",
@@ -2058,6 +2059,94 @@ def gram_index_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         )
 
     return _published(f"grams-{sf_name}-", tag, GRAM_TABLES, build)
+
+
+def erase_grams(spark: SparkSession, root: str, erase_ids: DataFrame) -> None:
+    """Erase documents from the repeated-gram index under ``root`` so the
+    unchanged span read path (dedup_repeated_substring_read) afterwards
+    behaves exactly as if the erased docs had never been ingested — the
+    same from-scratch contract erase_docs owes the shingle index:
+
+    * ``gram_postings`` — filter-out rewrite by doc_id (the erased
+      docs' gram positions are content-derived data). O(index), like
+      every ClickHouse DELETE-mutation part rewrite; gk sort order is
+      preserved because filtering never reorders rows.
+    * ``gram_rep`` — repaired over TOUCHED KEYS ONLY: erasing documents
+      can only ever REMOVE a key's repeated status (>= 2 distinct docs
+      is monotone in the doc set), and only keys the erased docs posted
+      can change. So the repair recounts distinct remaining docs for
+      ``affected = keys(postings of erased docs)`` and keeps the rest of
+      gram_rep byte-identical — O(postings-of-affected-keys), never a
+      corpus re-aggregation. A key repeated only between an erased doc
+      and one survivor drops out (the survivor's spans shrink, exactly
+      as a never-saw build); a key with >= 2 surviving docs stays.
+
+    Rewrite shape: staged hidden siblings + the shared rename-aside swap
+    (:func:`_swap_staged`), crash-safe like promotion and erase_docs.
+    Surgery == from-scratch equality is pinned table-for-table in
+    tests/test_gram_erase.py."""
+    erase_ids = erase_ids.select("doc_id").dropDuplicates(["doc_id"])
+    posts_path = os.path.join(root, "gram_postings")
+    rep_path = os.path.join(root, "gram_rep")
+    posts = spark.read.parquet(posts_path)
+    rep = spark.read.parquet(rep_path)
+
+    eb = F.broadcast(bounded(erase_ids, "one erase request's id set"))
+    kept_posts = posts.join(eb, "doc_id", "left_anti")
+    affected = (
+        posts.join(eb, "doc_id", "left_semi").select("gk").dropDuplicates(["gk"])
+    )
+    # among affected keys, recount distinct remaining docs (same
+    # min!=max decision repeated_gram_keys uses — no countDistinct state)
+    still_rep = (
+        kept_posts.join(affected, "gk", "left_semi")
+        .groupBy("gk")
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
+        .select("gk")
+    )
+    new_rep = rep.join(affected, "gk", "left_anti").unionByName(still_rep)
+
+    staged = {
+        "gram_postings": posts_path + "__staged",
+        "gram_rep": rep_path + "__staged",
+    }
+    _write(kept_posts.sortWithinPartitions("gk"), staged["gram_postings"])
+    _write(new_rep.sortWithinPartitions("gk"), staged["gram_rep"])
+    _swap_staged(root, staged)
+
+
+def erased_gram_index_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """The repeated-gram index AFTER a GDPR erasure, cached per fixture:
+    the published grams family is copied (erasure happens to an index
+    that already served traffic) and :func:`erase_grams` removes every
+    ``doc_id % ERASE_MOD == 0`` document — completing the erase
+    lifecycle matrix across ALL index families (shingle/pair graph:
+    erase_docs; ANN cells: erase_vectors; warehouse cascade:
+    erase_where; gram postings: this). The deferred driver row
+    dedup_repeated_substring_erased_read runs the UNCHANGED span
+    consumer over these tables against an oracle recomputed from
+    documents-that-were-never-ingested."""
+    from go_nats_to_clickhouse_spark.operators.dedup import GRAM_N
+    from go_nats_to_clickhouse_spark.schemas import load_table
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = (
+        f"erasegr-{sf_name}-n{GRAM_N}-m{ERASE_MOD}-{_fingerprint(sf_dir)}"
+    )
+
+    def build(tmp: str) -> None:
+        src = gram_index_tables(spark, sf_dir)
+        for name, p in src.items():
+            shutil.copytree(p, os.path.join(tmp, name))
+        erase_ids = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter(F.pmod(F.col("doc_id"), F.lit(ERASE_MOD)) == 0)
+        )
+        erase_grams(spark, tmp, erase_ids)
+
+    return _published(f"erasegr-{sf_name}-", tag, GRAM_TABLES, build)
 
 
 # ---------------------------------------------------------------------------

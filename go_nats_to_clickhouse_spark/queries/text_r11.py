@@ -1,0 +1,114 @@
+"""Round-11 gram-index lifecycle row: the exact-substring span read
+over the ERASED repeated-gram index — the last cell of the erase
+matrix (every other index family already had one: shingle/pair graph
+via erase_docs, ANN cells via erase_vectors, the warehouse cascade via
+erase_where; plans/materialize.erase_grams adds the gram postings).
+
+REGISTRY ACTIVATION IS DEFERRED TO ROUND 12 (``register()`` below, not
+called from queries/__init__ yet): the round-11 driver window's 50
+slots are fully committed (4 activated r10 stats analogs + flagship +
+the complete round-5 rotation cohort + 2 new r11 stats rows), and the
+staleness gate correctly refuses new un-sampled rows outside the
+window. The row is fully implemented and oracle-verified by
+tests/test_gram_erase.py against live DuckDB in the meantime — the
+same governance clickhouse_r10 used, which VERDICT r10 endorsed. The
+round-12 session flips it live by calling ``register()`` from
+queries/__init__ and fronting the name in ``__spark_entry__._PRIORITY``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from go_nats_to_clickhouse_spark.queries.registry import query
+from go_nats_to_clickhouse_spark.queries.text import _repeated_spans, _RS_N
+
+#: oracle = the inline repeated-substring recomputation over documents
+#: that were NEVER INGESTED per the erase rule — the strongest erasure
+#: definition (from-scratch equivalence), same wrap pipeline_mat's
+#: _kept_cte_erased applies to the shingle-index oracles. ERASE_MOD is
+#: interpolated from the materialize module so a rule change cannot
+#: leave the oracle silently stale.
+
+
+def _oracle_erased() -> str:
+    from go_nats_to_clickhouse_spark.plans.materialize import ERASE_MOD
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM (SELECT * FROM documents WHERE doc_id % {ERASE_MOD} <> 0)
+),
+g AS (
+  SELECT doc_id, u.i - 1 AS pos,
+         array_to_string(ws[u.i : u.i + {_RS_N - 1}], ' ') AS gram
+  FROM w, UNNEST(generate_series(1, len(ws) - {_RS_N - 1})) u(i)
+  WHERE len(ws) >= {_RS_N}
+),
+rep AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_RS_N - 1} AS e
+  FROM isl GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(MAX(e - s + 1) AS BIGINT) AS max_span_words,
+       CAST(SUM(e - s + 1) AS BIGINT) AS repeated_words_total
+FROM spans GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def dedup_repeated_substring_erased_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The exact-substring span query served from the ERASED gram index
+    (plans/materialize.erased_gram_index_tables): the UNCHANGED
+    consumer — postings ⋈ repeated-keys on the 8-byte gk, per-document
+    islands merge, zero text scans — over tables repaired by
+    plans/materialize.erase_grams (filter-out postings rewrite +
+    touched-keys-only gram_rep repair). The oracle recomputes the whole
+    span analysis from documents-that-were-never-ingested, so a green
+    row proves index SURGERY == never-saw: spans shrink where a
+    repeated gram lost its only other witness, and every remaining
+    doc's span set is exactly the from-scratch one.
+
+    100-TB shape: identical to dedup_repeated_substring_read (the
+    erase rewrite happened at maintenance time); reads touch only
+    index rows."""
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        erased_gram_index_tables,
+    )
+
+    t = erased_gram_index_tables(spark, sf_dir)
+    g = spark.read.parquet(t["gram_postings"])
+    rep = spark.read.parquet(t["gram_rep"])
+    hits = g.join(rep, "gk").select("doc_id", "pos")
+    return _repeated_spans(hits)
+
+
+#: name -> (engine fn, oracle SQL builder) — what ``register()`` activates.
+def r11b_rows():
+    return {
+        "dedup_repeated_substring_erased_read": (
+            dedup_repeated_substring_erased_read,
+            _oracle_erased(),
+        ),
+    }
+
+
+def register() -> None:
+    """Activate the round-11 deferred row in the global query registry.
+
+    NOT called at import in round 11 — see the module docstring. Round
+    12 calls this from queries/__init__ and fronts the name in
+    ``__spark_entry__._PRIORITY``."""
+    for name, (fn, oracle) in r11b_rows().items():
+        query(name, oracle)(fn)

@@ -1,0 +1,163 @@
+"""Gram-index erase lifecycle (plans/materialize.erase_grams +
+erased_gram_index_tables + the deferred round-12 row
+dedup_repeated_substring_erased_read): three independent proofs —
+
+1. surgery == from-scratch: the erased index tables are row-set-equal
+   to a FRESH build over the already-filtered corpus (the strongest
+   pin; covers the touched-keys-only gram_rep repair including keys
+   that must DROP repeated status when their only other witness was
+   erased, and keys that must KEEP it);
+2. live-DuckDB oracle agreement for the deferred driver row (the same
+   canonical compare the driver will run after round-12 activation);
+3. deferred-registration governance (not in the live registry yet;
+   register() installs exactly the row).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from go_nats_to_clickhouse_spark.queries import text_r11
+
+
+def words(prefix: str, n: int, start: int = 0) -> str:
+    return " ".join(f"{prefix}{i}" for i in range(start, start + n))
+
+
+def _write_docs(spark, sf: str, docs):
+    spark.createDataFrame(
+        [(i, t, "en", "synth", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(sf + "/_docs")
+    part = [f for f in os.listdir(sf + "/_docs") if f.endswith(".parquet")][0]
+    shutil.move(
+        os.path.join(sf, "_docs", part), os.path.join(sf, "documents.parquet")
+    )
+    shutil.rmtree(sf + "/_docs")
+
+
+def test_erase_grams_surgery_equals_fresh_build(spark, tmp_path, monkeypatch):
+    """Engineered cases on synthetic docs (GRAM_N-word shared runs):
+
+    * doc 13 (erased: 13 % 13 == 0) shares a run ONLY with doc 1 — after
+      erasure that run's keys must LEAVE gram_rep and doc 1's spans must
+      vanish (the only-other-witness drop);
+    * docs 2, 3, 26 (26 erased) share a run — keys must STAY repeated
+      (two surviving witnesses) and docs 2/3 keep their spans;
+    * doc 4 shares nothing — untouched.
+    Surgery tables must equal a fresh gram_index_tables build over the
+    filtered corpus, row-set for row-set."""
+    from go_nats_to_clickhouse_spark.operators.dedup import GRAM_N
+    from go_nats_to_clickhouse_spark.plans import materialize as M
+
+    monkeypatch.setenv("SPARK_GRAFT_MAT_DIR", str(tmp_path / "mat"))
+    run_a = words("s", GRAM_N + 5)  # shared doc1 <-> doc13 only
+    run_b = words("t", GRAM_N + 2)  # shared docs 2, 3, 26
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    docs = [
+        (1, f"{words('a', 4)} {run_a} {words('b', 6)}"),
+        (13, f"{words('c', 7)} {run_a}"),
+        (2, f"{run_b} {words('d', 5)}"),
+        (3, f"{words('e', 3)} {run_b}"),
+        (26, f"{run_b} {words('f', 2)}"),
+        (4, words("g", 40)),
+    ]
+    _write_docs(spark, sf, docs)
+
+    erased = M.erased_gram_index_tables(spark, sf)
+
+    # fresh from-scratch build over the filtered corpus in a SECOND mat
+    # root (so the grams- cache for sf cannot be reused)
+    sf2 = str(tmp_path / "sf2")
+    os.makedirs(sf2)
+    _write_docs(
+        spark, sf2, [(i, t) for i, t in docs if i % M.ERASE_MOD != 0]
+    )
+    fresh = M.gram_index_tables(spark, sf2)
+
+    for t in M.GRAM_TABLES:
+        a = spark.read.parquet(erased[t])
+        b = spark.read.parquet(fresh[t])
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), t
+
+    # the engineered expectations, read through the span consumer
+    got = {
+        r.doc_id: r
+        for r in text_r11.dedup_repeated_substring_erased_read(
+            spark, sf
+        ).collect()
+    }
+    assert 1 not in got  # only-other-witness erased: span gone
+    assert 13 not in got and 26 not in got  # erased docs never appear
+    assert got[2].max_span_words == GRAM_N + 2
+    assert got[3].max_span_words == GRAM_N + 2
+    assert 4 not in got
+
+
+@pytest.mark.parametrize("sf_fixture", ["sf0.001"])
+def test_erased_read_matches_never_ingested_oracle(spark, sf_fixture):
+    """The driver's canonical compare, run pre-activation against live
+    DuckDB at fixture scale (same pattern the r10 deferred rows used)."""
+    from tools.selfcheck import _canon, _hash_pdf
+
+    sf_dir = f"/root/testdata/{sf_fixture}"
+    spdf = _canon(
+        text_r11.dedup_repeated_substring_erased_read(spark, sf_dir).toPandas()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    try:
+        dpdf = _canon(con.sql(text_r11._oracle_erased()).df())
+    finally:
+        con.close()
+    assert len(spdf) == len(dpdf)
+    assert list(spdf.columns) == list(dpdf.columns)
+    assert _hash_pdf(spdf) == _hash_pdf(dpdf)
+
+
+def test_registration_is_deferred_and_register_works(monkeypatch):
+    from go_nats_to_clickhouse_spark import queries as qpkg
+    from go_nats_to_clickhouse_spark.queries import registry
+
+    rows = text_r11.r11b_rows()
+    for name in rows:
+        assert name not in qpkg.QUERIES
+
+    fresh_q: dict = {}
+    fresh_o: dict = {}
+    monkeypatch.setattr(registry, "QUERIES", fresh_q)
+    monkeypatch.setattr(registry, "ORACLES", fresh_o)
+    text_r11.register()
+    assert set(fresh_q) == set(rows)
+    assert set(fresh_o) == set(rows)
+
+
+def test_erased_read_plan_never_scans_text(spark, tmp_path, monkeypatch):
+    """The deployment contract carries over to the erased index: the
+    span read touches ONLY index rows — no documents scan, no gram
+    re-shingling (the erase rewrite happened at maintenance time)."""
+    from go_nats_to_clickhouse_spark.operators.dedup import GRAM_N
+    from go_nats_to_clickhouse_spark.plans import materialize as M
+
+    monkeypatch.setenv("SPARK_GRAFT_MAT_DIR", str(tmp_path / "mat"))
+    shared = words("s", GRAM_N)
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    _write_docs(
+        spark,
+        sf,
+        [(1, f"{shared} {words('a', 5)}"), (2, f"{words('b', 5)} {shared}")],
+    )
+    M.erased_gram_index_tables(spark, sf)  # build outside the plan probe
+    df = text_r11.dedup_repeated_substring_erased_read(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents" not in plan
+    assert "xxhash64" not in plan.lower()
