@@ -240,7 +240,9 @@ FAMILY_PREFIXES = (
     "tmaint-",
     "bm25-",
     "grams-",
+    "gramsapp-",
     "erasegr-",
+    "erasegra-",
     "erase-",
     "erase3-",
     "erase4-",
@@ -2061,6 +2063,146 @@ def gram_index_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     return _published(f"grams-{sf_name}-", tag, GRAM_TABLES, build)
 
 
+def _repair_gram_rep(
+    posts: DataFrame, rep: DataFrame, affected: DataFrame
+) -> DataFrame:
+    """Touched-keys-only repair of the repeated-key set, shared by
+    append and erase: a doc-set change can only flip repeated status
+    for keys the changed docs posted (``affected``), so the repair
+    recounts distinct docs over the CURRENT postings for those keys
+    (min != max, the same decision repeated_gram_keys makes — no
+    countDistinct state) and keeps every other gram_rep row
+    byte-identical. Monotonicity does the rest: appends can only ADD
+    repeated keys, erasures can only REMOVE them, and both directions
+    are exactly "recount the affected keys"."""
+    recount = (
+        posts.join(affected, "gk", "left_semi")
+        .groupBy("gk")
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
+        .select("gk")
+    )
+    return rep.join(affected, "gk", "left_anti").unionByName(recount)
+
+
+def append_grams(spark: SparkSession, root: str, new_docs: DataFrame) -> None:
+    """Fold a new document batch into the repeated-gram index under
+    ``root`` so the unchanged span read path afterwards equals a
+    from-scratch build over (old corpus + batch) — the same
+    incremental-maintenance contract append_ann_batch owes the ANN
+    index:
+
+    * ``gram_postings`` — the batch's postings append as NEW FILES
+      (mode=append, gk-sorted within partitions so row-group stats keep
+      serving key probes); existing files are never rewritten — the
+      MergeTree insert-new-parts model.
+    * ``gram_rep`` — repaired over touched keys only
+      (:func:`_repair_gram_rep`): a batch gram whose key was posted
+      once before BECOMES repeated (the new doc is its second witness —
+      spans appear retroactively in the OLD doc too, exactly as a
+      never-split build would flag them); keys already repeated stay;
+      keys the batch never posted are untouched. O(postings-of-
+      affected-keys), never a corpus re-aggregation.
+
+    The rep swap is staged rename-aside; the postings append is a
+    plain file add (crash before the rep swap leaves extra postings
+    files and the OLD rep — the read path then under-reports the new
+    batch's spans but never fabricates any, and the next repair run
+    converges; same at-least-once posture as the doc-index stream).
+    Append == from-scratch equality is pinned in tests/test_gram_erase.py."""
+    from go_nats_to_clickhouse_spark.operators.dedup import GRAM_N, gram_postings
+
+    posts_path = os.path.join(root, "gram_postings")
+    rep_path = os.path.join(root, "gram_rep")
+    new_posts = gram_postings(
+        new_docs.select("doc_id", "text"), n=GRAM_N
+    ).localCheckpoint(eager=True)  # extract grams ONCE (reused 3x below)
+    new_posts.sortWithinPartitions("gk").write.mode("append").parquet(posts_path)
+
+    posts = spark.read.parquet(posts_path)  # old + just-appended files
+    rep = spark.read.parquet(rep_path)
+    affected = new_posts.select("gk").dropDuplicates(["gk"])
+    new_rep = _repair_gram_rep(posts, rep, affected)
+    staged = {"gram_rep": rep_path + "__staged"}
+    _write(new_rep.sortWithinPartitions("gk"), staged["gram_rep"])
+    _swap_staged(root, staged)
+
+
+def appended_gram_index_tables(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, str]:
+    """The repeated-gram index as BASE BUILD + INCREMENTAL APPEND,
+    cached per fixture: build over the ``doc_id % 4 != 3``
+    three-quarters of the corpus, then fold the held-out quarter in
+    with :func:`append_grams` — the maintenance lifecycle a production
+    substring-dedup index lives (bulk build at day 1, batch appends
+    after). The deferred driver row dedup_repeated_substring_appended_read
+    serves the unchanged span consumer over it against the PLAIN
+    full-corpus oracle, so green == append is invisible to readers
+    (including retroactive spans in old docs whose gram found its
+    second witness in the batch)."""
+    from go_nats_to_clickhouse_spark.operators.dedup import (
+        GRAM_N,
+        gram_postings,
+        repeated_gram_keys,
+    )
+    from go_nats_to_clickhouse_spark.schemas import load_table
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"gramsapp-{sf_name}-n{GRAM_N}-{_fingerprint(sf_dir)}"
+
+    def build(tmp: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        held_out = F.pmod(F.col("doc_id"), F.lit(4)) == 3
+        base_posts = gram_postings(docs.filter(~held_out), n=GRAM_N)
+        _write(
+            base_posts.sortWithinPartitions("gk"),
+            os.path.join(tmp, "gram_postings"),
+        )
+        base_posts = spark.read.parquet(os.path.join(tmp, "gram_postings"))
+        _write(
+            repeated_gram_keys(base_posts).sortWithinPartitions("gk"),
+            os.path.join(tmp, "gram_rep"),
+        )
+        append_grams(spark, tmp, docs.filter(held_out))
+
+    return _published(f"gramsapp-{sf_name}-", tag, GRAM_TABLES, build)
+
+
+def erased_appended_gram_index_tables(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, str]:
+    """The APPENDED-then-ERASED gram index — the last cell of the gram
+    lifecycle matrix (build x append x erase in one family, mirroring
+    erased_ann2_tables): the appended family is copied and
+    :func:`erase_grams` removes every ``doc_id % ERASE_MOD == 0``
+    document. Appends land as ordinary postings files, so the erase
+    surgery needs no append-awareness — that composability is what the
+    deferred row dedup_repeated_substring_erased_appended_read pins
+    against an oracle over (documents \\ erased) recomputed from
+    scratch."""
+    from go_nats_to_clickhouse_spark.operators.dedup import GRAM_N
+    from go_nats_to_clickhouse_spark.schemas import load_table
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = (
+        f"erasegra-{sf_name}-n{GRAM_N}-m{ERASE_MOD}-{_fingerprint(sf_dir)}"
+    )
+
+    def build(tmp: str) -> None:
+        src = appended_gram_index_tables(spark, sf_dir)
+        for name, p in src.items():
+            shutil.copytree(p, os.path.join(tmp, name))
+        erase_ids = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter(F.pmod(F.col("doc_id"), F.lit(ERASE_MOD)) == 0)
+        )
+        erase_grams(spark, tmp, erase_ids)
+
+    return _published(f"erasegra-{sf_name}-", tag, GRAM_TABLES, build)
+
+
 def erase_grams(spark: SparkSession, root: str, erase_ids: DataFrame) -> None:
     """Erase documents from the repeated-gram index under ``root`` so the
     unchanged span read path (dedup_repeated_substring_read) afterwards
@@ -2096,16 +2238,7 @@ def erase_grams(spark: SparkSession, root: str, erase_ids: DataFrame) -> None:
     affected = (
         posts.join(eb, "doc_id", "left_semi").select("gk").dropDuplicates(["gk"])
     )
-    # among affected keys, recount distinct remaining docs (same
-    # min!=max decision repeated_gram_keys uses — no countDistinct state)
-    still_rep = (
-        kept_posts.join(affected, "gk", "left_semi")
-        .groupBy("gk")
-        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
-        .filter(F.col("d0") != F.col("d1"))
-        .select("gk")
-    )
-    new_rep = rep.join(affected, "gk", "left_anti").unionByName(still_rep)
+    new_rep = _repair_gram_rep(kept_posts, rep, affected)
 
     staged = {
         "gram_postings": posts_path + "__staged",

@@ -1,19 +1,22 @@
-"""Round-11 gram-index lifecycle row: the exact-substring span read
-over the ERASED repeated-gram index — the last cell of the erase
-matrix (every other index family already had one: shingle/pair graph
-via erase_docs, ANN cells via erase_vectors, the warehouse cascade via
-erase_where; plans/materialize.erase_grams adds the gram postings).
+"""Round-11 gram-index lifecycle rows: the exact-substring span read
+over the ERASED, the APPENDED, and the APPENDED-then-ERASED
+repeated-gram index — completing the build x append x erase lifecycle
+matrix for the gram family, which every other index family already had
+(shingle/pair graph: promote_batch + erase_docs; ANN cells:
+append_ann_batch + erase_vectors; warehouse cascade: streaming inserts
++ erase_where; plans/materialize.{append,erase}_grams add the gram
+postings).
 
 REGISTRY ACTIVATION IS DEFERRED TO ROUND 12 (``register()`` below, not
 called from queries/__init__ yet): the round-11 driver window's 50
 slots are fully committed (4 activated r10 stats analogs + flagship +
 the complete round-5 rotation cohort + 2 new r11 stats rows), and the
 staleness gate correctly refuses new un-sampled rows outside the
-window. The row is fully implemented and oracle-verified by
+window. The rows are fully implemented and oracle-verified by
 tests/test_gram_erase.py against live DuckDB in the meantime — the
 same governance clickhouse_r10 used, which VERDICT r10 endorsed. The
-round-12 session flips it live by calling ``register()`` from
-queries/__init__ and fronting the name in ``__spark_entry__._PRIORITY``.
+round-12 session flips them live by calling ``register()`` from
+queries/__init__ and fronting the names in ``__spark_entry__._PRIORITY``.
 """
 
 from __future__ import annotations
@@ -94,11 +97,96 @@ def dedup_repeated_substring_erased_read(
     return _repeated_spans(hits)
 
 
+def _oracle_full() -> str:
+    """The plain full-corpus span recomputation (identical to the
+    dedup_repeated_substring oracle) — what the APPENDED index must
+    reproduce: an append is correct iff readers cannot tell it from a
+    never-split build."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id, u.i - 1 AS pos,
+         array_to_string(ws[u.i : u.i + {_RS_N - 1}], ' ') AS gram
+  FROM w, UNNEST(generate_series(1, len(ws) - {_RS_N - 1})) u(i)
+  WHERE len(ws) >= {_RS_N}
+),
+rep AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_RS_N - 1} AS e
+  FROM isl GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(MAX(e - s + 1) AS BIGINT) AS max_span_words,
+       CAST(SUM(e - s + 1) AS BIGINT) AS repeated_words_total
+FROM spans GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _spans_over(tables: dict[str, str], spark: SparkSession) -> DataFrame:
+    g = spark.read.parquet(tables["gram_postings"])
+    rep = spark.read.parquet(tables["gram_rep"])
+    return _repeated_spans(g.join(rep, "gk").select("doc_id", "pos"))
+
+
+def dedup_repeated_substring_appended_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The exact-substring span query served from the INCREMENTALLY
+    APPENDED gram index (plans/materialize.appended_gram_index_tables:
+    base build on the doc_id%4!=3 three-quarters, held-out quarter
+    folded in by append_grams): the UNCHANGED consumer over it must
+    equal the plain full-corpus recomputation — including RETROACTIVE
+    spans in base docs whose gram found its second witness in the
+    appended batch (the touched-keys gram_rep repair is what makes
+    those appear without re-aggregating the corpus)."""
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        appended_gram_index_tables,
+    )
+
+    return _spans_over(appended_gram_index_tables(spark, sf_dir), spark)
+
+
+def dedup_repeated_substring_erased_appended_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The span query over the APPENDED-then-ERASED gram index
+    (plans/materialize.erased_appended_gram_index_tables) — the last
+    cell of the gram lifecycle matrix (build x append x erase, the
+    gram twin of vector_ann_erased_appended_topk): appends land as
+    ordinary postings files, so erase_grams needs no append-awareness,
+    and the never-ingested oracle pins that the composition still
+    equals never-saw."""
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        erased_appended_gram_index_tables,
+    )
+
+    return _spans_over(erased_appended_gram_index_tables(spark, sf_dir), spark)
+
+
 #: name -> (engine fn, oracle SQL builder) — what ``register()`` activates.
 def r11b_rows():
     return {
         "dedup_repeated_substring_erased_read": (
             dedup_repeated_substring_erased_read,
+            _oracle_erased(),
+        ),
+        "dedup_repeated_substring_appended_read": (
+            dedup_repeated_substring_appended_read,
+            _oracle_full(),
+        ),
+        "dedup_repeated_substring_erased_appended_read": (
+            dedup_repeated_substring_erased_appended_read,
             _oracle_erased(),
         ),
     }
