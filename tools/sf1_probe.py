@@ -303,6 +303,31 @@ def probe(spark, sf_dir: str, label: str) -> dict[str, float]:
             .mode("overwrite")
             .save(),
         )
+
+    # round 11 (late): the gram-index lifecycle matrix — erase surgery,
+    # incremental append (base 3/4 + held-out quarter), and the
+    # composed append-then-erase cell, plus their deferred read rows
+    # (queries/text_r11; registry activation lands in round 12, so the
+    # reads are called directly rather than through QUERIES).
+    from go_nats_to_clickhouse_spark.queries import text_r11
+
+    timed("build_erased_grams", lambda: M.erased_gram_index_tables(spark, sf_dir))
+    timed(
+        "build_appended_grams",
+        lambda: M.appended_gram_index_tables(spark, sf_dir),
+    )
+    timed(
+        "build_erased_appended_grams",
+        lambda: M.erased_appended_gram_index_tables(spark, sf_dir),
+    )
+    for name, (fn, _oracle) in text_r11.r11b_rows().items():
+        timed(
+            f"read_{name}",
+            lambda fn=fn: fn(spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
     return times
 
 
