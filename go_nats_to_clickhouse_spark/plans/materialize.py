@@ -2203,6 +2203,36 @@ def erased_appended_gram_index_tables(
     return _published(f"erasegra-{sf_name}-", tag, GRAM_TABLES, build)
 
 
+def compact_grams(
+    spark: SparkSession, root: str, files_target: int | None = None
+) -> None:
+    """Merge the gram-postings parts accumulated by :func:`append_grams`
+    back into few globally-gk-sorted files — the OPTIMIZE TABLE /
+    background-merge analog for the gram index (plans/layout.
+    compact_table is the same contract for the partitioned cascade
+    tables; postings are unpartitioned, so this is the narrow form).
+    Run periodically, not per batch: each append adds small parts whose
+    per-file gk ranges overlap, which erodes row-group skipping on key
+    probes; the merge re-establishes one global gk sort. gram_rep needs
+    no rewrite — compaction never changes row SETS, only file layout
+    (pinned by the equality test in tests/test_gram_erase.py).
+
+    Crash-safe like every other rewrite here: staged sibling + the
+    shared rename-aside swap."""
+    posts_path = os.path.join(root, "gram_postings")
+    posts = spark.read.parquet(posts_path)
+    if files_target is None:
+        files_target = max(1, spark.sparkContext.defaultParallelism // 4)
+    staged = {"gram_postings": posts_path + "__staged"}
+    (
+        posts.repartitionByRange(files_target, "gk")
+        .sortWithinPartitions("gk")
+        .write.mode("overwrite")
+        .parquet(staged["gram_postings"])
+    )
+    _swap_staged(root, staged)
+
+
 def erase_grams(spark: SparkSession, root: str, erase_ids: DataFrame) -> None:
     """Erase documents from the repeated-gram index under ``root`` so the
     unchanged span read path (dedup_repeated_substring_read) afterwards

@@ -264,6 +264,88 @@ def test_appended_reads_match_oracles_at_fixture_scale(spark):
         con.close()
 
 
+def test_compact_grams_after_sequential_appends(spark, tmp_path, monkeypatch):
+    """Many small appends accumulate postings parts; compact_grams must
+    merge them into few globally-gk-sorted files WITHOUT changing any
+    row set (read results identical before and after), and a sequence
+    of appends must equal the one-shot build (associativity of the
+    touched-keys repair)."""
+    from go_nats_to_clickhouse_spark.operators.dedup import GRAM_N
+    from go_nats_to_clickhouse_spark.plans import materialize as M
+
+    monkeypatch.setenv("SPARK_GRAFT_MAT_DIR", str(tmp_path / "mat"))
+    run = words("s", GRAM_N + 2)
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    base = [(1, f"{words('a', 3)} {run}"), (2, words("b", 30))]
+    batches = [
+        [(5, f"{run} {words('c', 4)}")],  # second witness for run
+        [(9, f"{words('d', 2)} {run}")],  # third
+        [(10, words("e", 25))],  # shares nothing
+    ]
+    _write_docs(spark, sf, base)
+    mat_root = str(tmp_path / "idx")
+    os.makedirs(mat_root, exist_ok=True)
+    # hand-build a root (bypass the cached family: we need to mutate it)
+    from go_nats_to_clickhouse_spark.operators.dedup import (
+        gram_postings,
+        repeated_gram_keys,
+    )
+
+    docs_df = spark.createDataFrame(
+        [(i, t) for i, t in base], "doc_id long, text string"
+    )
+    posts = gram_postings(docs_df, n=GRAM_N)
+    posts.sortWithinPartitions("gk").write.parquet(
+        os.path.join(mat_root, "gram_postings")
+    )
+    repeated_gram_keys(
+        spark.read.parquet(os.path.join(mat_root, "gram_postings"))
+    ).write.parquet(os.path.join(mat_root, "gram_rep"))
+
+    for b in batches:
+        M.append_grams(
+            spark,
+            mat_root,
+            spark.createDataFrame(
+                [(i, t) for i, t in b], "doc_id long, text string"
+            ),
+        )
+
+    tables = {t: os.path.join(mat_root, t) for t in M.GRAM_TABLES}
+    before = {
+        r.doc_id: (r.n_spans, r.max_span_words, r.repeated_words_total)
+        for r in text_r11._spans_over(tables, spark).collect()
+    }
+    assert before[1][1] == GRAM_N + 2  # retroactive span on base doc
+    assert set(before) == {1, 5, 9}
+
+    n_files_before = len(
+        [f for f in os.listdir(tables["gram_postings"]) if f.endswith(".parquet")]
+    )
+    M.compact_grams(spark, mat_root, files_target=1)
+    n_files_after = len(
+        [f for f in os.listdir(tables["gram_postings"]) if f.endswith(".parquet")]
+    )
+    assert n_files_after == 1 and n_files_before > n_files_after
+
+    after = {
+        r.doc_id: (r.n_spans, r.max_span_words, r.repeated_words_total)
+        for r in text_r11._spans_over(tables, spark).collect()
+    }
+    assert after == before
+
+    # sequence-of-appends == one-shot build over the same doc set
+    sf2 = str(tmp_path / "sf2")
+    os.makedirs(sf2)
+    _write_docs(spark, sf2, base + [d for b in batches for d in b])
+    fresh = M.gram_index_tables(spark, sf2)
+    for t in M.GRAM_TABLES:
+        a = spark.read.parquet(tables[t])
+        b = spark.read.parquet(fresh[t])
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), t
+
+
 def test_registration_is_deferred_and_register_works(monkeypatch):
     from go_nats_to_clickhouse_spark import queries as qpkg
     from go_nats_to_clickhouse_spark.queries import registry
