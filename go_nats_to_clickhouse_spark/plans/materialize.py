@@ -241,6 +241,7 @@ FAMILY_PREFIXES = (
     "bm25-",
     "grams-",
     "gramsapp-",
+    "gramstr-",
     "erasegr-",
     "erasegra-",
     "erase-",
@@ -2201,6 +2202,104 @@ def erased_appended_gram_index_tables(
         erase_grams(spark, tmp, erase_ids)
 
     return _published(f"erasegra-{sf_name}-", tag, GRAM_TABLES, build)
+
+
+def start_gram_index_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_root: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Maintain the repeated-gram index AS DOCUMENTS ARRIVE: a
+    file-source stream whose every micro-batch folds its postings in
+    via :func:`append_grams` — the insert-triggered-MV contract
+    (init.sql:100-121) applied to the substring-dedup index, exactly as
+    :func:`start_doc_index_stream` applies it to the signature/band
+    index. Each epoch's gram_rep repair is touched-keys-only, so the
+    per-batch maintenance cost tracks the batch, not the corpus.
+
+    At-least-once: a crash-replayed epoch re-appends the same postings
+    rows (duplicate (gk, doc_id, pos) triples). gram_rep stays correct
+    under duplicates (min/max distinct-doc recount is unaffected), and
+    the streamed read consumer dedups hits on (doc_id, pos) — the same
+    downstream-dedup convention the doc-index stream documents.
+    Returns the StreamingQuery."""
+    schema = spark.read.parquet(source_dir).schema
+
+    def _per_batch(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_grams(spark, out_root, batch_df)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_per_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def streamed_gram_index_tables(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, str]:
+    """The gram index built BY THE STREAMING MAINTAINER instead of the
+    batch builder, cached per fixture (the gram twin of
+    :func:`streamed_index_tables`): the corpus is laid out as three
+    arrival files, an actual :func:`start_gram_index_stream` run folds
+    them in (maxFilesPerTrigger=1 -> three foreachBatch epochs, each
+    with its own touched-keys gram_rep repair), and then one epoch is
+    deliberately re-appended — the documented crash-replay duplicate,
+    baked INTO the published table. The deferred driver row
+    dedup_repeated_substring_streamed_read goes green against the PLAIN
+    full-corpus oracle over these tables, proving streamed == batch
+    equivalence AND at-least-once duplicate tolerance end-to-end.
+
+    The stream starts from an EMPTY index (first epoch's append is the
+    bootstrap: postings files land, repair turns an empty rep into the
+    batch-internal repeated keys), so no batch pre-build exists
+    anywhere in the lineage."""
+    from go_nats_to_clickhouse_spark.operators.dedup import GRAM_N
+    from go_nats_to_clickhouse_spark.schemas import load_table
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"gramstr-{sf_name}-n{GRAM_N}-{_fingerprint(sf_dir)}"
+
+    def build(tmp: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        arrivals = os.path.join(tmp, "_arrivals")
+        docs.repartition(3).write.parquet(arrivals)
+        # bootstrap an EMPTY index so epoch 1 is a plain append
+        empty = docs.filter(F.lit(False))
+        from go_nats_to_clickhouse_spark.operators.dedup import (
+            gram_postings,
+            repeated_gram_keys,
+        )
+
+        ep = gram_postings(empty, n=GRAM_N)
+        _write(ep, os.path.join(tmp, "gram_postings"))
+        _write(repeated_gram_keys(ep), os.path.join(tmp, "gram_rep"))
+        q = start_gram_index_stream(
+            spark, arrivals, tmp, os.path.join(tmp, "_ckpt")
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # the simulated crash-replayed epoch: re-append the first
+        # arrival file's docs (identical rows, at-least-once contract)
+        first = sorted(
+            f for f in os.listdir(arrivals) if f.endswith(".parquet")
+        )[0]
+        append_grams(
+            spark, tmp, spark.read.parquet(os.path.join(arrivals, first))
+        )
+
+    return _published(f"gramstr-{sf_name}-", tag, GRAM_TABLES, build)
 
 
 def compact_grams(

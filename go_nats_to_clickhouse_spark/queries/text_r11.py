@@ -174,6 +174,38 @@ def dedup_repeated_substring_erased_appended_read(
     return _spans_over(erased_appended_gram_index_tables(spark, sf_dir), spark)
 
 
+def dedup_repeated_substring_streamed_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The span query over the gram index built by the STREAMING
+    maintainer (plans/materialize.streamed_gram_index_tables: an actual
+    start_gram_index_stream micro-batch run over three arrival files,
+    with one crash-replayed epoch baked in): green against the plain
+    full-corpus oracle proves streamed == batch equivalence AND
+    at-least-once duplicate tolerance for the gram family, the same
+    contract pipeline_manifest_streamed pins for the shingle index.
+
+    The one consumer-side difference from the batch read: hits dedup on
+    (doc_id, pos) BEFORE the islands window — the replayed epoch's
+    duplicate postings must not split spans (duplicate positions would
+    corrupt the row_number island grouping). That is the gram form of
+    the documented downstream-dedup-by-doc_id convention; it rides the
+    same doc_id shuffle the window needs, so no extra exchange."""
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        streamed_gram_index_tables,
+    )
+
+    t = streamed_gram_index_tables(spark, sf_dir)
+    g = spark.read.parquet(t["gram_postings"])
+    rep = spark.read.parquet(t["gram_rep"])
+    hits = (
+        g.join(rep, "gk")
+        .select("doc_id", "pos")
+        .dropDuplicates(["doc_id", "pos"])
+    )
+    return _repeated_spans(hits)
+
+
 #: name -> (engine fn, oracle SQL builder) — what ``register()`` activates.
 def r11b_rows():
     return {
@@ -188,6 +220,10 @@ def r11b_rows():
         "dedup_repeated_substring_erased_appended_read": (
             dedup_repeated_substring_erased_appended_read,
             _oracle_erased(),
+        ),
+        "dedup_repeated_substring_streamed_read": (
+            dedup_repeated_substring_streamed_read,
+            _oracle_full(),
         ),
     }
 

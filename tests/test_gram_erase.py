@@ -346,6 +346,79 @@ def test_compact_grams_after_sequential_appends(spark, tmp_path, monkeypatch):
         assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), t
 
 
+def test_streamed_gram_index_equals_batch_with_replay(
+    spark, tmp_path, monkeypatch
+):
+    """The streaming maintainer (three real micro-batch epochs + one
+    crash-replayed epoch baked in) must serve the same spans as a batch
+    build: rep table exactly equal, postings DISTINCT-equal (the replay
+    duplicate is the at-least-once contract the consumer dedups), and
+    the streamed read row must match the plain full-corpus result."""
+    from go_nats_to_clickhouse_spark.operators.dedup import GRAM_N
+    from go_nats_to_clickhouse_spark.plans import materialize as M
+
+    monkeypatch.setenv("SPARK_GRAFT_MAT_DIR", str(tmp_path / "mat"))
+    run_a = words("s", GRAM_N + 3)
+    run_b = words("t", GRAM_N)
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    docs = [
+        (1, f"{words('a', 3)} {run_a}"),
+        (2, f"{run_a} {words('b', 4)}"),
+        (3, f"{run_b} {words('c', 5)}"),
+        (4, f"{words('d', 2)} {run_b}"),
+        (5, words("e", 30)),
+    ]
+    _write_docs(spark, sf, docs)
+
+    streamed = M.streamed_gram_index_tables(spark, sf)
+
+    sf2 = str(tmp_path / "sf2")
+    os.makedirs(sf2)
+    _write_docs(spark, sf2, docs)
+    fresh = M.gram_index_tables(spark, sf2)
+
+    a_rep = spark.read.parquet(streamed["gram_rep"])
+    b_rep = spark.read.parquet(fresh["gram_rep"])
+    assert a_rep.exceptAll(b_rep).isEmpty() and b_rep.exceptAll(a_rep).isEmpty()
+    a_posts = spark.read.parquet(streamed["gram_postings"])
+    b_posts = spark.read.parquet(fresh["gram_postings"])
+    # the replayed epoch leaves DUPLICATE rows, not divergent ones
+    assert a_posts.distinct().exceptAll(b_posts).isEmpty()
+    assert b_posts.exceptAll(a_posts.distinct()).isEmpty()
+    assert a_posts.count() > b_posts.count()  # the baked-in replay
+
+    got = {
+        r.doc_id: (r.n_spans, r.max_span_words, r.repeated_words_total)
+        for r in text_r11.dedup_repeated_substring_streamed_read(
+            spark, sf
+        ).collect()
+    }
+    assert got[1][1] == GRAM_N + 3 and got[2][1] == GRAM_N + 3
+    assert got[3][1] == GRAM_N and got[4][1] == GRAM_N
+    assert 5 not in got
+    assert got[1][0] == 1  # replay duplicates must not split spans
+
+
+def test_streamed_read_matches_oracle_at_fixture_scale(spark):
+    from tools.selfcheck import _canon, _hash_pdf
+
+    sf_dir = "/root/testdata/sf0.001"
+    spdf = _canon(
+        text_r11.dedup_repeated_substring_streamed_read(spark, sf_dir).toPandas()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    try:
+        dpdf = _canon(con.sql(text_r11._oracle_full()).df())
+    finally:
+        con.close()
+    assert len(spdf) == len(dpdf)
+    assert _hash_pdf(spdf) == _hash_pdf(dpdf)
+
+
 def test_registration_is_deferred_and_register_works(monkeypatch):
     from go_nats_to_clickhouse_spark import queries as qpkg
     from go_nats_to_clickhouse_spark.queries import registry
