@@ -320,6 +320,10 @@ def probe(spark, sf_dir: str, label: str) -> dict[str, float]:
         "build_erased_appended_grams",
         lambda: M.erased_appended_gram_index_tables(spark, sf_dir),
     )
+    timed(
+        "build_streamed_grams",
+        lambda: M.streamed_gram_index_tables(spark, sf_dir),
+    )
     for name, (fn, _oracle) in text_r11.r11b_rows().items():
         timed(
             f"read_{name}",
