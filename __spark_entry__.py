@@ -30,66 +30,71 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the flagship pinned at index <= 49; already-double-green re-confirmation
 #: rows yield their slots first. The rest keep registration order behind.
 _PRIORITY = [
-    # --- round 11: new rows first (staleness invariant) — the four
-    # round-10 stats analogs activated this round (clickhouse_r10
-    # register() now called from queries/__init__; agg_anova_f's
-    # sum-of-squares also changed engine+oracle this round: decimal38
-    # accumulation, see its docstring) ---
-    "agg_anova_f",
-    "agg_mean_ztest",
-    "timeseries_outliers_tukey",
-    "timeseries_decompose_seasonal",
-    "mv_analytics_projection",  # flagship, pinned inside the window
-    # --- round-5 cohort IN FULL (43 rows, last driver-green r5;
-    # VERDICT r10 #2), alphabetical within the equal-age cohort ---
-    "agg_approx_distinct",
-    "agg_categorical_iv",
-    "agg_contingency_coefs",
-    "agg_group_array_types",
-    "agg_ks_test",
-    "agg_mann_whitney",
-    "agg_partial_state_merge",
-    "agg_sparkbar",
-    "agg_student_ttest",
-    "agg_theils_u",
-    "behavioral_markov_transitions",
-    "behavioral_retention_matrix",
-    "dedup_connected_components",
-    "dedup_minhash_lsh_pairs",
-    "dedup_survivors",
-    "join_asof_nearest",
-    "join_dict_hierarchy",
-    "join_interval_overlap",
-    "join_skew_salted",
-    "pipeline_training_manifest",
-    "q12_priority_by_linestatus",
-    "scalar_array_functions",
-    "scalar_hash_functions",
-    "scalar_point_in_polygon",
-    "scalar_string_distance",
-    "scalar_timezone_functions",
-    "scalar_zorder_key",
-    "streaming_dedup_counts",
-    "streaming_late_data_drop",
-    "streaming_session_windows",
-    "streaming_sliding_12h",
-    "streaming_stateful_running_counts",
-    "streaming_static_enrich",
-    "streaming_stream_stream_join",
-    "streaming_tumbling_daily",
-    "text_boilerplate_ngrams",
-    "text_global_shuffle",
-    "text_gopher_rules",
-    "timeseries_anomaly_mad",
-    "timeseries_period_power",
-    "vector_hard_negatives",
-    "vector_quantize_int8",
-    "window_funnel_strict_order",
-    # --- two spare slots: the two NEW round-11 rows (never-sampled
-    # rows must sit inside the window; the full round-6 cohort — 39
-    # rows — plus flagship fits round 12's window with room left) ---
-    "agg_skew_kurt",
+    # --- round 12: never-driver-sampled rows first (staleness
+    # invariant) — the four gram-lifecycle rows deferred from round 11
+    # (queries.text_r11.register() now called from queries/__init__)
+    # plus the NEW compacted cell (VERDICT r11 ask #5) ---
+    "dedup_repeated_substring_erased_read",
+    "dedup_repeated_substring_appended_read",
+    "dedup_repeated_substring_erased_appended_read",
+    "dedup_repeated_substring_streamed_read",
+    "dedup_repeated_substring_compacted_read",
+    # --- changed-oracle rows must re-enter the window: the shared
+    # _V2_SQL CTE in clickhouse_r11 gained floor(epoch(ts)) truncation
+    # this round (ADVICE r11 #1), which rewrites BOTH rows' oracle
+    # strings (EMA's values can move; skew/kurt's cannot — t_sec is
+    # unused there — but the staleness gate keys on the oracle text) ---
     "agg_exp_moving_avg",
+    "agg_skew_kurt",
+    "mv_analytics_projection",  # flagship, pinned inside the window
+    # --- round-6 cohort IN FULL (39 rows, last driver-green r6 —
+    # the rotation ladder, VERDICT r11 ask #3), alphabetical within
+    # the equal-age cohort ---
+    "agg_argmax_latest_event",
+    "agg_bit_ops",
+    "agg_conditional",
+    "agg_cube_orders",
+    "agg_distinct_orders",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_rollup_lineitem",
+    "agg_sequence_match",
+    "agg_sum_map_props",
+    "agg_topk_heavy_hitters",
+    "agg_uniq_up_to",
+    "dedup_index_stats",
+    "join_anti_customers_without_orders",
+    "join_semi_active_suppliers",
+    "market_share_by_year",
+    "pivot_status_by_priority",
+    "q10_returned_items",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "scalar_conditional_functions",
+    "scalar_date_functions",
+    "scalar_json_functions",
+    "scalar_map_functions",
+    "scalar_math_functions",
+    "scalar_readable_timedelta",
+    "scalar_regexp_functions",
+    "scalar_string_functions",
+    "set_except_never_urgent",
+    "set_intersect_big_spenders",
+    "set_ops_bag_semantics",
+    "sort_limit_expensive_parts",
+    "text_tfidf_keywords",
+    "vector_ann_ivf_read_topk",
+    "vector_ann_ivf_topk",
+    "window_ranking_functions",
+    "window_running_spend",
+    "window_topk_orders",
+    # --- three spare slots: pay down the OLDEST round-7 rows early
+    # (VERDICT r11 hygiene note #2 — never leave window slack empty),
+    # alphabetical within the equal-age cohort ---
+    "agg_ddsketch_quantiles",
+    "agg_delta_sum",
+    "agg_entropy",
 ]
 
 

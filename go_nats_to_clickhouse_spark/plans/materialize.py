@@ -241,6 +241,7 @@ FAMILY_PREFIXES = (
     "bm25-",
     "grams-",
     "gramsapp-",
+    "gramscmp-",
     "gramstr-",
     "erasegr-",
     "erasegra-",
@@ -2065,7 +2066,11 @@ def gram_index_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
 
 
 def _repair_gram_rep(
-    posts: DataFrame, rep: DataFrame, affected: DataFrame
+    posts: DataFrame,
+    rep: DataFrame,
+    affected: DataFrame,
+    *,
+    affected_bound: str | None = None,
 ) -> DataFrame:
     """Touched-keys-only repair of the repeated-key set, shared by
     append and erase: a doc-set change can only flip repeated status
@@ -2075,9 +2080,28 @@ def _repair_gram_rep(
     countDistinct state) and keeps every other gram_rep row
     byte-identical. Monotonicity does the rest: appends can only ADD
     repeated keys, erasures can only REMOVE them, and both directions
-    are exactly "recount the affected keys"."""
+    are exactly "recount the affected keys".
+
+    Cost model, stated honestly: the repair's STATE is touched-keys-
+    small, but the recount PROBES the full postings table (the semi-
+    join's left side is an O(index) scan — there is no way to know
+    which files hold an affected key without reading them; gk values
+    are hashes, so min/max row-group pruning cannot narrow a scattered
+    key set). What IS avoidable at scale is shuffling the postings:
+    when the caller can bound ``affected`` by contract
+    (``affected_bound`` — e.g. a micro-batch capped by the stream's
+    trigger admission), the key set is broadcast-hinted so the semi-
+    join runs as codegen membership UNDER the postings scan, no
+    exchange of index rows. Unbounded callers (bulk appends, mass
+    erasure) leave the hint off and let AQE pick the strategy from the
+    key set's runtime size."""
+    key_set = affected
+    if affected_bound is not None:
+        from go_nats_to_clickhouse_spark.operators.hints import bounded
+
+        key_set = F.broadcast(bounded(affected, affected_bound))
     recount = (
-        posts.join(affected, "gk", "left_semi")
+        posts.join(key_set, "gk", "left_semi")
         .groupBy("gk")
         .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
         .filter(F.col("d0") != F.col("d1"))
@@ -2086,7 +2110,13 @@ def _repair_gram_rep(
     return rep.join(affected, "gk", "left_anti").unionByName(recount)
 
 
-def append_grams(spark: SparkSession, root: str, new_docs: DataFrame) -> None:
+def append_grams(
+    spark: SparkSession,
+    root: str,
+    new_docs: DataFrame,
+    *,
+    batch_bound: str | None = None,
+) -> None:
     """Fold a new document batch into the repeated-gram index under
     ``root`` so the unchanged span read path afterwards equals a
     from-scratch build over (old corpus + batch) — the same
@@ -2106,11 +2136,23 @@ def append_grams(spark: SparkSession, root: str, new_docs: DataFrame) -> None:
       affected-keys), never a corpus re-aggregation.
 
     The rep swap is staged rename-aside; the postings append is a
-    plain file add (crash before the rep swap leaves extra postings
+    plain file add. A crash between the two leaves extra postings
     files and the OLD rep — the read path then under-reports the new
-    batch's spans but never fabricates any, and the next repair run
-    converges; same at-least-once posture as the doc-index stream).
-    Append == from-scratch equality is pinned in tests/test_gram_erase.py."""
+    batch's spans but never fabricates any, and a RETRY OF THE SAME
+    BATCH converges (its repair recomputes exactly the crashed batch's
+    affected keys; duplicate postings rows are harmless to the min/max
+    recount and deduped by readers). A retry is what the at-least-once
+    sources here actually deliver — the streaming maintainer replays
+    the interrupted epoch from its checkpoint — but note the limit: a
+    DIFFERENT later batch repairs only its own keys, so an operator
+    driving appends by hand must re-run the failed batch, not skip it.
+    Append == from-scratch equality is pinned in tests/test_gram_erase.py.
+
+    ``batch_bound``: pass a contract string (operators/hints.bounded
+    reason) when the caller GUARANTEES the batch is small — the
+    streaming maintainer does, via its trigger admission — to broadcast
+    the repair's affected-key set (see :func:`_repair_gram_rep`). Bulk
+    appends (e.g. a quarter of the corpus) must leave it None."""
     from go_nats_to_clickhouse_spark.operators.dedup import GRAM_N, gram_postings
 
     posts_path = os.path.join(root, "gram_postings")
@@ -2123,7 +2165,7 @@ def append_grams(spark: SparkSession, root: str, new_docs: DataFrame) -> None:
     posts = spark.read.parquet(posts_path)  # old + just-appended files
     rep = spark.read.parquet(rep_path)
     affected = new_posts.select("gk").dropDuplicates(["gk"])
-    new_rep = _repair_gram_rep(posts, rep, affected)
+    new_rep = _repair_gram_rep(posts, rep, affected, affected_bound=batch_bound)
     staged = {"gram_rep": rep_path + "__staged"}
     _write(new_rep.sortWithinPartitions("gk"), staged["gram_rep"])
     _swap_staged(root, staged)
@@ -2216,8 +2258,17 @@ def start_gram_index_stream(
     via :func:`append_grams` — the insert-triggered-MV contract
     (init.sql:100-121) applied to the substring-dedup index, exactly as
     :func:`start_doc_index_stream` applies it to the signature/band
-    index. Each epoch's gram_rep repair is touched-keys-only, so the
-    per-batch maintenance cost tracks the batch, not the corpus.
+    index. Each epoch's gram_rep repair is touched-keys-only in STATE
+    (only the batch's keys can change status, so the rewrite is small),
+    but the recount must still PROBE the full postings table — an
+    O(index) scan per trigger, the honest price of insert-triggered
+    maintenance (ClickHouse's MV-on-insert pays the analogous merge
+    cost in the background). The batch's key set IS bounded by this
+    stream's trigger admission (maxFilesPerTrigger), so it is
+    broadcast under the scan — the per-trigger cost is one shuffle-free
+    postings read + a batch-sized rewrite, never a shuffle of the
+    index. Size triggers accordingly; run :func:`compact_grams`
+    periodically so that scan stays few-files.
 
     At-least-once: a crash-replayed epoch re-appends the same postings
     rows (duplicate (gk, doc_id, pos) triples). gram_rep stays correct
@@ -2230,7 +2281,15 @@ def start_gram_index_stream(
     def _per_batch(batch_df: DataFrame, _epoch: int) -> None:
         if batch_df.isEmpty():
             return
-        append_grams(spark, out_root, batch_df)
+        append_grams(
+            spark,
+            out_root,
+            batch_df,
+            batch_bound=(
+                f"micro_batch<={max_files_per_trigger}"
+                "_files_trigger_admission"
+            ),
+        )
 
     stream = (
         spark.readStream.schema(schema)
@@ -2298,6 +2357,12 @@ def streamed_gram_index_tables(
         append_grams(
             spark, tmp, spark.read.parquet(os.path.join(arrivals, first))
         )
+        # build scaffolding only — the arrival copy of the corpus and
+        # the stream checkpoint must NOT ride the publish rename into
+        # the permanent cached family (they would roughly double its
+        # disk footprint with dead data on every cache generation)
+        shutil.rmtree(arrivals)
+        shutil.rmtree(os.path.join(tmp, "_ckpt"))
 
     return _published(f"gramstr-{sf_name}-", tag, GRAM_TABLES, build)
 
@@ -2330,6 +2395,33 @@ def compact_grams(
         .parquet(staged["gram_postings"])
     )
     _swap_staged(root, staged)
+
+
+def compacted_gram_index_tables(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, str]:
+    """The APPENDED-then-COMPACTED gram index, cached per fixture: the
+    appended family (base build + incremental append — its postings
+    hold base parts PLUS the append's new files, with overlapping gk
+    ranges) is copied and :func:`compact_grams` merges it back to few
+    globally-gk-sorted files. The driver row
+    dedup_repeated_substring_compacted_read serves the unchanged span
+    consumer over it against the PLAIN full-corpus oracle, pinning
+    compaction's merge-invisibility contract (row sets unchanged, only
+    layout) at the driver gate — the gram twin of
+    pipeline_cascade_compacted_live for the warehouse cascade."""
+    from go_nats_to_clickhouse_spark.operators.dedup import GRAM_N
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"gramscmp-{sf_name}-n{GRAM_N}-{_fingerprint(sf_dir)}"
+
+    def build(tmp: str) -> None:
+        src = appended_gram_index_tables(spark, sf_dir)
+        for name, p in src.items():
+            shutil.copytree(p, os.path.join(tmp, name))
+        compact_grams(spark, tmp)
+
+    return _published(f"gramscmp-{sf_name}-", tag, GRAM_TABLES, build)
 
 
 def erase_grams(spark: SparkSession, root: str, erase_ids: DataFrame) -> None:

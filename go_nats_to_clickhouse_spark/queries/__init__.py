@@ -20,6 +20,14 @@ from go_nats_to_clickhouse_spark.queries import clickhouse_r10  # noqa: E402
 # docstring). Registered FIRST: never-driver-sampled rows lead.
 clickhouse_r10.register()
 
+# Round-12 activation of the gram-lifecycle rows deferred from round 11
+# (erased/appended/erased-appended/streamed span reads) plus the new
+# compacted cell — see queries/text_r11.py's module docstring. Same
+# never-sampled-rows-lead placement as the r10 activation above.
+from go_nats_to_clickhouse_spark.queries import text_r11  # noqa: E402
+
+text_r11.register()
+
 from go_nats_to_clickhouse_spark.queries import (  # noqa: E402,F401
     clickhouse_r11,
     clickhouse_r9,

@@ -29,10 +29,14 @@ from go_nats_to_clickhouse_spark.queries.util import load_table
 _V2_SQL = """
 v AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v2,
-         CAST(epoch(ts) AS BIGINT) AS t_sec
+         CAST(floor(epoch(ts)) AS BIGINT) AS t_sec
   FROM events
 )
 """
+# t_sec: floor(epoch(ts)), NOT a bare CAST — DuckDB's epoch() returns
+# DOUBLE and CAST rounds to nearest, while Spark's unix_timestamp
+# truncates sub-second timestamps; floor makes both engines truncate
+# identically (the repo-wide convention, cf. relational.py's q1 oracle).
 
 
 def _scaled(spark: SparkSession, sf_dir: str) -> DataFrame:

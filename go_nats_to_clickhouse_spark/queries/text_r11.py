@@ -7,16 +7,15 @@ append_ann_batch + erase_vectors; warehouse cascade: streaming inserts
 + erase_where; plans/materialize.{append,erase}_grams add the gram
 postings).
 
-REGISTRY ACTIVATION IS DEFERRED TO ROUND 12 (``register()`` below, not
-called from queries/__init__ yet): the round-11 driver window's 50
-slots are fully committed (4 activated r10 stats analogs + flagship +
-the complete round-5 rotation cohort + 2 new r11 stats rows), and the
-staleness gate correctly refuses new un-sampled rows outside the
-window. The rows are fully implemented and oracle-verified by
-tests/test_gram_erase.py against live DuckDB in the meantime — the
-same governance clickhouse_r10 used, which VERDICT r10 endorsed. The
-round-12 session flips them live by calling ``register()`` from
-queries/__init__ and fronting the names in ``__spark_entry__._PRIORITY``.
+ACTIVATED IN ROUND 12: ``register()`` below is called from
+queries/__init__ (the round-11 window's 50 slots were fully committed
+to the r10-analog activations + the round-5 rotation cohort, so these
+rows waited one round under pytest-only oracle verification in
+tests/test_gram_erase.py — the same deferral governance clickhouse_r10
+used, endorsed by VERDICT r10). Round 12 also adds the fifth cell,
+``dedup_repeated_substring_compacted_read`` (VERDICT r11 ask #5),
+pinning compact_grams' merge-invisibility contract at the driver gate.
+All five names are fronted in ``__spark_entry__._PRIORITY``.
 """
 
 from __future__ import annotations
@@ -90,11 +89,7 @@ def dedup_repeated_substring_erased_read(
         erased_gram_index_tables,
     )
 
-    t = erased_gram_index_tables(spark, sf_dir)
-    g = spark.read.parquet(t["gram_postings"])
-    rep = spark.read.parquet(t["gram_rep"])
-    hits = g.join(rep, "gk").select("doc_id", "pos")
-    return _repeated_spans(hits)
+    return _spans_over(erased_gram_index_tables(spark, sf_dir), spark)
 
 
 def _oracle_full() -> str:
@@ -134,9 +129,23 @@ FROM spans GROUP BY doc_id ORDER BY doc_id
 
 
 def _spans_over(tables: dict[str, str], spark: SparkSession) -> DataFrame:
+    """The shared span consumer: postings ⋈ repeated-keys on gk, then
+    hits dedup on (doc_id, pos) BEFORE the islands window. The dedup is
+    load-bearing, not defensive: append_grams documents an at-least-
+    once posture (a crash-retried append re-appends identical postings
+    rows), and a duplicate position would split the row_number-based
+    island grouping in _repeated_spans — wrong n_spans on exactly the
+    replayed docs. It rides the same doc_id shuffle the window already
+    needs, so it costs no extra exchange; every gram read path (batch,
+    erased, appended, streamed) goes through it so none can drift."""
     g = spark.read.parquet(tables["gram_postings"])
     rep = spark.read.parquet(tables["gram_rep"])
-    return _repeated_spans(g.join(rep, "gk").select("doc_id", "pos"))
+    hits = (
+        g.join(rep, "gk")
+        .select("doc_id", "pos")
+        .dropDuplicates(["doc_id", "pos"])
+    )
+    return _repeated_spans(hits)
 
 
 def dedup_repeated_substring_appended_read(
@@ -185,25 +194,39 @@ def dedup_repeated_substring_streamed_read(
     at-least-once duplicate tolerance for the gram family, the same
     contract pipeline_manifest_streamed pins for the shingle index.
 
-    The one consumer-side difference from the batch read: hits dedup on
-    (doc_id, pos) BEFORE the islands window — the replayed epoch's
-    duplicate postings must not split spans (duplicate positions would
-    corrupt the row_number island grouping). That is the gram form of
-    the documented downstream-dedup-by-doc_id convention; it rides the
-    same doc_id shuffle the window needs, so no extra exchange."""
+    The baked-in replayed epoch's duplicate (doc_id, pos) postings are
+    absorbed by the shared consumer's dedup (see :func:`_spans_over` —
+    since round 12 EVERY gram read path dedups, because the at-least-
+    once posture belongs to append_grams itself, not just to this
+    stream)."""
     from go_nats_to_clickhouse_spark.plans.materialize import (
         streamed_gram_index_tables,
     )
 
-    t = streamed_gram_index_tables(spark, sf_dir)
-    g = spark.read.parquet(t["gram_postings"])
-    rep = spark.read.parquet(t["gram_rep"])
-    hits = (
-        g.join(rep, "gk")
-        .select("doc_id", "pos")
-        .dropDuplicates(["doc_id", "pos"])
+    return _spans_over(streamed_gram_index_tables(spark, sf_dir), spark)
+
+
+def dedup_repeated_substring_compacted_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The span query over the APPENDED-then-COMPACTED gram index
+    (plans/materialize.compacted_gram_index_tables) — compact_grams'
+    OPTIMIZE/background-merge analog pinned at the DRIVER gate instead
+    of pytest-only (VERDICT r11 ask #5): appends accumulate small
+    gk-overlapping postings parts, the merge re-establishes one global
+    gk sort, and green against the plain full-corpus oracle proves the
+    merge changed file LAYOUT only, never row sets — the way
+    pipeline_cascade_compacted_live completes the warehouse matrix.
+
+    100-TB shape: identical consumer plan to
+    dedup_repeated_substring_read, but over the layout a production
+    index actually has after maintenance — few files, one global gk
+    sort, row-group stats serving key probes again."""
+    from go_nats_to_clickhouse_spark.plans.materialize import (
+        compacted_gram_index_tables,
     )
-    return _repeated_spans(hits)
+
+    return _spans_over(compacted_gram_index_tables(spark, sf_dir), spark)
 
 
 #: name -> (engine fn, oracle SQL builder) — what ``register()`` activates.
@@ -225,14 +248,20 @@ def r11b_rows():
             dedup_repeated_substring_streamed_read,
             _oracle_full(),
         ),
+        # round 12: the compacted cell (VERDICT r11 ask #5) — merge
+        # invisibility at the driver gate, completing the gram matrix
+        "dedup_repeated_substring_compacted_read": (
+            dedup_repeated_substring_compacted_read,
+            _oracle_full(),
+        ),
     }
 
 
 def register() -> None:
-    """Activate the round-11 deferred row in the global query registry.
+    """Activate the gram-lifecycle rows in the global query registry.
 
-    NOT called at import in round 11 — see the module docstring. Round
-    12 calls this from queries/__init__ and fronts the name in
-    ``__spark_entry__._PRIORITY``."""
+    Deferred from round 11 (window was full — see the module
+    docstring); round 12 calls this from queries/__init__ and fronts
+    the names in ``__spark_entry__._PRIORITY``."""
     for name, (fn, oracle) in r11b_rows().items():
         query(name, oracle)(fn)

@@ -346,6 +346,83 @@ def test_compact_grams_after_sequential_appends(spark, tmp_path, monkeypatch):
         assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), t
 
 
+def test_replayed_append_is_invisible_to_batch_read(
+    spark, tmp_path, monkeypatch
+):
+    """The at-least-once posture belongs to append_grams itself, not
+    just the streaming maintainer (ADVICE r11 #2): a crash-retried
+    append re-appends identical (gk, doc_id, pos) postings rows, and
+    the BATCH read path must absorb them — duplicate positions would
+    otherwise split the row_number-based island grouping and inflate
+    n_spans on exactly the replayed docs. Since round 12 every gram
+    read goes through _spans_over's (doc_id, pos) dedup, so the
+    replayed index must read identically to the non-replayed one."""
+    from go_nats_to_clickhouse_spark.operators.dedup import (
+        GRAM_N,
+        gram_postings,
+        repeated_gram_keys,
+    )
+    from go_nats_to_clickhouse_spark.plans import materialize as M
+
+    monkeypatch.setenv("SPARK_GRAFT_MAT_DIR", str(tmp_path / "mat"))
+    run = words("s", GRAM_N + 3)
+    base = [(1, f"{words('a', 3)} {run}"), (2, words("b", 30))]
+    batch = [(5, f"{run} {words('c', 4)}")]
+    mat_root = str(tmp_path / "idx")
+    os.makedirs(mat_root, exist_ok=True)
+    docs_df = spark.createDataFrame(base, "doc_id long, text string")
+    gram_postings(docs_df, n=GRAM_N).sortWithinPartitions(
+        "gk"
+    ).write.parquet(os.path.join(mat_root, "gram_postings"))
+    repeated_gram_keys(
+        spark.read.parquet(os.path.join(mat_root, "gram_postings"))
+    ).write.parquet(os.path.join(mat_root, "gram_rep"))
+
+    batch_df = spark.createDataFrame(batch, "doc_id long, text string")
+    M.append_grams(spark, mat_root, batch_df)
+    tables = {t: os.path.join(mat_root, t) for t in M.GRAM_TABLES}
+    clean = {
+        r.doc_id: (r.n_spans, r.max_span_words, r.repeated_words_total)
+        for r in text_r11._spans_over(tables, spark).collect()
+    }
+    assert clean[1][1] == GRAM_N + 3 and set(clean) == {1, 5}
+
+    # the crash-retry: the SAME batch appended again (duplicate rows)
+    M.append_grams(spark, mat_root, batch_df)
+    posts = spark.read.parquet(tables["gram_postings"])
+    assert posts.count() > posts.dropDuplicates(
+        ["gk", "doc_id", "pos"]
+    ).count()  # duplicates really are present at rest
+    replayed = {
+        r.doc_id: (r.n_spans, r.max_span_words, r.repeated_words_total)
+        for r in text_r11._spans_over(tables, spark).collect()
+    }
+    assert replayed == clean
+
+
+def test_streamed_family_publishes_no_scaffolding(spark, tmp_path, monkeypatch):
+    """The published streamed-gram family must contain ONLY the index
+    tables — the _arrivals corpus copy and the _ckpt stream checkpoint
+    are build scaffolding and must not ride the publish rename into
+    the permanent cache (ADVICE r11 #4: they roughly doubled the
+    family's disk footprint with dead data)."""
+    from go_nats_to_clickhouse_spark.operators.dedup import GRAM_N
+    from go_nats_to_clickhouse_spark.plans import materialize as M
+
+    monkeypatch.setenv("SPARK_GRAFT_MAT_DIR", str(tmp_path / "mat"))
+    run = words("s", GRAM_N)
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    _write_docs(
+        spark,
+        sf,
+        [(1, f"{run} {words('a', 4)}"), (2, f"{words('b', 3)} {run}")],
+    )
+    tables = M.streamed_gram_index_tables(spark, sf)
+    family_dir = os.path.dirname(tables["gram_postings"])
+    assert sorted(os.listdir(family_dir)) == sorted(M.GRAM_TABLES)
+
+
 def test_streamed_gram_index_equals_batch_with_replay(
     spark, tmp_path, monkeypatch
 ):
@@ -419,13 +496,19 @@ def test_streamed_read_matches_oracle_at_fixture_scale(spark):
     assert _hash_pdf(spdf) == _hash_pdf(dpdf)
 
 
-def test_registration_is_deferred_and_register_works(monkeypatch):
+def test_registration_is_active_and_register_is_exact(monkeypatch):
+    """Round 12 flipped the deferred rows live: every gram-lifecycle
+    row (incl. the new compacted cell) is in the GLOBAL registry with
+    its oracle bound, and register() on a fresh registry produces
+    exactly the r11b_rows set — no strays, no misses."""
     from go_nats_to_clickhouse_spark import queries as qpkg
     from go_nats_to_clickhouse_spark.queries import registry
 
     rows = text_r11.r11b_rows()
+    assert "dedup_repeated_substring_compacted_read" in rows
     for name in rows:
-        assert name not in qpkg.QUERIES
+        assert name in qpkg.QUERIES
+        assert name in qpkg.ORACLES
 
     fresh_q: dict = {}
     fresh_o: dict = {}
