@@ -304,11 +304,11 @@ def probe(spark, sf_dir: str, label: str) -> dict[str, float]:
             .save(),
         )
 
-    # round 11 (late): the gram-index lifecycle matrix — erase surgery,
-    # incremental append (base 3/4 + held-out quarter), and the
-    # composed append-then-erase cell, plus their deferred read rows
-    # (queries/text_r11; registry activation lands in round 12, so the
-    # reads are called directly rather than through QUERIES).
+    # rounds 11-12: the gram-index lifecycle matrix — erase surgery,
+    # incremental append (base 3/4 + held-out quarter), the composed
+    # append-then-erase cell, the streaming maintainer, and the
+    # append-then-compact cell (round 12), plus their driver read rows
+    # (queries/text_r11, registry-active since round 12).
     from go_nats_to_clickhouse_spark.queries import text_r11
 
     timed("build_erased_grams", lambda: M.erased_gram_index_tables(spark, sf_dir))
@@ -323,6 +323,10 @@ def probe(spark, sf_dir: str, label: str) -> dict[str, float]:
     timed(
         "build_streamed_grams",
         lambda: M.streamed_gram_index_tables(spark, sf_dir),
+    )
+    timed(
+        "build_compacted_grams",
+        lambda: M.compacted_gram_index_tables(spark, sf_dir),
     )
     for name, (fn, _oracle) in text_r11.r11b_rows().items():
         timed(
