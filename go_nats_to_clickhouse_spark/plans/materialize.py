@@ -45,6 +45,7 @@ amortized over every downstream query, exactly like the reference's MVs.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import shutil
 import tempfile
@@ -2061,6 +2062,10 @@ def gram_index_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
             repeated_gram_keys(posts).sortWithinPartitions("gk"),
             os.path.join(tmp, "gram_rep"),
         )
+        _write_gram_covered(
+            os.path.join(tmp, "gram_rep"),
+            _gram_files(os.path.join(tmp, "gram_postings")),
+        )
 
     return _published(f"grams-{sf_name}-", tag, GRAM_TABLES, build)
 
@@ -2110,6 +2115,38 @@ def _repair_gram_rep(
     return rep.join(affected, "gk", "left_anti").unionByName(recount)
 
 
+#: sidecar inside the gram_rep directory listing the postings part
+#: files whose keys the current gram_rep accounts for (underscore
+#: prefix: parquet readers ignore it, so it rides inside the table dir
+#: and SWAPS ATOMICALLY with the rep rewrite it describes)
+GRAM_COVERED = "_covered.json"
+
+
+def _gram_files(posts_path: str) -> list[str]:
+    return sorted(
+        f for f in os.listdir(posts_path) if f.endswith(".parquet")
+    )
+
+
+def _read_gram_covered(rep_path: str) -> set[str] | None:
+    """Postings files the rep has accounted for; None when the sidecar
+    is absent (legacy index or lost during a crashed maintenance op) —
+    distinct from an empty set (a fresh bootstrap index with zero
+    files), because an absent sidecar forces a FULL recount whose key
+    set is corpus-scale and must therefore never ride a caller's
+    batch-bound broadcast contract."""
+    p = os.path.join(rep_path, GRAM_COVERED)
+    if not os.path.exists(p):
+        return None
+    with open(p, encoding="utf-8") as fh:
+        return set(json.load(fh))
+
+
+def _write_gram_covered(rep_dir: str, files: list[str]) -> None:
+    with open(os.path.join(rep_dir, GRAM_COVERED), "w", encoding="utf-8") as fh:
+        json.dump(sorted(files), fh)
+
+
 def append_grams(
     spark: SparkSession,
     root: str,
@@ -2138,15 +2175,17 @@ def append_grams(
     The rep swap is staged rename-aside; the postings append is a
     plain file add. A crash between the two leaves extra postings
     files and the OLD rep — the read path then under-reports the new
-    batch's spans but never fabricates any, and a RETRY OF THE SAME
-    BATCH converges (its repair recomputes exactly the crashed batch's
-    affected keys; duplicate postings rows are harmless to the min/max
-    recount and deduped by readers). A retry is what the at-least-once
-    sources here actually deliver — the streaming maintainer replays
-    the interrupted epoch from its checkpoint — but note the limit: a
-    DIFFERENT later batch repairs only its own keys, so an operator
-    driving appends by hand must re-run the failed batch, not skip it.
-    Append == from-scratch equality is pinned in tests/test_gram_erase.py.
+    batch's spans but never fabricates any — and ANY later maintenance
+    run converges the index, not just a retry of the same batch: the
+    repair derives its affected-key set from the postings files the
+    current rep has NOT yet accounted for (the ``_covered.json``
+    watermark sidecar riding inside gram_rep, so it swaps atomically
+    with the rep it describes — ClickHouse's unmerged-parts model: a
+    part that landed but was never folded into the index is picked up
+    by the next merge). Duplicate postings rows from a crash-retried
+    batch are harmless to the min/max recount and deduped by readers.
+    Append == from-scratch equality AND crashed-batch healing by a
+    DIFFERENT later batch are pinned in tests/test_gram_erase.py.
 
     ``batch_bound``: pass a contract string (operators/hints.bounded
     reason) when the caller GUARANTEES the batch is small — the
@@ -2157,17 +2196,35 @@ def append_grams(
 
     posts_path = os.path.join(root, "gram_postings")
     rep_path = os.path.join(root, "gram_rep")
-    new_posts = gram_postings(
-        new_docs.select("doc_id", "text"), n=GRAM_N
-    ).localCheckpoint(eager=True)  # extract grams ONCE (reused 3x below)
+    new_posts = gram_postings(new_docs.select("doc_id", "text"), n=GRAM_N)
     new_posts.sortWithinPartitions("gk").write.mode("append").parquet(posts_path)
 
+    # affected = keys of every postings file the current rep has not
+    # accounted for — the just-appended files PLUS any batch a crashed
+    # run appended without completing its repair (and, for a legacy
+    # index without the sidecar, every file: one full recount, then
+    # incremental forever after)
+    current = _gram_files(posts_path)
+    covered = _read_gram_covered(rep_path)
+    if covered is None:
+        # legacy index without the watermark: full recount, whose key
+        # set scales with the CORPUS — the caller's batch-bound
+        # broadcast contract does not apply to it
+        covered, batch_bound = set(), None
+    uncovered = [f for f in current if f not in covered]
+    if not uncovered:  # nothing the rep has not already accounted for
+        return
     posts = spark.read.parquet(posts_path)  # old + just-appended files
     rep = spark.read.parquet(rep_path)
-    affected = new_posts.select("gk").dropDuplicates(["gk"])
+    affected = (
+        spark.read.parquet(*(os.path.join(posts_path, f) for f in uncovered))
+        .select("gk")
+        .dropDuplicates(["gk"])
+    )
     new_rep = _repair_gram_rep(posts, rep, affected, affected_bound=batch_bound)
     staged = {"gram_rep": rep_path + "__staged"}
     _write(new_rep.sortWithinPartitions("gk"), staged["gram_rep"])
+    _write_gram_covered(staged["gram_rep"], current)
     _swap_staged(root, staged)
 
 
@@ -2206,6 +2263,10 @@ def appended_gram_index_tables(
         _write(
             repeated_gram_keys(base_posts).sortWithinPartitions("gk"),
             os.path.join(tmp, "gram_rep"),
+        )
+        _write_gram_covered(
+            os.path.join(tmp, "gram_rep"),
+            _gram_files(os.path.join(tmp, "gram_postings")),
         )
         append_grams(spark, tmp, docs.filter(held_out))
 
@@ -2342,6 +2403,10 @@ def streamed_gram_index_tables(
         ep = gram_postings(empty, n=GRAM_N)
         _write(ep, os.path.join(tmp, "gram_postings"))
         _write(repeated_gram_keys(ep), os.path.join(tmp, "gram_rep"))
+        _write_gram_covered(
+            os.path.join(tmp, "gram_rep"),
+            _gram_files(os.path.join(tmp, "gram_postings")),
+        )
         q = start_gram_index_stream(
             spark, arrivals, tmp, os.path.join(tmp, "_ckpt")
         )
@@ -2394,7 +2459,14 @@ def compact_grams(
         .write.mode("overwrite")
         .parquet(staged["gram_postings"])
     )
+    new_files = _gram_files(staged["gram_postings"])
     _swap_staged(root, staged)
+    # refresh the rep's covered-files watermark: row sets are unchanged
+    # but every file NAME is new, and a stale sidecar would make the
+    # next append recount the whole index. Post-swap write, not atomic
+    # — a crash in between leaves an absent/stale sidecar, whose only
+    # consequence is that one full recount (fail-safe direction).
+    _write_gram_covered(os.path.join(root, "gram_rep"), new_files)
 
 
 def compacted_gram_index_tables(
@@ -2467,6 +2539,10 @@ def erase_grams(spark: SparkSession, root: str, erase_ids: DataFrame) -> None:
     }
     _write(kept_posts.sortWithinPartitions("gk"), staged["gram_postings"])
     _write(new_rep.sortWithinPartitions("gk"), staged["gram_rep"])
+    # the rewritten rep accounts for exactly the rewritten postings
+    # files; writing the watermark into the staged dir keeps the two
+    # atomic under the shared swap
+    _write_gram_covered(staged["gram_rep"], _gram_files(staged["gram_postings"]))
     _swap_staged(root, staged)
 
 

@@ -400,6 +400,92 @@ def test_replayed_append_is_invisible_to_batch_read(
     assert replayed == clean
 
 
+def test_crashed_append_healed_by_different_later_batch(
+    spark, tmp_path, monkeypatch
+):
+    """Round-12 convergence upgrade (closing the honesty gap ADVICE r11
+    documented): a crash between the postings append and the rep swap
+    used to be repaired only by retrying the SAME batch; with the
+    _covered.json watermark, ANY later append folds the crashed batch's
+    keys into its own repair — ClickHouse's unmerged-parts model. The
+    crashed batch here creates a cross-batch repeated gram with a BASE
+    doc, so a heal that only recounted the second batch's keys would
+    miss it."""
+    from go_nats_to_clickhouse_spark.operators.dedup import (
+        GRAM_N,
+        gram_postings,
+        repeated_gram_keys,
+    )
+    from go_nats_to_clickhouse_spark.plans import materialize as M
+
+    monkeypatch.setenv("SPARK_GRAFT_MAT_DIR", str(tmp_path / "mat"))
+    run_a = words("s", GRAM_N + 2)  # base <-> crashed-batch witness pair
+    run_b = words("t", GRAM_N)  # crashed-batch <-> healthy-batch pair
+    base = [(1, f"{words('a', 3)} {run_a}"), (2, words("b", 30))]
+    crashed = [(5, f"{run_a} {run_b}")]
+    healthy = [(9, f"{words('c', 4)} {run_b}")]
+    mat_root = str(tmp_path / "idx")
+    os.makedirs(mat_root, exist_ok=True)
+    docs_df = spark.createDataFrame(base, "doc_id long, text string")
+    gram_postings(docs_df, n=GRAM_N).sortWithinPartitions(
+        "gk"
+    ).write.parquet(os.path.join(mat_root, "gram_postings"))
+    _rep_dir = os.path.join(mat_root, "gram_rep")
+    repeated_gram_keys(
+        spark.read.parquet(os.path.join(mat_root, "gram_postings"))
+    ).write.parquet(_rep_dir)
+    M._write_gram_covered(
+        _rep_dir, M._gram_files(os.path.join(mat_root, "gram_postings"))
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before rep swap")
+
+    monkeypatch.setattr(M, "_swap_staged", boom)
+    with pytest.raises(RuntimeError):
+        M.append_grams(
+            spark,
+            mat_root,
+            spark.createDataFrame(crashed, "doc_id long, text string"),
+        )
+    monkeypatch.undo()
+    monkeypatch.setenv("SPARK_GRAFT_MAT_DIR", str(tmp_path / "mat"))
+
+    # crashed state: postings landed, rep stale — reads under-report
+    tables = {t: os.path.join(mat_root, t) for t in M.GRAM_TABLES}
+    partial = {
+        r.doc_id for r in text_r11._spans_over(tables, spark).collect()
+    }
+    assert partial == set()  # no pair was repeated before the crash
+
+    # a DIFFERENT batch appended later must heal the crashed one
+    M.append_grams(
+        spark,
+        mat_root,
+        spark.createDataFrame(healthy, "doc_id long, text string"),
+    )
+    got = {
+        r.doc_id: r for r in text_r11._spans_over(tables, spark).collect()
+    }
+    assert got[1].max_span_words == GRAM_N + 2  # retroactive, CRASHED batch
+    # doc 5 carries BOTH runs but as two islands (the grams crossing the
+    # run_a|run_b boundary are unique), covering the whole 32-word doc
+    assert got[5].n_spans == 2
+    assert got[5].max_span_words == GRAM_N + 2
+    assert got[5].repeated_words_total == 2 * GRAM_N + 2
+    assert got[9].max_span_words == GRAM_N
+
+    # and equals the one-shot build over the same doc set
+    sf2 = str(tmp_path / "sf2")
+    os.makedirs(sf2)
+    _write_docs(spark, sf2, base + crashed + healthy)
+    fresh = M.gram_index_tables(spark, sf2)
+    for t in M.GRAM_TABLES:
+        a = spark.read.parquet(tables[t])
+        b = spark.read.parquet(fresh[t])
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), t
+
+
 def test_streamed_family_publishes_no_scaffolding(spark, tmp_path, monkeypatch):
     """The published streamed-gram family must contain ONLY the index
     tables — the _arrivals corpus copy and the _ckpt stream checkpoint
