@@ -140,3 +140,41 @@ def test_ema_decay_shape(spark, sf_dir):
         plain = sum(xs) / len(xs)
         assert got[et] > 0.0
         assert got[et] != pytest.approx(plain, abs=1e-9)
+
+
+def test_t_sec_truncation_agrees_engine_by_engine(spark, sf_dir):
+    """Round-12 regression pin for ADVICE r11 #1: the _V2_SQL oracle's
+    t_sec must TRUNCATE sub-second timestamps exactly like Spark's
+    unix_timestamp. DuckDB's epoch() returns DOUBLE and a bare CAST
+    rounds to nearest — on this fixture (sub-second ts values) that
+    diverged on ~10% of rows and the 6-decimal EMA matched only by
+    dilution. floor(epoch(ts)) is the repo-wide convention; this test
+    compares the two engines' (event_type, v2, t_sec) multisets so the
+    CAST-rounding class cannot quietly return."""
+    from collections import Counter
+
+    import duckdb
+
+    from go_nats_to_clickhouse_spark.queries.clickhouse_r11 import _scaled
+
+    sp = Counter(
+        (r.event_type, r.v2, r.t_sec)
+        for r in _scaled(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    try:
+        du = con.sql(
+            """
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v2,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS t_sec,
+                   CAST(epoch(ts) AS BIGINT) AS t_sec_cast
+            FROM events
+            """
+        ).fetchall()
+    finally:
+        con.close()
+    assert sp == Counter((et, v2, t) for et, v2, t, _ in du)
+    # the fixture really exercises the boundary — a bare CAST would
+    # have disagreed on a material fraction of rows
+    assert sum(t != tc for _, _, t, tc in du) > 0
