@@ -23,6 +23,11 @@ replicating the sf0.1 tables 10x with a structure-preserving transform:
   its own replica's rows (fan-outs preserved, join selectivity
   unchanged, group counts x10 where the key domain grows). nation and
   region stay shared dimensions (as at real scale).
+* events (round 12, fixture v3) — replica k shifts event_id by k * 10^6
+  and user_id by k * 10^8 over the SAME time range: 10x events per
+  window and a 10x user universe, so the streaming / stats / sketch
+  rows finally measure a REAL 10x (before v3 events was byte-copied and
+  their "slopes" were same-data re-runs — a measurement hole, fixed).
 * every other table is copied through unchanged.
 
 Both scales are then built COLD (SPARK_GRAFT_MAT_DIR pointed at a fresh
@@ -83,8 +88,36 @@ def build_sf1(spark, base: str, out: str) -> None:
     for t in TESTDATA_SCHEMAS:
         src = os.path.join(base, f"{t}.parquet")
         dst = os.path.join(out, f"{t}.parquet")
-        if t not in ("documents", "embeddings", *TPCH_KEYS):
+        if t not in ("documents", "embeddings", "events", *TPCH_KEYS):
             shutil.copyfile(src, dst)
+
+    # events: 10x DISTINCT-USER replication (fixture v3 — before round
+    # 12 events was byte-copied, which silently made every events-based
+    # "10x slope" a same-data re-run). New replicas get disjoint
+    # event_id/user_id ranges over the SAME time range: 10x density per
+    # window and 10x user universe, the natural scale-up for the
+    # streaming/stats/sketch rows.
+    ev = load_table(spark, base, "events")
+    ereps = []
+    for k in range(REPLICAS):
+        if k == 0:
+            ereps.append(ev)
+            continue
+        ereps.append(
+            ev.select(
+                (F.col("event_id") + F.lit(k * OFFSET)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(k * KEY_OFFSET)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    ebig = ereps[0]
+    for r in ereps[1:]:
+        ebig = ebig.unionByName(r)
+    ebig.coalesce(1).write.mode("overwrite").parquet(out + "/_events_tmp")
+    _single_file(out + "/_events_tmp", os.path.join(out, "events.parquet"))
 
     for t, keys in TPCH_KEYS.items():
         tbl = load_table(spark, base, t)
@@ -350,12 +383,13 @@ def main() -> int:
 
     spark = get_spark(EngineConfig(shuffle_partitions=32), app_name="sf1probe")
     # marker versions the fixture recipe: v2 added the 10x TPC-H replicas
-    marker = os.path.join(out, "_fixture_v2")
+    # v3 added the 10x events replication (v2: TPC-H replicas)
+    marker = os.path.join(out, "_fixture_v3")
     if not os.path.exists(marker):
         t0 = time.time()
         build_sf1(spark, base, out)
         with open(marker, "w", encoding="utf-8") as fh:
-            fh.write("docs+vecs+tpch 10x\n")
+            fh.write("docs+vecs+tpch+events 10x\n")
         print(f"sf1 fixtures -> {out} ({time.time() - t0:.1f}s)", flush=True)
 
     small = probe(spark, base, "sf0.1")
