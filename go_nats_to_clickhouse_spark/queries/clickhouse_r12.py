@@ -602,7 +602,8 @@ m AS (
              * (CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))) / 10000.0 AS var
   FROM s
 ),
-g AS (SELECT UNNEST(ARRAY[{", ".join(str(m) for m in MDE_GRID)}]) AS mde)
+g AS (SELECT CAST(UNNEST(ARRAY[{", ".join(str(m) for m in MDE_GRID)}])
+             AS DOUBLE) AS mde)
 SELECT mde + 0.0 AS mde,
        round(p1, 6) + 0.0 AS baseline_rate,
        round(mu, 6) + 0.0 AS baseline_mean,
