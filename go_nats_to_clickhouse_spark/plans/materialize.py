@@ -2112,7 +2112,10 @@ def _repair_gram_rep(
         .filter(F.col("d0") != F.col("d1"))
         .select("gk")
     )
-    return rep.join(affected, "gk", "left_anti").unionByName(recount)
+    # key_set in BOTH joins: the rep rewrite's anti-join must ride the
+    # same broadcast, or each repair would shuffle the full gram_rep
+    # table despite the bounded contract
+    return rep.join(key_set, "gk", "left_anti").unionByName(recount)
 
 
 #: sidecar inside the gram_rep directory listing the postings part
@@ -2130,21 +2133,32 @@ def _gram_files(posts_path: str) -> list[str]:
 
 def _read_gram_covered(rep_path: str) -> set[str] | None:
     """Postings files the rep has accounted for; None when the sidecar
-    is absent (legacy index or lost during a crashed maintenance op) —
-    distinct from an empty set (a fresh bootstrap index with zero
-    files), because an absent sidecar forces a FULL recount whose key
-    set is corpus-scale and must therefore never ride a caller's
-    batch-bound broadcast contract."""
+    is absent OR unreadable (legacy index, lost or half-written during
+    a crashed maintenance op) — distinct from an empty set (a fresh
+    bootstrap index with zero files), because a missing watermark
+    forces a FULL recount whose key set is corpus-scale and must
+    therefore never ride a caller's batch-bound broadcast contract.
+    Corruption maps to the same fallback as absence: the recount is
+    the fail-safe, a raised JSONDecodeError on every later append is
+    not."""
     p = os.path.join(rep_path, GRAM_COVERED)
     if not os.path.exists(p):
         return None
-    with open(p, encoding="utf-8") as fh:
-        return set(json.load(fh))
+    try:
+        with open(p, encoding="utf-8") as fh:
+            return set(json.load(fh))
+    except (json.JSONDecodeError, ValueError, OSError):
+        return None
 
 
 def _write_gram_covered(rep_dir: str, files: list[str]) -> None:
-    with open(os.path.join(rep_dir, GRAM_COVERED), "w", encoding="utf-8") as fh:
+    # temp + rename: the sidecar must never be OBSERVABLY half-written
+    # (compact_grams writes it post-swap, outside any staged dir)
+    p = os.path.join(rep_dir, GRAM_COVERED)
+    tmp = p + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(sorted(files), fh)
+    os.replace(tmp, p)
 
 
 def append_grams(
@@ -2206,10 +2220,16 @@ def append_grams(
     # incremental forever after)
     current = _gram_files(posts_path)
     covered = _read_gram_covered(rep_path)
-    if covered is None:
-        # legacy index without the watermark: full recount, whose key
-        # set scales with the CORPUS — the caller's batch-bound
-        # broadcast contract does not apply to it
+    if covered is None or not covered <= set(current):
+        # Two ways the watermark can be unusable: absent/corrupt
+        # (legacy index, crashed write), or STALE — it names files that
+        # no longer exist, meaning the postings set was rewritten under
+        # it (e.g. compact_grams killed between its swap and its
+        # sidecar refresh). Either way the recount key set scales with
+        # the CORPUS, so the caller's batch-bound broadcast contract
+        # must be dropped along with the watermark — a corpus-scale
+        # frame behind a bounded() hint is exactly what the hint audit
+        # exists to prevent.
         covered, batch_bound = set(), None
     uncovered = [f for f in current if f not in covered]
     if not uncovered:  # nothing the rep has not already accounted for

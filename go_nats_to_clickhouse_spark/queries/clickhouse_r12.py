@@ -351,7 +351,12 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism note: md5 is a fixed public function and the k-th
     order statistic has no ties (hashes are distinct within a
     population after the dedup), so Spark and DuckDB agree bit-for-bit
-    on theta and the estimates."""
+    on theta and the estimates.
+
+    Contract for an entirely ABSENT population: zero result rows (the
+    cross-join algebra's natural answer, identical in both engines —
+    pinned by tests/test_property_r12_stats.py); callers wanting
+    uniqTheta-of-empty == 0 semantics filter upstream."""
     pop = (
         _scaled(spark, sf_dir)
         .filter(F.col("event_type").isin("view", "click"))

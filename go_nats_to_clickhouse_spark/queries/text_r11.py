@@ -20,7 +20,8 @@ All five names are fronted in ``__spark_entry__._PRIORITY``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from go_nats_to_clickhouse_spark.queries.registry import query
 from go_nats_to_clickhouse_spark.queries.text import _repeated_spans, _RS_N
@@ -135,17 +136,28 @@ def _spans_over(tables: dict[str, str], spark: SparkSession) -> DataFrame:
     once posture (a crash-retried append re-appends identical postings
     rows), and a duplicate position would split the row_number-based
     island grouping in _repeated_spans — wrong n_spans on exactly the
-    replayed docs. It rides the same doc_id shuffle the window already
-    needs, so it costs no extra exchange; every gram read path (batch,
-    erased, appended, streamed) goes through it so none can drift."""
+    replayed docs.
+
+    Spelled as a lag-compare INSIDE the islands window partitioning
+    (partitionBy doc_id / orderBy pos — duplicates are exactly the rows
+    whose lag(pos) equals pos, tie order irrelevant), NOT as
+    dropDuplicates([doc_id, pos]): the latter hash-partitions on BOTH
+    columns, which does not satisfy the window's doc_id clustering, so
+    Catalyst would insert a second full exchange of the hits set on
+    every driver read (caught in the round-12 self-review). This form
+    shares the window's single shuffle and sort. Every gram read path
+    (batch, erased, appended, compacted, streamed) goes through here so
+    none can drift."""
     g = spark.read.parquet(tables["gram_postings"])
     rep = spark.read.parquet(tables["gram_rep"])
-    hits = (
-        g.join(rep, "gk")
-        .select("doc_id", "pos")
-        .dropDuplicates(["doc_id", "pos"])
+    hits = g.join(rep, "gk").select("doc_id", "pos")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    deduped = (
+        hits.withColumn("_prev", F.lag("pos").over(wd))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("pos")))
+        .drop("_prev")
     )
-    return _repeated_spans(hits)
+    return _repeated_spans(deduped)
 
 
 def dedup_repeated_substring_appended_read(

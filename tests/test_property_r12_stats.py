@@ -11,8 +11,10 @@ Degenerate cases excluded on purpose: both-populations-all-success (or
 all-failure) for the proportions z (pooled p*(1-p) hits exactly zero →
 0/0, identically NaN in both engines but meaningless), and
 zero-variance columns for corrMatrix (0/0 the same way; TPC-H columns
-never are). The sketch has no such exclusions — empty populations,
-n == 1, and full overlap are all exercised below.
+never are). The sketch has no such exclusions — an entirely ABSENT
+population (contract: zero result rows, the join algebra's natural
+answer in both engines, pinned below), n == 1, and full overlap are
+all exercised.
 """
 
 from __future__ import annotations
@@ -145,8 +147,9 @@ def test_theta_sketch_regimes(spark, tmp_path, case, n_view, n_click, overlap):
     )
     rows = [("view", u, 100) for u in view_users]
     rows += [("click", u, 200) for u in click_users]
-    # duplicate events per user must not matter (sketches see DISTINCT)
-    rows += [("view", view_users[0], 999)] * 3
+    if view_users:
+        # duplicate events per user must not matter (sketches see DISTINCT)
+        rows += [("view", view_users[0], 999)] * 3
     # a third event type must be ignored entirely
     rows += [("purchase", 42, 100)] * 5
     _write_events(d, rows)
@@ -165,6 +168,26 @@ def test_theta_sketch_regimes(spark, tmp_path, case, n_view, n_click, overlap):
         assert row.est_view == n_view
         assert row.est_click == n_click
         assert row.est_intersect == overlap
+
+
+def test_theta_sketch_absent_population_contract(spark, tmp_path):
+    """An entirely ABSENT population yields ZERO result rows — the
+    natural answer of the cross-join algebra (the per-pop sketch frame
+    is empty, and every estimate is a join against it), identical in
+    both engines. Pinned so a regression cannot make one side emit a
+    NULL/NaN row while the other stays empty; callers wanting
+    ClickHouse's uniqTheta-of-empty == 0 semantics filter upstream."""
+    d = tmp_path / "absent"
+    d.mkdir()
+    _write_events(
+        d,
+        [("view", u, 100) for u in range(200)]
+        + [("purchase", 42, 100)] * 5,  # still no 'click' rows
+    )
+    srows = r12.agg_theta_sketch_setops(spark, str(d)).collect()
+    fn, oracle = r12.R12_ROWS["agg_theta_sketch_setops"]
+    orows = _oracle_rows(d, oracle)
+    assert srows == [] and orows == []
 
 
 @pytest.mark.parametrize("seed", [5, 31])
