@@ -11,8 +11,11 @@ Design constraints honored here:
   a 60-bit integer. Seeded variants hash ``shingle || '#' || seed``.
 * **No UDFs.** Everything is built-in expressions (split/transform/
   aggregate/md5/conv), so signatures compute map-side inside codegen.
-* **Shuffle shape.** MinHash: one groupBy(doc, seed) over exploded
-  shingles, then one groupBy(doc). LSH: one groupBy(band bucket) with a
+* **Shuffle shape (r12).** MinHash signatures and shingle sets are pure
+  per-document functions of the distinct-shingle ARRAY and compute
+  entirely map-side (shingle_arrays + minhash_signatures_arr — no
+  explode, no groupBy exchange). LSH: one exchange keyed (band, bucket)
+  (the flood-guard window, reused by the bucket self-join) with a
   within-bucket pair expansion — the whole point vs the all-pairs join is
   that bucket sizes, not corpus size, bound pair generation.
 """
@@ -59,48 +62,87 @@ def portable_hash28(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
 
 
-def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct n-word shingles per document: (doc_id, shingle).
+def shingle_arrays(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distinct n-word shingles per document as ONE array row:
+    (doc_id, sharr: array<string>, *keep). Entirely map-side — no explode,
+    no shuffle. Documents with fewer than n words produce no row (same
+    contract as the exploded form / the exact-Jaccard verifier). ``keep``
+    carries extra source columns (e.g. ``source``) through, so consumers
+    that need per-doc metadata on shingle rows don't re-join the corpus.
 
-    Documents with fewer than n words produce no shingles (and therefore
-    never pair — same contract as the exact-Jaccard verifier).
+    This is the r12 optimization-round primitive: per-document sketch
+    state (minhash signatures, shingle-set sizes, the verification sets
+    themselves) is a pure function of this array, so everything that used
+    to be an explode + groupBy(doc_id) re-aggregation — one full exchange
+    of per-doc sketch state per consumer — computes inside the row
+    instead (guide §2.4, remove shuffles outright).
     """
     # Materialize the words array in its own projection FIRST: referencing a
     # split() inlined into every element_at of the transform lambda
     # re-tokenizes the document per shingle position (O(words^2) measured
     # ~5x slower); the two-step select keeps one tokenization per document.
-    parts = ", ".join(f"element_at(ws, i + {j})" for j in range(n))
-    shingle_arr = F.expr(
-        f"transform(sequence(1, size(ws) - {n - 1}), i -> concat_ws(' ', {parts}))"
-    )
-    # No .distinct() after the explode: array_distinct already dedupes
-    # within the document and (doc_id, shingle) cannot repeat across rows,
-    # so a global distinct would be a semantic no-op costing a full shuffle
-    # of every shingle row in every consumer.
     #
-    # Repartition the (cheap, pre-explode) doc rows to full core width
+    # try_element_at, not element_at: the explode consumers trigger
+    # InferFiltersFromGenerate, whose size(...)>0 predicate gets pushed
+    # below and merged with the size(ws) >= n gate — codegen subexpression
+    # elimination then evaluates the transform BEFORE the short-circuiting
+    # conjunct, so under ANSI a sub-n-word document would throw
+    # INVALID_ARRAY_INDEX even though the filter drops it. try_element_at
+    # is value-identical on every row the gate keeps (indices are in
+    # range by construction there) and NULL-quiet on rows it drops.
+    # ... and greatest(..., 1) keeps the position sequence non-descending
+    # on those dropped rows: sequence(1, size-2) with size < 3 DESCENDS
+    # ([1, 0, -1]), and index 0 throws INVALID_INDEX_OF_ZERO even under
+    # try_element_at.
+    parts = ", ".join(f"try_element_at(ws, i + {j})" for j in range(n))
+    shingle_arr = F.expr(
+        f"transform(sequence(1, greatest(size(ws) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', {parts}))"
+    )
+    # Repartition the (cheap, pre-shingle) doc rows to full core width
     # FIRST: a raw parquet read often yields 1-2 input splits at test
-    # scale, which would serialize the tokenize+explode for every consumer
-    # (all-pairs joins, minhash, boilerplate counts). At 100 TB the reader
-    # already produces thousands of splits and this is a near-no-op
-    # round-robin of row pointers.
+    # scale, which would serialize the tokenize+hash work for every
+    # consumer. At 100 TB the reader already produces thousands of splits
+    # and this is a near-no-op round-robin of row pointers.
     width = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.repartition(width)
-        .select("doc_id", F.split(F.col(text_col), " ").alias("ws"))
+        .select("doc_id", F.split(F.col(text_col), " ").alias("ws"), *keep)
         .filter(F.size("ws") >= n)
-        .select("doc_id", F.explode(F.array_distinct(shingle_arr)).alias("shingle"))
+        .select("doc_id", F.array_distinct(shingle_arr).alias("sharr"), *keep)
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per document: (doc_id, shingle) — the
+    exploded form of :func:`shingle_arrays`, for consumers that genuinely
+    need shingle ROWS (posting lists, shingle equi-joins).
+
+    No .distinct() after the explode: array_distinct already dedupes
+    within the document and (doc_id, shingle) cannot repeat across rows,
+    so a global distinct would be a semantic no-op costing a full shuffle
+    of every shingle row in every consumer.
+    """
+    return shingle_arrays(df, text_col, n).select(
+        "doc_id", F.explode("sharr").alias("shingle")
     )
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
     """(doc_id, sig: array<long>[num_hashes]) — component s is
-    min over shingles of portable_hash64(shingle, seed=s).
+    min over shingles of the universal-hash mix of portable_hash28.
 
-    Shape: ONE md5 per shingle row, mixed into all num_hashes components
-    with a universal hash family ((a_s * h + b_s) mod p — integer codegen,
-    no per-seed md5), then a single groupBy(doc) with num_hashes MIN
-    aggregates — one shuffle of the shingle rows, no seed explosion."""
+    LEGACY explode-input form (one groupBy(doc) shuffle of per-shingle
+    hash rows). Production paths use :func:`minhash_signatures_arr`,
+    which computes the identical signature map-side from
+    :func:`shingle_arrays`; this form is kept as the independent
+    spelling the equivalence property test
+    (tests/test_property_semantics.py) pins the map-side path against."""
     base = portable_hash28(F.col("shingle"))
     hashed = sh.select(
         "doc_id",
@@ -117,13 +159,54 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
     )
 
 
-def band_buckets(sig: DataFrame, bands: int, rows: int) -> DataFrame:
-    """(doc_id, band, bucket) — md5 bucket per signature band; the join key
-    LSH candidate generation (self- or cross-corpus) runs on."""
+def minhash_signatures_arr(
+    sharr: DataFrame, num_hashes: int = 16, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, sig, *keep) from :func:`shingle_arrays` output — the
+    map-side signature path: no explode, no groupBy exchange, the
+    signature materializes inside the scan/codegen stage. Component s is
+    min over array elements of ((a_s * md5_28(x) + b_s) mod p);
+    min-over-array == min-over-group, so this equals the exploded
+    :func:`minhash_signatures` exactly. ``keep`` carries extra columns
+    (e.g. the shingle array itself for exact verification) through.
+
+    The md5 base-hash array gets its OWN projection: 16 mix expressions
+    reference it, and a collapsed single projection would inline (and
+    re-evaluate) the md5 transform 16 times per row — the same
+    multiple-consumer trap as the words-array two-step in
+    :func:`shingle_arrays` (CollapseProject keeps a non-cheap producer
+    separate when consumed more than once)."""
+    def _mix(a: int, b: int):
+        # factory so the returned lambda has exactly ONE parameter —
+        # PySpark infers the higher-order-function arity from the
+        # lambda's signature, so closing over (a, b) via default args
+        # would mis-declare a 3-arg lambda
+        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(UH_PRIME))
+
+    based = sharr.select(
+        "doc_id", F.transform(F.col("sharr"), portable_hash28).alias("_bs"), *keep
+    )
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_bs"), _mix(a, b)))
+            for a, b in _uh_constants(num_hashes)
+        ]
+    )
+    return based.select("doc_id", sig.alias("sig"), *keep)
+
+
+def band_buckets(
+    sig: DataFrame, bands: int, rows: int, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, band, bucket, *keep) — md5 bucket per signature band; the
+    join key LSH candidate generation (self- or cross-corpus) runs on.
+    ``keep`` rides extra columns (e.g. the signature itself) through the
+    band explode so downstream consumers can skip a signature re-join."""
     return sig.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
         "sig",
+        *[k for k in keep if k != "sig"],
     ).select(
         "doc_id",
         "band",
@@ -136,11 +219,16 @@ def band_buckets(sig: DataFrame, bands: int, rows: int) -> DataFrame:
                 ),
             )
         ).alias("bucket"),
+        *keep,
     )
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, bands: int = 4, rows: int = 4, max_bucket: int | None = 1024
+    sig: DataFrame,
+    bands: int = 4,
+    rows: int = 4,
+    max_bucket: int | None = 1024,
+    with_sigs: bool = False,
 ) -> DataFrame:
     """Banding: hash each band of ``rows`` signature components to a bucket;
     docs sharing any (band, bucket) become candidate pairs (doc_a < doc_b).
@@ -159,8 +247,18 @@ def lsh_candidate_pairs(
     semantics are preserved while a 1M-duplicate flood emits 10⁶ pairs
     instead of 5·10¹¹. ``max_bucket=None`` disables the guard (exact
     all-pairs everywhere — what the DuckDB oracle mirrors at test scale).
+
+    ``with_sigs=True`` additionally emits both signatures (sig_a, sig_b)
+    and SKIPS the final pair dedup — the same (doc_a, doc_b) may appear
+    once per colliding band; the caller dedupes after deriving its scalar
+    (the signature estimate). Estimate-producing consumers thereby drop
+    both signature re-joins: the signature rides the banding exchange the
+    guard window already pays (``bands`` copies of an ``8*num_hashes``-
+    byte array through ONE exchange, vs. two extra shuffles of the
+    signature table plus two of the candidate set).
     """
-    banded = band_buckets(sig, bands, rows)
+    keep = ("sig",) if with_sigs else ()
+    banded = band_buckets(sig, bands, rows, keep=keep)
     if max_bucket is None:
         left = right = banded
     else:
@@ -179,25 +277,35 @@ def lsh_candidate_pairs(
             "doc_id",
             "band",
             "bucket",
+            *keep,
             F.count(F.lit(1)).over(w).alias("_n"),
             F.min("doc_id").over(w).alias("_rep"),
         )
         left = tagged.filter(
             (F.col("_n") <= max_bucket) | (F.col("doc_id") == F.col("_rep"))
-        ).select("doc_id", "band", "bucket")
-        right = tagged.select("doc_id", "band", "bucket")
+        ).select("doc_id", "band", "bucket", *keep)
+        right = tagged.select("doc_id", "band", "bucket", *keep)
     a = left.alias("a")
     b = right.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
+    if with_sigs:
+        # NOT deduped: one row per colliding band. Callers derive their
+        # scalar (estimate) first, then dedupe on scalar columns — cheaper
+        # than grouping on the signature arrays themselves.
+        return joined.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+    return joined.select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    ).distinct()
 
 
 def minhash_estimate(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
@@ -227,16 +335,19 @@ def minhash_lsh_pairs(
     :func:`lsh_candidate_pairs`).
     """
     rows = num_hashes // bands
-    sh = word_shingles(docs, n=shingle_n)
-    sig = minhash_signatures(sh, num_hashes)
-    cand = lsh_candidate_pairs(sig, bands, rows, max_bucket=max_bucket)
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    # r12: map-side signatures + signatures carried through the banding
+    # exchange — the whole query is ONE corpus-wide exchange (the guard
+    # window / bucket self-join) plus the pair dedup, where the previous
+    # spelling paid a signature groupBy plus two signature re-joins
+    # (plan: 20 exchanges -> 8 at sf0.001, identical output).
+    sig = minhash_signatures_arr(shingle_arrays(docs, n=shingle_n), num_hashes)
+    raw = lsh_candidate_pairs(
+        sig, bands, rows, max_bucket=max_bucket, with_sigs=True
+    )
     est = minhash_estimate(F.col("sig_a"), F.col("sig_b"), num_hashes)
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        raw.select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        .distinct()
         .filter(F.col("est_jaccard") >= min_estimate)
     )
 
@@ -273,36 +384,28 @@ def lsh_verified_jaccard_pairs(
     the verification stage keeps precision exact either way.
     """
     rows = num_hashes // bands
-    # word_shingles repartitions to core width itself, so the explode and
-    # the 17 hash expressions per shingle row run fully parallel.
-    sh = word_shingles(docs, n=shingle_n)
-    # ONE pass over the exploded shingle rows computes BOTH the minhash
-    # components and the distinct-shingle set (a separate sets groupBy
-    # would re-read + re-explode the corpus). The lazy localCheckpoint
-    # matters here: AQE re-plans the candidate and verification subtrees
-    # independently and misses the ReusedExchange between them, so without
-    # it the explode+groupBy runs twice (measured ~1.2s slower at sf0.1).
-    base = portable_hash28(F.col("shingle"))
-    hashed = sh.select(
-        "doc_id",
-        "shingle",
-        *[
-            F.pmod(F.lit(a) * base + F.lit(b), F.lit(UH_PRIME)).alias(f"h{s}")
-            for s, (a, b) in enumerate(_uh_constants(num_hashes))
-        ],
-    )
-    per_doc = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{s}").alias(f"m{s}") for s in range(num_hashes)],
-        F.collect_set("shingle").alias("sset"),
+    # r12: ONE map-side pass computes BOTH the minhash signature and the
+    # distinct-shingle set from the per-doc shingle array — the previous
+    # explode + groupBy re-aggregation (17 hash columns + collect_set
+    # state through a full exchange of the corpus's shingle bytes) is
+    # gone; the only exchanges left are the ones the candidates and the
+    # verification joins fundamentally need. The lazy localCheckpoint
+    # still matters: the candidate and verification subtrees would
+    # otherwise each recompute the tokenize+md5 pass (AQE misses the
+    # reuse), and it keeps the verification join reading executor-local
+    # blocks.
+    per_doc = minhash_signatures_arr(
+        shingle_arrays(docs, n=shingle_n), num_hashes, keep=("sharr",)
     ).localCheckpoint(eager=False)
-    sig = per_doc.select(
-        "doc_id",
-        F.array(*[F.col(f"m{s}") for s in range(num_hashes)]).alias("sig"),
-    )
+    sig = per_doc.select("doc_id", "sig")
     cand = lsh_candidate_pairs(sig, bands, rows, max_bucket=max_bucket)
     # Arrays are bounded by document length, and only candidate docs' sets
-    # ride the verification joins.
-    sets = per_doc.select("doc_id", "sset")
+    # ride the verification joins. (The sets deliberately do NOT ride the
+    # banding exchange the way the estimate path's signatures do: at
+    # bands=16 that would push 16 copies of every document's shingle set
+    # through the guard window — corpus-scale byte inflation — where the
+    # per-doc set here crosses a join exchange once per side.)
+    sets = per_doc.select("doc_id", F.col("sharr").alias("sset"))
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("set_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("set_b"))
     scored = (
@@ -380,28 +483,39 @@ def incremental_lsh_pairs(
     construction, which the persisted index amortizes away.
     """
     rows = num_hashes // bands
-    new_sig = minhash_signatures(word_shingles(new_docs, n=shingle_n), num_hashes)
-    corp_sig = minhash_signatures(word_shingles(corpus_docs, n=shingle_n), num_hashes)
-    new_bands = band_buckets(new_sig, bands, rows).select(
-        F.col("doc_id").alias("new_id"), "band", "bucket"
+    # r12: map-side signatures on both sides, and both sides' signatures
+    # RIDE their band rows — the batch side is broadcast anyway (a
+    # bounded micro-batch, ~8*num_hashes extra bytes per broadcast row),
+    # and the corpus side's rows stream map-side through the broadcast
+    # join, so the ONLY exchange left in the whole query is the final
+    # collision-sized dedup. The previous spelling shuffled the full
+    # corpus signature table for the est join; now the corpus never
+    # shuffles at all — exactly the "persisted index is only scanned"
+    # posture the docstring promises.
+    new_sig = minhash_signatures_arr(
+        shingle_arrays(new_docs, n=shingle_n), num_hashes
     )
-    corp_bands = band_buckets(corp_sig, bands, rows).select(
-        F.col("doc_id").alias("corpus_id"), "band", "bucket"
+    corp_sig = minhash_signatures_arr(
+        shingle_arrays(corpus_docs, n=shingle_n), num_hashes
     )
-    cand = (
-        corp_bands.join(F.broadcast(bounded(new_bands, "ingest micro-batch, admission-bounded")), ["band", "bucket"])
-        .select("new_id", "corpus_id")
-        .distinct()
+    new_bands = band_buckets(new_sig, bands, rows, keep=("sig",)).select(
+        F.col("doc_id").alias("new_id"), "band", "bucket",
+        F.col("sig").alias("sig_a"),
     )
-    sa = new_sig.select(F.col("doc_id").alias("new_id"), F.col("sig").alias("sig_a"))
-    sb = corp_sig.select(
-        F.col("doc_id").alias("corpus_id"), F.col("sig").alias("sig_b")
+    corp_bands = band_buckets(corp_sig, bands, rows, keep=("sig",)).select(
+        F.col("doc_id").alias("corpus_id"), "band", "bucket",
+        F.col("sig").alias("sig_b"),
     )
     est = minhash_estimate(F.col("sig_a"), F.col("sig_b"), num_hashes)
     return (
-        cand.join(F.broadcast(bounded(sa, "ingest micro-batch, admission-bounded")), "new_id")
-        .join(sb, "corpus_id")
+        corp_bands.join(
+            F.broadcast(
+                bounded(new_bands, "ingest micro-batch, admission-bounded")
+            ),
+            ["band", "bucket"],
+        )
         .select("new_id", "corpus_id", F.round(est, 6).alias("est_jaccard"))
+        .distinct()
     )
 
 

@@ -582,19 +582,24 @@ def index_rows(docs: DataFrame) -> dict[str, DataFrame]:
     batch-built indexes are definitionally identical."""
     from go_nats_to_clickhouse_spark.operators.dedup import (
         band_buckets,
-        minhash_signatures,
-        word_shingles,
+        minhash_signatures_arr,
+        shingle_arrays,
     )
     from go_nats_to_clickhouse_spark.queries.clickhouse_r5 import gopher_flags
 
-    sig = minhash_signatures(word_shingles(docs), num_hashes=16).localCheckpoint(
-        eager=False
-    )
+    # r12: map-side signature path (identical sig values, no explode /
+    # groupBy exchange — see operators/dedup.minhash_signatures_arr)
+    sig = minhash_signatures_arr(
+        shingle_arrays(docs), num_hashes=16
+    ).localCheckpoint(eager=False)
     return {
         "doc_sigs": sig.select("doc_id", "sig"),
-        "doc_bands": band_buckets(sig, bands=4, rows=4)
-        .join(sig, "doc_id")
-        .select("doc_id", "band", "bucket", "sig"),
+        # sig-denormalization rides the band explode directly (r12) — the
+        # previous band_buckets(...).join(sig, "doc_id") re-attached the
+        # signature through a full self-join of the index rows
+        "doc_bands": band_buckets(sig, bands=4, rows=4, keep=("sig",)).select(
+            "doc_id", "band", "bucket", "sig"
+        ),
         "doc_quality": gopher_flags(docs).select("doc_id", "passes_gopher"),
     }
 

@@ -1044,9 +1044,15 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1000000,
         0,
     ).cast("long")
-    scored = bgc.join(pfx, "bigram").select(
-        "doc_id", "c_doc", (q * F.col("c_doc")).alias("qc")
-    )
+    # r12: the model table is |charset|^2-bounded by construction —
+    # broadcast it so the scoring join is map-side over the (doc, bigram)
+    # counts instead of re-exchanging them by bigram (plan: the scored
+    # subtree's Exchange hashpartitioning(bigram) is gone; SortMergeJoin
+    # -> BroadcastHashJoin)
+    scored = bgc.join(
+        F.broadcast(bounded(pfx, "bigram LM model: at most |charset|^2 rows")),
+        "bigram",
+    ).select("doc_id", "c_doc", (q * F.col("c_doc")).alias("qc"))
     # integer half-away rounding of the per-doc average (shared helper;
     # float round() diverges between engines on half boundaries — the
     # text_dsir_weights sf0.1 lesson)
@@ -1511,7 +1517,12 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
     ).filter(F.col("w") != "")
-    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    # r12: tf feeds THREE consumers (the df rollup, the corpus doc count,
+    # and the scoring join); snapshot it so the text scan + explode +
+    # (doc, term) shuffle runs once instead of three times
+    tf = words.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
     df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n = tf.select(F.countDistinct("doc_id").alias("n"))
     scored = (
@@ -1755,14 +1766,17 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     so unlike the dedup verifiers this is linear in corpus size at 100 TB.
     The df threshold keeps output bounded by the true boilerplate set.
     """
-    from go_nats_to_clickhouse_spark.operators.dedup import word_shingles
+    from go_nats_to_clickhouse_spark.operators.dedup import shingle_arrays
 
     d = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(d, n=3)
-    with_src = sh.join(d.select("doc_id", "source"), "doc_id")
-    src = with_src.groupBy("source").agg(
-        F.countDistinct("doc_id").alias("n_docs")
-    )
+    # r12: `source` rides the map-side shingle arrays — the previous
+    # sh.join(d, "doc_id") shuffled every shingle row (plus the corpus)
+    # just to re-attach one metadata column the scan already had.
+    sharr = shingle_arrays(d, n=3, keep=("source",))
+    with_src = sharr.select("doc_id", "source", F.explode("sharr").alias("shingle"))
+    # one row per doc pre-explode, so the per-source doc count is a plain
+    # count — no countDistinct state over exploded shingle rows
+    src = sharr.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     df = with_src.groupBy("source", "shingle").agg(
         F.count(F.lit(1)).alias("df")
     )
@@ -2535,11 +2549,14 @@ def behavioral_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
     ).distinct()
     firsts = w.groupBy("user_id").agg(F.min("wk").alias("w0"))
+    # r12: the cohort-size filter and the retention-cell count both
+    # consume the cohort-joined frame; snapshot it so the distinct +
+    # first-week join runs once, not twice
     joined = w.join(firsts, "user_id").select(
         F.col("w0").alias("cohort_week"),
         (F.datediff("wk", "w0") / 7).cast("int").alias("week_offset"),
         "user_id",
-    )
+    ).localCheckpoint(eager=False)
     size = (
         joined.filter(F.col("week_offset") == 0)
         .groupBy("cohort_week")

@@ -584,7 +584,9 @@ def pipeline_shard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.col("from_batch").cast("long")).cast("long").alias("n_from_batch"),
         F.sum("n_chars").cast("long").alias("total_chars"),
-    )
+    ).localCheckpoint(eager=False)  # r12: the skew scalar and the final
+    # projection both consume the 8-row shard table; without the snapshot
+    # the whole keep-set derivation upstream runs twice
     g = per.agg(
         (F.max("n_docs").cast("double") / F.min("n_docs")).alias("doc_skew"),
         (F.max("total_chars").cast("double") / F.min("total_chars")).alias(
@@ -634,6 +636,12 @@ def _dataset_card(
     meta = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "lang", "n_chars"
     )
+    # r12: the composition join and the corpus-total scalar both consume
+    # the keep-set; snapshot it so the whole keep-set derivation (index
+    # joins + within-batch component resolution) runs once, not twice
+    # (AQE re-plans the two subtrees independently and misses the reuse —
+    # the lsh_verified_jaccard_pairs lesson; plan: 18 -> 6 exchanges)
+    kept = kept.localCheckpoint(eager=False)
     joined = kept.join(meta, "doc_id")
     total = kept.agg(F.count(F.lit(1)).alias("_total"))
     return (

@@ -280,10 +280,15 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant (operators/dedup.py) where bands bound pair generation — this
     exact version doubles as its verifier.
     """
-    from go_nats_to_clickhouse_spark.operators.dedup import word_shingles
+    from go_nats_to_clickhouse_spark.operators.dedup import shingle_arrays
 
-    sh = word_shingles(load_table(spark, sf_dir, "documents"), n=3)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # r12: shingle rows and per-doc set sizes both derive from the same
+    # map-side distinct-shingle array — the sizes groupBy exchange is gone
+    # (size(sharr) == the exploded count, the array is already distinct),
+    # and both subtrees share the one round-robin exchange of doc rows.
+    sharr = shingle_arrays(load_table(spark, sf_dir, "documents"), n=3)
+    sh = sharr.select("doc_id", F.explode("sharr").alias("shingle"))
+    sizes = sharr.select("doc_id", F.size("sharr").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -598,11 +603,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic per hot shingle by design so the clustering itself is pinned
     against ground truth. The production pair path (banded LSH + exact
     Jaccard on candidates only) is what dedup_survivors runs."""
-    from go_nats_to_clickhouse_spark.operators.dedup import word_shingles
+    from go_nats_to_clickhouse_spark.operators.dedup import shingle_arrays
     from go_nats_to_clickhouse_spark.operators.graph import connected_components
 
-    sh = word_shingles(load_table(spark, sf_dir, "documents"), n=3)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # r12: map-side set sizes (see dedup_ngram_jaccard_pairs)
+    sharr = shingle_arrays(load_table(spark, sf_dir, "documents"), n=3)
+    sh = sharr.select("doc_id", F.explode("sharr").alias("shingle"))
+    sizes = sharr.select("doc_id", F.size("sharr").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -1079,9 +1086,12 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only, which is precisely the blind spot containment exists to
     cover, so this operator pays for its own inverted-index pass.
     """
-    from go_nats_to_clickhouse_spark.operators.dedup import word_shingles
+    from go_nats_to_clickhouse_spark.operators.dedup import shingle_arrays
 
-    sh = word_shingles(load_table(spark, sf_dir, "documents"), n=3)
+    # r12: per-doc set sizes map-side from the shingle array (the sizes
+    # groupBy exchange is gone; size(sharr) == the exploded distinct count)
+    sharr = shingle_arrays(load_table(spark, sf_dir, "documents"), n=3)
+    sh = sharr.select("doc_id", F.explode("sharr").alias("shingle"))
     postings = (
         sh.groupBy("shingle")
         .agg(F.collect_list("doc_id").alias("ds"))
@@ -1103,7 +1113,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("contained_doc", "container_doc")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sharr.select("doc_id", F.size("sharr").alias("n"))
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     cont = F.col("n_common").cast("double") / F.col("sa.n")
     jac = F.col("n_common").cast("double") / (
