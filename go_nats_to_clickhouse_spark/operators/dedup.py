@@ -62,6 +62,51 @@ def portable_hash28(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
 
 
+def _shingle_expr(n: int):
+    """The distinct-n-word-shingle array expression over a words column
+    ``ws`` — shared by the exploded and the array-row forms so the two
+    can never drift.
+
+    try_element_at, not element_at: optimizer rules
+    (InferFiltersFromGenerate + predicate pushdown) can copy this
+    expression into contexts evaluated BEFORE the ``size(ws) >= n`` gate,
+    where under ANSI a sub-n-word document would throw
+    INVALID_ARRAY_INDEX even though the filter drops it. try_element_at
+    is value-identical on every row the gate keeps (indices are in range
+    by construction there) and NULL-quiet on rows it drops; greatest(...,
+    1) keeps the position sequence non-descending on those dropped rows
+    (sequence(1, size-2) with size < 3 DESCENDS to [1, 0, -1], and index
+    0 throws INVALID_INDEX_OF_ZERO even under try_element_at). Measured
+    identical cost to the unguarded spelling at sf0.1."""
+    parts = ", ".join(f"try_element_at(ws, i + {j})" for j in range(n))
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size(ws) - {n - 1}, 1)),"
+            f" i -> concat_ws(' ', {parts}))"
+        )
+    )
+
+
+def _doc_words(df: DataFrame, text_col: str, n: int, keep: tuple[str, ...]):
+    """(doc_id, ws, *keep) with >= n words, widened to core parallelism.
+
+    The words array gets its own projection FIRST: referencing a split()
+    inlined into every element_at of the transform lambda re-tokenizes
+    the document per shingle position (O(words^2), measured ~5x slower).
+
+    Repartition the (cheap, pre-shingle) doc rows to full core width: a
+    raw parquet read often yields 1-2 input splits at test scale, which
+    would serialize the tokenize+hash work for every consumer. At 100 TB
+    the reader already produces thousands of splits and this is a
+    near-no-op round-robin of row pointers."""
+    width = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(width)
+        .select("doc_id", F.split(F.col(text_col), " ").alias("ws"), *keep)
+        .filter(F.size("ws") >= n)
+    )
+
+
 def shingle_arrays(
     df: DataFrame,
     text_col: str = "text",
@@ -71,9 +116,7 @@ def shingle_arrays(
     """Distinct n-word shingles per document as ONE array row:
     (doc_id, sharr: array<string>, *keep). Entirely map-side — no explode,
     no shuffle. Documents with fewer than n words produce no row (same
-    contract as the exploded form / the exact-Jaccard verifier). ``keep``
-    carries extra source columns (e.g. ``source``) through, so consumers
-    that need per-doc metadata on shingle rows don't re-join the corpus.
+    contract as the exploded form / the exact-Jaccard verifier).
 
     This is the r12 optimization-round primitive: per-document sketch
     state (minhash signatures, shingle-set sizes, the verification sets
@@ -81,55 +124,40 @@ def shingle_arrays(
     to be an explode + groupBy(doc_id) re-aggregation — one full exchange
     of per-doc sketch state per consumer — computes inside the row
     instead (guide §2.4, remove shuffles outright).
-    """
-    # Materialize the words array in its own projection FIRST: referencing a
-    # split() inlined into every element_at of the transform lambda
-    # re-tokenizes the document per shingle position (O(words^2) measured
-    # ~5x slower); the two-step select keeps one tokenization per document.
-    #
-    # try_element_at, not element_at: the explode consumers trigger
-    # InferFiltersFromGenerate, whose size(...)>0 predicate gets pushed
-    # below and merged with the size(ws) >= n gate — codegen subexpression
-    # elimination then evaluates the transform BEFORE the short-circuiting
-    # conjunct, so under ANSI a sub-n-word document would throw
-    # INVALID_ARRAY_INDEX even though the filter drops it. try_element_at
-    # is value-identical on every row the gate keeps (indices are in
-    # range by construction there) and NULL-quiet on rows it drops.
-    # ... and greatest(..., 1) keeps the position sequence non-descending
-    # on those dropped rows: sequence(1, size-2) with size < 3 DESCENDS
-    # ([1, 0, -1]), and index 0 throws INVALID_INDEX_OF_ZERO even under
-    # try_element_at.
-    parts = ", ".join(f"try_element_at(ws, i + {j})" for j in range(n))
-    shingle_arr = F.expr(
-        f"transform(sequence(1, greatest(size(ws) - {n - 1}, 1)),"
-        f" i -> concat_ws(' ', {parts}))"
-    )
-    # Repartition the (cheap, pre-shingle) doc rows to full core width
-    # FIRST: a raw parquet read often yields 1-2 input splits at test
-    # scale, which would serialize the tokenize+hash work for every
-    # consumer. At 100 TB the reader already produces thousands of splits
-    # and this is a near-no-op round-robin of row pointers.
-    width = df.sparkSession.sparkContext.defaultParallelism
-    return (
-        df.repartition(width)
-        .select("doc_id", F.split(F.col(text_col), " ").alias("ws"), *keep)
-        .filter(F.size("ws") >= n)
-        .select("doc_id", F.array_distinct(shingle_arr).alias("sharr"), *keep)
+
+    NEVER explode the named ``sharr`` column — use :func:`word_shingles`
+    for shingle rows. A Generate over the named column triggers
+    InferFiltersFromGenerate, whose inferred size(sharr) > 0 predicate is
+    pushed below the widening repartition into the SCAN-side filter: the
+    whole tokenize+shingle transform then runs a second time per row at
+    raw input parallelism (1-2 splits at test scale) — measured 4-8x
+    slower than the inline explode on sf0.1. The rule does not fire when
+    the generator's child is the expression itself, which is exactly how
+    word_shingles spells it."""
+    return _doc_words(df, text_col, n, keep).select(
+        "doc_id", _shingle_expr(n).alias("sharr"), *keep
     )
 
 
-def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct n-word shingles per document: (doc_id, shingle) — the
-    exploded form of :func:`shingle_arrays`, for consumers that genuinely
-    need shingle ROWS (posting lists, shingle equi-joins).
+def word_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distinct n-word shingles per document: (doc_id, shingle, *keep) —
+    the exploded form, for consumers that genuinely need shingle ROWS
+    (posting lists, shingle equi-joins). The generator input is the
+    shingle expression INLINE, not a named column — see shingle_arrays'
+    docstring for why that matters.
 
     No .distinct() after the explode: array_distinct already dedupes
     within the document and (doc_id, shingle) cannot repeat across rows,
     so a global distinct would be a semantic no-op costing a full shuffle
     of every shingle row in every consumer.
     """
-    return shingle_arrays(df, text_col, n).select(
-        "doc_id", F.explode("sharr").alias("shingle")
+    return _doc_words(df, text_col, n, keep).select(
+        "doc_id", F.explode(_shingle_expr(n)).alias("shingle"), *keep
     )
 
 

@@ -1766,17 +1766,25 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     so unlike the dedup verifiers this is linear in corpus size at 100 TB.
     The df threshold keeps output bounded by the true boilerplate set.
     """
-    from go_nats_to_clickhouse_spark.operators.dedup import shingle_arrays
+    from go_nats_to_clickhouse_spark.operators.dedup import (
+        shingle_arrays,
+        word_shingles,
+    )
 
     d = load_table(spark, sf_dir, "documents")
-    # r12: `source` rides the map-side shingle arrays — the previous
-    # sh.join(d, "doc_id") shuffled every shingle row (plus the corpus)
-    # just to re-attach one metadata column the scan already had.
-    sharr = shingle_arrays(d, n=3, keep=("source",))
-    with_src = sharr.select("doc_id", "source", F.explode("sharr").alias("shingle"))
+    # r12: `source` rides the shingle rows via word_shingles(keep=...) —
+    # the previous sh.join(d, "doc_id") shuffled every shingle row (plus
+    # the corpus) just to re-attach one metadata column the scan already
+    # had. (Inline explode, not a named-array explode — see
+    # shingle_arrays' docstring.)
+    with_src = word_shingles(d, n=3, keep=("source",)).select(
+        "doc_id", "source", "shingle"
+    )
     # one row per doc pre-explode, so the per-source doc count is a plain
     # count — no countDistinct state over exploded shingle rows
-    src = sharr.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    src = shingle_arrays(d, n=3, keep=("source",)).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
     df = with_src.groupBy("source", "shingle").agg(
         F.count(F.lit(1)).alias("df")
     )

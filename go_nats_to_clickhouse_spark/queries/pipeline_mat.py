@@ -1168,26 +1168,13 @@ def _provenance_from(spark: SparkSession, t: dict[str, str]) -> DataFrame:
         .filter(F.col("within") & (F.col("gen") == 1))
         .select("doc_a", "doc_b")
     )
-    comp = connected_components(pairs, shortcut=True).select(
-        F.col("node").alias("c_doc"), "component"
-    )
-
-    corpus = (
-        qual.filter(~F.col("is_new"))
-        .select("doc_id")
-        .join(surv_c.withColumn("_s", F.lit(True)), "doc_id", "left")
-        .join(comp, F.col("doc_id") == F.col("c_doc"), "left")
-        .select(
-            "doc_id",
-            F.lit("corpus").alias("generation"),
-            F.when(F.col("_s"), F.lit("kept"))
-            .otherwise(F.lit("suppressed"))
-            .alias("status"),
-            F.when(F.col("_s").isNull(), F.col("component"))
-            .cast("long")
-            .alias("suppressed_by"),
-        )
-    )
+    # comp is defined below from ONE connected-components run shared with
+    # the batch graph (r12): the corpus within-pairs and the batch
+    # within-pairs connect DISJOINT node sets (a doc belongs to exactly
+    # one generation and within-edges never cross), so min-label
+    # components over the unioned edge set are identical to two separate
+    # runs — and the CC fixed floor (edge materialization + seed + at
+    # least one verification round, ~3 jobs) is paid once, not twice.
 
     nb = bands.filter(F.col("is_new")).select(
         F.col("doc_id").alias("new_id"), "band", "bucket",
@@ -1224,8 +1211,28 @@ def _provenance_from(spark: SparkSession, t: dict[str, str]) -> DataFrame:
         .filter(_est_matches(F.col("sig_a"), F.col("sig_b")) >= 8)
         .select("doc_a", "doc_b")
     )
-    wcomp = connected_components(wpairs, shortcut=True).select(
+    allcomp = connected_components(
+        pairs.unionByName(wpairs), shortcut=True
+    ).localCheckpoint(eager=False)  # consumed by both generation branches
+    comp = allcomp.select(F.col("node").alias("c_doc"), "component")
+    wcomp = allcomp.select(
         F.col("node").alias("w_doc"), F.col("component").alias("w_component")
+    )
+    corpus = (
+        qual.filter(~F.col("is_new"))
+        .select("doc_id")
+        .join(surv_c.withColumn("_s", F.lit(True)), "doc_id", "left")
+        .join(comp, F.col("doc_id") == F.col("c_doc"), "left")
+        .select(
+            "doc_id",
+            F.lit("corpus").alias("generation"),
+            F.when(F.col("_s"), F.lit("kept"))
+            .otherwise(F.lit("suppressed"))
+            .alias("status"),
+            F.when(F.col("_s").isNull(), F.col("component"))
+            .cast("long")
+            .alias("suppressed_by"),
+        )
     )
     batch = (
         new_ids.join(xmatch, new_ids["doc_id"] == xmatch["new_id"], "left")
@@ -1391,29 +1398,15 @@ def pipeline_dedup_provenance_day3(
     )
     kept_flag = surv.withColumn("_s", F.lit(True))
 
-    # gen 1: exact-pair component relabeling
-    comp1 = connected_components(
-        pairs.filter(F.col("within") & (F.col("gen") == 1)).select(
-            "doc_a", "doc_b"
-        ),
-        shortcut=True,
-    ).select(F.col("node").alias("c_doc"), "component")
-    g1 = (
-        gen_of.filter(F.col("genno") == 1)
-        .join(kept_flag, "doc_id", "left")
-        .join(comp1, F.col("doc_id") == F.col("c_doc"), "left")
-        .select(
-            "doc_id",
-            F.lit("gen1").alias("generation"),
-            F.when(F.col("_s"), F.lit("kept"))
-            .otherwise(F.lit("suppressed"))
-            .alias("status"),
-            F.when(F.col("_s").isNull(), F.col("component"))
-            .cast("long")
-            .alias("suppressed_by"),
-        )
+    # gen 1: exact-pair component relabeling. The three generations'
+    # within-graphs connect DISJOINT node sets (a doc belongs to exactly
+    # one generation; within-edges never cross), so ONE
+    # connected-components run over the unioned edges (below, after the
+    # gen-2/gen-3 edge frames are built) yields identical labels while
+    # paying the CC fixed floor once instead of three times (r12).
+    e1 = pairs.filter(F.col("within") & (F.col("gen") == 1)).select(
+        "doc_a", "doc_b"
     )
-
     # gen 2: frozen fold decisions explained from the persisted edges.
     # corpus_dup attribution = min cross neighbor that was KEPT (gen-1
     # kept-ness is exactly membership in the promoted survivor table —
@@ -1431,27 +1424,7 @@ def pipeline_dedup_provenance_day3(
     w2r = w2.join(rem2, w2["doc_a"] == rem2["doc_id"], "left_semi").join(
         rem2, w2["doc_b"] == rem2["doc_id"], "left_semi"
     )
-    comp2 = connected_components(
-        w2r.select("doc_a", "doc_b"), shortcut=True
-    ).select(F.col("node").alias("c_doc"), "component")
-    g2 = (
-        g2_ids.join(xm2.withColumnRenamed("supp", "x_supp"), "doc_id", "left")
-        .join(kept_flag, "doc_id", "left")
-        .join(comp2, F.col("doc_id") == F.col("c_doc"), "left")
-        .select(
-            "doc_id",
-            F.lit("gen2").alias("generation"),
-            F.when(F.col("x_supp").isNotNull(), F.lit("corpus_dup"))
-            .when(F.col("_s"), F.lit("kept"))
-            .otherwise(F.lit("batch_dup"))
-            .alias("status"),
-            F.when(F.col("x_supp").isNotNull(), F.col("x_supp"))
-            .when(F.col("_s").isNull(), F.col("component"))
-            .cast("long")
-            .alias("suppressed_by"),
-        )
-    )
-
+    e2 = w2r.select("doc_a", "doc_b")
     # gen 3: the live batch, attributed through the read-path bucket join
     nb = bands.filter(F.col("is_new")).select(
         F.col("doc_id").alias("new_id"), "band", "bucket",
@@ -1486,9 +1459,46 @@ def pipeline_dedup_provenance_day3(
         .filter(_est_matches(F.col("sig_a"), F.col("sig_b")) >= 8)
         .select("doc_a", "doc_b")
     )
-    comp3 = connected_components(wp3, shortcut=True).select(
-        F.col("node").alias("c_doc"), "component"
+    allcomp = connected_components(
+        e1.unionByName(e2).unionByName(wp3), shortcut=True
+    ).select(F.col("node").alias("c_doc"), "component").localCheckpoint(
+        eager=False
+    )  # consumed by all three generation branches
+    comp1 = comp2 = comp3 = allcomp
+    g1 = (
+        gen_of.filter(F.col("genno") == 1)
+        .join(kept_flag, "doc_id", "left")
+        .join(comp1, F.col("doc_id") == F.col("c_doc"), "left")
+        .select(
+            "doc_id",
+            F.lit("gen1").alias("generation"),
+            F.when(F.col("_s"), F.lit("kept"))
+            .otherwise(F.lit("suppressed"))
+            .alias("status"),
+            F.when(F.col("_s").isNull(), F.col("component"))
+            .cast("long")
+            .alias("suppressed_by"),
+        )
     )
+
+    g2 = (
+        g2_ids.join(xm2.withColumnRenamed("supp", "x_supp"), "doc_id", "left")
+        .join(kept_flag, "doc_id", "left")
+        .join(comp2, F.col("doc_id") == F.col("c_doc"), "left")
+        .select(
+            "doc_id",
+            F.lit("gen2").alias("generation"),
+            F.when(F.col("x_supp").isNotNull(), F.lit("corpus_dup"))
+            .when(F.col("_s"), F.lit("kept"))
+            .otherwise(F.lit("batch_dup"))
+            .alias("status"),
+            F.when(F.col("x_supp").isNotNull(), F.col("x_supp"))
+            .when(F.col("_s").isNull(), F.col("component"))
+            .cast("long")
+            .alias("suppressed_by"),
+        )
+    )
+
     g3 = (
         g3_ids.join(xm3.withColumnRenamed("supp", "x_supp"), "doc_id", "left")
         .join(comp3, F.col("doc_id") == F.col("c_doc"), "left")

@@ -280,15 +280,20 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant (operators/dedup.py) where bands bound pair generation — this
     exact version doubles as its verifier.
     """
-    from go_nats_to_clickhouse_spark.operators.dedup import shingle_arrays
+    from go_nats_to_clickhouse_spark.operators.dedup import (
+        shingle_arrays,
+        word_shingles,
+    )
 
-    # r12: shingle rows and per-doc set sizes both derive from the same
-    # map-side distinct-shingle array — the sizes groupBy exchange is gone
-    # (size(sharr) == the exploded count, the array is already distinct),
-    # and both subtrees share the one round-robin exchange of doc rows.
-    sharr = shingle_arrays(load_table(spark, sf_dir, "documents"), n=3)
-    sh = sharr.select("doc_id", F.explode("sharr").alias("shingle"))
-    sizes = sharr.select("doc_id", F.size("sharr").alias("n"))
+    # r12: per-doc set sizes map-side from the shingle array (the sizes
+    # groupBy exchange is gone — size(sharr) == the exploded distinct
+    # count). Shingle ROWS stay on word_shingles' inline explode (a
+    # Generate over the named array column re-runs the whole transform
+    # below the widening repartition, see shingle_arrays' docstring);
+    # both subtrees still share the one round-robin doc exchange.
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(d, n=3)
+    sizes = shingle_arrays(d, n=3).select("doc_id", F.size("sharr").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -603,13 +608,16 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic per hot shingle by design so the clustering itself is pinned
     against ground truth. The production pair path (banded LSH + exact
     Jaccard on candidates only) is what dedup_survivors runs."""
-    from go_nats_to_clickhouse_spark.operators.dedup import shingle_arrays
+    from go_nats_to_clickhouse_spark.operators.dedup import (
+        shingle_arrays,
+        word_shingles,
+    )
     from go_nats_to_clickhouse_spark.operators.graph import connected_components
 
     # r12: map-side set sizes (see dedup_ngram_jaccard_pairs)
-    sharr = shingle_arrays(load_table(spark, sf_dir, "documents"), n=3)
-    sh = sharr.select("doc_id", F.explode("sharr").alias("shingle"))
-    sizes = sharr.select("doc_id", F.size("sharr").alias("n"))
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(d, n=3)
+    sizes = shingle_arrays(d, n=3).select("doc_id", F.size("sharr").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -1086,12 +1094,15 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only, which is precisely the blind spot containment exists to
     cover, so this operator pays for its own inverted-index pass.
     """
-    from go_nats_to_clickhouse_spark.operators.dedup import shingle_arrays
+    from go_nats_to_clickhouse_spark.operators.dedup import (
+        shingle_arrays,
+        word_shingles,
+    )
 
     # r12: per-doc set sizes map-side from the shingle array (the sizes
     # groupBy exchange is gone; size(sharr) == the exploded distinct count)
-    sharr = shingle_arrays(load_table(spark, sf_dir, "documents"), n=3)
-    sh = sharr.select("doc_id", F.explode("sharr").alias("shingle"))
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(d, n=3)
     postings = (
         sh.groupBy("shingle")
         .agg(F.collect_list("doc_id").alias("ds"))
@@ -1113,7 +1124,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("contained_doc", "container_doc")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sizes = sharr.select("doc_id", F.size("sharr").alias("n"))
+    sizes = shingle_arrays(d, n=3).select("doc_id", F.size("sharr").alias("n"))
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     cont = F.col("n_common").cast("double") / F.col("sa.n")
     jac = F.col("n_common").cast("double") / (
