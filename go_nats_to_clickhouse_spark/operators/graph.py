@@ -92,6 +92,13 @@ def connected_components(
         # (VERDICT r4 #5 — this generalizes the per-bucket-representative
         # idea to graphs whose edges were verification-filtered, where a
         # bucket rep may NOT be a neighbor and would poison the label).
+        # LAZY checkpoint (r12): the seed is consumed only inside round 1
+        # (the neigh join and the stepped join share the one checkpointed
+        # RDD, materialized once when that job runs), so an EAGER seed job
+        # paid one extra driver action per CC call for nothing — measured
+        # ~0.3-0.5 s of the ~1.6 s fixed floor a 4-edge graph was paying.
+        # Rounds >= 2 read the previous round's stepped checkpoint, so
+        # plan depth stays O(1) exactly as before.
         labels = (
             und.groupBy("u")
             .agg(F.min("v").alias("_mn"))
@@ -99,7 +106,7 @@ def connected_components(
                 F.col("u").alias("node"),
                 F.least(F.col("u"), F.col("_mn")).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
 
         changed = 0

@@ -396,8 +396,12 @@ def kept_docs_from(
 
     Pinned by tests/test_materialize.py::TestReplayedEpochIdempotence —
     double-appending one batch must leave the manifest hash unchanged."""
-    qual = qual.dropDuplicates(["doc_id"])
-    surv = surv.dropDuplicates(["doc_id"])
+    # r12: both deduped frames feed 2-3 consumers each (new_ids + gpass;
+    # the corpus semi-join + the keep-set union) — lazy snapshots stop the
+    # scan + dedup exchange re-running per consumer. Narrow doc_id+bits
+    # rows, so the materialization is bytes-per-doc.
+    qual = qual.dropDuplicates(["doc_id"]).localCheckpoint(eager=False)
+    surv = surv.dropDuplicates(["doc_id"]).localCheckpoint(eager=False)
     new_ids = qual.filter(F.col("is_new")).select("doc_id")
     new_surv = batch_survivors_from(bands, new_ids, surv)
 
