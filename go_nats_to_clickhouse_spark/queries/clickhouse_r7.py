@@ -161,13 +161,7 @@ def agg_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame; snapshot so the scan+bucketing runs once
     bk = bk.localCheckpoint(eager=False)
 
-    # r12: hist feeds FOUR consumers (merge-contract eq, the cumulative,
-    # the total, and est's below-join); it is O(octaves * 8) rows, so the
-    # lazy snapshot costs nothing and stops each consumer re-aggregating
-    # the checkpointed bk
-    hist = bk.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    ).localCheckpoint(eager=False)
+    hist = bk.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("c"))
     # lossless merge contract: shard -> partial histograms -> summed
     m4 = (
         bk.groupBy((F.col("k") % 4).alias("shard"), "bucket")
@@ -192,9 +186,7 @@ def agg_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cumulative over the BUCKET histogram: single-partition window, but
     # over O(octaves * 8) rows — constant-size, not data-size
     wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.select(
-        "bucket", "c", F.sum("c").over(wb).alias("cum")
-    ).localCheckpoint(eager=False)  # r12: consumed by both est joins
+    cum = hist.select("bucket", "c", F.sum("c").over(wb).alias("cum"))
     tot = hist.agg(F.sum("c").cast("long").alias("n"))
     ranks = (
         spark.createDataFrame(list(_QS), "q_label string, q double")
@@ -208,7 +200,6 @@ def agg_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("bucket").alias("qb"))
         .join(cum.withColumnRenamed("bucket", "qb"), "qb")
         .select("q_label", "r", "qb", (F.col("cum") - F.col("c")).alias("below"))
-        .localCheckpoint(eager=False)  # r12: consumed by inb and bounds
     )
     # exact verifier, bucket-narrowed: rank (r - below) within bucket qb
     inb = bk.join(

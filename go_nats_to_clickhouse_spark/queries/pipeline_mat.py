@@ -396,12 +396,14 @@ def kept_docs_from(
 
     Pinned by tests/test_materialize.py::TestReplayedEpochIdempotence —
     double-appending one batch must leave the manifest hash unchanged."""
-    # r12: both deduped frames feed 2-3 consumers each (new_ids + gpass;
-    # the corpus semi-join + the keep-set union) — lazy snapshots stop the
-    # scan + dedup exchange re-running per consumer. Narrow doc_id+bits
-    # rows, so the materialization is bytes-per-doc.
-    qual = qual.dropDuplicates(["doc_id"]).localCheckpoint(eager=False)
-    surv = surv.dropDuplicates(["doc_id"]).localCheckpoint(eager=False)
+    # (r12 note: snapshotting these deduped frames was TRIED and reverted
+    # — localCheckpoint erases the dropDuplicates hash(doc_id)
+    # partitioning, so every downstream doc_id join re-exchanged what the
+    # aggregate's own partitioning previously satisfied; measured net
+    # slower on the manifest family. AQE's runtime stage reuse already
+    # dedupes the identical dedup subtrees.)
+    qual = qual.dropDuplicates(["doc_id"])
+    surv = surv.dropDuplicates(["doc_id"])
     new_ids = qual.filter(F.col("is_new")).select("doc_id")
     new_surv = batch_survivors_from(bands, new_ids, surv)
 
@@ -588,9 +590,7 @@ def pipeline_shard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.col("from_batch").cast("long")).cast("long").alias("n_from_batch"),
         F.sum("n_chars").cast("long").alias("total_chars"),
-    ).localCheckpoint(eager=False)  # r12: the skew scalar and the final
-    # projection both consume the 8-row shard table; without the snapshot
-    # the whole keep-set derivation upstream runs twice
+    )
     g = per.agg(
         (F.max("n_docs").cast("double") / F.min("n_docs")).alias("doc_skew"),
         (F.max("total_chars").cast("double") / F.min("total_chars")).alias(
@@ -640,12 +640,6 @@ def _dataset_card(
     meta = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "lang", "n_chars"
     )
-    # r12: the composition join and the corpus-total scalar both consume
-    # the keep-set; snapshot it so the whole keep-set derivation (index
-    # joins + within-batch component resolution) runs once, not twice
-    # (AQE re-plans the two subtrees independently and misses the reuse —
-    # the lsh_verified_jaccard_pairs lesson; plan: 18 -> 6 exchanges)
-    kept = kept.localCheckpoint(eager=False)
     joined = kept.join(meta, "doc_id")
     total = kept.agg(F.count(F.lit(1)).alias("_total"))
     return (
@@ -1215,9 +1209,9 @@ def _provenance_from(spark: SparkSession, t: dict[str, str]) -> DataFrame:
         .filter(_est_matches(F.col("sig_a"), F.col("sig_b")) >= 8)
         .select("doc_a", "doc_b")
     )
-    allcomp = connected_components(
-        pairs.unionByName(wpairs), shortcut=True
-    ).localCheckpoint(eager=False)  # consumed by both generation branches
+    # no extra snapshot on allcomp: connected_components' result IS the
+    # loop's checkpointed label table already
+    allcomp = connected_components(pairs.unionByName(wpairs), shortcut=True)
     comp = allcomp.select(F.col("node").alias("c_doc"), "component")
     wcomp = allcomp.select(
         F.col("node").alias("w_doc"), F.col("component").alias("w_component")
@@ -1465,9 +1459,7 @@ def pipeline_dedup_provenance_day3(
     )
     allcomp = connected_components(
         e1.unionByName(e2).unionByName(wp3), shortcut=True
-    ).select(F.col("node").alias("c_doc"), "component").localCheckpoint(
-        eager=False
-    )  # consumed by all three generation branches
+    ).select(F.col("node").alias("c_doc"), "component")
     comp1 = comp2 = comp3 = allcomp
     g1 = (
         gen_of.filter(F.col("genno") == 1)

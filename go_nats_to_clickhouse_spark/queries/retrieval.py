@@ -444,14 +444,13 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_DSIR_BUCKETS),
         ).alias("bucket"),
     )
+    # (r12 note: a lazy snapshot on dc was TRIED and reverted — it erases
+    # dc's hash partitioning and re-exchanges both consumers; the runtime
+    # stage reuse already shares the (doc,bucket) shuffle.)
     dc = b.groupBy("doc_id", "bucket").agg(
         F.count(F.lit(1)).alias("c"),
         F.count_if(F.col("lang") == _DSIR_TARGET_LANG).alias("c_tgt"),
-    ).localCheckpoint(eager=False)  # r12: the model rollup (cnt) and the
-    # per-doc scoring reduce (agg) both consume dc; without the snapshot
-    # each re-runs the text scan + token explode + (doc,bucket) shuffle
-    # (AQE misses the ReusedExchange across the independently re-planned
-    # subtrees — same lesson as lsh_verified_jaccard_pairs)
+    )
     cnt = dc.groupBy("bucket").agg(
         F.sum("c_tgt").alias("ct"), F.sum("c").alias("cr")
     )
