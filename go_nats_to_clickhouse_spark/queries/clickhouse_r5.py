@@ -1044,11 +1044,12 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1000000,
         0,
     ).cast("long")
-    # r12: the model table is |charset|^2-bounded by construction —
-    # broadcast it so the scoring join is map-side over the (doc, bigram)
-    # counts instead of re-exchanging them by bigram (plan: the scored
-    # subtree's Exchange hashpartitioning(bigram) is gone; SortMergeJoin
-    # -> BroadcastHashJoin)
+    # r12: the model table is |charset|^2-bounded by construction — pin
+    # the broadcast so the scoring join stays map-side over the
+    # (doc, bigram) counts at ANY scale. (At fixture scale AQE already
+    # picked BroadcastHashJoin from size estimates; the explicit bounded
+    # hint removes the dependence on estimates that drift after filters
+    # at 100 TB — guide §3.1.)
     scored = bgc.join(
         F.broadcast(bounded(pfx, "bigram LM model: at most |charset|^2 rows")),
         "bigram",
