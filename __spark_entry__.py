@@ -57,6 +57,7 @@ _PRIORITY = [
     "dedup_connected_components",
     "dedup_containment_pairs",
     "dedup_ngram_jaccard_pairs",
+    "funnel_conversion",
     "pipeline_dedup_provenance_day3",
     "pipeline_shard_report",
     "text_bigram_lm_score",
@@ -95,14 +96,15 @@ _PRIORITY = [
     "scalar_regexp_functions",
     "scalar_string_functions",
     "set_except_never_urgent",
-    "set_intersect_big_spenders",
     "text_tfidf_keywords",
-    # --- displaced to round 13 by the 10 optimization-round re-entries
+    # --- displaced to round 13 by the 11 optimization-round re-entries
     # above (re-confirmation rows yield their slots first; these
     # round-6/7 rows carry over): set_ops_bag_semantics,
     # sort_limit_expensive_parts, vector_ann_ivf_read_topk,
     # vector_ann_ivf_topk, window_ranking_functions, window_running_spend,
-    # window_topk_orders, agg_delta_sum, agg_entropy ---
+    # window_topk_orders, agg_delta_sum, agg_entropy,
+    # set_intersect_big_spenders (yielded its slot to funnel_conversion,
+    # whose engine fn was respelled single-pass this round) ---
 ]
 
 

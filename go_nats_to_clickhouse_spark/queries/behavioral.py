@@ -55,66 +55,64 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog: per user, the deepest strictly-ordered view -> click ->
     purchase chain completed within one hour of the chain's first step.
 
-    Decorrelated into per-level existential joins on user_id: per-user
-    fanout is bounded by that user's event counts, the only shuffles are
-    user_id-keyed, and no correlated re-scan of events exists anywhere —
-    the shape that survives a 100 TB events table (cf. an EXISTS-per-row
-    formulation, which would rescan the fact per user).
+    Shape (r12 optimization): ONE events scan and ONE user_id-keyed
+    aggregation — exactly ClickHouse's own windowFunnel execution (a
+    groupArray of step timestamps folded per key). The previous spelling
+    decorrelated each funnel level into its own existential join, which
+    re-scanned events seven times (u + v + v⋈c + v⋈c⋈p branches) and paid
+    three distinct-shuffles plus three join-shuffles; all of it is a pure
+    per-user function of that user's view/click/purchase timestamp
+    multisets, so it now rides one collect_list aggregate. Per-user state
+    is bounded by that user's event counts — the same bound the join
+    spelling's v×c fanout already assumed, minus the six extra corpus
+    passes.
+
+    Equivalence of the level-3 predicate (pinned by the shared oracle,
+    which keeps the join formulation): exists (v,c,p) with c∈(v,v+1h],
+    p∈(c,v+1h]  <=>  exists v with cmin(v) = min{c∈(v,v+1h]} defined and
+    some p∈(cmin(v),v+1h] — shrinking c to the minimum only widens p's
+    interval, and any witnessing p for some c also witnesses cmin.
     """
     e = load_table(spark, sf_dir, "events")
-    v = e.filter(F.col("event_type") == "view").select("user_id", F.col("ts").alias("vts"))
-    c = e.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"), F.col("ts").alias("cts")
+    us = 3_600_000_000  # one hour in microseconds (UTC session, no DST)
+    t = F.unix_micros(F.col("ts"))
+    per_user = e.groupBy("user_id").agg(
+        *[
+            F.sort_array(
+                F.collect_list(F.when(F.col("event_type") == typ, t))
+            ).alias(col)
+            for typ, col in (("view", "vs"), ("click", "cs"), ("purchase", "ps"))
+        ],
+        # level 1 counts view ROWS (a null-ts view still counts, exactly
+        # like the oracle's DISTINCT over the view branch)
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("nv"),
     )
-    p = e.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+
+    def cmin(v):
+        # first click strictly after the view, inside its hour window
+        return F.array_min(
+            F.filter(F.col("cs"), lambda c: (c > v) & (c <= v + F.lit(us)))
+        )
+
+    l2 = F.exists(F.col("vs"), lambda v: cmin(v).isNotNull())
+    l3 = F.exists(
+        F.col("vs"),
+        lambda v: F.coalesce(
+            F.exists(
+                F.col("ps"),
+                lambda p: (p > cmin(v)) & (p <= v + F.lit(us)),
+            ),
+            F.lit(False),
+        ),
     )
-    hour = F.expr("INTERVAL 1 HOUR")
-    u = e.select("user_id").distinct()
-    lvl1 = v.select("user_id").distinct().withColumn("l1", F.lit(1))
-    lvl2 = (
-        v.join(
-            c,
-            (F.col("c_user") == F.col("user_id"))
-            & (F.col("cts") > F.col("vts"))
-            & (F.col("cts") <= F.col("vts") + hour),
-        )
-        .select("user_id")
-        .distinct()
-        .withColumn("l2", F.lit(1))
-    )
-    # the chain's purchase bound implies cts < vts + 1h; stating it on the
-    # click join too prunes the view x click fanout before the second join
-    lvl3 = (
-        v.join(
-            c,
-            (F.col("c_user") == F.col("user_id"))
-            & (F.col("cts") > F.col("vts"))
-            & (F.col("cts") <= F.col("vts") + hour),
-        )
-        .join(
-            p,
-            (F.col("p_user") == F.col("user_id"))
-            & (F.col("pts") > F.col("cts"))
-            & (F.col("pts") <= F.col("vts") + hour),
-        )
-        .select("user_id")
-        .distinct()
-        .withColumn("l3", F.lit(1))
-    )
-    return (
-        u.join(lvl1, "user_id", "left")
-        .join(lvl2, "user_id", "left")
-        .join(lvl3, "user_id", "left")
-        .select(
-            "user_id",
-            F.when(F.col("l3").isNotNull(), 3)
-            .when(F.col("l2").isNotNull(), 2)
-            .when(F.col("l1").isNotNull(), 1)
-            .otherwise(0)
-            .cast("int")
-            .alias("funnel_level"),
-        )
+    return per_user.select(
+        "user_id",
+        F.when(l3, 3)
+        .when(l2, 2)
+        .when(F.col("nv") > 0, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("funnel_level"),
     )
 
 
