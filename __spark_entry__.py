@@ -57,12 +57,16 @@ _PRIORITY = [
     "dedup_connected_components",
     "dedup_containment_pairs",
     "dedup_ngram_jaccard_pairs",
+    "dedup_semantic_buckets",
     "funnel_conversion",
     "pipeline_dedup_provenance_day3",
     "pipeline_shard_report",
+    "retention_cohorts",
     "text_bigram_lm_score",
     "text_boilerplate_ngrams",
     "text_dsir_weights",
+    "timeseries_anomaly_mad",
+    "window_funnel_strict_order",
     # --- round-6 cohort IN FULL (39 rows, last driver-green r6 —
     # the rotation ladder, VERDICT r11 ask #3), alphabetical within
     # the equal-age cohort ---
@@ -92,19 +96,19 @@ _PRIORITY = [
     "scalar_json_functions",
     "scalar_map_functions",
     "scalar_math_functions",
-    "scalar_readable_timedelta",
-    "scalar_regexp_functions",
-    "scalar_string_functions",
-    "set_except_never_urgent",
     "text_tfidf_keywords",
-    # --- displaced to round 13 by the 11 optimization-round re-entries
+    # --- displaced to round 13 by the 15 optimization-round re-entries
     # above (re-confirmation rows yield their slots first; these
     # round-6/7 rows carry over): set_ops_bag_semantics,
     # sort_limit_expensive_parts, vector_ann_ivf_read_topk,
     # vector_ann_ivf_topk, window_ranking_functions, window_running_spend,
-    # window_topk_orders, agg_delta_sum, agg_entropy,
-    # set_intersect_big_spenders (yielded its slot to funnel_conversion,
-    # whose engine fn was respelled single-pass this round) ---
+    # window_topk_orders, agg_delta_sum, agg_entropy, plus the five
+    # round-6 rows that yielded their slots to this session's respelled
+    # queries (funnel_conversion, retention_cohorts,
+    # timeseries_anomaly_mad, window_funnel_strict_order,
+    # dedup_semantic_buckets): set_intersect_big_spenders,
+    # set_except_never_urgent, scalar_string_functions,
+    # scalar_regexp_functions, scalar_readable_timedelta ---
 ]
 
 

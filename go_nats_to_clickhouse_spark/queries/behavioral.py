@@ -135,12 +135,21 @@ GROUP BY f.d0
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``retention()`` analog as cohort analysis: users grouped
     by first-active day, with next-day and within-7-days return counts.
-    One aggregation to (user, day), one to cohorts — both user-keyed."""
-    e = load_table(spark, sf_dir, "events")
-    d = e.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")).distinct()
-    firsts = d.groupBy("user_id").agg(F.min("day").alias("d0"))
-    joined = firsts.join(d, "user_id")
-    return joined.groupBy(F.col("d0").alias("cohort_day")).agg(
+
+    Shape (r12 optimization): one events scan; the first-active day is a
+    MIN window over the same user_id key the (user, day) distinct needs,
+    replacing the previous groupBy + join-back (which re-scanned events
+    and re-ran the distinct on both join inputs). The not-null filter
+    mirrors the oracle's inner join on user_id, which drops a null user
+    under SQL join semantics."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    d = e.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    dd = d.withColumn("d0", F.min("day").over(Window.partitionBy("user_id")))
+    return dd.groupBy(F.col("d0").alias("cohort_day")).agg(
         F.countDistinct("user_id").alias("n_users"),
         F.countDistinct(
             F.when(F.col("day") == F.date_add(F.col("d0"), 1), F.col("user_id"))

@@ -678,6 +678,13 @@ def dedup_semantic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v",
             F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
         )
+        # Lazy snapshot (r12): both sides of the bucket-local self-join
+        # re-expanded the whole assignment subtree (corpus scan, K-centroid
+        # scoring crossJoin, argmax window) — and both sides REPARTITION by
+        # (bucket, salt) right after, so no output partitioning is lost by
+        # checkpointing (the batch-4 revert criterion). One assignment pass
+        # instead of two; at 100 TB that is one corpus scan, not two.
+        .localCheckpoint(eager=False)
     )
     # Salt the bucket-local pair join: K buckets alone cap parallelism at
     # K partitions; salting the left side by vec_id and replicating the
@@ -1657,51 +1664,26 @@ def window_funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour. Non-condition events (signup, error) never break chains, per
     ClickHouse semantics.
 
-    Shape: number the condition events per user once (window row_number),
-    then two equi-joins on (user, seq+1) / (user, seq+2) fetch each
-    view's immediate successors. Fully deterministic under the event_id
-    tiebreak; no per-view scan of the event history — at 100 TB this is
-    one window shuffle plus two equi-joins on user_id."""
+    Shape (r12 optimization): each view's two immediate successors in
+    the per-user (ts, event_id) order are ``lead(1)`` / ``lead(2)`` over
+    the SAME window the sequence numbering already needed — the previous
+    spelling materialized the numbering and self-joined it twice on
+    (user, seq+1) / (user, seq+2), re-scanning events three times. One
+    events scan, one window shuffle, zero joins; lead()'s null-at-end
+    matches the left joins' no-successor rows exactly."""
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "click", "purchase")
     )
     wuser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    tracked = e.select(
+    j = e.select(
         "user_id",
-        "event_id",
         "ts",
         "event_type",
-        F.row_number().over(wuser).alias("seq"),
-    )
-    views = tracked.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", "seq"
-    )
-    f1 = tracked.select(
-        F.col("user_id").alias("u1"),
-        F.col("seq").alias("s1"),
-        F.col("ts").alias("ts1"),
-        F.col("event_type").alias("type1"),
-    )
-    f2 = tracked.select(
-        F.col("user_id").alias("u2"),
-        F.col("seq").alias("s2"),
-        F.col("ts").alias("ts2"),
-        F.col("event_type").alias("type2"),
-    )
-    j = (
-        views.join(
-            f1,
-            (F.col("u1") == F.col("user_id"))
-            & (F.col("s1") == F.col("seq") + 1),
-            "left",
-        )
-        .join(
-            f2,
-            (F.col("u2") == F.col("user_id"))
-            & (F.col("s2") == F.col("seq") + 2),
-            "left",
-        )
-    )
+        F.lead("ts", 1).over(wuser).alias("ts1"),
+        F.lead("event_type", 1).over(wuser).alias("type1"),
+        F.lead("ts", 2).over(wuser).alias("ts2"),
+        F.lead("event_type", 2).over(wuser).alias("type2"),
+    ).filter(F.col("event_type") == "view")
     hour = F.expr("INTERVAL 1 HOUR")
     step2 = (
         (F.col("type1") == "click")
@@ -1972,27 +1954,29 @@ def timeseries_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     and MAD are the robust location/scale pair that outliers cannot
     drag, unlike mean/stddev.
 
-    Two grouped exact percentiles (Spark ``percentile`` == DuckDB
-    ``quantile_cont`` on exact 2-dec inputs — agg_percentiles pins the
-    convention) + one broadcast-sized stats join back; at 100 TB swap
-    ``percentile`` for ``percentile_approx`` with the same plan."""
+    Two exact percentiles as WINDOW aggregates over the same user_id
+    partitioning (Spark ``percentile`` == DuckDB ``quantile_cont`` on
+    exact 2-dec inputs — agg_percentiles pins the convention): the
+    previous groupBy + join-back spelling re-scanned events four times
+    and paid two join shuffles; both stats are per-user functions of the
+    same rows, so one exchange establishes the partitioning and both
+    windows (and the row-level scoring) reuse it (guide §2.4). At 100 TB
+    swap ``percentile`` for ``percentile_approx`` with the same plan."""
+    from pyspark.sql.window import Window
+
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     v = e.select(
         "user_id",
         "event_id",
-        "ts",
         F.round("value", 2).cast("double").alias("x"),
     )
-    med = v.groupBy("user_id").agg(F.expr("percentile(x, 0.5)").alias("med"))
-    dev = v.join(med, "user_id").withColumn(
-        "ad", F.abs(F.col("x") - F.col("med"))
-    )
-    mad = dev.groupBy("user_id").agg(
-        F.expr("percentile(ad, 0.5)").alias("mad")
-    )
-    scored = dev.join(mad, "user_id").withColumn(
-        "score", F.col("ad") / (F.lit(1.4826) * F.col("mad"))
-    )
+    w = Window.partitionBy("user_id")
+    dev = v.withColumn(
+        "med", F.expr("percentile(x, 0.5)").over(w)
+    ).withColumn("ad", F.abs(F.col("x") - F.col("med")))
+    scored = dev.withColumn(
+        "mad", F.expr("percentile(ad, 0.5)").over(w)
+    ).withColumn("score", F.col("ad") / (F.lit(1.4826) * F.col("mad")))
     return (
         scored.filter((F.col("mad") > 0) & (F.col("score") > 3.0))
         .select(
