@@ -60,11 +60,15 @@ _PRIORITY = [
     "dedup_semantic_buckets",
     "funnel_conversion",
     "pipeline_dedup_provenance_day3",
+    "pipeline_leakage_safe_split",
+    "pipeline_leakage_safe_split_day3",
+    "pipeline_leakage_safe_split_erased",
     "pipeline_shard_report",
     "retention_cohorts",
     "text_bigram_lm_score",
     "text_boilerplate_ngrams",
     "text_dsir_weights",
+    "text_selection_curve",
     "timeseries_anomaly_mad",
     "window_funnel_strict_order",
     # --- round-6 cohort IN FULL (39 rows, last driver-green r6 —
@@ -91,24 +95,23 @@ _PRIORITY = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
-    "scalar_conditional_functions",
-    "scalar_date_functions",
-    "scalar_json_functions",
     "scalar_map_functions",
-    "scalar_math_functions",
     "text_tfidf_keywords",
-    # --- displaced to round 13 by the 15 optimization-round re-entries
+    # --- displaced to round 13 by the 19 optimization-round re-entries
     # above (re-confirmation rows yield their slots first; these
     # round-6/7 rows carry over): set_ops_bag_semantics,
     # sort_limit_expensive_parts, vector_ann_ivf_read_topk,
     # vector_ann_ivf_topk, window_ranking_functions, window_running_spend,
-    # window_topk_orders, agg_delta_sum, agg_entropy, plus the five
+    # window_topk_orders, agg_delta_sum, agg_entropy, plus the nine
     # round-6 rows that yielded their slots to this session's respelled
     # queries (funnel_conversion, retention_cohorts,
     # timeseries_anomaly_mad, window_funnel_strict_order,
-    # dedup_semantic_buckets): set_intersect_big_spenders,
+    # dedup_semantic_buckets, text_selection_curve, the three
+    # pipeline_leakage_safe_split variants): set_intersect_big_spenders,
     # set_except_never_urgent, scalar_string_functions,
-    # scalar_regexp_functions, scalar_readable_timedelta ---
+    # scalar_regexp_functions, scalar_readable_timedelta,
+    # scalar_conditional_functions, scalar_date_functions,
+    # scalar_json_functions, scalar_math_functions ---
 ]
 
 

@@ -678,13 +678,12 @@ def dedup_semantic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v",
             F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
         )
-        # Lazy snapshot (r12): both sides of the bucket-local self-join
-        # re-expanded the whole assignment subtree (corpus scan, K-centroid
-        # scoring crossJoin, argmax window) — and both sides REPARTITION by
-        # (bucket, salt) right after, so no output partitioning is lost by
-        # checkpointing (the batch-4 revert criterion). One assignment pass
-        # instead of two; at 100 TB that is one corpus scan, not two.
-        .localCheckpoint(eager=False)
+        # (r12: a lazy localCheckpoint here was TRIED and reverted on a
+        # 10x measurement — the assignment subtree both join sides
+        # re-expand is K cosines per vector, tiny next to the quadratic
+        # pair stage, while checkpointing the 64-double arrays cost ~15%
+        # at sf1 and ~7% at sf0.1. The double expansion is the cheaper
+        # evil until the pair stage stops dominating.)
     )
     # Salt the bucket-local pair join: K buckets alone cap parallelism at
     # K partitions; salting the left side by vec_id and replicating the

@@ -567,15 +567,20 @@ def text_selection_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_h = Window.orderBy(F.desc("n_words")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = hist.withColumn(
-        "cum_before", F.sum("cnt").over(w_h) - F.col("cnt")
-    ).select("n_words", "cum_before")
+    # n_total rides the same tiny histogram window stage (sum of per-
+    # length counts) — counting the corpus directly re-scanned and
+    # re-tokenized it a third time for a value the bounded histogram
+    # already holds, plus a crossJoin to attach it (r12)
+    cum = hist.select(
+        "n_words",
+        (F.sum("cnt").over(w_h) - F.col("cnt")).alias("cum_before"),
+        F.sum("cnt").over(Window.partitionBy()).cast("long").alias("n_total"),
+    )
     w_g = Window.partitionBy("n_words").orderBy("doc_id")
     ranked = (
         d.join(F.broadcast(bounded(cum, "document-length histogram domain")), "n_words")
         .withColumn("r", F.col("cum_before") + F.row_number().over(w_g))
     )
-    tot = d.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     k = F.lit(10)
     q = (F.col("n_total") / k).cast("long")  # base bucket size
     m = F.col("n_total") % k  # first m buckets hold q+1 rows
@@ -587,8 +592,7 @@ def text_selection_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         m + ((F.col("r") - big_span + q - 1) / q).cast("long")
     )
     g = (
-        ranked.crossJoin(F.broadcast(tot))
-        .withColumn("decile", decile.cast("int"))
+        ranked.withColumn("decile", decile.cast("int"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),

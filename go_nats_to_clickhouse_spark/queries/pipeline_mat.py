@@ -1976,6 +1976,14 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("test"),
         )
         .select("doc_id", "n_chars", "split")
+        # Lazy snapshot (r12): three consumers (both endpoint joins of the
+        # cross-split audit + the per-split totals) each re-expanded the
+        # corpus scan and the SortMergeJoin against the component map
+        # (whose LogicalRDD stats block auto-broadcast). None of them
+        # reuses the join's doc_id partitioning under its own key order,
+        # so checkpointing loses nothing (batch-4 criterion) and the
+        # corpus is scanned once, not three times.
+        .localCheckpoint(eager=False)
     )
     sa = assign.select(
         F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
@@ -2076,6 +2084,14 @@ def pipeline_leakage_safe_split_erased(
             .otherwise("test"),
         )
         .select("doc_id", "n_chars", "split")
+        # Lazy snapshot (r12): three consumers (both endpoint joins of the
+        # cross-split audit + the per-split totals) each re-expanded the
+        # corpus scan and the SortMergeJoin against the component map
+        # (whose LogicalRDD stats block auto-broadcast). None of them
+        # reuses the join's doc_id partitioning under its own key order,
+        # so checkpointing loses nothing (batch-4 criterion) and the
+        # corpus is scanned once, not three times.
+        .localCheckpoint(eager=False)
     )
     sa = assign.select(
         F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
@@ -2249,6 +2265,14 @@ def pipeline_leakage_safe_split_day3(
             .otherwise("test"),
         )
         .select("doc_id", "n_chars", "split")
+        # Lazy snapshot (r12): three consumers (both endpoint joins of the
+        # cross-split audit + the per-split totals) each re-expanded the
+        # corpus scan and the SortMergeJoin against the component map
+        # (whose LogicalRDD stats block auto-broadcast). None of them
+        # reuses the join's doc_id partitioning under its own key order,
+        # so checkpointing loses nothing (batch-4 criterion) and the
+        # corpus is scanned once, not three times.
+        .localCheckpoint(eager=False)
     )
     sa = assign.select(
         F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
