@@ -53,7 +53,9 @@ _PRIORITY = [
     # green at sf0.001/sf0.01), but the staleness invariant requires every
     # changed engine fn to re-enter the driver window ---
     "agg_ddsketch_quantiles",
+    "agg_with_totals",
     "behavioral_retention_matrix",
+    "dedup_cluster_profile",
     "dedup_connected_components",
     "dedup_containment_pairs",
     "dedup_ngram_jaccard_pairs",
@@ -90,14 +92,12 @@ _PRIORITY = [
     "join_anti_customers_without_orders",
     "join_semi_active_suppliers",
     "market_share_by_year",
-    "pivot_status_by_priority",
     "q10_returned_items",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
-    "scalar_map_functions",
     "text_tfidf_keywords",
-    # --- displaced to round 13 by the 19 optimization-round re-entries
+    # --- displaced to round 13 by the 21 optimization-round re-entries
     # above (re-confirmation rows yield their slots first; these
     # round-6/7 rows carry over): set_ops_bag_semantics,
     # sort_limit_expensive_parts, vector_ann_ivf_read_topk,
@@ -111,7 +111,10 @@ _PRIORITY = [
     # set_except_never_urgent, scalar_string_functions,
     # scalar_regexp_functions, scalar_readable_timedelta,
     # scalar_conditional_functions, scalar_date_functions,
-    # scalar_json_functions, scalar_math_functions ---
+    # scalar_json_functions, scalar_math_functions; and the two that
+    # yielded to agg_with_totals + dedup_cluster_profile (driver-count
+    # removal this session): scalar_map_functions,
+    # pivot_status_by_priority ---
 ]
 
 

@@ -1412,34 +1412,40 @@ def agg_with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's consumers would get). Rendered tabularly with the
     'TOTALS' sentinel key standing in for ClickHouse's separate totals
     block. Spark spelling: the grouped aggregate + HAVING filter,
-    unioned with one global aggregate over the unfiltered input —
-    Catalyst runs both from a shared scan, each map-side combinable;
-    unlike rollup (agg_rollup_lineitem) no Expand is needed because the
-    two aggregation levels want DIFFERENT row sets under HAVING."""
+    unioned with one global aggregate over the unfiltered input.
+
+    Shape (r12 optimization): the totals row AND the HAVING threshold
+    are exact integer re-aggregations of the (type, day) groups (group
+    counts partition the input, so SUM(n) == COUNT(*) and
+    SUM(total_cents) == the global cents sum), so everything derives
+    from ONE grouped pass — the previous spelling paid a separate
+    driver-side count() action (a full pass before the query ran) plus
+    a second full-scan global aggregate. The grand-total subtree is a
+    1-row group-less aggregate (broadcast-legal by construction) reused
+    by both the threshold crossJoin and the TOTALS row."""
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.date_format("ts", "yyyyMMdd").cast("long").alias("day"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    # the HAVING threshold is data-relative (1/200 of the input) so the
-    # filter genuinely drops small (type, day) groups at every SF —
-    # bounded scalar, not data
-    tot = e.count()
-    groups = (
-        e.groupBy("event_type", "day")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("cents").cast("long").alias("total_cents"),
-        )
-        .filter(F.lit(200) * F.col("n") >= F.lit(tot))
-    )
-    totals = e.agg(
+    g = e.groupBy("event_type", "day").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("total_cents"),
-    ).select(
+    )
+    # coalesce matches COUNT(*) = 0 (not SUM's NULL) on an empty input
+    tot_row = g.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("tn"),
+        F.sum("total_cents").cast("long").alias("tc"),
+    )
+    groups = (
+        g.crossJoin(F.broadcast(tot_row))
+        .filter(F.lit(200) * F.col("n") >= F.col("tn"))
+        .select("event_type", "day", "n", "total_cents")
+    )
+    totals = tot_row.select(
         F.lit("TOTALS").alias("event_type"),
         F.lit(0).cast("long").alias("day"),
-        "n",
-        "total_cents",
+        F.col("tn").alias("n"),
+        F.col("tc").alias("total_cents"),
     )
     return groups.unionByName(totals).orderBy("event_type", "day")

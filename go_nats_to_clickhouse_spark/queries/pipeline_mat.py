@@ -2359,10 +2359,14 @@ def dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_nats_to_clickhouse_spark.queries.util import load_table
 
     t = pipeline_tables(spark, sf_dir)
-    n_corpus = (
+    # in-plan scalars (r12): the corpus count and the noded-doc count
+    # were driver-side .count() actions — two extra jobs (one a full
+    # documents pass) executed before the query's own job; both are
+    # 1-row group-less aggregates the singleton row can crossJoin.
+    corpus_cnt = (
         load_table(spark, sf_dir, "documents")
         .filter(~F.col("source").isin(*NEW_SOURCES))
-        .count()
+        .agg(F.count(F.lit(1)).alias("n_corpus"))
     )
     pairs = (
         spark.read.parquet(t["corpus_pairs"])
@@ -2373,14 +2377,20 @@ def dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     csizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("sz")
     )
-    n_noded = comp.count()
+    noded_cnt = comp.agg(F.count(F.lit(1)).alias("n_noded"))
     prof = csizes.groupBy(F.col("sz").cast("long").alias("cluster_size")).agg(
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
         (F.first("sz") * F.count(F.lit(1))).cast("long").alias("n_docs"),
     )
-    singletons = spark.createDataFrame(
-        [(1, n_corpus - n_noded, n_corpus - n_noded)],
-        "cluster_size long, n_clusters long, n_docs long",
+    singletons = (
+        corpus_cnt.crossJoin(noded_cnt)
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("n_corpus") - F.col("n_noded"))
+            .cast("long")
+            .alias("n_clusters"),
+            (F.col("n_corpus") - F.col("n_noded")).cast("long").alias("n_docs"),
+        )
     )
     return prof.unionByName(singletons).orderBy("cluster_size")
 
