@@ -53,6 +53,7 @@ _PRIORITY = [
     # green at sf0.001/sf0.01), but the staleness invariant requires every
     # changed engine fn to re-enter the driver window ---
     "agg_ddsketch_quantiles",
+    "agg_max_intersections",
     "agg_with_totals",
     "behavioral_retention_matrix",
     "dedup_cluster_profile",
@@ -61,6 +62,7 @@ _PRIORITY = [
     "dedup_ngram_jaccard_pairs",
     "dedup_semantic_buckets",
     "funnel_conversion",
+    "join_asof_last_click",
     "pipeline_dedup_provenance_day3",
     "pipeline_leakage_safe_split",
     "pipeline_leakage_safe_split_day3",
@@ -92,12 +94,10 @@ _PRIORITY = [
     "join_anti_customers_without_orders",
     "join_semi_active_suppliers",
     "market_share_by_year",
-    "q10_returned_items",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q6_revenue_forecast",
     "text_tfidf_keywords",
-    # --- displaced to round 13 by the 21 optimization-round re-entries
+    # --- displaced to round 13 by the 23 optimization-round re-entries
     # above (re-confirmation rows yield their slots first; these
     # round-6/7 rows carry over): set_ops_bag_semantics,
     # sort_limit_expensive_parts, vector_ann_ivf_read_topk,
@@ -114,7 +114,9 @@ _PRIORITY = [
     # scalar_json_functions, scalar_math_functions; and the two that
     # yielded to agg_with_totals + dedup_cluster_profile (driver-count
     # removal this session): scalar_map_functions,
-    # pivot_status_by_priority ---
+    # pivot_status_by_priority; and the two that yielded to
+    # agg_max_intersections + join_asof_last_click (single-scan
+    # respellings): q6_revenue_forecast, q10_returned_items ---
 ]
 
 

@@ -167,19 +167,27 @@ def agg_max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; no pairwise interval join (the naive overlap join is
     O(n²) per user)."""
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
-    iv = e.select(
+    # one scan (r12): the +1/-1 sweep points were a UNION of two
+    # projections of the same subtree — two full event passes at scale;
+    # an inline explode of the 2-struct array emits the same rows from
+    # one pass (inline, not a named array column — the
+    # InferFiltersFromGenerate trap documented on operators/dedup
+    # .shingle_arrays)
+    pts = e.select(
         "user_id",
         "event_id",
-        F.unix_micros("ts").alias("s"),
-        (F.unix_micros("ts") + _dur_us()).alias("e"),
-    )
-    pts = iv.select(
-        "user_id", F.col("s").alias("t"), F.lit(1).alias("d"), "event_id"
-    ).unionAll(
-        iv.select(
-            "user_id", F.col("e").alias("t"), F.lit(-1).alias("d"), "event_id"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.unix_micros("ts").alias("t"), F.lit(1).alias("d")
+                ),
+                F.struct(
+                    (F.unix_micros("ts") + _dur_us()).alias("t"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("p"),
+    ).select("user_id", F.col("p.t").alias("t"), F.col("p.d").alias("d"), "event_id")
     w = Window.partitionBy("user_id").orderBy("t", "d", "event_id")
     run = pts.select(
         "user_id",
