@@ -60,6 +60,7 @@ _PRIORITY = [
     "dedup_connected_components",
     "dedup_containment_pairs",
     "dedup_ngram_jaccard_pairs",
+    "dedup_paragraph_exact",
     "dedup_semantic_buckets",
     "funnel_conversion",
     "join_asof_last_click",
@@ -78,7 +79,6 @@ _PRIORITY = [
     # --- round-6 cohort IN FULL (39 rows, last driver-green r6 —
     # the rotation ladder, VERDICT r11 ask #3), alphabetical within
     # the equal-age cohort ---
-    "agg_argmax_latest_event",
     "agg_bit_ops",
     "agg_conditional",
     "agg_cube_orders",
@@ -97,7 +97,7 @@ _PRIORITY = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "text_tfidf_keywords",
-    # --- displaced to round 13 by the 23 optimization-round re-entries
+    # --- displaced to round 13 by the 24 optimization-round re-entries
     # above (re-confirmation rows yield their slots first; these
     # round-6/7 rows carry over): set_ops_bag_semantics,
     # sort_limit_expensive_parts, vector_ann_ivf_read_topk,
@@ -116,7 +116,9 @@ _PRIORITY = [
     # removal this session): scalar_map_functions,
     # pivot_status_by_priority; and the two that yielded to
     # agg_max_intersections + join_asof_last_click (single-scan
-    # respellings): q6_revenue_forecast, q10_returned_items ---
+    # respellings): q6_revenue_forecast, q10_returned_items; and
+    # agg_argmax_latest_event (yielded to dedup_paragraph_exact,
+    # whose per-source totals now ride npar) ---
 ]
 
 

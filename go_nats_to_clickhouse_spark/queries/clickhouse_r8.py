@@ -787,8 +787,12 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     winners = p.groupBy("para").agg(
         F.min(F.struct("doc_id", "pos", "source")).alias("w")
     )
-    before = p.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("paras_total")
+    # per-source totals from the per-doc paragraph COUNT (npar), not the
+    # exploded rows (r12): counting p re-ran the whole segmentation
+    # (transform + slice + explode) a second time for a number each doc
+    # already knows — sum(npar) == the exploded row count by construction
+    before = d.groupBy("source").agg(
+        F.sum("npar").cast("long").alias("paras_total")
     )
     after = (
         winners.select(
