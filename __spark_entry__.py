@@ -69,6 +69,7 @@ _PRIORITY = [
     "pipeline_leakage_safe_split_day3",
     "pipeline_leakage_safe_split_erased",
     "pipeline_shard_report",
+    "q2_best_supplier_per_part",
     "retention_cohorts",
     "text_bigram_lm_score",
     "text_boilerplate_ngrams",
@@ -79,7 +80,6 @@ _PRIORITY = [
     # --- round-6 cohort IN FULL (39 rows, last driver-green r6 —
     # the rotation ladder, VERDICT r11 ask #3), alphabetical within
     # the equal-age cohort ---
-    "agg_bit_ops",
     "agg_conditional",
     "agg_cube_orders",
     "agg_distinct_orders",
@@ -97,7 +97,7 @@ _PRIORITY = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "text_tfidf_keywords",
-    # --- displaced to round 13 by the 24 optimization-round re-entries
+    # --- displaced to round 13 by the 25 optimization-round re-entries
     # above (re-confirmation rows yield their slots first; these
     # round-6/7 rows carry over): set_ops_bag_semantics,
     # sort_limit_expensive_parts, vector_ann_ivf_read_topk,
@@ -118,7 +118,8 @@ _PRIORITY = [
     # agg_max_intersections + join_asof_last_click (single-scan
     # respellings): q6_revenue_forecast, q10_returned_items; and
     # agg_argmax_latest_event (yielded to dedup_paragraph_exact,
-    # whose per-source totals now ride npar) ---
+    # whose per-source totals now ride npar); and agg_bit_ops (yielded
+    # to q2_best_supplier_per_part's window-max respelling) ---
 ]
 
 

@@ -304,9 +304,13 @@ GROUP BY p_partkey, p_name, s.s_suppkey, s.s_acctbal
 """,
 )
 def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated scalar MAX subquery -> decorrelated by hand into a
-    per-part max aggregate joined back (exactly what Catalyst does to the
-    SQL form; stated explicitly so the two-phase shuffle is visible)."""
+    """Correlated scalar MAX subquery -> decorrelated into a per-part MAX
+    WINDOW over the distinct (part, supplier) pairs (r12: was a groupBy
+    + join-back, which re-expanded the distinct subtree on both join
+    sides and paid an extra exchange — the window computes the same max
+    on the same partitioning in one pass)."""
+    from pyspark.sql.window import Window
+
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 45)
     s = load_table(spark, sf_dir, "supplier")
     l = load_table(spark, sf_dir, "lineitem")
@@ -315,9 +319,9 @@ def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "s_suppkey", "s_acctbal")
         .distinct()
     )
-    best = part_supp.groupBy("l_partkey").agg(F.max("s_acctbal").alias("best_bal"))
+    best_bal = F.max("s_acctbal").over(Window.partitionBy("l_partkey"))
     return (
-        part_supp.join(best, "l_partkey")
+        part_supp.withColumn("best_bal", best_bal)
         .filter(F.col("s_acctbal") == F.col("best_bal"))
         .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .select("p_partkey", "p_name", "s_suppkey", "s_acctbal")
