@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from go_nats_to_clickhouse_spark.queries.registry import query
 from go_nats_to_clickhouse_spark.queries.util import load_table
@@ -55,61 +56,87 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog: per user, the deepest strictly-ordered view -> click ->
     purchase chain completed within one hour of the chain's first step.
 
-    Shape (r12 optimization): ONE events scan and ONE user_id-keyed
-    aggregation — exactly ClickHouse's own windowFunnel execution (a
-    groupArray of step timestamps folded per key). The previous spelling
-    decorrelated each funnel level into its own existential join, which
-    re-scanned events seven times (u + v + v⋈c + v⋈c⋈p branches) and paid
-    three distinct-shuffles plus three join-shuffles; all of it is a pure
-    per-user function of that user's view/click/purchase timestamp
-    multisets, so it now rides one collect_list aggregate. Per-user state
-    is bounded by that user's event counts — the same bound the join
-    spelling's v×c fanout already assumed, minus the six extra corpus
-    passes.
+    Shape (r12 optimization): ONE events scan, ONE user_id window pass
+    (merge-scan), ONE per-user aggregate — O(events) per user, all
+    whole-stage codegen. The original spelling decorrelated each funnel
+    level into its own existential join (seven events scans, three
+    distinct-shuffles, three join-shuffles, and Σ|views|·|clicks| join
+    fanout per user); an intermediate per-user sorted-array spelling
+    removed the scans but kept the quadratic per-user work in
+    interpreted higher-order lambdas (measured slower than the joins at
+    10x). The merge-scan removes both: carry ``pv`` = the latest
+    strictly-earlier view per row, and ``runpv`` = the running max of
+    pv over clicks so far; then
 
-    Equivalence of the level-3 predicate (pinned by the shared oracle,
-    which keeps the join formulation): exists (v,c,p) with c∈(v,v+1h],
-    p∈(c,v+1h]  <=>  exists v with cmin(v) = min{c∈(v,v+1h]} defined and
-    some p∈(cmin(v),v+1h] — shrinking c to the minimum only widens p's
-    interval, and any witnessing p for some c also witnesses cmin.
+      level 2  <=>  some click c has pv(c) >= c - 1h
+        (take v = pv(c): v < c and c <= v+1h; conversely any witnessing
+         v only lowers pv's bound),
+      level 3  <=>  some purchase p has runpv(p) >= p - 1h
+        (forward: v = pv(c) for the maximizing click c < p gives
+         v < c < p <= v+1h, so c∈(v,v+1h] and p∈(c,v+1h]; backward: a
+         chain's v bounds pv(c) from below and c precedes p).
+
+    Strictness at equal timestamps is encoded in the sort priority
+    (purchase < click < view), so a same-instant view is invisible to a
+    click and a same-instant click invisible to a purchase — matching
+    the oracle's strict inequalities. Null-ts rows carry null micros
+    and drop out of every comparison, exactly like the join form.
     """
     e = load_table(spark, sf_dir, "events")
     us = 3_600_000_000  # one hour in microseconds (UTC session, no DST)
-    t = F.unix_micros(F.col("ts"))
-    per_user = e.groupBy("user_id").agg(
-        *[
-            F.sort_array(
-                F.collect_list(F.when(F.col("event_type") == typ, t))
-            ).alias(col)
-            for typ, col in (("view", "vs"), ("click", "cs"), ("purchase", "ps"))
-        ],
-        # level 1 counts view ROWS (a null-ts view still counts, exactly
-        # like the oracle's DISTINCT over the view branch)
-        F.count(F.when(F.col("event_type") == "view", 1)).alias("nv"),
-    )
-
-    def cmin(v):
-        # first click strictly after the view, inside its hour window
-        return F.array_min(
-            F.filter(F.col("cs"), lambda c: (c > v) & (c <= v + F.lit(us)))
-        )
-
-    l2 = F.exists(F.col("vs"), lambda v: cmin(v).isNotNull())
-    l3 = F.exists(
-        F.col("vs"),
-        lambda v: F.coalesce(
-            F.exists(
-                F.col("ps"),
-                lambda p: (p > cmin(v)) & (p <= v + F.lit(us)),
-            ),
-            F.lit(False),
-        ),
-    )
-    return per_user.select(
+    typ = F.col("event_type")
+    base = e.select(
         "user_id",
-        F.when(l3, 3)
-        .when(l2, 2)
-        .when(F.col("nv") > 0, 1)
+        "event_id",
+        typ.alias("et"),
+        F.unix_micros(F.col("ts")).alias("t"),
+        F.when(typ == "purchase", 0)
+        .when(typ == "click", 1)
+        .when(typ == "view", 2)
+        .otherwise(3)
+        .alias("prio"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "prio", "event_id")
+    run = base.select(
+        "user_id",
+        "et",
+        "t",
+        "prio",
+        "event_id",
+        F.last(F.when(F.col("et") == "view", F.col("t")), ignorenulls=True)
+        .over(w)
+        .alias("pv"),
+    ).select(
+        "user_id",
+        "et",
+        "t",
+        F.col("pv"),
+        F.max(F.when(F.col("et") == "click", F.col("pv"))).over(w).alias("runpv"),
+    )
+    return run.groupBy("user_id").agg(
+        F.when(
+            F.count(
+                F.when(
+                    (F.col("et") == "purchase")
+                    & (F.col("runpv") >= F.col("t") - F.lit(us)),
+                    1,
+                )
+            )
+            > 0,
+            3,
+        )
+        .when(
+            F.count(
+                F.when(
+                    (F.col("et") == "click")
+                    & (F.col("pv") >= F.col("t") - F.lit(us)),
+                    1,
+                )
+            )
+            > 0,
+            2,
+        )
+        .when(F.count(F.when(F.col("et") == "view", 1)) > 0, 1)
         .otherwise(0)
         .cast("int")
         .alias("funnel_level"),
